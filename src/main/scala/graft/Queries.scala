@@ -1,0 +1,551 @@
+package graft
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Relational => R, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The driver-contract query registry (SURVEY.md §2 inventory mapped to
+  * the TESTDATA.md tables).
+  *
+  * Every SQL-expressible operator carries a DuckDB oracle whose column
+  * names, types (BIGINT for all counts), and ORDER BY mirror the Spark
+  * result exactly. Floating-point aggregation is avoided in oracle
+  * queries: doubles are scaled to exact integers (`floor(x*100)`) before
+  * summing, so both engines produce bit-identical values regardless of
+  * accumulation order. ML / sketch operators return deterministic rows
+  * but are not ANSI-SQL-expressible — they have no oracle (driver
+  * records rows-only).
+  */
+object Queries {
+
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame)
+      : (String, Q) = name -> Q(fn, Some(oracle))
+  private def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame)
+      : (String, Q) = name -> Q(fn, None)
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Epoch millis from a millisecond-unit TIMESTAMP_NTZ column (orders,
+    * lineitem); session TZ is UTC so the cast is identity on instants. */
+  private def msTs(c: org.apache.spark.sql.Column) = unix_millis(c.cast("timestamp"))
+
+  /** Epoch millis from the events.ts column, which Spark reads as BIGINT
+    * nanoseconds (spark.sql.legacy.parquet.nanosAsLong — parquet NANOS
+    * is otherwise unreadable). Integer DIV keeps exactness; matches
+    * DuckDB's epoch_ms floor semantics for positive epochs. */
+  private def msEvent = expr("ts DIV 1000000")
+
+  // ------------------------------------------------------------------------
+  // Relational inventory (SURVEY.md §2.2–§2.7)
+  // ------------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+
+    // A1/O1/O2: deterministic top-N (count desc, key asc, limit)
+    q("q01_topn_count",
+      """SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 100""".stripMargin) {
+      (s, d) => R.topNByCount(T(s, d, "lineitem"), "l_partkey", 100)
+    },
+
+    // P1: regex keep
+    q("q02_filter_regex",
+      """SELECT p_partkey, p_type FROM part
+        |WHERE regexp_matches(p_type, '^(ECO|PRO)') ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        R.filterRegex(T(s, d, "part"), "p_type", "^(ECO|PRO)")
+          .select(col("p_partkey"), col("p_type")).orderBy(col("p_partkey"))
+    },
+
+    // P1 complement: regex drop
+    q("q03_filter_regex_neg",
+      """SELECT p_partkey, p_type FROM part
+        |WHERE NOT regexp_matches(p_type, '^(ECO|PRO)') ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        R.filterRegex(T(s, d, "part"), "p_type", "^(ECO|PRO)", keep = false)
+          .select(col("p_partkey"), col("p_type")).orderBy(col("p_partkey"))
+    },
+
+    // P2: in-band sentinel exclusion
+    q("q04_filter_sentinel",
+      """SELECT event_id, event_type FROM events
+        |WHERE event_type <> 'error' ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+        R.filterNotEqual(T(s, d, "events"), "event_type", "error")
+          .select(col("event_id"), col("event_type")).orderBy(col("event_id"))
+    },
+
+    // P3: NOT IN
+    q("q05_filter_notin",
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE p_brand NOT IN ('Brand#1', 'Brand#2') ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        R.filterNotIn(T(s, d, "part"), "p_brand", Seq("Brand#1", "Brand#2"))
+          .select(col("p_partkey"), col("p_brand")).orderBy(col("p_partkey"))
+    },
+
+    // P4: strict range
+    q("q06_filter_range",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 5 AND l_quantity < 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, d) =>
+        R.filterRangeExclusive(T(s, d, "lineitem"), "l_quantity", Some(5L), Some(45L))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // P5: bulk prefix-rename
+    q("q07_rename_prefix",
+      """SELECT l_orderkey AS li_l_orderkey, l_partkey AS li_l_partkey,
+        |       l_suppkey AS li_l_suppkey, l_linenumber
+        |FROM lineitem ORDER BY li_l_orderkey, l_linenumber""".stripMargin) {
+      (s, d) =>
+        R.renameWithPrefix(T(s, d, "lineitem"),
+            Seq("l_orderkey", "l_partkey", "l_suppkey"), "li_")
+          .select(col("li_l_orderkey"), col("li_l_partkey"), col("li_l_suppkey"),
+            col("l_linenumber"))
+          .orderBy(col("li_l_orderkey"), col("l_linenumber"))
+    },
+
+    // P6: derived prefixed id
+    q("q08_prefixed_id",
+      """SELECT o_orderkey, 'ord_' || CAST(o_orderkey AS VARCHAR) AS fullname_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+        R.withPrefixedId(T(s, d, "orders"), "o_orderkey", "ord_", "fullname_id")
+          .select(col("o_orderkey"), col("fullname_id")).orderBy(col("o_orderkey"))
+    },
+
+    // J3 + P7: inner equi-join with derived time delta
+    q("q09_join_time_delta",
+      """SELECT o_orderkey, l_linenumber,
+        |       epoch_ms(l_shipdate) - epoch_ms(o_orderdate) AS delta_ms
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin) {
+      (s, d) => {
+        val o = T(s, d, "orders"); val l = T(s, d, "lineitem")
+        R.joinWithTimeDelta(o, l, "o_orderkey", "l_orderkey",
+            msTs(col("o_orderdate")), msTs(col("l_shipdate")), "delta_ms")
+          .select(col("o_orderkey"), col("l_linenumber"), col("delta_ms"))
+          .orderBy(col("o_orderkey"), col("l_linenumber"))
+      }
+    },
+
+    // J1: left-semi membership against a top-N table
+    q("q10_semijoin_topn",
+      """WITH topn AS (
+        |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        |  GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 50)
+        |SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        |WHERE l_partkey IN (SELECT l_partkey FROM topn)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin) {
+      (s, d) => {
+        val l = T(s, d, "lineitem")
+        val top = R.topNByCount(l, "l_partkey", 50)
+        R.semiJoin(l, top, "l_partkey")
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("l_partkey"))
+      }
+    },
+
+    // W1: exact global percent-rank exclusion of the most active keys
+    q("q11_exclude_top_users",
+      """WITH c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+        |r AS (SELECT o_custkey, cnt, percent_rank() OVER (ORDER BY cnt) AS pr FROM c)
+        |SELECT o_custkey, cnt FROM r WHERE pr <= 0.95 ORDER BY o_custkey""".stripMargin) {
+      (s, d) => {
+        val counts = T(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"))
+        R.excludeTopPercentByCount(counts, "cnt", 0.05)
+          .select(col("o_custkey"), col("cnt")).orderBy(col("o_custkey"))
+      }
+    },
+
+    // A2: group-concat context build (sorted for determinism)
+    q("q12_group_concat",
+      """SELECT o_custkey,
+        |       string_agg(o_orderpriority, ' ' ORDER BY o_orderpriority) AS ctx,
+        |       COUNT(o_orderpriority) AS ctx_len
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) {
+      (s, d) =>
+        R.groupConcat(T(s, d, "orders"), "o_custkey", "o_orderpriority", "ctx", "ctx_len")
+          .orderBy(col("o_custkey"))
+    },
+
+    // A4: exact distinct counts
+    q("q13_count_distinct",
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        T(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag"))
+    },
+
+    // A6: global min/max over event time
+    q("q14_minmax_time",
+      """SELECT CAST(min(epoch_ms(ts)) AS BIGINT) AS min_ms,
+        |       CAST(max(epoch_ms(ts)) AS BIGINT) AS max_ms,
+        |       COUNT(*) AS cnt FROM events""".stripMargin) {
+      (s, d) =>
+        T(s, d, "events").agg(
+          min(msEvent).as("min_ms"),
+          max(msEvent).as("max_ms"),
+          count(lit(1)).as("cnt"))
+    },
+
+    // A7/O3: thread-document build (deterministic in-group ordering)
+    q("q15_thread_doc",
+      """SELECT o_orderkey, min(o_orderpriority) AS o_orderpriority,
+        |       min(o_orderstatus) AS o_orderstatus,
+        |       string_agg(l_returnflag || l_linestatus, ' '
+        |         ORDER BY l_linenumber, l_returnflag || l_linestatus)
+        |         AS document_text
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) {
+      (s, d) => {
+        val o = T(s, d, "orders"); val l = T(s, d, "lineitem")
+        val joined = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .withColumn("tok", concat(col("l_returnflag"), col("l_linestatus")))
+        R.threadDoc(joined, "o_orderkey", Seq("o_orderpriority", "o_orderstatus"),
+            "l_linenumber", "tok")
+          .orderBy(col("o_orderkey"))
+      }
+    },
+
+    // A10 mapping: top-k per group via ranking window
+    q("q16_window_topk",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem)
+        |SELECT l_returnflag, rk, l_orderkey, l_linenumber, l_extendedprice
+        |FROM r WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin) {
+      (s, d) =>
+        R.topKPerGroup(T(s, d, "lineitem"), Seq("l_returnflag"),
+            Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+              col("l_linenumber").asc), 3)
+          .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice"))
+          .orderBy(col("l_returnflag"), col("rk"))
+    },
+
+    // SO1: union-distinct of two key sets
+    q("q17_union_keys",
+      """SELECT o_custkey AS ckey FROM orders WHERE o_orderstatus = 'O'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 4000
+        |ORDER BY ckey""".stripMargin) {
+      (s, d) =>
+        T(s, d, "orders").where(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("ckey"))
+          .union(T(s, d, "customer").where(col("c_acctbal") > 4000)
+            .select(col("c_custkey").as("ckey")))
+          .distinct().orderBy(col("ckey"))
+    },
+
+    // SO1: intersection of two key sets
+    q("q18_intersect_keys",
+      """SELECT o_custkey AS ckey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 4000
+        |ORDER BY ckey""".stripMargin) {
+      (s, d) =>
+        T(s, d, "orders").where(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("ckey"))
+          .intersect(T(s, d, "customer").where(col("c_acctbal") > 4000)
+            .select(col("c_custkey").as("ckey")))
+          .orderBy(col("ckey"))
+    },
+
+    // Sessionization (gap-based, deterministic tie-break)
+    q("q19_sessionize",
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |f AS (SELECT user_id, event_id, ts_ms,
+        |        CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |                  IS NULL
+        |              OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+        |                  ORDER BY ts_ms, event_id) > 3600000
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |g AS (SELECT user_id, ts_ms,
+        |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS session_seq
+        |      FROM f)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms
+        |FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin) {
+      (s, d) =>
+        R.sessionize(T(s, d, "events"), "user_id", msEvent,
+            "event_id", 3600000L)
+          .orderBy(col("user_id"), col("session_seq"))
+    },
+
+    // As-of join: per event, the latest order of that customer at-or-before
+    // the event time (events are 2024, orders span the order history).
+    q("q20_asof_join",
+      """WITH j AS (
+        |  SELECT event_id, o_orderkey, epoch_ms(o_orderdate) AS ord_ms,
+        |         row_number() OVER (PARTITION BY event_id
+        |           ORDER BY epoch_ms(o_orderdate) DESC, o_orderkey DESC) AS rn
+        |  FROM events JOIN orders ON user_id = o_custkey
+        |    AND epoch_ms(o_orderdate) <= epoch_ms(ts))
+        |SELECT event_id, o_orderkey, ord_ms FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) {
+      (s, d) => {
+        val e = T(s, d, "events"); val o = T(s, d, "orders")
+        R.asOfLatest(e, o, "user_id", "o_custkey",
+            msEvent, msTs(col("o_orderdate")),
+            "event_id", "o_orderkey")
+          .select(col("event_id"), col("o_orderkey"),
+            msTs(col("o_orderdate")).as("ord_ms"))
+          .orderBy(col("event_id"))
+      }
+    },
+
+    // TPC-H Q1-shaped pricing summary with exact scaled-integer sums
+    q("q21_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, d) =>
+        T(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(floor(col("l_quantity") * 100)).as("sum_qty_c"),
+            sum(floor(col("l_extendedprice") * 100)).as("sum_price_c"),
+            count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // JSON path extraction from a string column
+    q("q22_json_extract",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+        T(s, d, "events")
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy(col("event_id"))
+    },
+
+    // A5/A8-adjacent: exact summary statistics via integer moments
+    q("q29_summary_stats",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s1_c,
+        |       CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)
+        |                * CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s2_c
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) => {
+        val sq = floor(col("l_quantity") * 100)
+        T(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(sq).as("s1_c"), sum(sq * sq).as("s2_c"))
+          .orderBy(col("l_returnflag"))
+      }
+    },
+
+    // --------------------------------------------------------------------
+    // Training-data curation operators over documents/embeddings
+    // --------------------------------------------------------------------
+
+    // Exact dedup (hash-groupBy keeper assignment)
+    q("q23_dedup_exact",
+      """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
+        |       COUNT(*) OVER (PARTITION BY text) AS n_copies
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Dedup.exact(T(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+    },
+
+    // Token counting
+    q("q24_token_count",
+      """SELECT doc_id,
+        |       CAST(CASE WHEN trim(text) = '' THEN 0
+        |                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |         AS n_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        T(s, d, "documents").select(col("doc_id"),
+            TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+            TextFns.nChars(col("text")).cast("long").as("n_chars_calc"))
+          .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring (integer-exact metrics + boolean gate)
+    q("q25_quality",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(CASE WHEN trim(text) = '' THEN 0
+        |                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |         AS n_tokens,
+        |       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |            AS BIGINT) AS n_digits,
+        |       (CASE WHEN trim(text) = '' THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END >= 5
+        |        AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000
+        |            <= length(text) * 300) AS is_quality
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        T(s, d, "documents").select(col("doc_id"),
+            TextFns.nChars(col("text")).cast("long").as("n_chars"),
+            TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+            TextFns.nDigits(col("text")).cast("long").as("n_digits"),
+            TextFns.isQuality(col("text")).as("is_quality"))
+          .orderBy(col("doc_id"))
+    },
+
+    // Language-ID heuristic (stopword votes, deterministic tie-break)
+    q("q26_langid",
+      ("""WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |""" + TextFns.LangStopwords.map { case (lang, words) =>
+          s"  len(list_filter(t, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x))) AS h_$lang"
+        }.mkString("", ",\n", "\n") +
+        """  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 THEN 'en'
+        |       WHEN h_de >= h_fr AND h_de >= h_es AND h_de > 0 THEN 'de'
+        |       WHEN h_fr >= h_es AND h_fr > 0 THEN 'fr'
+        |       WHEN h_es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc ORDER BY doc_id""").stripMargin) {
+      (s, d) =>
+        T(s, d, "documents").select(col("doc_id"),
+            TextFns.langId(col("text")).as("lang_pred"))
+          .orderBy(col("doc_id"))
+    },
+
+    // N-gram Jaccard near-dedup (exact verification, SQL-mirrored)
+    q("q27_ngram_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest([array_to_string(t[i:i+2], ' ')
+        |                 FOR i IN generate_series(1, len(t)-2)]) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sz x ON inter.a = x.doc_id JOIN sz y ON inter.b = y.doc_id
+        |  WHERE i * 2 >= 1 * (x.n + y.n - i)),
+        |kp AS (SELECT b AS doc_id, MIN(a) AS keep FROM pairs GROUP BY b)
+        |SELECT dd.doc_id, COALESCE(kp.keep, dd.doc_id) AS keep_id
+        |FROM documents dd LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Dedup.ngramJaccard(T(s, d, "documents"), "doc_id", "text",
+            shingleK = 3, tauNum = 1, tauDenom = 2)
+          .orderBy(col("doc_id"))
+    },
+
+    // Event-time tumbling-window aggregation (batch form)
+    q("q28_events_hourly",
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |       event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_micro
+        |FROM events GROUP BY bucket_ms, event_type
+        |ORDER BY bucket_ms, event_type""".stripMargin) {
+      (s, d) =>
+        T(s, d, "events")
+          .groupBy(expr("((ts DIV 1000000) DIV 3600000) * 3600000").as("bucket_ms"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(floor(col("value") * 1000000)).as("sum_value_micro"))
+          .orderBy(col("bucket_ms"), col("event_type"))
+    },
+
+    // --------------------------------------------------------------------
+    // Sketch/ANN operators — deterministic but not ANSI-SQL-expressible;
+    // validated by ScalaTest instead (driver records rows-only).
+    // --------------------------------------------------------------------
+
+    rowsOnly("x01_minhash_dedup") { (s, d) =>
+      Dedup.minhashLsh(T(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    rowsOnly("x02_simhash_dedup") { (s, d) =>
+      Dedup.simhash(T(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    rowsOnly("x03_embedding_dedup") { (s, d) =>
+      Dedup.embeddingCosine(T(s, d, "embeddings"), "vec_id", "embedding", tau = 0.95)
+        .orderBy(col("vec_id"))
+    },
+
+    rowsOnly("x04_knn_bruteforce") { (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(qs, emb,
+          "query_id", "vec_id", "embedding", k = 5)
+        .drop("cosine") // float-derived; rank is the deterministic contract
+        .orderBy(col("query_id"), col("rank"))
+    }},
+
+    rowsOnly("x05_knn_ivf") { (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(qs, emb,
+          "query_id", "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+        .drop("cosine")
+        .orderBy(col("query_id"), col("rank"))
+    }},
+
+    rowsOnly("x13_fingerprint") { (s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, v) => k -> v.fn }
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, Q(_, Some(sql))) => k -> sql }
+
+  /** Flagship composite (the reference's c2v prep lifecycle §3.1 mapped
+    * onto orders/customer): top-N parts → semi-join → sentinel filter →
+    * per-customer context build → percentile exclusion. */
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val top = R.topNByCount(li, "l_partkey", 1000)
+    val kept = R.semiJoin(li, top, "l_partkey")
+    val joined = kept.join(Tables.orders(spark, dir),
+      kept("l_orderkey") === col("o_orderkey"))
+    val contexts = R.groupConcat(
+      joined.select(col("o_custkey"), col("l_partkey").cast("string").as("part")),
+      "o_custkey", "part", "context", "context_length")
+    val counts = contexts.select(col("o_custkey"), col("context"),
+      col("context_length").as("cnt"))
+    R.excludeTopPercentByCount(counts, "cnt", 0.05)
+  }
+}

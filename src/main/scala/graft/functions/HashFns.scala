@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hashing/sketching building blocks for deduplication: shingling,
+  * MinHash signatures, SimHash. Built on `xxhash64` (Spark-native,
+  * codegen'd, stable across partitions/runs) + higher-order functions.
+  */
+object HashFns {
+
+  /** Mersenne prime 2^31-1: universal-hash domain chosen so that
+    * a*h + b with a,b,h < p stays far below Long overflow — the
+    * expressions evaluate safely under ANSI mode (no wraparound). */
+  val MersennePrime: Long = (1L << 31) - 1
+
+  /** Deterministic hash-family parameters (a, b) derived from a seed by
+    * splitmix64 — computed on the driver, baked in as literals. */
+  def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def pos(v: Long): Long = v & Long.MaxValue
+    Seq.fill(numHashes)((pos(next()) % (MersennePrime - 1)) + 1 ->
+      pos(next()) % MersennePrime)
+  }
+
+  /** Word k-shingles: distinct space-joined k-grams of a token array.
+    * `size < k` → empty array. */
+  def wordShingles(tokens: Column, k: Int): Column =
+    when(size(tokens) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(tokens) - k),
+          i => array_join(slice(tokens, i + lit(1), lit(k)), " "))))
+
+  /** Non-negative element hash of each shingle. */
+  private def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => pmod(xxhash64(s), lit(MersennePrime)))
+
+  /** MinHash signature: for each (a,b) in the family,
+    * min over shingles of (a*h(s)+b) mod p. Empty shingle set → p
+    * (sentinel larger than any hash, never collides with a real min).
+    * Returns `array<bigint>` of length `params.size`. */
+  def minhashSignature(shingles: Column, params: Seq[(Long, Long)]): Column = {
+    val hs = shingleHashes(shingles)
+    val sig = params.map { case (a, b) =>
+      when(size(hs) === 0, lit(MersennePrime))
+        .otherwise(array_min(transform(hs,
+          h => pmod(h * lit(a) + lit(b), lit(MersennePrime)))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH band keys from a MinHash signature: hash each band of
+    * `rowsPerBand` signature entries to one bucket key; docs agreeing on
+    * any band key become candidate pairs. Returns `array<bigint>` of
+    * length numBands = sig.len / rowsPerBand. */
+  def lshBandKeys(signature: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => xxhash64(b, array_join(
+        slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), ",")))
+
+  /** 64-bit SimHash over tokens (with multiplicity): per bit, sum of
+    * ±1 contributions of each token's xxhash64; bit set iff sum > 0.
+    * Bit-majority computed with an integer fold — deterministic. */
+  private def shr(e: Column, bits: Column): Column = call_function("shiftright", e, bits)
+  private def shl(e: Column, bits: Column): Column = call_function("shiftleft", e, bits)
+
+  def simhash64(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    // counts: array of 64 signed sums of ±1 bit contributions
+    val counts = aggregate(
+      hashes,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, b) => c + when(shr(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0, shl(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Split a 64-bit sketch into `chunks` equal bit-chunks (pigeonhole
+    * candidate generation: hamming <= chunks-1 ⇒ some chunk equal). */
+  def bitChunks(sketch: Column, chunks: Int): Column = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    transform(sequence(lit(0), lit(chunks - 1)),
+      i => shr(sketch, i * lit(width)).bitwiseAND(lit(mask)))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for large-scale corpus curation:
+  * tokenization, language-ID heuristic, quality scoring, fingerprinting.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` /
+  * higher-order array functions — no UDFs — so the expressions stay
+  * inside Tungsten evaluation and are usable in any downstream plan
+  * (filters compose, columns prune).
+  */
+object TextFns {
+
+  /** Whitespace tokens; empty/blank text → empty array (not `[""]`). */
+  def wsTokens(c: Column): Column = {
+    val t = trim(c)
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  /** Lowercased word tokens: split on runs of non-alphanumeric chars. */
+  def wordTokens(c: Column): Column = {
+    val toks = split(lower(trim(c)), "[^\\p{L}\\p{N}]+")
+    filter(toks, t => t =!= "")
+  }
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(c: Column): Column = size(wsTokens(c))
+
+  /** Number of tokens that appear in `words` (with multiplicity). */
+  def tokenHits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit): _*)))
+
+  /** Small per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic. Deliberately tiny and deterministic — this
+    * is a curation-pipeline triage signal, not a model. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "pour", "avec", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "con", "por", "del", "como"),
+  )
+
+  /** Language-ID: argmax of stopword hits over [[LangStopwords]], with
+    * the list order as tie-break preference and `"und"` (undetermined)
+    * when no list scores a hit. Expressible 1:1 in ANSI SQL for the
+    * oracle. */
+  def langId(text: Column): Column = {
+    val toks = wordTokens(text)
+    val scores = LangStopwords.map { case (lang, words) => lang -> tokenHits(toks, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first (in declared order) language achieving the max — ties break
+    // toward the earlier list, matching the SQL CASE chain.
+    val chain = scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+      when(s === best && best > 0, lit(lang)).otherwise(rest)
+    }
+    chain
+  }
+
+  /** Quality metrics for document triage (counts are exact integers so
+    * an oracle can reproduce them bit-for-bit). Counting via
+    * regexp_replace length-difference keeps the expression codegen'd —
+    * no per-character array materialization. */
+  def nChars(c: Column): Column = length(c)
+  def nPunct(c: Column): Column = length(c) - length(regexp_replace(c, "[.,;:!?]", ""))
+  def nDigits(c: Column): Column = length(c) - length(regexp_replace(c, "[0-9]", ""))
+
+  /** Boolean quality gate: enough tokens, not digit-dominated, mean
+    * token length in a sane band. Thresholds are integer-exact. */
+  def isQuality(text: Column, minTokens: Int = 5, maxDigitPerMille: Int = 300): Column = {
+    val nt = tokenCount(text)
+    val nd = nDigits(text)
+    val nc = nChars(text)
+    (nt >= minTokens) && (nd * 1000 <= nc * maxDigitPerMille)
+  }
+
+  /** Rolling document fingerprint over word tokens:
+    * fp = fold(acc * 31 + h(token)) mod p, p = 2^31-1 — the modular
+    * domain keeps every intermediate far below Long overflow, so the
+    * expression is ANSI-safe. Deterministic across runs/partitions;
+    * whitespace-normalization invariant. */
+  val FingerprintPrime: Long = (1L << 31) - 1
+  def fingerprint(text: Column): Column =
+    aggregate(wordTokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(FingerprintPrime)),
+        lit(FingerprintPrime)))
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.functions.{HashFns, TextFns, VectorFns}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data curation.
+  *
+  * All variants return a *keeper assignment* — one row per input doc,
+  * `(id, keep_id)` where `keep_id` is the smallest id in the doc's
+  * duplicate group (a doc with no duplicate maps to itself) — so the
+  * result composes as a semi-join/filter (`keep_id === id` keeps the
+  * survivors) and is never empty.
+  *
+  * Scale design: nothing here compares all pairs. Candidates come from
+  * equality buckets (exact hash, LSH band keys, SimHash bit-chunks), so
+  * the shuffles are groupBy/join on bucket keys; per-bucket work is
+  * bounded by bucket size. Skewed buckets (a shingle/band shared by
+  * millions of docs at 100 TB) should be capped — see `maxBucket`.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical values of `textCol`, keep min id.
+    * One hash-shuffle on the text (Spark aggregates on the full value;
+    * at scale pre-hash with xxhash64+md5 pair to shrink shuffle width). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // shuffle a 64-bit hash + the text (hash first keeps sort keys narrow)
+    df.select(col(idCol), col(textCol))
+      .groupBy(xxhash64(col(textCol)).as("_h"), col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        collect_list(col(idCol)).as("_ids"))
+      .select(explode(col("_ids")).as(idCol), col("keep_id"), col("n_copies"))
+  }
+
+  /** Generic keeper-assignment from a candidate-pair table.
+    * `pairs` must have columns (a, b) with a < b, both ints/longs,
+    * containing each confirmed duplicate pair at least once. Each doc is
+    * assigned the min partner seen (single-hop union-find: adequate when
+    * duplicate groups are cliques or near-cliques, the common case for
+    * near-dup detection; chains longer than one hop keep distinct
+    * keepers — documented divergence from full transitive closure). */
+  private[operators] def keeperFromPairs(allIds: DataFrame, idCol: String,
+                                         pairs: DataFrame): DataFrame = {
+    val minPartner = pairs.select(col("b").as(idCol), col("a").as("_p"))
+      .groupBy(col(idCol)).agg(min(col("_p")).as("_keep"))
+    allIds.join(minPartner, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_keep"), col(idCol)).as("keep_id"))
+  }
+
+  /** MinHash + LSH near-dedup over word `k`-shingles.
+    *
+    * shingle → minhash signature (numBands*rowsPerBand hashes) → band
+    * bucket keys → explode → self-join within buckets → verify true
+    * Jaccard on the shingle sets with exact integer cross-multiplication
+    * (`|A∩B| * denom >= num * |A∪B|` for τ = num/denom) → keeper map.
+    *
+    * @param maxBucket drop LSH buckets larger than this (stop-shingle
+    *   protection: a band key shared by a huge crowd at 100 TB would
+    *   produce a quadratic bucket; dropping it loses only pairs that
+    *   agree on *no other* band, a standard recall tradeoff).
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+                 tauNum: Int = 7, tauDenom: Int = 10,
+                 seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    val params = HashFns.hashParams(numBands * rowsPerBand, seed)
+    val docs = df.select(
+      col(idCol),
+      HashFns.wordShingles(TextFns.wordTokens(col(textCol)), shingleK).as("_sh"))
+      .withColumn("_nsh", size(col("_sh")))
+    val withSig = docs.withColumn("_sig", HashFns.minhashSignature(col("_sh"), params))
+      .withColumn("_bands", HashFns.lshBandKeys(col("_sig"), numBands, rowsPerBand))
+
+    val buckets = withSig
+      .select(col(idCol), explode(col("_bands")).as("_bk"))
+      .distinct()
+    val smallBuckets = buckets
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_bk"))))
+      .where(col("_bsz") <= maxBucket)
+
+    val l = smallBuckets.select(col("_bk"), col(idCol).as("a"))
+    val r = smallBuckets.select(col("_bk"), col(idCol).as("b"))
+    val candidates = l.join(r, Seq("_bk")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+
+    // verify: true Jaccard over shingle sets
+    val da = docs.select(col(idCol).as("a"), col("_sh").as("_sha"), col("_nsh").as("_na"))
+    val db = docs.select(col(idCol).as("b"), col("_sh").as("_shb"), col("_nsh").as("_nb"))
+    val verified = candidates.join(da, "a").join(db, "b")
+      .withColumn("_inter", size(array_intersect(col("_sha"), col("_shb"))))
+      .where(col("_inter") * tauDenom >=
+        lit(tauNum) * (col("_na") + col("_nb") - col("_inter")))
+      .select(col("a"), col("b"))
+
+    keeperFromPairs(df.select(col(idCol)), idCol, verified)
+  }
+
+  /** SimHash near-dedup: 64-bit bit-majority sketch over word tokens;
+    * candidates via pigeonhole bit-chunks (hamming ≤ chunks-1 ⇒ equal on
+    * some chunk), verified with exact hamming distance. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val chunks = maxHamming + 1
+    val docs = df.select(col(idCol),
+      HashFns.simhash64(TextFns.wordTokens(col(textCol))).as("_sim"))
+    val buckets = docs
+      .select(col(idCol), col("_sim"),
+        posexplode(HashFns.bitChunks(col("_sim"), chunks)).as(Seq("_ci", "_ck")))
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_ci"), col("_ck"))))
+      .where(col("_bsz") <= maxBucket)
+    val l = buckets.select(col("_ci"), col("_ck"), col(idCol).as("a"), col("_sim").as("_sa"))
+    val r = buckets.select(col("_ci"), col("_ck"), col(idCol).as("b"), col("_sim").as("_sb"))
+    val pairs = l.join(r, Seq("_ci", "_ck")).where(col("a") < col("b"))
+      .where(HashFns.hamming64(col("_sa"), col("_sb")) <= maxHamming)
+      .select(col("a"), col("b")).distinct()
+    keeperFromPairs(df.select(col(idCol)), idCol, pairs)
+  }
+
+  /** N-gram Jaccard dedup without sketching: exact pairwise Jaccard over
+    * word k-shingles, with candidates generated by sharing at least one
+    * shingle (inverted-index join, frequent shingles capped). Exact
+    * integer threshold test — mirrors the DuckDB oracle 1:1. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, tauNum: Int = 1, tauDenom: Int = 2,
+                   maxPostings: Int = 1000): DataFrame = {
+    val docs = df.select(col(idCol),
+      HashFns.wordShingles(TextFns.wordTokens(col(textCol)), shingleK).as("_sh"))
+      .withColumn("_nsh", size(col("_sh")))
+    val postings = docs.select(col(idCol), explode(col("_sh")).as("_g"))
+      .withColumn("_pf", count(lit(1)).over(Window.partitionBy(col("_g"))))
+      .where(col("_pf") <= maxPostings)
+    val inter = postings.select(col("_g"), col(idCol).as("a"))
+      .join(postings.select(col("_g"), col(idCol).as("b")), Seq("_g"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_inter"))
+    val sizes = docs.select(col(idCol), col("_nsh"))
+    val pairs = inter
+      .join(sizes.select(col(idCol).as("a"), col("_nsh").as("_na")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("_nsh").as("_nb")), "b")
+      .where(col("_inter") * tauDenom >=
+        lit(tauNum) * (col("_na") + col("_nb") - col("_inter")))
+      .select(col("a"), col("b"))
+    keeperFromPairs(df.select(col(idCol)), idCol, pairs)
+  }
+
+  /** Embedding cosine near-dedup: candidates from random-hyperplane LSH
+    * (sign-bit sketch of the embedding, bit-chunk buckets), verified
+    * with exact cosine ≥ tau. Brute-force-free at scale; recall is
+    * tunable via `planes`/`chunks`. */
+  def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
+                      tau: Double = 0.95, planes: Int = 16,
+                      seed: Long = 7L, maxBucket: Int = 2000): DataFrame = {
+    val dim = 64 // embeddings table width; parameterize when schema varies
+    val rnd = new scala.util.Random(seed)
+    val hyperplanes = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    // sign sketch: bit i = dot(v, plane_i) > 0
+    val sketch = hyperplanes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(VectorFns.dot(col(vecCol), planeCol) > 0,
+        call_function("shiftleft", lit(1L), lit(i))).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val docs = df.select(col(idCol), col(vecCol)).withColumn("_sk", sketch)
+    val chunks = 4
+    val buckets = docs
+      .select(col(idCol), col(vecCol),
+        posexplode(HashFns.bitChunks(col("_sk"), chunks)).as(Seq("_ci", "_ck")))
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_ci"), col("_ck"))))
+      .where(col("_bsz") <= maxBucket)
+    val l = buckets.select(col("_ci"), col("_ck"), col(idCol).as("a"), col(vecCol).as("_va"))
+    val r = buckets.select(col("_ci"), col("_ck"), col(idCol).as("b"), col(vecCol).as("_vb"))
+    val pairs = l.join(r, Seq("_ci", "_ck")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("_va"), col("_vb")).distinct()
+      .where(VectorFns.cosine(col("_va"), col("_vb")) >= tau)
+      .select(col("a"), col("b"))
+    keeperFromPairs(df.select(col(idCol)), idCol, pairs)
+  }
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators (SURVEY.md §2.2–§2.7).
+  *
+  * Each operator is a pure `DataFrame => DataFrame` function
+  * parameterized by column names, composing declaratively so Catalyst
+  * keeps predicate pushdown / column pruning / join-strategy selection.
+  * Scale notes are inline where an operator has a 100-TB hazard.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- filters
+
+  /** P1: keep (or drop, `keep = false`) rows where `c` matches a Java
+    * regex (reference `ihop/import_data.py:74-87` — drops `^u_.*`
+    * user-profile subreddits by default). */
+  def filterRegex(df: DataFrame, c: String, pattern: String,
+                  keep: Boolean = true): DataFrame =
+    if (keep) df.where(col(c).rlike(pattern))
+    else df.where(!col(c).rlike(pattern))
+
+  /** P2: drop rows equal to an in-band sentinel value
+    * (reference `ihop/import_data.py:90-97`, `author != "[deleted]"`). */
+  def filterNotEqual(df: DataFrame, c: String, sentinel: String): DataFrame =
+    df.where(col(c) =!= sentinel)
+
+  /** P3: NOT-IN sentinel filter (reference `ihop/import_data.py:100-114`). */
+  def filterNotIn(df: DataFrame, c: String, values: Seq[String]): DataFrame =
+    df.where(!col(c).isin(values: _*))
+
+  /** P4: strict (exclusive) range filter with optional bounds
+    * (reference `ihop/import_data.py:343-366`). */
+  def filterRangeExclusive(df: DataFrame, c: String,
+                           lo: Option[Long], hi: Option[Long]): DataFrame = {
+    val conds = lo.map(col(c) > _).toSeq ++ hi.map(col(c) < _).toSeq
+    conds.reduceOption(_ && _).map(df.where).getOrElse(df)
+  }
+
+  // ------------------------------------------------------------ projections
+
+  /** P5: bulk-rename columns with a prefix before a join whose sides
+    * share names (reference `ihop/import_data.py:325-340`). */
+  def renameWithPrefix(df: DataFrame, cols: Seq[String], prefix: String): DataFrame =
+    df.withColumnsRenamed(cols.map(c => c -> s"$prefix$c").toMap)
+
+  /** P6: derived column `out = prefix || id`
+    * (reference `ihop/import_data.py:300-313`, `fullname_id = "t3_"+id`). */
+  def withPrefixedId(df: DataFrame, idCol: String, prefix: String,
+                     out: String): DataFrame =
+    df.withColumn(out, concat(lit(prefix), col(idCol).cast("string")))
+
+  // ---------------------------------------------------------------- joins
+
+  /** J1/J2: left-semi membership join — filters `df` to rows whose key
+    * appears in `dim` without ever duplicating rows (reference
+    * `ihop/import_data.py:63-72,275-297`). `dim` is typically a top-N
+    * table (≤ tens of thousands of rows): broadcast it so the fact side
+    * never shuffles. */
+  def semiJoin(df: DataFrame, dim: DataFrame, key: String,
+               broadcastDim: Boolean = true): DataFrame = {
+    val d = dim.select(key)
+    df.join(if (broadcastDim) broadcast(d) else d, Seq(key), "left_semi")
+  }
+
+  /** Anti-join complement (NOT EXISTS). */
+  def antiJoin(df: DataFrame, dim: DataFrame, key: String,
+               broadcastDim: Boolean = true): DataFrame = {
+    val d = dim.select(key)
+    df.join(if (broadcastDim) broadcast(d) else d, Seq(key), "left_anti")
+  }
+
+  /** J3 + P7: inner equi-join of a "parent" table against a "child"
+    * table plus a derived time-delta column
+    * (reference `ihop/import_data.py:369-419`: submissions ⋈ comments on
+    * `fullname_id == link_id`, `time_to_comment = child_ts - parent_ts`).
+    *
+    * Scale: both sides shuffle on the join key — that is the correct
+    * plan for two large fact tables. If the parent side is dimension-
+    * sized, pass `broadcastLeft = true`.
+    */
+  def joinWithTimeDelta(parent: DataFrame, child: DataFrame,
+                        parentKey: String, childKey: String,
+                        parentTs: Column, childTs: Column,
+                        deltaName: String,
+                        broadcastLeft: Boolean = false): DataFrame = {
+    val p = if (broadcastLeft) broadcast(parent) else parent
+    p.join(child, p(parentKey) === child(childKey), "inner")
+      .withColumn(deltaName, childTs - parentTs)
+  }
+
+  // ------------------------------------------------------------ aggregates
+
+  /** A1/O1/O2: deterministic top-N — count per key, order count desc
+    * with ascending key tie-break, limit n (reference
+    * `ihop/import_data.py:48-60`). Catalyst plans the sort+limit as
+    * `TakeOrderedAndProject` (no global sort materialized). */
+  def topNByCount(df: DataFrame, key: String, n: Int,
+                  countName: String = "cnt"): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as(countName))
+      .orderBy(col(countName).desc, col(key).asc)
+      .limit(n)
+
+  /** A2: group-concat — per key, the sorted space-joined values plus the
+    * count (reference `ihop/import_data.py:228-272` builds per-author
+    * subreddit "context sentences"). The reference's `collect_list`
+    * order is partition-dependent; we sort in-group for deterministic
+    * output (SURVEY.md §4.3.3 — downstream word2vec is order-
+    * insensitive, so sorting is semantics-preserving). */
+  def groupConcat(df: DataFrame, key: String, value: String,
+                  concatName: String = "context", lenName: String = "context_length"): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        array_join(array_sort(collect_list(col(value))), " ").as(concatName),
+        count(col(value)).as(lenName))
+
+  /** A7/O3: "thread document" build — per parent id take the (constant)
+    * parent attributes and concatenate child text in child-order
+    * (reference `ihop/text_processing.py:208-219` relies on a pre-group
+    * `orderBy` feeding `first()`/`collect_list` — implementation-defined
+    * in Spark. We reproduce the *intent* deterministically:
+    * `sort_array(collect_list(struct(order, text)))` then project —
+    * SURVEY.md §4.3.1.) */
+  def threadDoc(joined: DataFrame, parentId: String,
+                constantCols: Seq[String], orderCol: String, textCol: String,
+                docName: String = "document_text"): DataFrame = {
+    val pairs = sort_array(collect_list(struct(col(orderCol).as("o"), col(textCol).as("t"))))
+    val doc = array_join(transform(pairs, p => p.getField("t")), " ").as(docName)
+    val consts = constantCols.map(c => min(col(c)).as(c)) // constant per group; min = deterministic pick
+    joined.groupBy(col(parentId)).agg(consts.head, (consts.tail :+ doc): _*)
+  }
+
+  // ---------------------------------------------------------------- window
+
+  /** W1: drop the most-active top `pct` fraction of keys by exact global
+    * percent_rank over their counts (reference
+    * `ihop/import_data.py:197-225` excludes the top 5% most prolific
+    * authors; ties at the cutoff live or die together).
+    *
+    * The reference uses `percent_rank().over(Window.partitionBy())` — a
+    * single-partition global window over ~6.3M author rows (SURVEY.md
+    * §4.2). This implementation computes the identical result
+    * scalably: percent_rank of a row with count c is
+    * `rowsBelow(c) / (n-1)`, constant within a tie group, so we rank
+    * only the *distinct count values* (thousands, not millions) with a
+    * tiny window, derive the set of surviving count values, and
+    * broadcast-semi-join it back against the full table. No row-level
+    * global sort at any scale.
+    *
+    * @param counts DataFrame of (key, countCol) — already aggregated.
+    * @param pct    fraction to drop from the top, e.g. 0.05.
+    */
+  def excludeTopPercentByCount(counts: DataFrame, countCol: String,
+                               pct: Double): DataFrame = {
+    val freq = counts.groupBy(col(countCol)).agg(count(lit(1)).as("_freq"))
+    val w = Window.orderBy(col(countCol))
+    val below = coalesce(
+      sum(col("_freq")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val total = sum(col("_freq")).over(
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val kept = freq
+      .withColumn("_pr",
+        when(total === 1L, lit(0.0)).otherwise(below / (total - lit(1L))))
+      .where(col("_pr") <= lit(1.0 - pct))
+      .select(col(countCol))
+    counts.join(broadcast(kept), Seq(countCol), "left_semi")
+  }
+
+  /** W1 (literal form): the reference's exact formulation — global
+    * percent_rank window, then filter. Kept for parity testing against
+    * [[excludeTopPercentByCount]]; do not use at scale (single-partition
+    * window). */
+  def excludeTopPercentByCountGlobalWindow(counts: DataFrame, countCol: String,
+                                           pct: Double): DataFrame =
+    counts
+      .withColumn("_pr", percent_rank().over(Window.orderBy(col(countCol))))
+      .where(col("_pr") <= lit(1.0 - pct))
+      .drop("_pr")
+
+  /** A10 mapping: top-k rows per group by explicit deterministic order. */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
+                   orderCols: Seq[Column], k: Int,
+                   rankName: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn(rankName, row_number().over(w)).where(col(rankName) <= k)
+  }
+
+  // ------------------------------------------------------------- temporal
+
+  /** Sessionization: assign session ids per user from event-time gaps
+    * (> `gapMs` starts a new session), then aggregate per session.
+    * Deterministic given a unique tie-break column. Partitioned by user
+    * — shuffles once on the user key, windows run within partitions. */
+  def sessionize(events: DataFrame, userCol: String, tsMillis: Column,
+                 tieCol: String, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(tsMillis, col(tieCol))
+    val prev = lag(tsMillis, 1).over(w)
+    val isNew = when(prev.isNull || tsMillis - prev > gapMs, 1L).otherwise(0L)
+    events
+      .withColumn("_ts", tsMillis)
+      .withColumn("_new", isNew)
+      .withColumn("session_seq",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("_ts")).as("session_start_ms"),
+        max(col("_ts")).as("session_end_ms"))
+  }
+
+  /** As-of join: for each left row, the single latest right row with
+    * matching key and right_ts <= left_ts. Implemented as equi-join +
+    * per-left-row row_number — the Spark-idiomatic decomposition (the
+    * reference's analogous temporal logic is equi-join J3 + theta filter
+    * P4, SURVEY.md §2.3). Scale: the equi-join shuffles on the key; the
+    * window partitions by the left row id, so no global sort. For very
+    * hot keys, pre-bucket the right side by time range to bound the
+    * per-row candidate set. */
+  def asOfLatest(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 leftTs: Column, rightTs: Column,
+                 leftId: String, rightTie: String): DataFrame = {
+    val joined = left.join(right, left(leftKey) === right(rightKey) && rightTs <= leftTs)
+    val w = Window.partitionBy(left(leftId)).orderBy(rightTs.desc, right(rightTie).desc)
+    joined.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+}

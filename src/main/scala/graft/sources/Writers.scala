@@ -1,0 +1,24 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink operators (SURVEY.md §2.1, S5–S7). */
+object Writers {
+
+  /** S5: compressed CSV directory (the reference writes bzip2 because it
+    * is splittable — reference `ihop/import_data.py:674-676`,
+    * `README.md:84`). Written distributed, one file per partition. */
+  def csvBzip2(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").option("compression", "bzip2").csv(dir)
+
+  /** S6: parquet sink (distributed). */
+  def parquet(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+
+  /** S7: single-file CSV with header. The reference collects to pandas
+    * for this (`top_n_df.toPandas().to_csv`); the distributed-friendly
+    * equivalent is a coalesce(1) write — only valid for small results
+    * (top-N tables, cluster CSVs), never for fact tables. */
+  def singleCsv(df: DataFrame, dir: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+}
