@@ -1,5 +1,6 @@
 package graft
 
+import graft.cluster.Topics
 import graft.functions.{TextFns, VectorFns}
 import graft.operators.{Dedup, Relational => R, Similarity}
 import graft.sources.Tables
@@ -524,6 +525,94 @@ object Queries {
         .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     },
+
+    // --------------------------------------------------------------------
+    // ML-pipeline operators (SURVEY.md §2.9–2.10) — seeded/deterministic,
+    // validated by ScalaTest; no ANSI-SQL oracle exists for them.
+    // --------------------------------------------------------------------
+
+    rowsOnly("x06_kmeans_clusters") { (s, d) => {
+      val cfg = graft.cluster.Clustering.Config(k = 10, seed = 100L)
+      val model = graft.cluster.Clustering.fit(T(s, d, "embeddings"), cfg)
+      graft.cluster.Clustering.assign(model, T(s, d, "embeddings"), cfg)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cluster"))
+    }},
+
+    rowsOnly("x07_cluster_metrics") { (s, d) => {
+      val cfg = graft.cluster.Clustering.Config(k = 10, seed = 100L)
+      val model = graft.cluster.Clustering.fit(T(s, d, "embeddings"), cfg)
+      val assigned = graft.cluster.Clustering.assign(model, T(s, d, "embeddings"), cfg)
+      val m = graft.cluster.Clustering.metrics(assigned)
+      import s.implicits._
+      Seq((m("silhouette"), m("calinski_harabasz"), m("davies_bouldin")))
+        .toDF("silhouette", "calinski_harabasz", "davies_bouldin")
+    }},
+
+    rowsOnly("x08_cluster_compare") { (s, d) => {
+      // KMeans partition vs the ground-truth label column
+      val cfg = graft.cluster.Clustering.Config(k = 10, seed = 100L)
+      val model = graft.cluster.Clustering.fit(T(s, d, "embeddings"), cfg)
+      val assigned = graft.cluster.Clustering.assign(model, T(s, d, "embeddings"), cfg)
+      val c = graft.cluster.Comparison.contingency(assigned, "cluster", "label")
+      val all = graft.cluster.Comparison.compareAll(c)
+      import s.implicits._
+      all.toSeq.sortBy(_._1).toDF("metric", "value")
+    }},
+
+    rowsOnly("x09_lda_topics") { (s, d) => {
+      val docs = T(s, d, "documents").withColumnRenamed("text", "document_text")
+      val (pm, vectorized) = graft.text.TextPipeline.fitTransform(docs,
+        graft.text.TextPipeline.Config(minDF = 0.0, maxDF = 1e9))
+      val lda = Topics.fit(vectorized, Topics.Config(k = 5, maxIter = 10))
+      Topics.describeTopicsWithWords(s, lda,
+        graft.text.TextPipeline.vocabulary(pm), maxTerms = 8)
+    }},
+
+    rowsOnly("x10_word2vec_neighbors") { (s, d) => {
+      val ctx = T(s, d, "documents")
+        .select(TextFns.wordTokens(col("text")).as("context_words"))
+      val model = graft.embed.Embeddings.train(ctx,
+        graft.embed.Embeddings.Config(vectorSize = 16, epochs = 2,
+          windowSize = 5, numPartitions = 1, seed = 1L))
+      graft.embed.Embeddings.neighbors(model, "spark", 5)
+        .select(col("word"), round(col("similarity"), 4).as("sim"))
+    }},
+
+    rowsOnly("x11_pca_project") { (s, d) =>
+      graft.export.Projection.pca2d(T(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("c1"), 6).as("c1"), round(col("c2"), 6).as("c2"))
+        .orderBy(col("vec_id"))
+    },
+
+    rowsOnly("x12_annotation_label") { (s, d) => {
+      val cfg = graft.cluster.Clustering.Config(k = 10, seed = 100L)
+      val model = graft.cluster.Clustering.fit(T(s, d, "embeddings"), cfg)
+      val assigned = graft.cluster.Clustering.assign(model, T(s, d, "embeddings"), cfg)
+        .select(col("vec_id").cast("string").as("member"), col("cluster"))
+      graft.export.Annotation.labelTask(assigned, "member", "cluster")
+    }},
+
+    rowsOnly("x14_annotation_intruder") { (s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id").cast("string").as("member"),
+          col("source").as("cluster"), col("n_chars"))
+      graft.export.Annotation.intruderTask(docs, "member", "cluster", "n_chars")
+    }},
+
+    rowsOnly("x15_stream_hourly") { (s, d) =>
+      graft.streaming.EventStream.replayParquet(s, d)
+        .orderBy(col("bucket_ms"), col("event_type"))
+    },
+
+    rowsOnly("x16_multimodal_features") { (s, d) => {
+      import s.implicits._
+      val media = graft.multimodal.Multimodal
+        .fromText(T(s, d, "documents"), "doc_id", "text")
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.extractFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media
+  * payloads as opaque `binary` columns with typed metadata, and a
+  * partition-mapped feature-extraction operator with a real batch
+  * shape.
+  *
+  * The actual decoders (image/audio/video libraries) are NOT available
+  * in this environment — [[StubDecoder]] is a clearly-marked
+  * deterministic fake standing in for the decode step. Everything
+  * Spark-side is real: the schema, the `mapPartitions` batch boundary
+  * (one decoder init per partition, streaming rows through it — the
+  * same shape a JNI/FFI decoder needs), partitioning, and the typed
+  * output contract.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + metadata. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                            width: Int, height: Int)
+
+  /** Extracted features: fixed-width embedding + scalar stats. */
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 checksum: Long, embedding: Array[Float])
+
+  /** STUB — deterministic fake decoder. A real implementation would
+    * decode the payload (libjpeg/ffmpeg/...) and run a feature
+    * extractor; this derives a deterministic pseudo-embedding from the
+    * bytes so tests exercise the full pipeline shape. Expensive
+    * per-partition init is modeled by the constructor. */
+  final class StubDecoder(dim: Int = 8) {
+    def features(row: MediaRow): MediaFeatures = {
+      var h = 1125899906842597L // deterministic FNV-ish fold of payload
+      row.payload.foreach(b => h = h * 31 + (b & 0xff))
+      val emb = Array.tabulate(dim) { i =>
+        val x = h ^ (0x9e3779b97f4a7c15L * (i + 1))
+        ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      }
+      MediaFeatures(row.media_id, row.kind, row.payload.length.toLong, h, emb)
+    }
+  }
+
+  /** The feature-extraction operator: decoder initialized once per
+    * partition, rows streamed through — never materializes a partition
+    * in memory. Repartition upstream to bound decode batch sizes. */
+  def extractFeatures(ds: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val decoder = new StubDecoder(dim) // per-partition init (real: load model/codec)
+      it.map(decoder.features)
+    }
+  }
+
+  /** Wrap a text table as a media table (payload = UTF-8 bytes) — lets
+    * the pipeline be exercised end-to-end without binary fixtures. */
+  def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("media_id"), lit("text/plain").as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit(0).as("width"), lit(0).as("height"))
+}

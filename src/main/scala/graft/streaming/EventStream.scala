@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming form of the event-time aggregation (the
+  * reference is batch-only — SURVEY.md §2.11 — but a training-data
+  * pipeline wants the same aggregation runnable over a stream; the
+  * batch query q28 and this operator share semantics).
+  *
+  * Watermarked tumbling-window counts per event type. For local
+  * verification the parquet directory is replayed as a stream with an
+  * `availableNow` trigger into a memory sink — the plan is identical to
+  * what a Kafka-sourced deployment would run.
+  */
+object EventStream {
+
+  /** Windowed aggregation over a streaming events DataFrame whose `ts`
+    * column is BIGINT nanoseconds (the parquet surface of events). */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1000000)).as("sum_value_micro"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("cnt"), col("sum_value_micro"))
+
+  /** Replay parquet events through the streaming plan into an
+    * in-memory table; returns the completed result. The file-stream
+    * source requires a directory, so the table is selected with a glob
+    * filter over `dir`. */
+  def replayParquet(spark: SparkSession, dir: String,
+                    glob: String = "events.parquet",
+                    queryName: String = "stream_hourly"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$glob").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    val q = hourlyByType(stream).writeStream
+      .outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.sources.{Readers, Tables, Writers}
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** End-to-end seams: sources round-trips, streaming ≡ batch, multimodal
+  * plumbing, and the full query registry over sf0.001. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S1 permissive JSON scan: schema projection + malformed → nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("json").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/c.json"),
+      """{"id":"c1","author":"a","subreddit":"s","created_utc":10,"score":1,"extra_field":"dropped","body":"b","link_id":"t3_x","parent_id":"t1_y"}
+        |{"id":"c2","author":"b","subreddit":"s","created_utc":"not_an_int","score":2,"body":"b2","link_id":"t3_x","parent_id":"t1_y"}
+        |""".stripMargin)
+    val df = Readers.comments(spark, s"$dir/c.json")
+    assert(df.columns.toSeq == Seq("id", "parent_id", "score", "link_id",
+      "author", "subreddit", "body", "created_utc"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(7) == 10)
+    assert(rows(1).isNullAt(7), "malformed int must surface as null (PERMISSIVE)")
+  }
+
+  test("S5/S6/S2 sinks round-trip: bzip2 CSV and parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val df = Seq(("AskReddit aww", 2L), ("nba funny", 2L))
+      .toDF("subreddit_concat", "context_length")
+    Writers.csvBzip2(df.select("subreddit_concat"), s"$dir/csv")
+    assert(new java.io.File(s"$dir/csv").listFiles().exists(_.getName.endsWith(".bz2")))
+    val back = Readers.csv(spark, "subreddit_list STRING NOT NULL", Seq(s"$dir/csv"))
+    assert(back.as[String].collect().toSet == Set("AskReddit aww", "nba funny"))
+    Writers.parquet(df, s"$dir/pq")
+    assert(spark.read.parquet(s"$dir/pq").count() == 2)
+  }
+
+  test("streaming hourly aggregation ≡ batch q28 (same semantics)") {
+    val d = sf("sf0.001")
+    val streamed = EventStream.replayParquet(spark, d, queryName = "test_stream")
+      .select("bucket_ms", "event_type", "cnt", "sum_value_micro")
+    val batch = Queries.all("q28_events_hourly").fn(spark, d)
+    val s = streamed.as[(Long, String, Long, Long)].collect().toSet
+    val b = batch.as[(Long, String, Long, Long)].collect().toSet
+    assert(s == b)
+  }
+
+  test("multimodal: deterministic stub features with real batch shape") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
+    val media = Multimodal.fromText(docs, "doc_id", "text")
+      .repartition(4) // exercise the per-partition decoder init
+      .as[Multimodal.MediaRow]
+    val feats1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val feats2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats1.length == 50)
+    assert(feats1.map(_.checksum).toSeq == feats2.map(_.checksum).toSeq)
+    assert(feats1.forall(_.embedding.length == 8))
+    assert(feats1.forall(f => f.n_bytes > 0))
+  }
+
+  test("every registered query answers with rows on sf0.001") {
+    val d = sf("sf0.001")
+    Queries.all.foreach { case (name, q) =>
+      val n = q.fn(spark, d).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

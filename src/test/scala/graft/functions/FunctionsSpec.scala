@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wsTokens: blank → empty, whitespace runs collapse") {
+    val df = Seq("  a  b\tc ", "", "   ").toDF("t")
+      .select(TextFns.tokenCount(col("t")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 0, 0))
+  }
+
+  test("wordTokens lowercases and strips punctuation") {
+    val toks = Seq("Hello, World! Héllo #2").toDF("t")
+      .select(TextFns.wordTokens(col("t"))).as[Seq[String]].head()
+    assert(toks == Seq("hello", "world", "héllo", "2"))
+  }
+
+  test("langId votes stopwords with declared-order tie-break") {
+    val df = Seq(
+      "the cat and the dog is in a house",   // en
+      "der hund und die katze ist nicht da", // de
+      "le chat est dans la maison pour une", // fr
+      "el perro es una casa para los gatos", // es
+      "xyzzy plugh qwerty").toDF("t")        // und
+      .select(TextFns.langId(col("t")))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("quality gate: short or digit-heavy text fails") {
+    val df = Seq(
+      ("a solid sentence with enough words here", true),
+      ("too short", false),
+      ("1234567 890123 456789 012345 678901 23", false))
+      .toDF("t", "expected")
+    val got = df.select(TextFns.isQuality(col("t")), col("expected"))
+      .as[(Boolean, Boolean)].collect()
+    got.foreach { case (g, e) => assert(g == e) }
+  }
+
+  test("fingerprint: whitespace-invariant, content-sensitive, in range") {
+    val fps = Seq("hello  world", "hello world", "hello worlds")
+      .toDF("t").select(TextFns.fingerprint(col("t"))).as[Long].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+    assert(fps.forall(f => f >= 0 && f < TextFns.FingerprintPrime))
+  }
+
+  test("vector math: dot/norm/cosine on float arrays") {
+    val df = Seq((Array(1f, 0f, 2f), Array(2f, 1f, 0f))).toDF("a", "b")
+    val (d, na, c) = df.select(
+      VectorFns.dot(col("a"), col("b")),
+      VectorFns.norm2(col("a")),
+      VectorFns.cosine(col("a"), col("a")))
+      .as[(Double, Double, Double)].head()
+    assert(d == 2.0 && math.abs(na - math.sqrt(5)) < 1e-12 && math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("word shingles: distinct k-grams, short docs → empty") {
+    val sh = Seq("a b c d", "a b").toDF("t")
+      .select(HashFns.wordShingles(TextFns.wordTokens(col("t")), 3))
+      .as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1).isEmpty)
+  }
+
+  test("minhash: identical sets → identical signatures; sentinel for empty") {
+    val params = HashFns.hashParams(16, 42L)
+    assert(params.forall { case (a, b) =>
+      a >= 1 && a < HashFns.MersennePrime && b >= 0 && b < HashFns.MersennePrime })
+    val df = Seq("x y z w", "x y z w", "totally different words here", "")
+      .toDF("t")
+      .select(HashFns.minhashSignature(
+        HashFns.wordShingles(TextFns.wordTokens(col("t")), 2), params))
+      .as[Seq[Long]].collect()
+    assert(df(0) == df(1))
+    assert(df(0) != df(2))
+    assert(df(3).forall(_ == HashFns.MersennePrime))
+  }
+
+  test("simhash: near-identical token sets land within small hamming distance") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tonight",
+      "completely unrelated set of words about spark catalyst optimization")
+      .toDF("t").select(HashFns.simhash64(TextFns.wordTokens(col("t"))).as("s"))
+    val s = df.as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s(0), s(1)) < ham(s(0), s(2)))
+  }
+
+  test("bitChunks partition the sketch exactly") {
+    val df = Seq(0x123456789abcdefL).toDF("s")
+      .select(HashFns.bitChunks(col("s"), 4)).as[Seq[Long]].head()
+    // 16-bit chunks, low to high
+    assert(df == Seq(0xcdefL, 0x89abL, 0x4567L, 0x123L))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "spark catalyst optimizes logical plans into physical plans with rules"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (5L, "completely different text about training data curation at scale now"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup assigns min-id keeper and copy counts") {
+    val res = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(res(1L) == ((1L, 2L)) && res(4L) == ((1L, 2L)))
+    assert(res(2L) == ((2L, 1L)) && res(3L) == ((3L, 1L)) && res(5L) == ((5L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups") {
+    val res = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 3, numBands = 8, rowsPerBand = 2, tauNum = 1, tauDenom = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(4L) == 1L)           // exact dup always caught
+    assert(res(2L) == 1L)           // near-dup (jaccard ~0.71 ≥ 0.5)
+    assert(res(3L) == 3L && res(5L) == 5L)
+    assert(res.size == 5)
+  }
+
+  test("ngram Jaccard dedup: exact threshold arithmetic") {
+    // doc1/doc2: 11 trigram shingles each, 10 shared → J = 10/12 ≈ 0.833
+    val at80 = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 4, 5) // τ=0.8
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at80(2L) == 1L && at80(4L) == 1L)
+    val at90 = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 9, 10) // τ=0.9
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at90(2L) == 2L, "J=10/12 < 0.9 → not a dup")
+    assert(at90(4L) == 1L, "exact dup J=1 survives any τ")
+  }
+
+  test("simhash dedup links exact dups, keeps distinct docs apart") {
+    val res = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(4L) == 1L)
+    assert(res(3L) == 3L && res(5L) == 5L)
+  }
+
+  test("embedding cosine dedup links identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0.99f, 0.14f, 0f, 0f)), (4L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val res = Dedup.embeddingCosine(vecs, "vec_id", "embedding", tau = 0.95,
+        planes = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(2L) == 1L)          // identical
+    assert(res(4L) == 4L)          // orthogonal
+  }
+
+  test("keeperFromPairs: min partner wins, singletons self-map") {
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("a", "b")
+    val res = Dedup.keeperFromPairs(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Per-operator tests mirroring the reference's
+  * `tests/test_import_data.py` golden style: tiny literal inputs,
+  * exact expected outputs. */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val comments = Seq(
+    // (id, author, subreddit, created_utc, body)
+    ("c1", "alice", "AskReddit", 100, "hello"),
+    ("c2", "alice", "aww", 110, "cute"),
+    ("c3", "bob", "AskReddit", 120, "hi"),
+    ("c4", "[deleted]", "aww", 130, "[removed]"),
+    ("c5", "carol", "u_spammer", 140, "buy"),
+    ("c6", "bob", "aww", 150, "nice"),
+    ("c7", "dave", "NBA", 160, "dunk"),
+  ).toDF("id", "author", "subreddit", "created_utc", "body")
+
+  test("P1 regex filter keeps matches; complement drops them") {
+    val kept = Relational.filterRegex(comments, "subreddit", "^u_.*")
+    assert(kept.select("id").as[String].collect().toSet == Set("c5"))
+    val dropped = Relational.filterRegex(comments, "subreddit", "^u_.*", keep = false)
+    assert(dropped.count() == 6 && !dropped.select("subreddit").as[String]
+      .collect().exists(_.startsWith("u_")))
+  }
+
+  test("P2/P3 sentinel filters") {
+    assert(Relational.filterNotEqual(comments, "author", "[deleted]").count() == 6)
+    assert(Relational.filterNotIn(comments, "body", Seq("[removed]", "[deleted]"))
+      .count() == 6)
+  }
+
+  test("P4 range filter is strictly exclusive, bounds optional") {
+    val df = Relational.filterRangeExclusive(comments, "created_utc", Some(100L), Some(150L))
+    assert(df.select("id").as[String].collect().toSet == Set("c2", "c3", "c4", "c5"))
+    assert(Relational.filterRangeExclusive(comments, "created_utc", None, None).count() == 7)
+    assert(Relational.filterRangeExclusive(comments, "created_utc", Some(150L), None)
+      .select("id").as[String].collect().toSet == Set("c7"))
+  }
+
+  test("A1 top-N: count desc, key asc tie-break, limit") {
+    val top2 = Relational.topNByCount(comments, "subreddit", 2)
+    // AskReddit=2, aww=3, NBA=1, u_spammer=1 → aww(3), AskReddit(2)
+    assert(top2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("aww", 3L), ("AskReddit", 2L)))
+    // tie-break: all four with limit 4 → ties NBA/u_spammer sorted asc
+    val top4 = Relational.topNByCount(comments, "subreddit", 4)
+    assert(top4.collect().map(_.getString(0)).toSeq ==
+      Seq("aww", "AskReddit", "NBA", "u_spammer"))
+  }
+
+  test("J1 semi-join never duplicates rows") {
+    val dim = Seq("AskReddit", "aww", "AskReddit").toDF("subreddit")
+    val semi = Relational.semiJoin(comments, dim, "subreddit")
+    assert(semi.count() == 5) // c1,c2,c3,c4,c6 — no duplication from dup dim rows
+  }
+
+  test("A2 group-concat is sorted and counted") {
+    val agg = Relational.groupConcat(comments, "author", "subreddit",
+      "subreddit_concat", "context_length")
+    val rows = agg.collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows("alice") == ("AskReddit aww", 2L))
+    assert(rows("bob") == ("AskReddit aww", 2L))
+    assert(rows("carol") == ("u_spammer", 1L))
+  }
+
+  test("W1 percentile exclusion: scalable impl ≡ literal global-window impl") {
+    val counts = Seq(("a", 1L), ("b", 2L), ("c", 2L), ("d", 3L), ("e", 5L),
+      ("f", 8L), ("g", 13L), ("h", 21L), ("i", 21L), ("j", 100L))
+      .toDF("author", "cnt")
+    for (pct <- Seq(0.05, 0.1, 0.3, 0.5)) {
+      val fast = Relational.excludeTopPercentByCount(counts, "cnt", pct)
+        .select("author").as[String].collect().toSet
+      val literal = Relational.excludeTopPercentByCountGlobalWindow(counts, "cnt", pct)
+        .select("author").as[String].collect().toSet
+      assert(fast == literal, s"pct=$pct")
+    }
+    // pct=0.1: drop top 10% → percent_rank of j is 1.0 > 0.9; i,h share
+    // rank 7/9 ≈ 0.777 → survive
+    val kept = Relational.excludeTopPercentByCount(counts, "cnt", 0.1)
+      .select("author").as[String].collect().toSet
+    assert(kept == Set("a", "b", "c", "d", "e", "f", "g", "h", "i"))
+  }
+
+  test("W1 ties at the cutoff live or die together") {
+    val counts = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 3L)).toDF("k", "cnt")
+    // percent_rank: a=0, b=1/3, c=d=2/3. cutoff 0.5 → c,d both dropped
+    val kept = Relational.excludeTopPercentByCount(counts, "cnt", 0.5)
+      .select("k").as[String].collect().toSet
+    assert(kept == Set("a", "b"))
+  }
+
+  test("J3+P7 join with time delta") {
+    val subs = Seq(("s1", 100), ("s2", 200)).toDF("sid", "sub_utc")
+    val coms = Seq(("c1", "s1", 150), ("c2", "s1", 500), ("c3", "s2", 210))
+      .toDF("cid", "link", "com_utc")
+    val joined = Relational.joinWithTimeDelta(subs, coms, "sid", "link",
+      col("sub_utc"), col("com_utc"), "delta")
+    val deltas = joined.select("cid", "delta").as[(String, Int)].collect().toMap
+    assert(deltas == Map("c1" -> 50, "c2" -> 400, "c3" -> 10))
+    // composite with P4: the reference's 72h-window decomposition
+    val windowed = Relational.filterRangeExclusive(joined, "delta", Some(20L), Some(450L))
+    assert(windowed.select("cid").as[String].collect().toSet == Set("c1", "c2"))
+  }
+
+  test("A7 thread-doc concatenates in (order, text) sorted order") {
+    val joined = Seq(
+      ("s1", "sub1", 100, "late"), ("s1", "sub1", 10, "first"),
+      ("s1", "sub1", 50, "mid"), ("s2", "sub2", 5, "only"))
+      .toDF("sid", "subreddit", "delta", "body")
+    val docs = Relational.threadDoc(joined, "sid", Seq("subreddit"), "delta", "body")
+    val m = docs.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(m == Map("s1" -> "first mid late", "s2" -> "only"))
+  }
+
+  test("sessionize splits on gap and aggregates per session") {
+    val ev = Seq((1L, 10L, 1000L), (1L, 11L, 2000L), (1L, 12L, 99000L),
+      (2L, 13L, 500L)).toDF("user_id", "event_id", "ms")
+    val sessions = Relational.sessionize(ev, "user_id", col("ms"), "event_id", 10000L)
+      .orderBy("user_id", "session_seq").collect()
+    assert(sessions.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("as-of join picks the latest right row at-or-before left ts") {
+    val left = Seq((1L, 100L, "L1"), (1L, 50L, "L2"), (2L, 10L, "L3"))
+      .toDF("k", "lts", "lid")
+    val right = Seq((1L, 90L, "R1"), (1L, 100L, "R2"), (1L, 20L, "R3"),
+      (2L, 11L, "R4")).toDF("k", "rts", "rid")
+    val res = Relational.asOfLatest(left, right, "k", "k",
+        col("lts"), col("rts"), "lid", "rid")
+      .select("lid", "rid").as[(String, String)].collect().toMap
+    assert(res == Map("L1" -> "R2", "L2" -> "R3")) // L3: no event ≤ 10 → dropped
+  }
+}
