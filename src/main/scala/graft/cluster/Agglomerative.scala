@@ -1,0 +1,80 @@
+package graft.cluster
+
+/** Average-linkage agglomerative clustering over cosine distances
+  * (SURVEY.md §2.10 X6; reference uses sklearn
+  * `AgglomerativeClustering(n_clusters=250, linkage="average",
+  * affinity="cosine")`, `ihop/clustering.py:353-447`).
+  *
+  * No Spark ML equivalent exists; like the reference, this runs on the
+  * driver over the collected embedding matrix — valid because the input
+  * is a vocabulary-sized table (~10k × 100 floats), never the corpus.
+  * O(n² log n) with a lazily-invalidated distance heap.
+  *
+  * AffinityPropagation (reference factory option, never used by the
+  * DVC pipeline) is intentionally unsupported — call sites get a clear
+  * error instead of a silent fallback (SURVEY.md §7.4.2).
+  */
+object Agglomerative {
+
+  /** Cosine distance between rows after L2 normalization. */
+  private def cosineDistance(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+  }
+
+  /** Cluster `points` into `k` clusters; returns the cluster id per
+    * input row (ids are 0..k-1 in order of first member appearance). */
+  def fitPredict(points: Array[Array[Double]], k: Int): Array[Int] = {
+    val n = points.length
+    require(k >= 1 && k <= n, s"k=$k out of range for n=$n")
+    // active clusters: member lists + pairwise average distances
+    val members = scala.collection.mutable.Map[Int, List[Int]]()
+    (0 until n).foreach(i => members(i) = List(i))
+    // average-linkage distance between clusters = mean pairwise point
+    // distance; maintained incrementally via the Lance-Williams update
+    val dist = scala.collection.mutable.Map[(Int, Int), Double]()
+    def key(a: Int, b: Int) = if (a < b) (a, b) else (b, a)
+    for (i <- 0 until n; j <- i + 1 until n)
+      dist(key(i, j)) = cosineDistance(points(i), points(j))
+
+    val pq = scala.collection.mutable.PriorityQueue[(Double, Int, Int)]()(
+      Ordering.by[(Double, Int, Int), Double](_._1).reverse)
+    dist.foreach { case ((a, b), d) => pq.enqueue((d, a, b)) }
+
+    var nextId = n
+    var active = members.keySet.size
+    while (active > k) {
+      val (d, a, b) = pq.dequeue()
+      if (members.contains(a) && members.contains(b) && dist.get(key(a, b)).contains(d)) {
+        val na = members(a).size.toDouble
+        val nb = members(b).size.toDouble
+        val merged = nextId; nextId += 1
+        members(merged) = members(a) ++ members(b)
+        // Lance-Williams for average linkage:
+        // d(merged, c) = (na·d(a,c) + nb·d(b,c)) / (na+nb)
+        members.keys.filter(c => c != a && c != b && c != merged).foreach { c =>
+          val dac = dist(key(a, c)); val dbc = dist(key(b, c))
+          val dmc = (na * dac + nb * dbc) / (na + nb)
+          dist(key(merged, c)) = dmc
+          pq.enqueue((dmc, math.min(merged, c), math.max(merged, c)))
+        }
+        dist.keys.filter(p => p._1 == a || p._2 == a || p._1 == b || p._2 == b)
+          .foreach(dist.remove)
+        members.remove(a); members.remove(b)
+        active -= 1
+      }
+    }
+    val labels = new Array[Int](n)
+    members.values.toSeq.sortBy(_.min).zipWithIndex.foreach { case (ms, c) =>
+      ms.foreach(i => labels(i) = c)
+    }
+    labels
+  }
+
+  /** Reference-factory parity: affinity propagation is not implemented. */
+  def affinityPropagation(): Nothing =
+    throw new UnsupportedOperationException(
+      "AffinityPropagation is not supported (unused by the reference pipeline; " +
+        "SURVEY.md §7.4.2). Use KMeans or average-linkage agglomerative.")
+}

@@ -112,6 +112,10 @@ object Clustering {
     Map("silhouette" -> silhouette, "calinski_harabasz" -> ch, "davies_bouldin" -> db)
   }
 
+  /** S8: model persistence (MLWritable dirs). */
+  def save(model: KMeansModel, dir: String): Unit = model.write.overwrite().save(dir)
+  def load(dir: String): KMeansModel = KMeansModel.load(dir)
+
   private def sqDistArr(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }

@@ -58,6 +58,11 @@ object Topics {
       .orderBy(col("topic"))
   }
 
+  /** S8: model persistence — online LDA yields a LocalLDAModel dir. */
+  def save(model: LDAModel, dir: String): Unit = model.write.overwrite().save(dir)
+  def load(dir: String): LDAModel =
+    org.apache.spark.ml.clustering.LocalLDAModel.load(dir)
+
   /** Per-document (topicId, probability) pairs with prob > threshold
     * (reference `ihop/clustering.py:966-1015`). */
   def documentTopics(model: LDAModel, df: DataFrame, idCol: String,

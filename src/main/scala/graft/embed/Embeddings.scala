@@ -39,6 +39,10 @@ object Embeddings {
   /** word → vector table (the gensim KeyedVectors equivalent). */
   def vectors(model: Word2VecModel): DataFrame = model.getVectors
 
+  /** S8: model persistence. */
+  def save(model: Word2VecModel, dir: String): Unit = model.write.overwrite().save(dir)
+  def load(dir: String): Word2VecModel = Word2VecModel.load(dir)
+
   /** X4: nearest neighbors by cosine — Spark ML built-in. */
   def neighbors(model: Word2VecModel, term: String, n: Int): DataFrame =
     model.findSynonyms(term, n)

@@ -38,16 +38,20 @@ object HashFns {
         transform(sequence(lit(0), size(tokens) - k),
           i => array_join(slice(tokens, i + lit(1), lit(k)), " "))))
 
-  /** Non-negative element hash of each shingle. */
-  private def shingleHashes(shingles: Column): Column =
+  /** Non-negative element hash of each shingle.
+    * NOTE for callers: materialize the result (e.g. behind a
+    * repartition) before feeding it to a multi-hash consumer — an
+    * interpreted HOF re-evaluates referenced subtrees per lambda
+    * element, so an inlined string pipeline would be re-run per hash
+    * function. */
+  def shingleHashes(shingles: Column): Column =
     transform(shingles, s => pmod(xxhash64(s), lit(MersennePrime)))
 
-  /** MinHash signature: for each (a,b) in the family,
-    * min over shingles of (a*h(s)+b) mod p. Empty shingle set → p
-    * (sentinel larger than any hash, never collides with a real min).
-    * Returns `array<bigint>` of length `params.size`. */
-  def minhashSignature(shingles: Column, params: Seq[(Long, Long)]): Column = {
-    val hs = shingleHashes(shingles)
+  /** MinHash signature from pre-materialized shingle hashes: for each
+    * (a,b) in the family, min over hashes of (a*h+b) mod p. Empty
+    * shingle set → p (sentinel larger than any hash, never collides
+    * with a real min). Returns `array<bigint>` of length `params.size`. */
+  def minhashFromHashes(hs: Column, params: Seq[(Long, Long)]): Column = {
     val sig = params.map { case (a, b) =>
       when(size(hs) === 0, lit(MersennePrime))
         .otherwise(array_min(transform(hs,
@@ -55,6 +59,11 @@ object HashFns {
     }
     array(sig: _*)
   }
+
+  /** Convenience form over raw shingles — only for small inputs/tests;
+    * see [[shingleHashes]] for the materialization caveat. */
+  def minhashSignature(shingles: Column, params: Seq[(Long, Long)]): Column =
+    minhashFromHashes(shingleHashes(shingles), params)
 
   /** LSH band keys from a MinHash signature: hash each band of
     * `rowsPerBand` signature entries to one bucket key; docs agreeing on

@@ -65,11 +65,25 @@ object Dedup {
                  tauNum: Int = 7, tauDenom: Int = 10,
                  seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     val params = HashFns.hashParams(numBands * rowsPerBand, seed)
-    val docs = df.select(
-      col(idCol),
-      HashFns.wordShingles(TextFns.wordTokens(col(textCol)), shingleK).as("_sh"))
+    // The repartition is a deliberate materialization barrier, not (only)
+    // a distribution choice: Catalyst's CollapseProject would otherwise
+    // inline the tokenize→shingle expression into every one of the
+    // numBands×rowsPerBand hash lambdas (interpreted HOFs don't hoist
+    // loop-invariant subtrees), re-splitting the text hundreds of times
+    // per row. The exchange turns the shingle set / its hashes into
+    // materialized attributes computed exactly once — and spreads
+    // single-file scans across the cluster.
+    val docs = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // spread single-file scans before heavy exprs
+      .select(col(idCol),
+        HashFns.wordShingles(TextFns.wordTokens(col(textCol)), shingleK).as("_sh"))
       .withColumn("_nsh", size(col("_sh")))
-    val withSig = docs.withColumn("_sig", HashFns.minhashSignature(col("_sh"), params))
+    val hashed = docs
+      .select(col(idCol), col("_nsh"), HashFns.shingleHashes(col("_sh")).as("_hs"))
+      .repartition(col(idCol))
+    val withSig = hashed
+      .withColumn("_sig", HashFns.minhashFromHashes(col("_hs"), params))
+      .select(col(idCol), col("_sig"))
       .withColumn("_bands", HashFns.lshBandKeys(col("_sig"), numBands, rowsPerBand))
 
     val buckets = withSig
@@ -102,8 +116,10 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
               maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val chunks = maxHamming + 1
-    val docs = df.select(col(idCol),
-      HashFns.simhash64(TextFns.wordTokens(col(textCol))).as("_sim"))
+    val docs = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // spread single-file scans before the sketch fold
+      .select(col(idCol),
+        HashFns.simhash64(TextFns.wordTokens(col(textCol))).as("_sim"))
     val buckets = docs
       .select(col(idCol), col("_sim"),
         posexplode(HashFns.bitChunks(col("_sim"), chunks)).as(Seq("_ci", "_ck")))
@@ -124,8 +140,10 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, tauNum: Int = 1, tauDenom: Int = 2,
                    maxPostings: Int = 1000): DataFrame = {
-    val docs = df.select(col(idCol),
-      HashFns.wordShingles(TextFns.wordTokens(col(textCol)), shingleK).as("_sh"))
+    val docs = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // spread single-file scans before shingling
+      .select(col(idCol),
+        HashFns.wordShingles(TextFns.wordTokens(col(textCol)), shingleK).as("_sh"))
       .withColumn("_nsh", size(col("_sh")))
     val postings = docs.select(col(idCol), explode(col("_sh")).as("_g"))
       .withColumn("_pf", count(lit(1)).over(Window.partitionBy(col("_g"))))
