@@ -31,12 +31,16 @@ object HashFns {
   }
 
   /** Word k-shingles: distinct space-joined k-grams of a token array.
-    * `size < k` → empty array. */
+    * `size < k` → empty array. The token array is lambda-bound so the
+    * (possibly expensive) producing expression evaluates once per row,
+    * not once per shingle position (see [[ExprUtils.bind]]). */
   def wordShingles(tokens: Column, k: Int): Column =
-    when(size(tokens) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(tokens) - k),
-          i => array_join(slice(tokens, i + lit(1), lit(k)), " "))))
+    ExprUtils.bind(tokens) { t =>
+      when(size(t) < k, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(0), size(t) - k),
+            i => array_join(slice(t, i + lit(1), lit(k)), " "))))
+    }
 
   /** Non-negative element hash of each shingle.
     * NOTE for callers: materialize the result (e.g. behind a
@@ -51,14 +55,14 @@ object HashFns {
     * (a,b) in the family, min over hashes of (a*h+b) mod p. Empty
     * shingle set → p (sentinel larger than any hash, never collides
     * with a real min). Returns `array<bigint>` of length `params.size`. */
-  def minhashFromHashes(hs: Column, params: Seq[(Long, Long)]): Column = {
-    val sig = params.map { case (a, b) =>
-      when(size(hs) === 0, lit(MersennePrime))
-        .otherwise(array_min(transform(hs,
-          h => pmod(h * lit(a) + lit(b), lit(MersennePrime)))))
+  def minhashFromHashes(hs: Column, params: Seq[(Long, Long)]): Column =
+    ExprUtils.bind(hs) { hh =>
+      array(params.map { case (a, b) =>
+        when(size(hh) === 0, lit(MersennePrime))
+          .otherwise(array_min(transform(hh,
+            h => pmod(h * lit(a) + lit(b), lit(MersennePrime)))))
+      }: _*)
     }
-    array(sig: _*)
-  }
 
   /** Convenience form over raw shingles — only for small inputs/tests;
     * see [[shingleHashes]] for the materialization caveat. */
@@ -70,9 +74,11 @@ object HashFns {
     * any band key become candidate pairs. Returns `array<bigint>` of
     * length numBands = sig.len / rowsPerBand. */
   def lshBandKeys(signature: Column, numBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numBands - 1)),
-      b => xxhash64(b, array_join(
-        slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), ",")))
+    ExprUtils.bind(signature) { sig =>
+      transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(b, array_join(
+          slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), ",")))
+    }
 
   /** 64-bit SimHash over tokens (with multiplicity): per bit, sum of
     * ±1 contributions of each token's xxhash64; bit set iff sum > 0.
@@ -80,8 +86,8 @@ object HashFns {
   private def shr(e: Column, bits: Column): Column = call_function("shiftright", e, bits)
   private def shl(e: Column, bits: Column): Column = call_function("shiftleft", e, bits)
 
-  def simhash64(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
+  def simhash64(tokens: Column): Column = ExprUtils.bind(tokens) { toks =>
+    val hashes = transform(toks, t => xxhash64(t))
     // counts: array of 64 signed sums of ±1 bit contributions
     val counts = aggregate(
       hashes,

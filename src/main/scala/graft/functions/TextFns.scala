@@ -46,17 +46,16 @@ object TextFns {
     * the list order as tie-break preference and `"und"` (undetermined)
     * when no list scores a hit. Expressible 1:1 in ANSI SQL for the
     * oracle. */
-  def langId(text: Column): Column = {
-    val toks = wordTokens(text)
-    val scores = LangStopwords.map { case (lang, words) => lang -> tokenHits(toks, words) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // first (in declared order) language achieving the max — ties break
-    // toward the earlier list, matching the SQL CASE chain.
-    val chain = scores.foldRight(lit("und")) { case ((lang, s), rest) =>
-      when(s === best && best > 0, lit(lang)).otherwise(rest)
+  def langId(text: Column): Column =
+    ExprUtils.bind(wordTokens(text)) { toks =>
+      val scores = LangStopwords.map { case (lang, words) => lang -> tokenHits(toks, words) }
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      // first (in declared order) language achieving the max — ties break
+      // toward the earlier list, matching the SQL CASE chain.
+      scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+        when(s === best && best > 0, lit(lang)).otherwise(rest)
+      }
     }
-    chain
-  }
 
   /** Quality metrics for document triage (counts are exact integers so
     * an oracle can reproduce them bit-for-bit). Counting via

@@ -169,28 +169,53 @@ object Dedup {
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
                       tau: Double = 0.95, planes: Int = 16,
                       seed: Long = 7L, maxBucket: Int = 2000): DataFrame = {
-    val dim = 64 // embeddings table width; parameterize when schema varies
+    import graft.functions.ExprUtils
     val rnd = new scala.util.Random(seed)
-    val hyperplanes = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-    // sign sketch: bit i = dot(v, plane_i) > 0
-    val sketch = hyperplanes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(VectorFns.dot(col(vecCol), planeCol) > 0,
-        call_function("shiftleft", lit(1L), lit(i))).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val docs = df.select(col(idCol), col(vecCol)).withColumn("_sk", sketch)
-    val chunks = 4
+    // L2-normalize ONCE (verification then needs only a dot product, a
+    // single interpreted pass instead of cosine's three)
+    val normed = df.select(col(idCol), col(vecCol))
+      .repartition(col(idCol))
+      .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_nv"))
+    // sign sketch: bit i = dot(v, plane_i) > 0; the normalized vector is
+    // lambda-bound so it is computed once, not once per hyperplane
+    def sketchOf(v: org.apache.spark.sql.Column, dim: Int) = {
+      val hyperplanes = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+      ExprUtils.bind(v) { nv =>
+        hyperplanes.zipWithIndex.map { case (p, i) =>
+          when(VectorFns.dot(nv, array(p.map(lit): _*)) > 0,
+            call_function("shiftleft", lit(1L), lit(i))).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b))
+      }
+    }
+    val dim = 64 // embeddings table width; parameterize when schema varies
+    val docs = normed.select(col(idCol), col("_nv"), sketchOf(col("_nv"), dim).as("_sk"))
+
+    val chunks = 2 // 2×(planes/2)-bit chunk keys: candidates must agree on half the sketch
     val buckets = docs
-      .select(col(idCol), col(vecCol),
-        posexplode(HashFns.bitChunks(col("_sk"), chunks)).as(Seq("_ci", "_ck")))
+      .select(col(idCol),
+        posexplode(bitChunksOf(col("_sk"), chunks, planes)).as(Seq("_ci", "_ck")))
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_ci"), col("_ck"))))
       .where(col("_bsz") <= maxBucket)
-    val l = buckets.select(col("_ci"), col("_ck"), col(idCol).as("a"), col(vecCol).as("_va"))
-    val r = buckets.select(col("_ci"), col("_ck"), col(idCol).as("b"), col(vecCol).as("_vb"))
-    val pairs = l.join(r, Seq("_ci", "_ck")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("_va"), col("_vb")).distinct()
-      .where(VectorFns.cosine(col("_va"), col("_vb")) >= tau)
+    val l = buckets.select(col("_ci"), col("_ck"), col(idCol).as("a"))
+    val r = buckets.select(col("_ci"), col("_ck"), col(idCol).as("b"))
+    // distinct on bare id pairs BEFORE re-attaching vectors: the shuffle
+    // carries 16 bytes per candidate, not two embedding payloads
+    val candidates = l.join(r, Seq("_ci", "_ck")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val da = normed.select(col(idCol).as("a"), col("_nv").as("_na"))
+    val db = normed.select(col(idCol).as("b"), col("_nv").as("_nb"))
+    val pairs = candidates.join(da, "a").join(db, "b")
+      .where(VectorFns.dot(col("_na"), col("_nb")) >= tau)
       .select(col("a"), col("b"))
     keeperFromPairs(df.select(col(idCol)), idCol, pairs)
+  }
+
+  /** bit-chunks over only the low `bits` sketch bits. */
+  private def bitChunksOf(sketch: org.apache.spark.sql.Column, chunks: Int,
+                          bits: Int): org.apache.spark.sql.Column = {
+    val width = bits / chunks
+    val mask = (1L << width) - 1
+    transform(sequence(lit(0), lit(chunks - 1)),
+      i => call_function("shiftright", sketch, i * lit(width)).bitwiseAND(lit(mask)))
   }
 }
