@@ -47,6 +47,50 @@ class PipelineSpec extends SparkSpec {
     assert(s == b)
   }
 
+  test("stateful streaming sessionize ≡ batch sessionize") {
+    val d = sf("sf0.001")
+    val streamed = graft.streaming.StatefulSessions.replayParquet(spark, d, 3600000L)
+      .collect().map(s => (s.user_id, s.session_seq, s.n_events,
+        s.session_start_ms, s.session_end_ms)).toSet
+    val batch = graft.operators.Relational.sessionize(
+        graft.sources.Tables.events(spark, d), "user_id",
+        expr("ts DIV 1000000"), "event_id", 3600000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("M4 IDF path: vectorized column is IDF-rescaled") {
+    val docs = Seq((1, "apple apple banana"), (2, "banana cherry"), (3, "apple date"))
+      .toDF("id", "document_text")
+    val (model, out) = graft.text.TextPipeline.fitTransform(docs,
+      graft.text.TextPipeline.Config(minDF = 0.0, maxDF = 1e9,
+        stopLanguage = None, useIdf = true))
+    assert(out.columns.contains("count_vectorized") && out.columns.contains("vectorized"))
+    val vocab = graft.text.TextPipeline.vocabulary(model)
+    val appleIdx = vocab.indexOf("apple")
+    val v = out.where(col("id") === 1).select("vectorized").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    // IDF(apple) = ln((n+1)/(df+1)) = ln(4/3); tf = 2
+    assert(math.abs(v(appleIdx) - 2 * math.log(4.0 / 3)) < 1e-9)
+  }
+
+  test("X5 grid search keeps the best (ties → later config)") {
+    val rnd = new scala.util.Random(3)
+    val ctx = (1 to 200).map { _ =>
+      if (rnd.nextBoolean()) Seq("a1", "b1", "c1") else Seq("a2", "b2", "c2")
+    }.toDF("context_words")
+    val analogies = graft.embed.Embeddings.analogiesFromPairs(
+      Seq(("a1", "b1"), ("a2", "b2")), "pairs")
+    val (best, all) = graft.embed.Embeddings.gridSearch(spark, ctx,
+      graft.embed.Embeddings.Config(epochs = 1, windowSize = 3, numPartitions = 1),
+      alphas = Seq(0.025, 0.05), vectorSizes = Seq(4), analogies = analogies)
+    assert(all.size == 2)
+    assert(best.accuracy == all.map(_.accuracy).max)
+    // ties break toward the LATER configuration (reference acc >= best rule)
+    val tied = all.filter(_.accuracy == best.accuracy)
+    assert(best.params == tied.last.params)
+  }
+
   test("multimodal: deterministic stub features with real batch shape") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
     val media = Multimodal.fromText(docs, "doc_id", "text")
