@@ -36,7 +36,8 @@ object Queries {
     * mirroring the reference lifecycle where a single model feeds all
     * downstream analytics; refitting per query would benchmark the
     * trainer four times. */
-  private val kmeansCfg = graft.cluster.Clustering.Config(k = 10, seed = 100L)
+  private val kmeansCfg =
+    graft.cluster.Clustering.Config(k = 10, seed = 100L, maxIter = 30)
   private val kmeansModels =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.ml.clustering.KMeansModel]()
   private def assignedEmbeddings(s: SparkSession, d: String): DataFrame = {
