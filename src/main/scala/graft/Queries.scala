@@ -40,11 +40,16 @@ object Queries {
     graft.cluster.Clustering.Config(k = 10, seed = 100L, maxIter = 30)
   private val kmeansModels =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.ml.clustering.KMeansModel]()
-  private def assignedEmbeddings(s: SparkSession, d: String): DataFrame = {
-    val model = kmeansModels.getOrElseUpdate(d,
-      graft.cluster.Clustering.fit(T(s, d, "embeddings"), kmeansCfg))
-    graft.cluster.Clustering.assign(model, T(s, d, "embeddings"), kmeansCfg)
-  }
+  private val assignedCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def assignedEmbeddings(s: SparkSession, d: String): DataFrame =
+    assignedCache.getOrElseUpdate(d, {
+      val model = kmeansModels.getOrElseUpdate(d,
+        graft.cluster.Clustering.fit(T(s, d, "embeddings"), kmeansCfg))
+      // persisted: the four cluster-analytics queries each run several
+      // actions over this same assignment table
+      graft.cluster.Clustering.assign(model, T(s, d, "embeddings"), kmeansCfg)
+        .persist()
+    })
 
   /** Epoch millis from a millisecond-unit TIMESTAMP_NTZ column (orders,
     * lineitem); session TZ is UTC so the cast is identity on instants. */

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the embedding hot path.
+  *
+  * Preference ladder (SURVEY.md §7.3): built-ins first — and the
+  * relational surface uses only built-ins. Dense-vector dot products
+  * are the one measured exception: the `zip_with`+`aggregate` form
+  * allocates an intermediate array and interprets two lambdas per
+  * element, ~10× the cost of a tight loop over the ArrayData. This
+  * BinaryExpression evaluates the dot product in one pass with no
+  * allocation (CodegenFallback: a single eval call per row — the loop
+  * itself is JIT-compiled Scala).
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects numeric arrays, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elemGetter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported $other")
+  }
+
+  @transient private lazy val getL = elemGetter(left.dataType)
+  @transient private lazy val getR = elemGetter(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += getL(a, i) * getR(b, i); i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot"
+}
+
+object NativeFns {
+  val DotName = "graft_dot"
+
+  /** Idempotently register the native functions on a session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName, exprs => ArrayDotProduct(exprs.head, exprs(1)), "built-in")
+
+  /** Native dot product — caller must have [[register]]ed the session. */
+  def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+}

@@ -169,7 +169,8 @@ object Dedup {
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
                       tau: Double = 0.95, planes: Int = 16,
                       seed: Long = 7L, maxBucket: Int = 2000): DataFrame = {
-    import graft.functions.ExprUtils
+    import graft.functions.{ExprUtils, NativeFns}
+    NativeFns.register(df.sparkSession)
     val rnd = new scala.util.Random(seed)
     // L2-normalize ONCE (verification then needs only a dot product, a
     // single interpreted pass instead of cosine's three)
@@ -182,7 +183,7 @@ object Dedup {
       val hyperplanes = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
       ExprUtils.bind(v) { nv =>
         hyperplanes.zipWithIndex.map { case (p, i) =>
-          when(VectorFns.dot(nv, array(p.map(lit): _*)) > 0,
+          when(NativeFns.dot(nv, array(p.map(lit): _*)) > 0,
             call_function("shiftleft", lit(1L), lit(i))).otherwise(lit(0L))
         }.reduce((a, b) => a.bitwiseOR(b))
       }
@@ -205,7 +206,7 @@ object Dedup {
     val da = normed.select(col(idCol).as("a"), col("_nv").as("_na"))
     val db = normed.select(col(idCol).as("b"), col("_nv").as("_nb"))
     val pairs = candidates.join(da, "a").join(db, "b")
-      .where(VectorFns.dot(col("_na"), col("_nb")) >= tau)
+      .where(graft.functions.NativeFns.dot(col("_na"), col("_nb")) >= tau)
       .select(col("a"), col("b"))
     keeperFromPairs(df.select(col(idCol)), idCol, pairs)
   }

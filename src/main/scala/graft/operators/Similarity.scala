@@ -28,11 +28,14 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qidCol: String, idCol: String, vecCol: String,
                      k: Int, includeSelf: Boolean = false): DataFrame = {
-    val q = broadcast(queries.select(col(qidCol), col(vecCol).as("_qv")))
-    val c = corpus.select(col(idCol), col(vecCol).as("_cv"))
+    graft.functions.NativeFns.register(queries.sparkSession)
+    // normalize each side once; scoring is then a single native dot
+    val q = broadcast(queries.select(col(qidCol),
+      VectorFns.l2Normalize(col(vecCol)).as("_qv")))
+    val c = corpus.select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_cv"))
     val scored = q.crossJoin(c)
       .where(if (includeSelf) lit(true) else col(qidCol) =!= col(idCol))
-      .withColumn("_cos", VectorFns.cosine(col("_qv"), col("_cv")))
+      .withColumn("_cos", graft.functions.NativeFns.dot(col("_qv"), col("_cv")))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("_cos").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -60,7 +63,10 @@ object Similarity {
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
       .setPredictionCol("_cell")
     val model = km.fit(corpusV)
-    val assigned = model.transform(corpusV).select(col(idCol), col(vecCol), col("_cell"))
+    // normalize the corpus once at assignment time — scoring per probe
+    // pair is then a single native dot product
+    val assigned = model.transform(corpusV)
+      .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_cnv"), col("_cell"))
 
     // centroid table as plain arrays (tiny — nlist rows)
     val spark = corpus.sparkSession
@@ -75,11 +81,12 @@ object Similarity {
     val wq = Window.partitionBy(col(qidCol)).orderBy(col("_cdist").asc, col("_cell").asc)
     val probes = qc.withColumn("_pr", row_number().over(wq))
       .where(col("_pr") <= nprobe)
-      .select(col(qidCol), col("_qv"), col("_cell"))
+      .select(col(qidCol), VectorFns.l2Normalize(col("_qv")).as("_qnv"), col("_cell"))
 
+    graft.functions.NativeFns.register(queries.sparkSession)
     val scored = probes.join(assigned, Seq("_cell"))
       .where(col(qidCol) =!= col(idCol))
-      .withColumn("_cos", VectorFns.cosine(col("_qv"), col(vecCol)))
+      .withColumn("_cos", graft.functions.NativeFns.dot(col("_qnv"), col("_cnv")))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("_cos").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

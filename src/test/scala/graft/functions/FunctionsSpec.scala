@@ -57,6 +57,20 @@ class FunctionsSpec extends SparkSpec {
     assert(d == 2.0 && math.abs(na - math.sqrt(5)) < 1e-12 && math.abs(c - 1.0) < 1e-12)
   }
 
+  test("native graft_dot ≡ HOF dot, across element types") {
+    graft.functions.NativeFns.register(spark)
+    val df = Seq((Array(1f, 2f, 3f), Array(0.5, -1.0, 2.0)))
+      .toDF("f", "d")
+    val (native, hof) = df.select(
+      graft.functions.NativeFns.dot(col("f"), col("d")),
+      VectorFns.dot(col("f"), col("d"))).as[(Double, Double)].head()
+    assert(native == hof && native == 1.0 * 0.5 - 2.0 + 6.0)
+    // int arrays too
+    val i = Seq((Array(1, 2), Array(3L, 4L))).toDF("a", "b")
+      .select(graft.functions.NativeFns.dot(col("a"), col("b"))).as[Double].head()
+    assert(i == 11.0)
+  }
+
   test("word shingles: distinct k-grams, short docs → empty") {
     val sh = Seq("a b c d", "a b").toDF("t")
       .select(HashFns.wordShingles(TextFns.wordTokens(col("t")), 3))
