@@ -40,9 +40,13 @@ object Queries {
     graft.cluster.Clustering.Config(k = 10, seed = 100L, maxIter = 30)
   private val kmeansModels =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.ml.clustering.KMeansModel]()
-  private val assignedCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  // keyed by (session identity, dir): a DataFrame is bound to its
+  // session — a dir-only key would hand a dead plan to a later session
+  // in the same JVM after spark.stop()
+  private val assignedCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
   private def assignedEmbeddings(s: SparkSession, d: String): DataFrame =
-    assignedCache.getOrElseUpdate(d, {
+    assignedCache.getOrElseUpdate((System.identityHashCode(s), d), {
       val model = kmeansModels.getOrElseUpdate(d,
         graft.cluster.Clustering.fit(T(s, d, "embeddings"), kmeansCfg))
       // persisted: the four cluster-analytics queries each run several

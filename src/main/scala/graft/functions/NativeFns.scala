@@ -48,10 +48,18 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // HOF-dot parity (zip_with + aggregate): mismatched lengths or a
+    // null element yield NULL, not a partial sum — downstream `>= tau`
+    // predicates must drop such pairs, never merge on a prefix dot.
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += getL(a, i) * getR(b, i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += getL(a, i) * getR(b, i)
+      i += 1
+    }
     s
   }
 

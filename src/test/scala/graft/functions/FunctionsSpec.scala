@@ -69,6 +69,16 @@ class FunctionsSpec extends SparkSpec {
     val i = Seq((Array(1, 2), Array(3L, 4L))).toDF("a", "b")
       .select(graft.functions.NativeFns.dot(col("a"), col("b"))).as[Double].head()
     assert(i == 11.0)
+    // HOF parity on edge cases: mismatched lengths / null elements → NULL
+    val mm = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(graft.functions.NativeFns.dot(col("a"), col("b")).as("n"),
+        VectorFns.dot(col("a"), col("b")).as("h"))
+      .head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+    val withNull = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+      .select(graft.functions.NativeFns.dot(col("a"), col("b"))).head()
+    assert(withNull.isNullAt(0))
   }
 
   test("word shingles: distinct k-grams, short docs → empty") {
