@@ -697,6 +697,22 @@ object Queries {
       }
     },
 
+    // Anti-join (NOT EXISTS) — complement of the J1 membership semi-join
+    q("q32_antijoin",
+      """WITH topn AS (
+        |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        |  GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 150)
+        |SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM topn)
+        |ORDER BY p_partkey""".stripMargin) {
+      (s, d) => {
+        val top = R.topNByCount(T(s, d, "lineitem"), "l_partkey", 150)
+          .withColumnRenamed("l_partkey", "p_partkey")
+        R.antiJoin(T(s, d, "part"), top, "p_partkey")
+          .select(col("p_partkey"), col("p_name")).orderBy(col("p_partkey"))
+      }
+    },
+
     rowsOnly("x16_multimodal_features") { (s, d) => {
       import s.implicits._
       val media = graft.multimodal.Multimodal

@@ -35,6 +35,12 @@ class PipelineSpec extends SparkSpec {
     assert(back.as[String].collect().toSet == Set("AskReddit aww", "nba funny"))
     Writers.parquet(df, s"$dir/pq")
     assert(spark.read.parquet(s"$dir/pq").count() == 2)
+    // S7: single-file CSV with header
+    Writers.singleCsv(df, s"$dir/single")
+    val files = new java.io.File(s"$dir/single").listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val lines = java.nio.file.Files.readAllLines(files.head.toPath)
+    assert(lines.get(0) == "subreddit_concat,context_length" && lines.size == 3)
   }
 
   test("streaming hourly aggregation ≡ batch q28 (same semantics)") {
