@@ -55,6 +55,31 @@ object Queries {
         .persist()
     })
 
+  /** Shared text-pipeline + LDA fit per (session, dir) — the topic and
+    * coherence queries analyze the same fitted model. */
+  private val ldaCache = scala.collection.concurrent.TrieMap[(Int, String),
+    (Array[String], DataFrame, org.apache.spark.ml.clustering.LDAModel)]()
+  private def fittedLda(s: SparkSession, d: String) =
+    ldaCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      val docs = T(s, d, "documents").withColumnRenamed("text", "document_text")
+      val (pm, vectorized) = graft.text.TextPipeline.fitTransform(docs,
+        graft.text.TextPipeline.Config(minDF = 0.0, maxDF = 1e9))
+      val lda = Topics.fit(vectorized, Topics.Config(k = 5, maxIter = 10))
+      (graft.text.TextPipeline.vocabulary(pm), vectorized.persist(), lda)
+    })
+
+  /** Shared Word2Vec fit per (session, dir). */
+  private val w2vCache = scala.collection.concurrent.TrieMap[(Int, String),
+    org.apache.spark.ml.feature.Word2VecModel]()
+  private def fittedW2v(s: SparkSession, d: String) =
+    w2vCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      val ctx = T(s, d, "documents")
+        .select(TextFns.wordTokens(col("text")).as("context_words"))
+      graft.embed.Embeddings.train(ctx,
+        graft.embed.Embeddings.Config(vectorSize = 16, epochs = 2,
+          windowSize = 5, numPartitions = 1, seed = 1L))
+    })
+
   /** Epoch millis from a millisecond-unit TIMESTAMP_NTZ column (orders,
     * lineitem); session TZ is UTC so the cast is identity on instants. */
   private def msTs(c: org.apache.spark.sql.Column) = unix_millis(c.cast("timestamp"))
@@ -578,23 +603,14 @@ object Queries {
     }},
 
     rowsOnly("x09_lda_topics") { (s, d) => {
-      val docs = T(s, d, "documents").withColumnRenamed("text", "document_text")
-      val (pm, vectorized) = graft.text.TextPipeline.fitTransform(docs,
-        graft.text.TextPipeline.Config(minDF = 0.0, maxDF = 1e9))
-      val lda = Topics.fit(vectorized, Topics.Config(k = 5, maxIter = 10))
-      Topics.describeTopicsWithWords(s, lda,
-        graft.text.TextPipeline.vocabulary(pm), maxTerms = 8)
+      val (vocab, _, lda) = fittedLda(s, d)
+      Topics.describeTopicsWithWords(s, lda, vocab, maxTerms = 8)
     }},
 
-    rowsOnly("x10_word2vec_neighbors") { (s, d) => {
-      val ctx = T(s, d, "documents")
-        .select(TextFns.wordTokens(col("text")).as("context_words"))
-      val model = graft.embed.Embeddings.train(ctx,
-        graft.embed.Embeddings.Config(vectorSize = 16, epochs = 2,
-          windowSize = 5, numPartitions = 1, seed = 1L))
-      graft.embed.Embeddings.neighbors(model, "spark", 5)
+    rowsOnly("x10_word2vec_neighbors") { (s, d) =>
+      graft.embed.Embeddings.neighbors(fittedW2v(s, d), "spark", 5)
         .select(col("word"), round(col("similarity"), 4).as("sim"))
-    }},
+    },
 
     rowsOnly("x11_pca_project") { (s, d) =>
       graft.export.Projection.pca2d(T(s, d, "embeddings"), "vec_id", "embedding")
@@ -711,6 +727,51 @@ object Queries {
         R.antiJoin(T(s, d, "part"), top, "p_partkey")
           .select(col("p_partkey"), col("p_name")).orderBy(col("p_partkey"))
       }
+    },
+
+    // X10: u_mass topic coherence over the shared fitted LDA
+    rowsOnly("x17_umass_coherence") { (s, d) => {
+      val (vocab, vectorized, lda) = fittedLda(s, d)
+      val topics = Topics.describeTopicsWithWords(s, lda, vocab, maxTerms = 8)
+        .orderBy(col("topic"))
+        .collect().map(r => (r.getInt(0), r.getString(1).split(" ").toSeq))
+      val scores = graft.cluster.Coherence.uMass(
+        vectorized, "doc_id", "tokensNoStopWords", topics.map(_._2).toSeq)
+      import s.implicits._
+      topics.map(_._1).zip(scores).toSeq.toDF("topic", "umass")
+        .select(col("topic"), round(col("umass"), 6).as("umass"))
+    }},
+
+    // X3/X5: analogy evaluation over the shared word2vec fit
+    rowsOnly("x18_analogy_eval") { (s, d) => {
+      val model = fittedW2v(s, d)
+      val vecs = model.getVectors.collect()
+        .map(r => r.getString(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1)
+          .toArray.map(_.toFloat)).toSeq
+      val analogies = graft.embed.Embeddings.analogiesFromPairs(
+        Seq(("fast", "slow"), ("small", "big")), "antonyms") ++
+        graft.embed.Embeddings.analogiesFromPairs(
+          Seq(("row", "column"), ("sort", "merge")), "ops")
+      val res = graft.embed.Embeddings.evaluateAnalogies(vecs, analogies)
+      import s.implicits._
+      res.sections.map(sec => (sec.section, sec.correct, sec.total))
+        .toDF("section", "correct", "total")
+        .orderBy(col("section"))
+    }},
+
+    // Rollup aggregation (grouping-set family; null-safe cross-engine order)
+    q("q33_rollup_pricing",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_qty_c
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        T(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(floor(col("l_quantity") * 100)).as("sum_qty_c"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
     },
 
     rowsOnly("x16_multimodal_features") { (s, d) => {

@@ -47,6 +47,9 @@ object Readers {
   def parquet(spark: SparkSession, paths: String*): DataFrame =
     spark.read.parquet(paths: _*)
 
+  def orc(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.orc(paths: _*)
+
   def load(spark: SparkSession, format: String, options: Map[String, String],
            path: String): DataFrame =
     spark.read.format(format).options(options).load(path)

@@ -15,6 +15,10 @@ object Writers {
   def parquet(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
 
+  /** ORC sink (columnar alternative; built into Spark). */
+  def orc(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").orc(dir)
+
   /** S7: single-file CSV with header. The reference collects to pandas
     * for this (`top_n_df.toPandas().to_csv`); the distributed-friendly
     * equivalent is a coalesce(1) write — only valid for small results

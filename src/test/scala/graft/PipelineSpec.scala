@@ -35,6 +35,8 @@ class PipelineSpec extends SparkSpec {
     assert(back.as[String].collect().toSet == Set("AskReddit aww", "nba funny"))
     Writers.parquet(df, s"$dir/pq")
     assert(spark.read.parquet(s"$dir/pq").count() == 2)
+    Writers.orc(df, s"$dir/orc")
+    assert(Readers.orc(spark, s"$dir/orc").count() == 2)
     // S7: single-file CSV with header
     Writers.singleCsv(df, s"$dir/single")
     val files = new java.io.File(s"$dir/single").listFiles().filter(_.getName.endsWith(".csv"))
