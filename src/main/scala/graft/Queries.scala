@@ -64,8 +64,11 @@ object Queries {
       val docs = T(s, d, "documents").withColumnRenamed("text", "document_text")
       val (pm, vectorized) = graft.text.TextPipeline.fitTransform(docs,
         graft.text.TextPipeline.Config(minDF = 0.0, maxDF = 1e9))
+      // persist BEFORE the fit: online LDA rescans its input every
+      // iteration — without this the whole text pipeline re-runs per pass
+      vectorized.persist()
       val lda = Topics.fit(vectorized, Topics.Config(k = 5, maxIter = 10))
-      (graft.text.TextPipeline.vocabulary(pm), vectorized.persist(), lda)
+      (graft.text.TextPipeline.vocabulary(pm), vectorized, lda)
     })
 
   /** Shared Word2Vec fit per (session, dir). */
@@ -744,15 +747,13 @@ object Queries {
 
     // X3/X5: analogy evaluation over the shared word2vec fit
     rowsOnly("x18_analogy_eval") { (s, d) => {
-      val model = fittedW2v(s, d)
-      val vecs = model.getVectors.collect()
-        .map(r => r.getString(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1)
-          .toArray.map(_.toFloat)).toSeq
+      val vecs = graft.embed.Embeddings.collectVectors(fittedW2v(s, d))
       val analogies = graft.embed.Embeddings.analogiesFromPairs(
         Seq(("fast", "slow"), ("small", "big")), "antonyms") ++
         graft.embed.Embeddings.analogiesFromPairs(
           Seq(("row", "column"), ("sort", "merge")), "ops")
-      val res = graft.embed.Embeddings.evaluateAnalogies(vecs, analogies)
+      val res = graft.embed.Embeddings.evaluateAnalogies(vecs, analogies,
+        restrictVocab = vecs.size)
       import s.implicits._
       res.sections.map(sec => (sec.section, sec.correct, sec.total))
         .toDF("section", "correct", "total")

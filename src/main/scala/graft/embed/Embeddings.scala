@@ -39,6 +39,16 @@ object Embeddings {
   /** word → vector table (the gensim KeyedVectors equivalent). */
   def vectors(model: Word2VecModel): DataFrame = model.getVectors
 
+  /** Collected (word, embedding) pairs for driver-side evaluation.
+    * NOTE: Spark ML exposes no word frequencies, so the order is NOT
+    * gensim's frequency order — callers applying a `restrictVocab`
+    * truncation must supply frequency-ordered vectors themselves (or
+    * pass restrictVocab = vecs.size to disable truncation). */
+  def collectVectors(model: Word2VecModel): Seq[(String, Array[Float])] =
+    model.getVectors.collect()
+      .map(r => r.getString(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1)
+        .toArray.map(_.toFloat)).toSeq
+
   /** S8: model persistence. */
   def save(model: Word2VecModel, dir: String): Unit = model.write.overwrite().save(dir)
   def load(dir: String): Word2VecModel = Word2VecModel.load(dir)
@@ -170,11 +180,8 @@ object Embeddings {
     val results = for (a <- alphas; vs <- vectorSizes) yield {
       val cfg = base.copy(alpha = a, vectorSize = vs)
       val m = train(df, cfg)
-      val vecs = m.getVectors.collect()
-        .map(r => r.getString(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1)
-          .toArray.map(_.toFloat))
-        .toSeq
-      val acc = evaluateAnalogies(vecs, analogies).overall
+      val vecs = collectVectors(m)
+      val acc = evaluateAnalogies(vecs, analogies, restrictVocab = vecs.size).overall
       GridResult(Map("alpha" -> a.toString, "vectorSize" -> vs.toString), acc, m)
     }
     (results.reduceLeft((b, r) => if (r.accuracy >= b.accuracy) r else b), results)
