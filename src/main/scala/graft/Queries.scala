@@ -438,6 +438,17 @@ object Queries {
           .orderBy(col("doc_id"))
     },
 
+    // BPE-ish token budget (GPT-2-style pre-tokenization segments)
+    q("q34_bpeish_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        T(s, d, "documents").select(col("doc_id"),
+            TextFns.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+          .orderBy(col("doc_id"))
+    },
+
     // Quality scoring (integer-exact metrics + boolean gate)
     q("q25_quality",
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

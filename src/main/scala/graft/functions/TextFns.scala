@@ -28,6 +28,17 @@ object TextFns {
   /** Token count (whitespace tokenization). */
   def tokenCount(c: Column): Column = size(wsTokens(c))
 
+  /** BPE-ish subword pre-tokenization (GPT-2-style segmentation without
+    * lookahead, so the same pattern runs under Java regex and RE2):
+    * common contractions, space-prefixed letter runs, digit runs, and
+    * punctuation runs. The count approximates a BPE tokenizer's
+    * pre-split unit count - the standard cheap "token budget" signal
+    * for training-data curation. */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+  def bpeishTokens(c: Column): Column = regexp_extract_all(c, lit(BpeishPattern), lit(0))
+  def bpeishTokenCount(c: Column): Column = size(bpeishTokens(c))
+
   /** Number of tokens that appear in `words` (with multiplicity). */
   def tokenHits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit): _*)))

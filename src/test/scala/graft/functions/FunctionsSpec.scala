@@ -57,6 +57,15 @@ class FunctionsSpec extends SparkSpec {
     assert(d == 2.0 && math.abs(na - math.sqrt(5)) < 1e-12 && math.abs(c - 1.0) < 1e-12)
   }
 
+  test("BPE-ish pre-tokenization goldens") {
+    val toks = Seq("Hello, world! it's 42 degrees").toDF("t")
+      .select(TextFns.bpeishTokens(col("t"))).as[Seq[String]].head()
+    assert(toks == Seq("Hello", ",", " world", "!", " it", "'s", " 42", " degrees"))
+    val counts = Seq("", "  spaced  out  ").toDF("t")
+      .select(TextFns.bpeishTokenCount(col("t"))).as[Int].collect().toSeq
+    assert(counts == Seq(0, 2))
+  }
+
   test("native graft_dot ≡ HOF dot, across element types") {
     graft.functions.NativeFns.register(spark)
     val df = Seq((Array(1f, 2f, 3f), Array(0.5, -1.0, 2.0)))
