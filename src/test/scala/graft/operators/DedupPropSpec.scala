@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the dedup family over randomized corpora with
+  * planted duplicates (deterministic seeds). */
+class DedupPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(seed: Int, n: Int, dupEvery: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    (1 to n).map { i =>
+      val text =
+        if (i % dupEvery == 0 && i > dupEvery)
+          // exact duplicate of an earlier doc
+          (1 to 12).map(j => vocab(new scala.util.Random(seed + i - dupEvery + j).nextInt(vocab.size))).mkString(" ")
+        else
+          (1 to 12).map(j => vocab(new scala.util.Random(seed + i + j).nextInt(vocab.size))).mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  private def invariants(res: Map[Long, Long], ids: Seq[Long]): Unit = {
+    assert(res.keySet == ids.toSet, "one keeper row per input doc")
+    res.foreach { case (id, keep) => assert(keep <= id, s"keeper $keep > id $id") }
+    // a keeper must itself map to a keeper ≤ itself that exists
+    res.values.foreach(k => assert(res.contains(k)))
+  }
+
+  test("minhash/simhash/ngram keepers: total, monotone, closed") {
+    val df = corpus(11, 60, 7)
+    val ids = (1L to 60L)
+    for (res <- Seq(
+      Dedup.minhashLsh(df, "doc_id", "text", tauNum = 1, tauDenom = 2),
+      Dedup.simhash(df, "doc_id", "text"),
+      Dedup.ngramJaccard(df, "doc_id", "text", 3, 1, 2))) {
+      invariants(res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, ids)
+    }
+  }
+
+  test("exact dedup: keeper is min id of its text group; counts consistent") {
+    val df = corpus(23, 80, 5)
+    val res = Dedup.exact(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.length == 80)
+    val byKeep = res.groupBy(_._2)
+    byKeep.foreach { case (keep, members) =>
+      assert(members.map(_._1).min == keep, "keeper is the min id")
+      assert(members.forall(_._3 == members.length), "n_copies = group size")
+    }
+    // idempotence: deduping the survivors finds no further duplicates
+    val survivors = df.join(
+      Dedup.exact(df, "doc_id", "text").where(col("doc_id") === col("keep_id"))
+        .select("doc_id"), Seq("doc_id"))
+    val again = Dedup.exact(survivors, "doc_id", "text")
+    assert(again.where(col("n_copies") > 1).count() == 0)
+  }
+
+  test("every exact duplicate is caught by every near-dup method") {
+    val df = corpus(31, 50, 6)
+    val exactGroups = Dedup.exact(df, "doc_id", "text")
+      .where(col("doc_id") =!= col("keep_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assume(exactGroups.nonEmpty)
+    for (method <- Seq(
+      Dedup.minhashLsh(df, "doc_id", "text", tauNum = 9, tauDenom = 10),
+      Dedup.simhash(df, "doc_id", "text", maxHamming = 0),
+      Dedup.ngramJaccard(df, "doc_id", "text", 3, 99, 100))) {
+      val res = method.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exactGroups.keys.foreach { dup =>
+        assert(res(dup) < dup, s"exact duplicate $dup not linked by ${res(dup)}")
+      }
+    }
+  }
+}
