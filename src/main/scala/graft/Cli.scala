@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Options (subset of the reference's):
   *   --top-n N (default 10000)    --exclude-top-pct P (default 0.05)
-  *   --min-sentence-length N (2)  --max-time-delta 72h  --min-time-delta 3s
+  *   --min-sentence-length N (2)
+  *   --max-time-delta 72h / --min-time-delta 3s (no default: when a flag
+  *     is omitted, all comments are kept — matching the reference CLI)
   */
 object Cli {
 
@@ -61,10 +63,10 @@ object Cli {
           subs, coms,
           topN = opts.getOrElse("top-n", "10000").toInt,
           excludeTopUserPct = opts.getOrElse("exclude-top-pct", "0.05").toDouble,
-          maxTimeDeltaSeconds =
-            opts.get("max-time-delta").map(Timeparse.toSeconds).orElse(Some(259200L)),
-          minTimeDeltaSeconds =
-            opts.get("min-time-delta").map(Timeparse.toSeconds).orElse(Some(3L)))
+          // reference semantics (`ihop/import_data.py` argparse: "If this
+          // is not used, all comments are kept"): no flag → no time filter
+          maxTimeDeltaSeconds = opts.get("max-time-delta").map(Timeparse.toSeconds),
+          minTimeDeltaSeconds = opts.get("min-time-delta").map(Timeparse.toSeconds))
         Writers.parquet(joined, out)
         println(s"[graft] bow: wrote $out")
 

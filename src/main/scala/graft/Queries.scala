@@ -791,7 +791,12 @@ object Queries {
       val media = graft.multimodal.Multimodal
         .fromText(T(s, d, "documents"), "doc_id", "text")
         .as[graft.multimodal.Multimodal.MediaRow]
+      // the raw array<float> embedding is not hashable by the driver's
+      // rows-only recorder — project it to a deterministic string form
       graft.multimodal.Multimodal.extractFeatures(media).toDF()
+        .withColumn("embedding",
+          array_join(transform(col("embedding"),
+            x => format_number(x.cast("double"), 6)), ","))
         .orderBy(col("media_id"))
     }},
   )

@@ -182,13 +182,23 @@ object Dedup {
     def sketchOf(v: org.apache.spark.sql.Column, dim: Int) = {
       val hyperplanes = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
       ExprUtils.bind(v) { nv =>
-        hyperplanes.zipWithIndex.map { case (p, i) =>
+        val sk = hyperplanes.zipWithIndex.map { case (p, i) =>
           when(NativeFns.dot(nv, array(p.map(lit): _*)) > 0,
             call_function("shiftleft", lit(1L), lit(i))).otherwise(lit(0L))
         }.reduce((a, b) => a.bitwiseOR(b))
+        // fail fast on width mismatch: a silent NULL dot would zero every
+        // sketch bit and collapse all docs into one (dropped) bucket
+        when(size(nv) === dim, sk).otherwise(raise_error(concat(
+          lit(s"embeddingCosine: expected $vecCol width $dim, got "),
+          size(nv).cast("string"))))
       }
     }
-    val dim = 64 // embeddings table width; parameterize when schema varies
+    // derive the hyperplane dimensionality from the data (one tiny job);
+    // embedding width is a property of the table, not a config constant
+    val dimRow = normed.where(col("_nv").isNotNull && size(col("_nv")) > 0)
+      .select(size(col("_nv"))).limit(1).collect()
+    require(dimRow.nonEmpty, s"embeddingCosine: no non-empty vectors in $vecCol")
+    val dim = dimRow.head.getInt(0)
     val docs = normed.select(col(idCol), col("_nv"), sketchOf(col("_nv"), dim).as("_sk"))
 
     val chunks = 2 // 2×(planes/2)-bit chunk keys: candidates must agree on half the sketch

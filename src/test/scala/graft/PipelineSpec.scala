@@ -67,6 +67,46 @@ class PipelineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stateful sessionize carries state across micro-batches") {
+    val d = sf("sf0.001")
+    // Split events into 3 time-ordered parquet files with staggered
+    // mtimes: the file source (oldest-first) + maxFilesPerTrigger=1
+    // replays them as 3 micro-batches (+ the sentinel batch), so
+    // sessions spanning a file boundary genuinely cross batches.
+    val tmp = java.nio.file.Files.createTempDirectory("multibatch")
+    val evDir = tmp.resolve("events.parquet")
+    java.nio.file.Files.createDirectory(evDir)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+    // cut at distinct ms values so no boundary event equals the watermark
+    val cuts = ev.selectExpr("ts DIV 1000000 AS ms").distinct()
+      .orderBy("ms").as[Long].collect()
+    val (c1, c2) = (cuts(cuts.length / 3), cuts(2 * cuts.length / 3))
+    val ranges = Seq(
+      s"ts DIV 1000000 <= $c1",
+      s"ts DIV 1000000 > $c1 AND ts DIV 1000000 <= $c2",
+      s"ts DIV 1000000 > $c2")
+    ranges.zipWithIndex.foreach { case (pred, i) =>
+      val scratch = java.nio.file.Files.createTempDirectory(s"mb_$i")
+      ev.where(pred).coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = new java.io.File(scratch.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = evDir.resolve(f"p$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000L))
+    }
+    val streamed = graft.streaming.StatefulSessions.replayParquet(
+        spark, tmp.toString, 3600000L, queryName = "mb_sessions",
+        maxFilesPerTrigger = Some(1))
+      .collect().map(s => (s.user_id, s.session_seq, s.n_events,
+        s.session_start_ms, s.session_end_ms)).toSet
+    val batch = graft.operators.Relational.sessionize(
+        graft.sources.Tables.events(spark, d), "user_id",
+        expr("ts DIV 1000000"), "event_id", 3600000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("M4 IDF path: vectorized column is IDF-rescaled") {
     val docs = Seq((1, "apple apple banana"), (2, "banana cherry"), (3, "apple date"))
       .toDF("id", "document_text")
