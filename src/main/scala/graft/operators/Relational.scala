@@ -213,19 +213,42 @@ object Relational {
   }
 
   /** As-of join: for each left row, the single latest right row with
-    * matching key and right_ts <= left_ts. Implemented as equi-join +
-    * per-left-row row_number — the Spark-idiomatic decomposition (the
-    * reference's analogous temporal logic is equi-join J3 + theta filter
-    * P4, SURVEY.md §2.3). Scale: the equi-join shuffles on the key; the
-    * window partitions by the left row id, so no global sort. For very
-    * hot keys, pre-bucket the right side by time range to bound the
-    * per-row candidate set. */
+    * matching key and right_ts <= left_ts (inner semantics: left rows
+    * with no candidate are dropped). Ties among right rows at the same
+    * ts break toward the largest `rightTie`.
+    *
+    * Implemented as the union-merge as-of (the reference's analogous
+    * temporal logic is equi-join J3 + theta filter P4, SURVEY.md §2.3):
+    * both sides are tagged into one stream keyed by the join key, sorted
+    * within each key partition by (ts, side, tie) — rights sort before
+    * lefts at equal ts, so `<=` holds — and a running
+    * `last(right_payload, ignoreNulls)` carries the latest right row
+    * forward to each left row. ONE shuffle on the key and ONE
+    * within-partition sort, versus the naive equi-join + row_number
+    * decomposition whose intermediate is every (left, earlier-right)
+    * pair — quadratic in rows-per-key, and the first thing to die at
+    * 100 TB. A hot key still lands in a single sort partition, but the
+    * data volume is |left|+|right|, never the cross product. */
   def asOfLatest(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
                  leftTs: Column, rightTs: Column,
                  leftId: String, rightTie: String): DataFrame = {
-    val joined = left.join(right, left(leftKey) === right(rightKey) && rightTs <= leftTs)
-    val w = Window.partitionBy(left(leftId)).orderBy(rightTs.desc, right(rightTie).desc)
-    joined.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    val lStruct = struct(left.columns.map(left(_)): _*)
+    val rStruct = struct(right.columns.map(right(_)): _*)
+    val lTagged = left.select(
+      left(leftKey).as("_k"), leftTs.as("_ts"), lit(1).as("_side"),
+      lit(null).cast(right.schema(rightTie).dataType).as("_tie"), lStruct.as("_l"),
+      lit(null).cast(right.schema).as("_r"))
+    val rTagged = right.select(
+      right(rightKey).as("_k"), rightTs.as("_ts"), lit(0).as("_side"),
+      right(rightTie).as("_tie"),
+      lit(null).cast(left.schema).as("_l"), rStruct.as("_r"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1 && col("_asof").isNotNull)
+      .select(col("_l.*"), col("_asof.*"))
   }
 }
