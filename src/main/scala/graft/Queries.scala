@@ -563,7 +563,28 @@ object Queries {
         .orderBy(col("vec_id"))
     },
 
-    rowsOnly("x04_knn_bruteforce") { (s, d) => {
+    // Exact KNN carries a DuckDB oracle: both engines normalize then
+    // dot in left-to-right double precision (list comprehensions keep
+    // DuckDB's accumulation order explicit), so the rank ordering —
+    // the only float-derived output — is bit-reproducible.
+    q("x04_knn_bruteforce",
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, sqrt(list_reduce([x*x FOR x IN v], (a,b) -> a+b)) AS nrm, v FROM e),
+        |u AS (
+        |  SELECT vec_id, CASE WHEN nrm = 0 THEN v ELSE [x/nrm FOR x IN v] END AS v FROM n),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |         list_reduce([q.v[i]*c.v[i] FOR i IN generate_series(1, len(q.v))],
+        |                     (x,y) -> x+y) AS cos
+        |  FROM u q JOIN u c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20),
+        |r AS (SELECT query_id, vec_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, vec_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) => {
       val emb = T(s, d, "embeddings")
       val qs = emb.where(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding"))
@@ -572,6 +593,31 @@ object Queries {
         .drop("cosine") // float-derived; rank is the deterministic contract
         .orderBy(col("query_id"), col("rank"))
     }},
+
+    // Exact all-pairs cosine dedup (recall-1 baseline for x03's LSH
+    // path); τ=0.40 is calibrated to the synthetic embeddings, which
+    // contain no planted near-dups (max pairwise cosine ≈ 0.51) —
+    // higher thresholds would make the keeper map an identity.
+    q("q35_cosine_dedup_exact",
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, sqrt(list_reduce([x*x FOR x IN v], (a,b) -> a+b)) AS nrm, v FROM e),
+        |u AS (
+        |  SELECT vec_id, CASE WHEN nrm = 0 THEN v ELSE [x/nrm FOR x IN v] END AS v FROM n),
+        |p AS (
+        |  SELECT a.vec_id AS ai, b.vec_id AS bi
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE list_reduce([a.v[i]*b.v[i] FOR i IN generate_series(1, len(a.v))],
+        |                    (x,y) -> x+y) >= 0.40),
+        |kp AS (SELECT bi AS vec_id, MIN(ai) AS keep FROM p GROUP BY bi)
+        |SELECT em.vec_id, COALESCE(kp.keep, em.vec_id) AS keep_id
+        |FROM embeddings em LEFT JOIN kp USING (vec_id) ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        Dedup.embeddingCosineExact(T(s, d, "embeddings"), "vec_id", "embedding",
+            tau = 0.40)
+          .orderBy(col("vec_id"))
+    },
 
     rowsOnly("x05_knn_ivf") { (s, d) => {
       val emb = T(s, d, "embeddings")
@@ -645,7 +691,17 @@ object Queries {
       graft.export.Annotation.intruderTask(docs, "member", "cluster", "n_chars")
     }},
 
-    rowsOnly("x15_stream_hourly") { (s, d) =>
+    // The streaming replay shares q28's oracle: the windowed streaming
+    // plan over the same events must produce exactly the batch answer
+    // (stream-batch consistency is the correctness contract of
+    // Structured Streaming's incremental execution).
+    q("x15_stream_hourly",
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |       event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_micro
+        |FROM events GROUP BY bucket_ms, event_type
+        |ORDER BY bucket_ms, event_type""".stripMargin) { (s, d) =>
       graft.streaming.EventStream.replayParquet(s, d)
         .orderBy(col("bucket_ms"), col("event_type"))
     },

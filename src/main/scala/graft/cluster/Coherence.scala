@@ -29,21 +29,28 @@ object Coherence {
     import spark.implicits._
     val termsDf = broadcast(allTerms.toDF("_term"))
 
-    // doc → distinct top-terms it contains
+    // doc → distinct top-terms it contains; persisted because both the
+    // doc-frequency aggregate and the co-occurrence self-join (which
+    // reads it twice more) are separate actions over it — without the
+    // persist the corpus explode+join runs three times
     val occur = tokenized
       .select(col(docIdCol).as("_doc"), explode(col(tokensCol)).as("_term"))
       .join(termsDf, Seq("_term"))
       .distinct()
+      .persist()
 
-    val docFreq = occur.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
-      .as[(String, Long)].collect().toMap
+    val (docFreq, coFreq) = try {
+      val df0 = occur.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+        .as[(String, Long)].collect().toMap
 
-    val coFreq = occur.as("x").join(occur.as("y"), col("x._doc") === col("y._doc"))
-      .where(col("x._term") < col("y._term"))
-      .groupBy(col("x._term").as("_a"), col("y._term").as("_b"))
-      .agg(count(lit(1)).as("_co"))
-      .as[(String, String, Long)].collect()
-      .map { case (a, b, c) => (a, b) -> c }.toMap
+      val cf = occur.as("x").join(occur.as("y"), col("x._doc") === col("y._doc"))
+        .where(col("x._term") < col("y._term"))
+        .groupBy(col("x._term").as("_a"), col("y._term").as("_b"))
+        .agg(count(lit(1)).as("_co"))
+        .as[(String, String, Long)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      (df0, cf)
+    } finally occur.unpersist(false)
 
     def co(a: String, b: String): Long =
       coFreq.getOrElse(if (a < b) (a, b) else (b, a), 0L)

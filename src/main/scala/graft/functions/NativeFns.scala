@@ -72,12 +72,33 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
 object NativeFns {
   val DotName = "graft_dot"
+  val MinHashName = "graft_minhash"
+  val SimHashName = "graft_simhash"
 
   /** Idempotently register the native functions on a session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       DotName, exprs => ArrayDotProduct(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      MinHashName, exprs => MinHashSignature(exprs.head, exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      SimHashName, exprs => SimHash64(exprs.head), "built-in")
+  }
 
   /** Native dot product — caller must have [[register]]ed the session. */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Native MinHash signature over pre-materialized shingle hashes
+    * (bit-identical to [[HashFns.minhashFromHashes]]). */
+  def minhash(hs: Column, params: Seq[(Long, Long)]): Column =
+    call_function(MinHashName, hs,
+      org.apache.spark.sql.functions.array(params.map(p => lit(p._1)): _*),
+      org.apache.spark.sql.functions.array(params.map(p => lit(p._2)): _*))
+
+  /** Native SimHash64 over tokens (bit-identical to
+    * [[HashFns.simhash64]]). */
+  def simhash(tokens: Column): Column = call_function(SimHashName, tokens)
+
+  private def lit(v: Long) = org.apache.spark.sql.functions.lit(v)
 }

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketching hot path.
+  *
+  * The HOF forms in [[HashFns]] ([[HashFns.minhashFromHashes]],
+  * [[HashFns.simhash64]]) are semantically exact but interpreted: a
+  * MinHash signature evaluates numHashes × numShingles lambda calls per
+  * row, a SimHash folds 64 × numTokens lambda calls — measured as the
+  * dominant cost of the dedup benchmark queries. These expressions
+  * compute the identical values in one `eval` per row with a tight
+  * JIT-compiled loop and no intermediate array allocation
+  * (CodegenFallback: the single call per row is not worth codegen).
+  *
+  * Parity with the HOF forms is asserted by ScalaTest (DedupSpec) —
+  * they must stay bit-identical, including empty-input sentinels and
+  * null handling.
+  */
+
+/** MinHash signature from pre-materialized shingle hashes.
+  *
+  * `minhash[j] = min over h in hashes of (a_j*h + b_j) mod p`,
+  * p = 2^31-1; empty input → p sentinel in every slot (never collides
+  * with a real min — mirrors [[HashFns.minhashFromHashes]]). Null
+  * elements are skipped, like `array_min`.
+  *
+  * Children: (hashes: array<bigint>, as: array<bigint>, bs:
+  * array<bigint>); the parameter arrays must be foldable literals.
+  * All inputs are < p, so a*h + b < 2^62 + 2^31 — ANSI-overflow-safe.
+  */
+case class MinHashSignature(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  private val P = HashFns.MersennePrime
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isLongArray(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (!Seq(first, second, third).forall(isLongArray))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash expects three array<bigint> args, got " +
+          s"${first.dataType} / ${second.dataType} / ${third.dataType}")
+    else if (!second.foldable || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_minhash hash-family parameters must be literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  // parameter families evaluated once, not per row
+  @transient private lazy val as: Array[Long] =
+    second.eval(null).asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val bs: Array[Long] =
+    third.eval(null).asInstanceOf[ArrayData].toLongArray()
+
+  override def nullSafeEval(h: Any, a2: Any, a3: Any): Any = {
+    val hs = h.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val k = as.length
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = as(j); val b = bs(j)
+      var mn = P // empty-set / all-null sentinel
+      var i = 0
+      while (i < n) {
+        if (!hs.isNullAt(i)) {
+          val v = (a * hs.getLong(i) + b) % P
+          if (v < mn) mn = v
+        }
+        i += 1
+      }
+      out(j) = mn
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "graft_minhash"
+}
+
+/** 64-bit SimHash over a token array: per bit, the sign of the sum of
+  * ±1 contributions from each token's `xxhash64` (seed 42 — identical
+  * to the built-in function, via [[XXH64.hashUTF8String]]); bit set iff
+  * the sum is strictly positive. Null tokens hash to the seed, matching
+  * `xxhash64(NULL)`. Mirrors [[HashFns.simhash64]] bit-for-bit.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(t: Any): Any = {
+    val toks = t.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (toks.isNullAt(i)) 42L // xxhash64(NULL) = seed
+        else XXH64.hashUTF8String(toks.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash"
+}

@@ -64,6 +64,7 @@ object Dedup {
                  shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
                  tauNum: Int = 7, tauDenom: Int = 10,
                  seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    graft.functions.NativeFns.register(df.sparkSession)
     val params = HashFns.hashParams(numBands * rowsPerBand, seed)
     // The repartition is a deliberate materialization barrier, not (only)
     // a distribution choice: Catalyst's CollapseProject would otherwise
@@ -82,7 +83,9 @@ object Dedup {
       .select(col(idCol), col("_nsh"), HashFns.shingleHashes(col("_sh")).as("_hs"))
       .repartition(col(idCol))
     val withSig = hashed
-      .withColumn("_sig", HashFns.minhashFromHashes(col("_hs"), params))
+      // native expression: one tight loop per row instead of
+      // numBands×rowsPerBand interpreted lambdas per shingle
+      .withColumn("_sig", graft.functions.NativeFns.minhash(col("_hs"), params))
       .select(col(idCol), col("_sig"))
       .withColumn("_bands", HashFns.lshBandKeys(col("_sig"), numBands, rowsPerBand))
 
@@ -115,11 +118,14 @@ object Dedup {
     * some chunk), verified with exact hamming distance. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    graft.functions.NativeFns.register(df.sparkSession)
     val chunks = maxHamming + 1
     val docs = df.select(col(idCol), col(textCol))
       .repartition(col(idCol)) // spread single-file scans before the sketch fold
       .select(col(idCol),
-        HashFns.simhash64(TextFns.wordTokens(col(textCol))).as("_sim"))
+        // native expression: one pass per row vs 64×numTokens
+        // interpreted lambda evals in the HOF fold
+        graft.functions.NativeFns.simhash(TextFns.wordTokens(col(textCol))).as("_sim"))
     val buckets = docs
       .select(col(idCol), col("_sim"),
         posexplode(HashFns.bitChunks(col("_sim"), chunks)).as(Seq("_ci", "_ck")))
@@ -158,6 +164,31 @@ object Dedup {
       .join(sizes.select(col(idCol).as("b"), col("_nsh").as("_nb")), "b")
       .where(col("_inter") * tauDenom >=
         lit(tauNum) * (col("_na") + col("_nb") - col("_inter")))
+      .select(col("a"), col("b"))
+    keeperFromPairs(df.select(col(idCol)), idCol, pairs)
+  }
+
+  /** Exact all-pairs embedding cosine dedup — the oracle-verifiable
+    * baseline for [[embeddingCosine]]: every pair is scored, so recall
+    * is 1 by construction. O(n²) dot products; right answer at
+    * moderate n (the corpus side is broadcast, the pair loop is a
+    * nested-loop join that never shuffles), while [[embeddingCosine]]
+    * is the 100 TB path. Both compute the same normalize-then-dot in
+    * left-to-right double precision, so thresholds agree bit-for-bit
+    * with a SQL oracle mirroring that order. */
+  def embeddingCosineExact(df: DataFrame, idCol: String, vecCol: String,
+                           tau: Double = 0.95): DataFrame = {
+    graft.functions.NativeFns.register(df.sparkSession)
+    // the repartition is a materialization barrier: without it
+    // CollapseProject inlines the l2-normalize HOF into the per-pair
+    // join predicate, re-normalizing both vectors once per PAIR (n²
+    // interpreted HOF evals) instead of once per row
+    val normed = df.select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_nv"))
+      .repartition(col(idCol))
+    val a = normed.select(col(idCol).as("a"), col("_nv").as("_na"))
+    val b = normed.select(col(idCol).as("b"), col("_nv").as("_nb"))
+    val pairs = a.join(broadcast(b), col("a") < col("b"))
+      .where(graft.functions.NativeFns.dot(col("_na"), col("_nb")) >= tau)
       .select(col("a"), col("b"))
     keeperFromPairs(df.select(col(idCol)), idCol, pairs)
   }

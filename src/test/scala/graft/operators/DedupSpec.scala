@@ -61,6 +61,51 @@ class DedupSpec extends SparkSpec {
     assert(res(4L) == 4L)          // orthogonal
   }
 
+  test("native sketch expressions are bit-identical to the HOF forms") {
+    import graft.functions.{HashFns, NativeFns, TextFns}
+    NativeFns.register(spark)
+    val params = HashFns.hashParams(16, seed = 42L)
+    val withBoth = docs
+      .withColumn("_toks", TextFns.wordTokens(col("text")))
+      .withColumn("_hs", HashFns.shingleHashes(
+        HashFns.wordShingles(col("_toks"), 3)))
+      .select(
+        HashFns.minhashFromHashes(col("_hs"), params).as("mh_hof"),
+        NativeFns.minhash(col("_hs"), params).as("mh_native"),
+        HashFns.simhash64(col("_toks")).as("sh_hof"),
+        NativeFns.simhash(col("_toks")).as("sh_native"))
+      .collect()
+    withBoth.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash parity")
+      assert(r.getLong(2) == r.getLong(3), "simhash parity")
+    }
+    // empty-input sentinel parity: no shingles → Mersenne prime slots
+    val empty = Seq(Tuple1("ab")).toDF("text") // 1 token < k → no shingles
+      .withColumn("_hs", HashFns.shingleHashes(
+        HashFns.wordShingles(TextFns.wordTokens(col("text")), 3)))
+      .select(NativeFns.minhash(col("_hs"), params).as("mh"))
+      .head().getSeq[Long](0)
+    assert(empty.forall(_ == HashFns.MersennePrime))
+  }
+
+  test("exact cosine dedup: all-pairs threshold keeper") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0.99f, 0.14f, 0f, 0f)), (4L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val res = Dedup.embeddingCosineExact(vecs, "vec_id", "embedding", tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(2L) == 1L && res(3L) == 1L) // cos(1,3) ≈ 0.990 ≥ 0.95
+    assert(res(4L) == 4L)
+    // exact variant ⊇ LSH variant: every LSH-found pair is exact-found
+    val lsh = Dedup.embeddingCosine(vecs, "vec_id", "embedding", tau = 0.95,
+        planes = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lsh.foreach { case (id, keep) =>
+      if (keep != id) assert(res(id) != id, s"LSH pair $id→$keep missed by exact")
+    }
+  }
+
   test("keeperFromPairs: min partner wins, singletons self-map") {
     val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
     val pairs = Seq((1L, 3L), (2L, 3L)).toDF("a", "b")
