@@ -37,7 +37,7 @@ object Queries {
     * downstream analytics; refitting per query would benchmark the
     * trainer four times. */
   private val kmeansCfg =
-    graft.cluster.Clustering.Config(k = 10, seed = 100L, maxIter = 30)
+    graft.cluster.Clustering.Config(k = 10, seed = 100L, maxIter = 15)
   private val kmeansModels =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.ml.clustering.KMeansModel]()
   // keyed by (session identity, dir): a DataFrame is bound to its

@@ -25,9 +25,18 @@ object VectorFns {
     aggregate(zip_with(toDoubles(a), toDoubles(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** L2-normalized copy (zero vector maps to itself). */
-  def l2Normalize(a: Column): Column = {
-    val n = norm2(a)
-    when(n === 0.0, toDoubles(a)).otherwise(transform(toDoubles(a), x => x / n))
-  }
+  /** L2-normalized copy (zero vector maps to itself).
+    *
+    * Both the double-cast array and the norm are lambda-bound: an
+    * interpreted `transform` re-evaluates every expression its lambda
+    * references once PER ELEMENT, so an unbound norm turns the
+    * normalize into O(dim²) interpreted evals per row (measured as
+    * ~4.5 s of the KMeans featurize path at sf0.1 before binding —
+    * dominating every operator that normalizes). */
+  def l2Normalize(a: Column): Column =
+    ExprUtils.bind(toDoubles(a)) { ad =>
+      ExprUtils.bind(sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))) { n =>
+        when(n === 0.0, ad).otherwise(transform(ad, x => x / n))
+      }
+    }
 }

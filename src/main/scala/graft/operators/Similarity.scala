@@ -54,13 +54,17 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qidCol: String, idCol: String, vecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 11L): DataFrame = {
+              seed: Long = 11L, cellIter: Int = 8): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val corpusV = corpus.select(col(idCol), col(vecCol))
       .withColumn("_features", array_to_vector(VectorFns.toDoubles(col(vecCol))))
+    // cellIter is deliberately small: IVF cells are a routing partition,
+    // not an analysis clustering — recall comes from nprobe, so fully
+    // converged centroids buy nothing but iteration jobs
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
+      .setMaxIter(cellIter)
       .setPredictionCol("_cell")
     val model = km.fit(corpusV)
     // normalize the corpus once at assignment time — scoring per probe
