@@ -490,10 +490,12 @@ object Queries {
         |       WHEN h_es > 0 THEN 'es'
         |       ELSE 'und' END AS lang_pred
         |FROM sc ORDER BY doc_id""").stripMargin) {
-      (s, d) =>
+      (s, d) => {
+        graft.functions.NativeFns.register(s)
         T(s, d, "documents").select(col("doc_id"),
             TextFns.langId(col("text")).as("lang_pred"))
           .orderBy(col("doc_id"))
+      }
     },
 
     // N-gram Jaccard near-dedup (exact verification, SQL-mirrored)
@@ -826,6 +828,21 @@ object Queries {
         .toDF("section", "correct", "total")
         .orderBy(col("section"))
     }},
+
+    // Cube aggregation (full grouping-set lattice; complements q33's rollup)
+    q("q36_cube_pricing",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_c
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        T(s, d, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(floor(col("l_extendedprice") * 100)).as("sum_price_c"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+    },
 
     // Rollup aggregation (grouping-set family; null-safe cross-engine order)
     q("q33_rollup_pricing",

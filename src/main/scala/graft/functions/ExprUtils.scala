@@ -23,6 +23,17 @@ object ExprUtils {
   def bind(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), x => f(x)), 1)
 
+  /** Bind several columns at once (nested single binds): each is
+    * evaluated exactly once per row no matter how often the body
+    * references it. */
+  def bindSeq(cs: Seq[Column])(f: Seq[Column] => Column): Column = {
+    def go(rem: List[Column], acc: List[Column]): Column = rem match {
+      case Nil => f(acc.reverse)
+      case h :: t => bind(h)(hc => go(t, hc :: acc))
+    }
+    go(cs.toList, Nil)
+  }
+
   def bind2(a: Column, b: Column)(f: (Column, Column) => Column): Column =
     element_at(zip_with(array(a), array(b), (x, y) => f(x, y)), 1)
 }

@@ -74,6 +74,7 @@ object NativeFns {
   val DotName = "graft_dot"
   val MinHashName = "graft_minhash"
   val SimHashName = "graft_simhash"
+  val TokensInSetName = "graft_tokens_in_set"
 
   /** Idempotently register the native functions on a session. */
   def register(spark: SparkSession): Unit = {
@@ -84,6 +85,8 @@ object NativeFns {
       MinHashName, exprs => MinHashSignature(exprs.head, exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       SimHashName, exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      TokensInSetName, exprs => TokensInSet(exprs.head, exprs(1)), "built-in")
   }
 
   /** Native dot product — caller must have [[register]]ed the session. */
@@ -99,6 +102,13 @@ object NativeFns {
   /** Native SimHash64 over tokens (bit-identical to
     * [[HashFns.simhash64]]). */
   def simhash(tokens: Column): Column = call_function(SimHashName, tokens)
+
+  /** Native membership count: tokens present in the literal word list,
+    * with multiplicity (≡ `size(filter(tokens, isin(words)))`). */
+  def tokensInSet(tokens: Column, words: Seq[String]): Column =
+    call_function(TokensInSetName, tokens,
+      org.apache.spark.sql.functions.array(
+        words.map(org.apache.spark.sql.functions.lit): _*))
 
   private def lit(v: Long) = org.apache.spark.sql.functions.lit(v)
 }

@@ -91,6 +91,58 @@ case class MinHashSignature(first: Expression, second: Expression, third: Expres
   override def prettyName: String = "graft_minhash"
 }
 
+/** Count of array elements that belong to a literal string set (with
+  * multiplicity) — `size(filter(tokens, isin(words)))` as one hashed
+  * set probe per token instead of |words| interpreted comparisons per
+  * token per reference. Used by the language-ID scorer, where the
+  * argmax CASE chain references each per-language count several times.
+  *
+  * Children: (tokens: array<string>, words: array<string> literal).
+  */
+case class TokensInSet(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_tokens_in_set expects (array<string>, literal array<string>)")
+    }
+
+  @transient private lazy val wordSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i))
+      i += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(t: Any, w: Any): Any = {
+    val toks = t.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i) && wordSet.contains(toks.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_tokens_in_set"
+}
+
 /** 64-bit SimHash over a token array: per bit, the sign of the sum of
   * ±1 contributions from each token's `xxhash64` (seed 42 — identical
   * to the built-in function, via [[XXH64.hashUTF8String]]); bit set iff

@@ -56,13 +56,33 @@ object TextFns {
   /** Language-ID: argmax of stopword hits over [[LangStopwords]], with
     * the list order as tie-break preference and `"und"` (undetermined)
     * when no list scores a hit. Expressible 1:1 in ANSI SQL for the
-    * oracle. */
+    * oracle.
+    *
+    * The per-language counts are native set probes ([[NativeFns
+    * .tokensInSet]] — caller's session is registered on first use) and
+    * are lambda-bound: the argmax CASE chain references every count up
+    * to ~6 times, and an interpreted reference re-evaluates its whole
+    * subtree each time. */
   def langId(text: Column): Column =
+    ExprUtils.bind(wordTokens(text)) { toks =>
+      val hits = LangStopwords.map { case (_, words) => NativeFns.tokensInSet(toks, words) }
+      ExprUtils.bindSeq(hits) { bound =>
+        val scores = LangStopwords.map(_._1).zip(bound)
+        val best = bound.reduce((a, b) => greatest(a, b))
+        // first (in declared order) language achieving the max — ties
+        // break toward the earlier list, matching the SQL CASE chain.
+        scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+          when(s === best && best > 0, lit(lang)).otherwise(rest)
+        }
+      }
+    }
+
+  /** HOF-only form of [[langId]] (no native expressions) — kept for
+    * parity testing and as the registration-free fallback. */
+  def langIdHof(text: Column): Column =
     ExprUtils.bind(wordTokens(text)) { toks =>
       val scores = LangStopwords.map { case (lang, words) => lang -> tokenHits(toks, words) }
       val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-      // first (in declared order) language achieving the max — ties break
-      // toward the earlier list, matching the SQL CASE chain.
       scores.foldRight(lit("und")) { case ((lang, s), rest) =>
         when(s === best && best > 0, lit(lang)).otherwise(rest)
       }

@@ -19,14 +19,19 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("langId votes stopwords with declared-order tie-break") {
-    val df = Seq(
+    graft.functions.NativeFns.register(spark)
+    val docs = Seq(
       "the cat and the dog is in a house",   // en
       "der hund und die katze ist nicht da", // de
       "le chat est dans la maison pour une", // fr
       "el perro es una casa para los gatos", // es
       "xyzzy plugh qwerty").toDF("t")        // und
-      .select(TextFns.langId(col("t")))
+    val df = docs.select(TextFns.langId(col("t")))
     assert(df.as[String].collect().toSeq == Seq("en", "de", "fr", "es", "und"))
+    // native set-probe form ≡ pure-HOF form
+    val both = docs.select(TextFns.langId(col("t")).as("n"),
+      TextFns.langIdHof(col("t")).as("h")).collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1), "langId parity"))
   }
 
   test("quality gate: short or digit-heavy text fails") {
