@@ -104,11 +104,16 @@ object HashFns {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Split a 64-bit sketch into `chunks` equal bit-chunks (pigeonhole
-    * candidate generation: hamming <= chunks-1 ⇒ some chunk equal). */
+    * candidate generation: hamming <= chunks-1 ⇒ some chunk equal).
+    * The sketch is lambda-bound: otherwise CollapseProject inlines the
+    * (possibly expensive) sketch-producing expression into the lambda,
+    * where it is re-evaluated once per chunk. */
   def bitChunks(sketch: Column, chunks: Int): Column = {
     val width = 64 / chunks
     val mask = (1L << width) - 1
-    transform(sequence(lit(0), lit(chunks - 1)),
-      i => shr(sketch, i * lit(width)).bitwiseAND(lit(mask)))
+    ExprUtils.bind(sketch) { sk =>
+      transform(sequence(lit(0), lit(chunks - 1)),
+        i => shr(sk, i * lit(width)).bitwiseAND(lit(mask)))
+    }
   }
 }

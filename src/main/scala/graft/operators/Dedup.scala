@@ -252,12 +252,15 @@ object Dedup {
     keeperFromPairs(df.select(col(idCol)), idCol, pairs)
   }
 
-  /** bit-chunks over only the low `bits` sketch bits. */
+  /** bit-chunks over only the low `bits` sketch bits (sketch bound —
+    * see [[graft.functions.HashFns.bitChunks]]). */
   private def bitChunksOf(sketch: org.apache.spark.sql.Column, chunks: Int,
                           bits: Int): org.apache.spark.sql.Column = {
     val width = bits / chunks
     val mask = (1L << width) - 1
-    transform(sequence(lit(0), lit(chunks - 1)),
-      i => call_function("shiftright", sketch, i * lit(width)).bitwiseAND(lit(mask)))
+    graft.functions.ExprUtils.bind(sketch) { sk =>
+      transform(sequence(lit(0), lit(chunks - 1)),
+        i => call_function("shiftright", sk, i * lit(width)).bitwiseAND(lit(mask)))
+    }
   }
 }
