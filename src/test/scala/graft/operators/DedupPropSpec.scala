@@ -59,6 +59,29 @@ class DedupPropSpec extends SparkSpec {
     assert(again.where(col("n_copies") > 1).count() == 0)
   }
 
+  test("native sketch expressions ≡ HOF forms over randomized corpora") {
+    import graft.functions.{HashFns, NativeFns, TextFns}
+    NativeFns.register(spark)
+    val df = corpus(47, 120, 9)
+    val params = HashFns.hashParams(32, seed = 99L)
+    val rows = df
+      .withColumn("_toks", TextFns.wordTokens(col("text")))
+      .withColumn("_hs", HashFns.shingleHashes(HashFns.wordShingles(col("_toks"), 2)))
+      .select(
+        HashFns.minhashFromHashes(col("_hs"), params).as("mh_hof"),
+        NativeFns.minhash(col("_hs"), params).as("mh_nat"),
+        HashFns.simhash64(col("_toks")).as("sh_hof"),
+        NativeFns.simhash(col("_toks")).as("sh_nat"),
+        TextFns.tokenHits(col("_toks"), Seq("alpha", "gamma", "mu")).cast("long").as("th_hof"),
+        NativeFns.tokensInSet(col("_toks"), Seq("alpha", "gamma", "mu")).as("th_nat"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash parity")
+      assert(r.getLong(2) == r.getLong(3), "simhash parity")
+      assert(r.getLong(4) == r.getLong(5), "tokensInSet parity")
+    }
+  }
+
   test("every exact duplicate is caught by every near-dup method") {
     val df = corpus(31, 50, 6)
     val exactGroups = Dedup.exact(df, "doc_id", "text")
