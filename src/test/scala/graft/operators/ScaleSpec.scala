@@ -42,6 +42,31 @@ class ScaleSpec extends SparkSpec {
     s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("plan shapes: sort+limit fuses, ranked top-k partials, scans prune") {
+    val d = sf("sf0.001")
+    def formatted(name: String): String = {
+      val df = graft.Queries.all(name).fn(spark, d)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // A1/O1/O2: top-N must plan as TakeOrderedAndProject (never a global
+    // sort), and the scan must read ONLY the grouping key
+    val q01 = formatted("q01_topn_count")
+    assert(q01.contains("TakeOrderedAndProject"), "top-N must fuse sort+limit")
+    assert(q01.contains("ReadSchema: struct<l_partkey:bigint>"),
+      "top-N scan must prune to the single grouped column")
+    // A10: rank-filter windows must get the partial per-partition
+    // WindowGroupLimit (top-k before the shuffle, k rows per partition
+    // survive) in addition to the final one
+    val q16 = formatted("q16_window_topk")
+    assert("WindowGroupLimit".r.findAllIn(q16).size >= 2,
+      "ranked top-k must apply partial + final WindowGroupLimit")
+    // scalar-function queries must not widen the scan beyond used columns
+    val q24 = formatted("q24_token_count")
+    assert(q24.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "token-count scan must prune to (doc_id, text)")
+  }
+
   test("c2v composite pipeline over reference-shaped comments") {
     val comments = Seq(
       ("c1", "alice", "AskReddit"), ("c2", "alice", "aww"),
