@@ -367,6 +367,30 @@ object Queries {
       }
     },
 
+    // The same as-of semantics through the custom sort-merge physical
+    // operator (graft.plans.AsOfJoinExec — LogicalPlan + SparkStrategy +
+    // BinaryExecNode): one O(|L|+|R|) merge pass per co-partition,
+    // no pair materialization, no rank window. Shares q20's oracle —
+    // the two implementations must agree row-for-row.
+    q("q37_asof_native",
+      """WITH j AS (
+        |  SELECT event_id, o_orderkey, epoch_ms(o_orderdate) AS ord_ms,
+        |         row_number() OVER (PARTITION BY event_id
+        |           ORDER BY epoch_ms(o_orderdate) DESC, o_orderkey DESC) AS rn
+        |  FROM events JOIN orders ON user_id = o_custkey
+        |    AND epoch_ms(o_orderdate) <= epoch_ms(ts))
+        |SELECT event_id, o_orderkey, ord_ms FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) {
+      (s, d) => {
+        val e = T(s, d, "events").withColumn("_t", msEvent)
+        val o = T(s, d, "orders").withColumn("_ot", msTs(col("o_orderdate")))
+        graft.plans.AsOf.latest(e, o, "user_id", "o_custkey", "_t", "_ot",
+            tieBreak = Seq("o_orderkey"))
+          .select(col("event_id"), col("o_orderkey"), col("_ot").as("ord_ms"))
+          .orderBy(col("event_id"))
+      }
+    },
+
     // TPC-H Q1-shaped pricing summary with exact scaled-integer sums
     q("q21_agg_pricing",
       """SELECT l_returnflag, l_linestatus,
