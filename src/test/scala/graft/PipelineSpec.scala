@@ -55,6 +55,41 @@ class PipelineSpec extends SparkSpec {
     assert(s == b)
   }
 
+  test("streaming dedup: survivors' texts ≡ batch distinct texts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def doc(i: Int) = (i.toLong, s"document body ${i % 15}", // 15 distinct texts
+      new java.sql.Timestamp(base.getTime + i * 1000L))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamDedup
+      .firstSeen(source.toDF.toDF("doc_id", "text", "event_time"),
+        "doc_id", "text", "event_time", watermark = "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out")
+      .start()
+    source.addData((1 to 25).map(doc)) // dups of 15 texts within watermark
+    q.processAllAvailable()
+    source.addData((26 to 40).map(doc)) // more dups, later arrivals
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sdedup_out").select("text").as[String].collect()
+    // contract: every within-horizon duplicate is dropped (batch 1 emits
+    // exactly the 15 distinct texts — the watermark does not advance
+    // mid-batch), while repeats arriving after their state expired are
+    // re-admitted (bounded state ⇒ bounded dedup horizon). After batch 1
+    // the watermark is 25s−10s = 15s, so state for texts first seen at
+    // t ≤ 5s (expiry = first-seen + 10s ≤ watermark) is evicted: batch 2
+    // re-emits exactly texts 1–5.
+    assert(got.toSet == (0 until 15).map(i => s"document body $i").toSet)
+    val counts = got.groupBy(identity).view.mapValues(_.length)
+    assert(counts.values.forall(_ <= 2), "at most one re-admission per text")
+    val readmitted = counts.filter(_._2 == 2).keySet
+    assert(readmitted == (1 to 5).map(i => s"document body $i").toSet,
+      s"out-of-horizon repeats must re-admit; got $readmitted")
+  }
+
   test("stateful streaming sessionize ≡ batch sessionize") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StatefulSessions.replayParquet(spark, d, 3600000L)
