@@ -717,6 +717,32 @@ object Queries {
       graft.export.Annotation.intruderTask(docs, "member", "cluster", "n_chars")
     }},
 
+    // Deterministic bounded group sample through the custom
+    // TypedImperativeAggregate (graft.functions.BottomKByHash): per
+    // brand, the 5 parts with the smallest universal-hash values —
+    // O(k) state per group vs. the rank-over-rand idiom's full sort.
+    // The universal hash (a*x+b) mod p is exactly reproducible in the
+    // DuckDB oracle, unlike engine-internal hash functions.
+    q("q38_group_sample",
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey,
+        |         row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY (997 * p_partkey + 13) % 2147483647, p_partkey) AS rn
+        |  FROM part)
+        |SELECT p_brand, rn, p_partkey FROM r WHERE rn <= 5
+        |ORDER BY p_brand, rn""".stripMargin) {
+      (s, d) => {
+        graft.functions.NativeFns.register(s)
+        T(s, d, "part")
+          .groupBy(col("p_brand"))
+          .agg(graft.functions.NativeFns.bottomK(col("p_partkey"),
+            pmod(col("p_partkey") * 997 + 13, lit(2147483647L)), 5).as("_sample"))
+          .select(col("p_brand"), posexplode(col("_sample")).as(Seq("_pos", "p_partkey")))
+          .select(col("p_brand"), (col("_pos") + 1).cast("long").as("rn"), col("p_partkey"))
+          .orderBy(col("p_brand"), col("rn"))
+      }
+    },
+
     // The streaming replay shares q28's oracle: the windowed streaming
     // plan over the same events must produce exactly the batch answer
     // (stream-batch consistency is the correctness contract of

@@ -75,6 +75,7 @@ object NativeFns {
   val MinHashName = "graft_minhash"
   val SimHashName = "graft_simhash"
   val TokensInSetName = "graft_tokens_in_set"
+  val BottomKName = "graft_bottomk"
 
   /** Idempotently register the native functions on a session. */
   def register(spark: SparkSession): Unit = {
@@ -87,6 +88,16 @@ object NativeFns {
       SimHashName, exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       TokensInSetName, exprs => TokensInSet(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      BottomKName, exprs => {
+        val k = exprs(2).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_bottomk: k must be an integer literal, got $other")
+        }
+        BottomKByHash(exprs.head, exprs(1), k)
+      }, "built-in")
   }
 
   /** Native dot product — caller must have [[register]]ed the session. */
@@ -109,6 +120,13 @@ object NativeFns {
     call_function(TokensInSetName, tokens,
       org.apache.spark.sql.functions.array(
         words.map(org.apache.spark.sql.functions.lit): _*))
+
+  /** Custom typed-buffer aggregate: the k values with the smallest
+    * (hash, value) pairs per group, ascending — a deterministic
+    * bounded group sample / KMV sketch (see [[BottomKByHash]]). */
+  def bottomK(value: Column, hash: Column, k: Int): Column =
+    call_function(BottomKName, value, hash,
+      org.apache.spark.sql.functions.lit(k))
 
   private def lit(v: Long) = org.apache.spark.sql.functions.lit(v)
 }

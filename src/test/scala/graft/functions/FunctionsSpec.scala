@@ -34,6 +34,26 @@ class FunctionsSpec extends SparkSpec {
     both.foreach(r => assert(r.getString(0) == r.getString(1), "langId parity"))
   }
 
+  test("bottomK aggregate: deterministic k-min-by-hash sample, merge-safe") {
+    graft.functions.NativeFns.register(spark)
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 500).map(i => (s"g${i % 3}", rnd.nextInt(100000).toLong))
+    val df = rows.toDF("g", "v").repartition(7) // force partial agg + merge
+    def h(x: Long): Long = (997L * x + 13L) % 2147483647L
+    val got = df.groupBy(col("g"))
+      .agg(NativeFns.bottomK(col("v"), pmod(col("v") * 997 + 13,
+        lit(2147483647L)), 4).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val expect = rows.groupBy(_._1).view.mapValues(
+      _.map(_._2).sortBy(x => (h(x), x)).take(4).toSeq).toMap
+    assert(got == expect)
+    // sample size caps at group size
+    val tiny = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+      .groupBy(col("g")).agg(NativeFns.bottomK(col("v"), col("v"), 5).as("s"))
+      .head().getSeq[Long](1)
+    assert(tiny == Seq(1L, 2L))
+  }
+
   test("quality gate: short or digit-heavy text fails") {
     val df = Seq(
       ("a solid sentence with enough words here", true),
