@@ -39,6 +39,21 @@ class GapSpec extends SparkSpec {
     assert(math.abs(scores(2) - math.log(1.0 / 2)) < 1e-12)
   }
 
+  test("X10 u_mass: >64-term union (self-join fallback) ≡ mask path") {
+    val rnd = new scala.util.Random(3)
+    val vocab = (0 until 70).map(i => f"t$i%02d")
+    val corpus = (1L to 50L).map { id =>
+      (id, rnd.shuffle(vocab).take(8 + rnd.nextInt(10)).toSeq)
+    }.toDF("doc_id", "tokens")
+    // 10 topics × 7 distinct terms = 70-term union → join fallback
+    val wideTopics = (0 until 10).map(t => (0 until 7).map(j => vocab(t * 7 + j)))
+    val wide = Coherence.uMass(corpus, "doc_id", "tokens", wideTopics)
+    // same corpus, ≤64-term unions scored per-topic through the mask path
+    val narrow = wideTopics.map(tp =>
+      Coherence.uMass(corpus, "doc_id", "tokens", Seq(tp)).head)
+    wide.zip(narrow).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
   test("X18 corpus bridges reshape sparse vectors to (index, value)") {
     val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
       .toDF("id", "document_text")
