@@ -87,6 +87,63 @@ object Queries {
     * lineitem); session TZ is UTC so the cast is identity on instants. */
   private def msTs(c: org.apache.spark.sql.Column) = unix_millis(c.cast("timestamp"))
 
+  // q39 minhash-mirror configuration, shared between the Spark side and
+  // the generated DuckDB oracle (same splitmix64-derived hash family)
+  private val MirrorBands = 4
+  private val MirrorRows = 2
+  private val MirrorSeed = 42L
+
+  /** DuckDB oracle for q39: the full MinHash+LSH pipeline in SQL, with
+    * the identical md5-prefix element hash and (a,b) permutation
+    * literals the Spark side bakes in. */
+  private def minhashMirrorOracleSql: String = {
+    val p = graft.functions.HashFns.MersennePrime
+    val params = graft.functions.HashFns.hashParams(MirrorBands * MirrorRows, MirrorSeed)
+    val sigExprs = params.zipWithIndex.map { case ((a, b), j) =>
+      s"    CASE WHEN len(h) = 0 THEN $p ELSE list_min([($a*x+$b)%$p FOR x IN h]) END AS s$j"
+    }.mkString(",\n")
+    val bandKeys = (0 until MirrorBands).map { b =>
+      val slots = (0 until MirrorRows)
+        .map(r => s"CAST(s${b * MirrorRows + r} AS VARCHAR)").mkString(", ")
+      s"concat_ws(',', CAST($b AS VARCHAR), $slots)"
+    }.mkString(",\n      ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}]+'),
+       |                     x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(t) >= 3
+       |              THEN list_distinct([array_to_string(t[i:i+2], ' ')
+       |                                  FOR i IN generate_series(1, len(t)-2)])
+       |              ELSE [] END AS g
+       |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id, g,
+       |         [CAST(('0x' || substr(md5(s),1,15)) AS BIGINT) % $p FOR s IN g] AS h
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, g,
+       |$sigExprs
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, unnest([
+       |      $bandKeys]) AS bk
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT c.a, c.b
+       |  FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
+       |  WHERE len(list_intersect(x.g, y.g)) * 2
+       |        >= 1 * (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))),
+       |kp AS (SELECT b AS doc_id, MIN(a) AS keep FROM ver GROUP BY b)
+       |SELECT d.doc_id, COALESCE(kp.keep, d.doc_id) AS keep_id
+       |FROM documents d LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** Epoch millis from the events.ts column, which Spark reads as BIGINT
     * nanoseconds (spark.sql.legacy.parquet.nanosAsLong — parquet NANOS
     * is otherwise unreadable). Integer DIV keeps exactness; matches
@@ -550,6 +607,21 @@ object Queries {
         Dedup.ngramJaccard(T(s, d, "documents"), "doc_id", "text",
             shingleK = 3, tauNum = 1, tauDenom = 2)
           .orderBy(col("doc_id"))
+    },
+
+    // MinHash+LSH dedup, fully oracle-mirrored: with the md5-prefix
+    // element hash and plain band keys, every stage — shingling, the
+    // 8-permutation minhash signature, band bucketing, candidate
+    // pairing, exact-Jaccard verification, keeper assignment — is
+    // reproduced in DuckDB from the same (a,b) hash-family literals.
+    // (x01 keeps the faster xxhash64 family; this query proves the
+    // sketch pipeline itself, not just its verification stage.)
+    q("q39_minhash_mirror", minhashMirrorOracleSql) { (s, d) =>
+      Dedup.minhashLsh(T(s, d, "documents"), "doc_id", "text",
+          shingleK = 3, numBands = MirrorBands, rowsPerBand = MirrorRows,
+          tauNum = 1, tauDenom = 2, seed = MirrorSeed,
+          sqlMirroredHashes = true)
+        .orderBy(col("doc_id"))
     },
 
     // Event-time tumbling-window aggregation (batch form)

@@ -49,7 +49,18 @@ object HashFns {
     * element, so an inlined string pipeline would be re-run per hash
     * function. */
   def shingleHashes(shingles: Column): Column =
-    transform(shingles, s => pmod(xxhash64(s), lit(MersennePrime)))
+    shingleHashesWith(shingles, s => pmod(xxhash64(s), lit(MersennePrime)))
+
+  /** [[shingleHashes]] with a caller-chosen element hash. */
+  def shingleHashesWith(shingles: Column, elemHash: Column => Column): Column =
+    transform(shingles, elemHash)
+
+  /** SQL-mirrorable element hash: 60-bit md5 prefix mod p. Unlike
+    * `xxhash64` (Spark-internal), MD5 is identical in every engine, so
+    * a DuckDB oracle reproduces this family bit-for-bit:
+    * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT) % p`. */
+  def md5Hash(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MersennePrime))
 
   /** MinHash signature from pre-materialized shingle hashes: for each
     * (a,b) in the family, min over hashes of (a*h+b) mod p. Empty
@@ -78,6 +89,17 @@ object HashFns {
       transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(b, array_join(
           slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), ",")))
+    }
+
+  /** SQL-mirrorable band keys: the band index + raw signature slice as
+    * a string (no key-compaction hash — identical in any engine).
+    * Returns `array<string>`. */
+  def lshBandKeysPlain(signature: Column, numBands: Int, rowsPerBand: Int): Column =
+    ExprUtils.bind(signature) { sig =>
+      transform(sequence(lit(0), lit(numBands - 1)),
+        b => concat_ws(",", b.cast("string"), array_join(
+          transform(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+            x => x.cast("string")), ",")))
     }
 
   /** 64-bit SimHash over tokens (with multiplicity): per bit, sum of

@@ -59,11 +59,17 @@ object Dedup {
     *   protection: a band key shared by a huge crowd at 100 TB would
     *   produce a quadratic bucket; dropping it loses only pairs that
     *   agree on *no other* band, a standard recall tradeoff).
+    * @param sqlMirroredHashes use the md5-prefix element hash and plain
+    *   string band keys ([[HashFns.md5Hash]]/[[HashFns.lshBandKeysPlain]])
+    *   instead of xxhash64 — every hash in the pipeline is then
+    *   reproducible in an external SQL oracle. Default keeps xxhash64
+    *   (codegen'd, faster) for the production path.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
                  tauNum: Int = 7, tauDenom: Int = 10,
-                 seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+                 seed: Long = 42L, maxBucket: Int = 1000,
+                 sqlMirroredHashes: Boolean = false): DataFrame = {
     graft.functions.NativeFns.register(df.sparkSession)
     val params = HashFns.hashParams(numBands * rowsPerBand, seed)
     // The repartition is a deliberate materialization barrier, not (only)
@@ -79,15 +85,20 @@ object Dedup {
       .select(col(idCol),
         HashFns.wordShingles(TextFns.wordTokens(col(textCol)), shingleK).as("_sh"))
       .withColumn("_nsh", size(col("_sh")))
+    val hashCol =
+      if (sqlMirroredHashes) HashFns.shingleHashesWith(col("_sh"), HashFns.md5Hash)
+      else HashFns.shingleHashes(col("_sh"))
     val hashed = docs
-      .select(col(idCol), col("_nsh"), HashFns.shingleHashes(col("_sh")).as("_hs"))
+      .select(col(idCol), col("_nsh"), hashCol.as("_hs"))
       .repartition(col(idCol))
     val withSig = hashed
       // native expression: one tight loop per row instead of
       // numBands×rowsPerBand interpreted lambdas per shingle
       .withColumn("_sig", graft.functions.NativeFns.minhash(col("_hs"), params))
       .select(col(idCol), col("_sig"))
-      .withColumn("_bands", HashFns.lshBandKeys(col("_sig"), numBands, rowsPerBand))
+      .withColumn("_bands",
+        if (sqlMirroredHashes) HashFns.lshBandKeysPlain(col("_sig"), numBands, rowsPerBand)
+        else HashFns.lshBandKeys(col("_sig"), numBands, rowsPerBand))
 
     val buckets = withSig
       .select(col(idCol), explode(col("_bands")).as("_bk"))

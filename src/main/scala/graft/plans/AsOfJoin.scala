@@ -148,6 +148,15 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = l, right = r)
 }
 
+/** Session-extension registration route (`spark.sql.extensions=
+  * graft.plans.GraftExtensions` on spark-submit, or
+  * `.withExtensions(new GraftExtensions)` at build time) — equivalent
+  * to [[AsOf.register]] for sessions this library does not construct. */
+final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
 /** Public API + strategy registration for the as-of join operator. */
 object AsOf {
 

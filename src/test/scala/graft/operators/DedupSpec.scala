@@ -31,6 +31,15 @@ class DedupSpec extends SparkSpec {
     assert(res.size == 5)
   }
 
+  test("minhash LSH with SQL-mirrored hashes finds the same planted dups") {
+    val res = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 3, numBands = 8, rowsPerBand = 2, tauNum = 1, tauDenom = 2,
+        sqlMirroredHashes = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(4L) == 1L && res(2L) == 1L)
+    assert(res(3L) == 3L && res(5L) == 5L)
+  }
+
   test("ngram Jaccard dedup: exact threshold arithmetic") {
     // doc1/doc2: 11 trigram shingles each, 10 shared → J = 10/12 ≈ 0.833
     val at80 = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 4, 5) // τ=0.8
