@@ -92,6 +92,8 @@ object Queries {
   private val MirrorBands = 4
   private val MirrorRows = 2
   private val MirrorSeed = 42L
+  private val MirrorTauNum = 1
+  private val MirrorTauDenom = 2
 
   /** DuckDB oracle for q39: the full MinHash+LSH pipeline in SQL, with
     * the identical md5-prefix element hash and (a,b) permutation
@@ -137,8 +139,8 @@ object Queries {
        |ver AS (
        |  SELECT c.a, c.b
        |  FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
-       |  WHERE len(list_intersect(x.g, y.g)) * 2
-       |        >= 1 * (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))),
+       |  WHERE len(list_intersect(x.g, y.g)) * $MirrorTauDenom
+       |        >= $MirrorTauNum * (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))),
        |kp AS (SELECT b AS doc_id, MIN(a) AS keep FROM ver GROUP BY b)
        |SELECT d.doc_id, COALESCE(kp.keep, d.doc_id) AS keep_id
        |FROM documents d LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin
@@ -574,7 +576,7 @@ object Queries {
       (s, d) => {
         graft.functions.NativeFns.register(s)
         T(s, d, "documents").select(col("doc_id"),
-            TextFns.langId(col("text")).as("lang_pred"))
+            TextFns.langIdNative(col("text")).as("lang_pred"))
           .orderBy(col("doc_id"))
       }
     },
@@ -617,10 +619,14 @@ object Queries {
     // (x01 keeps the faster xxhash64 family; this query proves the
     // sketch pipeline itself, not just its verification stage.)
     q("q39_minhash_mirror", minhashMirrorOracleSql) { (s, d) =>
+      // maxBucket is uncapped here because the oracle SQL pairs every
+      // band-key collision: any capped bucket would silently desync the
+      // two engines at a larger SF (this mirror run is a correctness
+      // oracle, not the production path — x01 keeps the default cap).
       Dedup.minhashLsh(T(s, d, "documents"), "doc_id", "text",
           shingleK = 3, numBands = MirrorBands, rowsPerBand = MirrorRows,
-          tauNum = 1, tauDenom = 2, seed = MirrorSeed,
-          sqlMirroredHashes = true)
+          tauNum = MirrorTauNum, tauDenom = MirrorTauDenom, seed = MirrorSeed,
+          maxBucket = Int.MaxValue, sqlMirroredHashes = true)
         .orderBy(col("doc_id"))
     },
 

@@ -90,11 +90,13 @@ object NativeFns {
       TokensInSetName, exprs => TokensInSet(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       BottomKName, exprs => {
-        val k = exprs(2).eval(null) match {
+        // k must be constant-foldable: eval(null) on e.g. an attribute
+        // reference would NPE instead of raising the intended error.
+        val k = (if (exprs(2).foldable) exprs(2).eval(null) else null) match {
           case i: Int => i
           case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"graft_bottomk: k must be an integer literal, got $other")
+          case _ => throw new IllegalArgumentException(
+            s"graft_bottomk: k must be an integer literal, got ${exprs(2)}")
         }
         BottomKByHash(exprs.head, exprs(1), k)
       }, "built-in")

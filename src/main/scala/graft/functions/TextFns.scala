@@ -58,12 +58,22 @@ object TextFns {
     * when no list scores a hit. Expressible 1:1 in ANSI SQL for the
     * oracle.
     *
-    * The per-language counts are native set probes ([[NativeFns
-    * .tokensInSet]] — caller's session is registered on first use) and
-    * are lambda-bound: the argmax CASE chain references every count up
-    * to ~6 times, and an interpreted reference re-evaluates its whole
-    * subtree each time. */
-  def langId(text: Column): Column =
+    * This default form works on any session — it is [[langIdHof]], the
+    * pure-HOF build with no custom function registration. Hot paths
+    * that have called [[NativeFns.register]] should use the ~10× faster
+    * [[langIdNative]]. */
+  def langId(text: Column): Column = langIdHof(text)
+
+  /** Native-expression form of [[langId]]. The per-language counts are
+    * native set probes ([[NativeFns.tokensInSet]]) and are lambda-bound:
+    * the argmax CASE chain references every count up to ~6 times, and
+    * an interpreted reference re-evaluates its whole subtree each time.
+    *
+    * REQUIRES [[NativeFns.register]] on the session that analyzes the
+    * plan — a Column-producing function has no session to register, so
+    * unregistered sessions fail analysis with an unresolved-function
+    * error. Use [[langId]] when registration isn't guaranteed. */
+  def langIdNative(text: Column): Column =
     ExprUtils.bind(wordTokens(text)) { toks =>
       val hits = LangStopwords.map { case (_, words) => NativeFns.tokensInSet(toks, words) }
       ExprUtils.bindSeq(hits) { bound =>
@@ -77,8 +87,9 @@ object TextFns {
       }
     }
 
-  /** HOF-only form of [[langId]] (no native expressions) — kept for
-    * parity testing and as the registration-free fallback. */
+  /** HOF-only form of [[langId]] (no native expressions) — the
+    * registration-free default and the parity baseline for
+    * [[langIdNative]]. */
   def langIdHof(text: Column): Column =
     ExprUtils.bind(wordTokens(text)) { toks =>
       val scores = LangStopwords.map { case (lang, words) => lang -> tokenHits(toks, words) }

@@ -28,8 +28,8 @@ class FunctionsSpec extends SparkSpec {
       "xyzzy plugh qwerty").toDF("t")        // und
     val df = docs.select(TextFns.langId(col("t")))
     assert(df.as[String].collect().toSeq == Seq("en", "de", "fr", "es", "und"))
-    // native set-probe form ≡ pure-HOF form
-    val both = docs.select(TextFns.langId(col("t")).as("n"),
+    // native set-probe form ≡ pure-HOF form (= langId default)
+    val both = docs.select(TextFns.langIdNative(col("t")).as("n"),
       TextFns.langIdHof(col("t")).as("h")).collect()
     both.foreach(r => assert(r.getString(0) == r.getString(1), "langId parity"))
   }
