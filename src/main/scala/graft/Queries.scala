@@ -146,6 +146,55 @@ object Queries {
        |FROM documents d LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Gap-based sessionization oracle (1 h gap, (ts, event_id) ordering)
+    * — shared by the batch window plan (q19) and the stateful streaming
+    * replay (x19): stream ≡ batch is the correctness contract. */
+  private val sessionizeOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      |f AS (SELECT user_id, event_id, ts_ms,
+      |        CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |                  IS NULL
+      |              OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+      |                  ORDER BY ts_ms, event_id) > 3600000
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM e),
+      |g AS (SELECT user_id, ts_ms,
+      |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS session_seq
+      |      FROM f)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms
+      |FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+
+  /** KMV sketch size for q40 (and the scaled numerator (k-1)·|H|,
+    * precomputed so neither engine risks 32-bit overflow mid-product). */
+  private val KmvK = 64
+  private val KmvNumerator: Long =
+    (KmvK - 1).toLong * graft.functions.HashFns.MersennePrime
+
+  /** DuckDB oracle for q40: the exact KMV distinct-count estimator over
+    * the identical md5-prefix hash — bottom-k DISTINCT (hash, user)
+    * pairs per event_type, estimate = (k-1)·|H| DIV h_(k) when the
+    * sketch is full, exact count below k. Integer math end-to-end. */
+  private def kmvDistinctOracleSql: String = {
+    val p = graft.functions.HashFns.MersennePrime
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT event_type, user_id,
+       |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % $p AS hv
+       |  FROM events),
+       |rk AS (
+       |  SELECT event_type, hv,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY hv, user_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY event_type) AS m
+       |  FROM pairs),
+       |sel AS (SELECT event_type, hv, rn, m FROM rk WHERE rn <= $KmvK)
+       |SELECT event_type,
+       |       CAST(CASE WHEN MAX(m) >= $KmvK THEN $KmvNumerator // MAX(hv)
+       |            ELSE MAX(m) END AS BIGINT) AS approx_users
+       |FROM sel GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** Epoch millis from the events.ts column, which Spark reads as BIGINT
     * nanoseconds (spark.sql.legacy.parquet.nanosAsLong — parquet NANOS
     * is otherwise unreadable). Integer DIV keeps exactness; matches
@@ -381,27 +430,23 @@ object Queries {
     },
 
     // Sessionization (gap-based, deterministic tie-break)
-    q("q19_sessionize",
-      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
-        |f AS (SELECT user_id, event_id, ts_ms,
-        |        CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
-        |                  IS NULL
-        |              OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
-        |                  ORDER BY ts_ms, event_id) > 3600000
-        |             THEN 1 ELSE 0 END AS is_new
-        |      FROM e),
-        |g AS (SELECT user_id, ts_ms,
-        |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |          AS session_seq
-        |      FROM f)
-        |SELECT user_id, session_seq, COUNT(*) AS n_events,
-        |       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms
-        |FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin) {
+    q("q19_sessionize", sessionizeOracleSql) {
       (s, d) =>
         R.sessionize(T(s, d, "events"), "user_id", msEvent,
             "event_id", 3600000L)
           .orderBy(col("user_id"), col("session_seq"))
+    },
+
+    // The same gap-session semantics through the STATEFUL streaming
+    // plan (flatMapGroupsWithState, event-time timeouts, cross-batch
+    // state): shares q19's oracle — the incremental execution must
+    // reproduce the batch answer exactly, including the end-of-stream
+    // watermark flush of still-open sessions.
+    q("x19_stream_sessions", sessionizeOracleSql) { (s, d) =>
+      graft.streaming.StatefulSessions
+        .replayParquet(s, d, gapMs = 3600000L, queryName = "x19_sessions")
+        .toDF()
+        .orderBy(col("user_id"), col("session_seq"))
     },
 
     // As-of join: per event, the latest order of that customer at-or-before
@@ -820,6 +865,33 @@ object Queries {
           .orderBy(col("p_brand"), col("rn"))
       }
     },
+
+    // KMV approximate distinct count, oracle-exact: the dedup mode of
+    // the BottomKByHash sketch keeps the k smallest DISTINCT
+    // (md5-hash, user) pairs per event_type in O(k) state per group
+    // (single pass, partial-mergeable — no exact-distinct shuffle),
+    // and the estimator (k-1)·|H| DIV h_(k) is pure integer math the
+    // DuckDB oracle reproduces bit-for-bit. h_(k) is recomputed from
+    // the k-th sample value (the hash is a function of the value), so
+    // the sketch output stays a plain array<bigint>.
+    q("q40_kmv_distinct", kmvDistinctOracleSql) { (s, d) => {
+      graft.functions.NativeFns.register(s)
+      val hv = graft.functions.HashFns.md5Hash(col("user_id").cast("string"))
+      T(s, d, "events")
+        .select(col("event_type"), col("user_id"), hv.as("hv"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.NativeFns.bottomKDistinct(
+          col("user_id"), col("hv"), KmvK).as("smp"))
+        .select(col("event_type"),
+          size(col("smp")).cast("long").as("m"),
+          // get() is 0-based and null-safe below k (ANSI element_at throws)
+          graft.functions.HashFns.md5Hash(
+            get(col("smp"), lit(KmvK - 1)).cast("string")).as("hk"))
+        .select(col("event_type"),
+          when(col("m") < KmvK, col("m"))
+            .otherwise(expr(s"$KmvNumerator DIV hk")).as("approx_users"))
+        .orderBy(col("event_type"))
+    }},
 
     // The streaming replay shares q28's oracle: the windowed streaming
     // plan over the same events must produce exactly the batch answer

@@ -30,8 +30,17 @@ import org.apache.spark.sql.types._
   * hash is an arbitrary caller expression, e.g. the ANSI-safe
   * universal hash `(a*x + b) % p` — exactly reproducible in an
   * external SQL oracle, unlike engine-internal hash functions.
+  *
+  * `dedup = true` turns the sample into a proper KMV distinct-value
+  * sketch: an exact duplicate `(hash, value)` pair is inserted once,
+  * so the buffer holds the k smallest pairs over the DISTINCT input
+  * multiset — the form the KMV distinct-count estimator
+  * `(k-1)·|H| / h_(k)` requires. (The default keeps duplicates: a
+  * bounded uniform sample of ROWS, where repeated values are
+  * legitimately more likely to be drawn.)
   */
 case class BottomKByHash(value: Expression, hash: Expression, k: Int,
+                         dedup: Boolean = false,
                          override val mutableAggBufferOffset: Int = 0,
                          override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[BottomKByHash.Buffer] {
@@ -50,7 +59,7 @@ case class BottomKByHash(value: Expression, hash: Expression, k: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): Buffer = new Buffer(k)
+  override def createAggregationBuffer(): Buffer = new Buffer(k, dedup)
 
   override def update(b: Buffer, input: InternalRow): Buffer = {
     val v = value.eval(input)
@@ -64,7 +73,7 @@ case class BottomKByHash(value: Expression, hash: Expression, k: Int,
   override def eval(b: Buffer): Any = new GenericArrayData(b.sortedValues)
 
   override def serialize(b: Buffer): Array[Byte] = b.serialize()
-  override def deserialize(bytes: Array[Byte]): Buffer = Buffer.deserialize(k, bytes)
+  override def deserialize(bytes: Array[Byte]): Buffer = Buffer.deserialize(k, dedup, bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BottomKByHash =
     copy(mutableAggBufferOffset = newOffset)
@@ -74,15 +83,18 @@ case class BottomKByHash(value: Expression, hash: Expression, k: Int,
       newChildren: IndexedSeq[Expression]): BottomKByHash =
     copy(value = newChildren(0), hash = newChildren(1))
 
-  override def prettyName: String = "graft_bottomk"
+  override def prettyName: String =
+    if (dedup) "graft_bottomk_distinct" else "graft_bottomk"
 }
 
 object BottomKByHash {
 
-  /** Bounded (hash, value) pair set ordered by (hash, value) asc; at
-    * most k pairs retained, duplicates (same hash AND value) kept —
-    * ties across distinct values are resolved by the value ordering. */
-  final class Buffer(k: Int) {
+  /** Bounded (hash, value) pair list ordered by (hash, value) asc; at
+    * most k pairs retained. With `dedup = false` duplicates (same hash
+    * AND value) are kept — a row sample; with `dedup = true` each
+    * distinct pair is stored once — a KMV distinct-value sketch.
+    * Ties across distinct values are resolved by the value ordering. */
+  final class Buffer(k: Int, dedup: Boolean = false) {
     // flat sorted arrays — k is small (a sample size), linear insert is
     // cache-friendly and trivially serializable
     private var n = 0
@@ -92,8 +104,15 @@ object BottomKByHash {
     private def lessThan(h: Long, v: Long, i: Int): Boolean =
       h < hs(i) || (h == hs(i) && v < vs(i))
 
+    private def contains(h: Long, v: Long): Boolean = {
+      var i = 0
+      while (i < n && (hs(i) < h || (hs(i) == h && vs(i) < v))) i += 1
+      i < n && hs(i) == h && vs(i) == v
+    }
+
     def insert(h: Long, v: Long): Unit = {
       if (n == k && !lessThan(h, v, n - 1)) return
+      if (dedup && contains(h, v)) return
       var i = if (n == k) n - 1 else n
       if (n < k) n += 1
       while (i > 0 && lessThan(h, v, i - 1)) {
@@ -119,9 +138,9 @@ object BottomKByHash {
   }
 
   object Buffer {
-    def deserialize(k: Int, bytes: Array[Byte]): Buffer = {
+    def deserialize(k: Int, dedup: Boolean, bytes: Array[Byte]): Buffer = {
       val bb = ByteBuffer.wrap(bytes)
-      val b = new Buffer(k)
+      val b = new Buffer(k, dedup)
       val n = bb.getInt
       var i = 0
       while (i < n) { val h = bb.getLong; val v = bb.getLong; b.insert(h, v); i += 1 }

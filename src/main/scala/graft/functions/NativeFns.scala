@@ -76,30 +76,39 @@ object NativeFns {
   val SimHashName = "graft_simhash"
   val TokensInSetName = "graft_tokens_in_set"
   val BottomKName = "graft_bottomk"
+  val BottomKDistinctName = "graft_bottomk_distinct"
+
+  /** All native function (name, builder) pairs — one registry shared by
+    * [[register]] (live session) and `plans.GraftExtensions`
+    * (session-build-time `injectFunction`). */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    DotName -> (exprs => ArrayDotProduct(exprs.head, exprs(1))),
+    MinHashName -> (exprs => MinHashSignature(exprs.head, exprs(1), exprs(2))),
+    SimHashName -> (exprs => SimHash64(exprs.head)),
+    TokensInSetName -> (exprs => TokensInSet(exprs.head, exprs(1))),
+    BottomKName -> (exprs =>
+      BottomKByHash(exprs.head, exprs(1), literalK(BottomKName, exprs(2)))),
+    BottomKDistinctName -> (exprs =>
+      BottomKByHash(exprs.head, exprs(1),
+        literalK(BottomKDistinctName, exprs(2)), dedup = true)),
+  )
+
+  /** k must be constant-foldable: eval(null) on e.g. an attribute
+    * reference would NPE instead of raising the intended error. */
+  private def literalK(fn: String, e: Expression): Int =
+    (if (e.foldable) e.eval(null) else null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn: k must be an integer literal, got $e")
+    }
 
   /** Idempotently register the native functions on a session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      DotName, exprs => ArrayDotProduct(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      MinHashName, exprs => MinHashSignature(exprs.head, exprs(1), exprs(2)), "built-in")
-    reg.createOrReplaceTempFunction(
-      SimHashName, exprs => SimHash64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      TokensInSetName, exprs => TokensInSet(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      BottomKName, exprs => {
-        // k must be constant-foldable: eval(null) on e.g. an attribute
-        // reference would NPE instead of raising the intended error.
-        val k = (if (exprs(2).foldable) exprs(2).eval(null) else null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case _ => throw new IllegalArgumentException(
-            s"graft_bottomk: k must be an integer literal, got ${exprs(2)}")
-        }
-        BottomKByHash(exprs.head, exprs(1), k)
-      }, "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 
   /** Native dot product — caller must have [[register]]ed the session. */
@@ -128,6 +137,14 @@ object NativeFns {
     * bounded group sample / KMV sketch (see [[BottomKByHash]]). */
   def bottomK(value: Column, hash: Column, k: Int): Column =
     call_function(BottomKName, value, hash,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** KMV distinct-value sketch: the k smallest DISTINCT (hash, value)
+    * pairs per group (duplicates inserted once). Feed the estimator
+    * `(k-1)·|H| / h_(k)` for approximate distinct counts, with the
+    * caller-supplied hash reproducible in an external oracle. */
+  def bottomKDistinct(value: Column, hash: Column, k: Int): Column =
+    call_function(BottomKDistinctName, value, hash,
       org.apache.spark.sql.functions.lit(k))
 
   private def lit(v: Long) = org.apache.spark.sql.functions.lit(v)

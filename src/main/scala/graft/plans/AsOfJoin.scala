@@ -150,11 +150,22 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 /** Session-extension registration route (`spark.sql.extensions=
   * graft.plans.GraftExtensions` on spark-submit, or
-  * `.withExtensions(new GraftExtensions)` at build time) — equivalent
-  * to [[AsOf.register]] for sessions this library does not construct. */
+  * `.withExtensions(new GraftExtensions)` at build time): the whole
+  * library surface — the as-of planner strategy plus every native
+  * function ([[graft.functions.NativeFns.builders]]) — on sessions this
+  * library does not construct, no [[AsOf.register]] /
+  * `NativeFns.register` calls needed. */
 final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    graft.functions.NativeFns.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        b))
+    }
+  }
 }
 
 /** Public API + strategy registration for the as-of join operator. */

@@ -54,6 +54,33 @@ class FunctionsSpec extends SparkSpec {
     assert(tiny == Seq(1L, 2L))
   }
 
+  test("bottomKDistinct: KMV sketch dedupes pairs; estimator in range") {
+    graft.functions.NativeFns.register(spark)
+    // 6 distinct values repeated 100× across 3 partitions: the dedup
+    // sketch must collapse to the 6 distinct pairs through partial
+    // merges, while the row-sample form fills to k with duplicates.
+    val df = spark.range(0, 600).select(
+      (col("id") % 6).as("v"),
+      pmod((col("id") % 6) * 997 + 13, lit(2147483647L)).as("h"))
+      .repartition(3)
+    val dd = df.agg(NativeFns.bottomKDistinct(col("v"), col("h"), 10).as("s"))
+      .head().getSeq[Long](0)
+    assert(dd.toSet == (0L to 5L).toSet && dd.size == 6)
+    val smp = df.agg(NativeFns.bottomK(col("v"), col("h"), 10).as("s"))
+      .head().getSeq[Long](0)
+    assert(smp.size == 10) // duplicates are legitimate in the row sample
+    // KMV estimator over 10k distinct ids with the md5 oracle hash:
+    // (k-1)·|H| / h_(k) within ±30% of the true cardinality
+    val big = spark.range(0, 10000).select(col("id").as("v"),
+      HashFns.md5Hash(col("id").cast("string")).as("h"))
+    val sk = big.agg(NativeFns.bottomKDistinct(col("v"), col("h"), 64).as("s"))
+      .head().getSeq[Long](0)
+    assert(sk.size == 64)
+    val hk = big.where(col("v") === sk.last).select(col("h")).as[Long].head()
+    val est = 63L * HashFns.MersennePrime / hk
+    assert(est > 7000 && est < 13000, s"KMV estimate $est out of range")
+  }
+
   test("quality gate: short or digit-heavy text fails") {
     val df = Seq(
       ("a solid sentence with enough words here", true),
