@@ -85,6 +85,10 @@ object Dedup {
       .select(col(idCol),
         HashFns.wordShingles(TextFns.wordTokens(col(textCol)), shingleK).as("_sh"))
       .withColumn("_nsh", size(col("_sh")))
+      // consumed by the signature path and both verification sides:
+      // persist so tokenize+shingle runs once, not 3× (LRU-evicted,
+      // ContextCleaner-unpersisted once unreferenced)
+      .persist()
     val hashCol =
       if (sqlMirroredHashes) HashFns.shingleHashesWith(col("_sh"), HashFns.md5Hash)
       else HashFns.shingleHashes(col("_sh"))
@@ -106,6 +110,7 @@ object Dedup {
     val smallBuckets = buckets
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_bk"))))
       .where(col("_bsz") <= maxBucket)
+      .persist() // consumed twice by the candidate self-join
 
     val l = smallBuckets.select(col("_bk"), col(idCol).as("a"))
     val r = smallBuckets.select(col("_bk"), col(idCol).as("b"))
@@ -142,6 +147,9 @@ object Dedup {
         posexplode(HashFns.bitChunks(col("_sim"), chunks)).as(Seq("_ci", "_ck")))
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_ci"), col("_ck"))))
       .where(col("_bsz") <= maxBucket)
+      // consumed twice by the candidate self-join: persist so the
+      // tokenize+sketch+window chain runs once (LRU-evicted)
+      .persist()
     val l = buckets.select(col("_ci"), col("_ck"), col(idCol).as("a"), col("_sim").as("_sa"))
     val r = buckets.select(col("_ci"), col("_ck"), col(idCol).as("b"), col("_sim").as("_sb"))
     val pairs = l.join(r, Seq("_ci", "_ck")).where(col("a") < col("b"))
@@ -157,11 +165,20 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, tauNum: Int = 1, tauDenom: Int = 2,
                    maxPostings: Int = 1000): DataFrame = {
+    // The shingle set feeds the posting-list sides AND both size joins —
+    // persist so tokenize+shingle runs once, not 4×. (Cached partitions
+    // are LRU-evicted and the ContextCleaner unpersists once the RDD is
+    // unreferenced, so the cache does not leak across jobs.)
     val docs = df.select(col(idCol), col(textCol))
       .repartition(col(idCol)) // spread single-file scans before shingling
       .select(col(idCol),
         HashFns.wordShingles(TextFns.wordTokens(col(textCol)), shingleK).as("_sh"))
       .withColumn("_nsh", size(col("_sh")))
+      .persist()
+    // (the posting list itself is NOT persisted: its two self-join
+    // sides are identical subtrees whose window shuffle AQE serves from
+    // one exchange — caching the wide exploded strings costs more than
+    // the reuse saves)
     val postings = docs.select(col(idCol), explode(col("_sh")).as("_g"))
       .withColumn("_pf", count(lit(1)).over(Window.partitionBy(col("_g"))))
       .where(col("_pf") <= maxPostings)
@@ -196,6 +213,7 @@ object Dedup {
     // interpreted HOF evals) instead of once per row
     val normed = df.select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_nv"))
       .repartition(col(idCol))
+      .persist() // both pair sides read it: normalize once
     val a = normed.select(col(idCol).as("a"), col("_nv").as("_na"))
     val b = normed.select(col(idCol).as("b"), col("_nv").as("_nb"))
     val pairs = a.join(broadcast(b), col("a") < col("b"))
@@ -219,6 +237,9 @@ object Dedup {
     val normed = df.select(col(idCol), col(vecCol))
       .repartition(col(idCol))
       .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_nv"))
+      // the dim probe, the sketch path, and both verification sides all
+      // read this: persist so l2-normalize runs once, not 5×
+      .persist()
     // sign sketch: bit i = dot(v, plane_i) > 0; the normalized vector is
     // lambda-bound so it is computed once, not once per hyperplane
     def sketchOf(v: org.apache.spark.sql.Column, dim: Int) = {
@@ -249,6 +270,7 @@ object Dedup {
         posexplode(bitChunksOf(col("_sk"), chunks, planes)).as(Seq("_ci", "_ck")))
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_ci"), col("_ck"))))
       .where(col("_bsz") <= maxBucket)
+      .persist() // consumed twice by the candidate self-join
     val l = buckets.select(col("_ci"), col("_ck"), col(idCol).as("a"))
     val r = buckets.select(col("_ci"), col("_ck"), col(idCol).as("b"))
     // distinct on bare id pairs BEFORE re-attaching vectors: the shuffle

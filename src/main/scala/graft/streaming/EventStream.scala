@@ -34,16 +34,27 @@ object EventStream {
     * filter over `dir`. */
   def replayParquet(spark: SparkSession, dir: String,
                     glob: String = "events.parquet",
-                    queryName: String = "stream_hourly"): DataFrame = {
+                    queryName: String = "stream_hourly",
+                    statePartitions: Option[Int] = Some(8)): DataFrame = {
     val schema = spark.read.parquet(s"$dir/$glob").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
-    val q = hourlyByType(stream).writeStream
-      .outputMode("complete")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitions = shuffle partitions at first start; a bounded
+    // replay with small keyed state (type × window) runs fastest on a
+    // few state stores — scoped to this start, restored after (a real
+    // deployment passes None and sizes the session conf to the cluster)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = hourlyByType(stream).writeStream
+        .outputMode("complete")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table(queryName)
   }
 }

@@ -92,11 +92,13 @@ object StatefulSessions {
     */
   def replayParquet(spark: SparkSession, dir: String, gapMs: Long,
                     queryName: String = "stateful_sessions",
-                    maxFilesPerTrigger: Option[Int] = None): Dataset[Session] = {
+                    maxFilesPerTrigger: Option[Int] = None,
+                    statePartitions: Option[Int] = Some(8)): Dataset[Session] = {
     import spark.implicits._
     val src = s"$dir/events.parquet"
-    val schema = spark.read.parquet(src).schema
-    val maxTsNanos = spark.read.parquet(src)
+    val srcDf = spark.read.parquet(src)
+    val schema = srcDf.schema
+    val maxTsNanos = srcDf
       .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
 
     val replay = java.nio.file.Files.createTempDirectory("graft_replay")
@@ -137,12 +139,25 @@ object StatefulSessions {
     // column), which silently un-advances the watermark and strands the
     // session ending at the global max ts. A typed filter on the OUTPUT
     // of flatMapGroupsWithState can't be pushed through it.
-    val q = sessionize(evs, gapMs).filter(_.user_id >= 0).writeStream
-      .outputMode("append")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // A stateful query's partition count = shuffle partitions at start
+    // time, and every partition pays a per-batch state-store commit. A
+    // bounded replay carries tiny state (one open session per user), so
+    // a handful of state partitions beats the session default — scoped
+    // to the query start and restored after. A production 24/7 stream
+    // over many executors would pass None and size the session conf to
+    // the cluster instead (state partitioning is fixed at first start).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = sessionize(evs, gapMs).filter(_.user_id >= 0).writeStream
+        .outputMode("append")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table(queryName).as[Session]
   }
 }
