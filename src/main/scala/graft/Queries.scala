@@ -146,6 +146,15 @@ object Queries {
        |FROM documents d LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Inner equi-join + time-delta oracle — shared by the plain join
+    * (q09) and the salted-join plan variant (q41): salting only routes
+    * rows across reducers, the join RESULT is identical. */
+  private val joinTimeDeltaOracleSql: String =
+    """SELECT o_orderkey, l_linenumber,
+      |       epoch_ms(l_shipdate) - epoch_ms(o_orderdate) AS delta_ms
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+
   /** Gap-based sessionization oracle (1 h gap, (ts, event_id) ordering)
     * — shared by the batch window plan (q19) and the stateful streaming
     * replay (x19): stream ≡ batch is the correctness contract. */
@@ -284,11 +293,7 @@ object Queries {
     },
 
     // J3 + P7: inner equi-join with derived time delta
-    q("q09_join_time_delta",
-      """SELECT o_orderkey, l_linenumber,
-        |       epoch_ms(l_shipdate) - epoch_ms(o_orderdate) AS delta_ms
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |ORDER BY o_orderkey, l_linenumber""".stripMargin) {
+    q("q09_join_time_delta", joinTimeDeltaOracleSql) {
       (s, d) => {
         val o = T(s, d, "orders"); val l = T(s, d, "lineitem")
         R.joinWithTimeDelta(o, l, "o_orderkey", "l_orderkey",
@@ -865,6 +870,21 @@ object Queries {
           .orderBy(col("p_brand"), col("rn"))
       }
     },
+
+    // q09's join through the SALTED physical plan (hot keys spread over
+    // saltFactor reducers, the small side replicated per salt): shares
+    // q09's oracle — salting must not change a single output row. This
+    // is the explicit-skew tool for when AQE's runtime splitting isn't
+    // available (e.g. a pre-AQE shuffle stage or a known pathological
+    // key distribution).
+    q("q41_salted_join", joinTimeDeltaOracleSql) { (s, d) => {
+      val l = T(s, d, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+      val o = T(s, d, "orders")
+      graft.operators.Skew.saltedInnerJoin(l, o, "o_orderkey", saltFactor = 4)
+        .select(col("o_orderkey"), col("l_linenumber"),
+          (msTs(col("l_shipdate")) - msTs(col("o_orderdate"))).as("delta_ms"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"))
+    }},
 
     // KMV approximate distinct count, oracle-exact: the dedup mode of
     // the BottomKByHash sketch keeps the k smallest DISTINCT
