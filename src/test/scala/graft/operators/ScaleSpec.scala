@@ -65,6 +65,13 @@ class ScaleSpec extends SparkSpec {
     val q24 = formatted("q24_token_count")
     assert(q24.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "token-count scan must prune to (doc_id, text)")
+    // the KMV sketch aggregate must run map-side (partial) before the
+    // group shuffle — O(k) state per group crosses the wire, not rows
+    val q40 = formatted("q40_kmv_distinct")
+    assert(q40.contains("partial_graft_bottomk_distinct"),
+      "KMV sketch must partial-aggregate before the shuffle:\n" + q40)
+    assert(q40.contains("ReadSchema: struct<user_id:bigint,event_type:string>"),
+      "KMV scan must prune to (user_id, event_type)")
   }
 
   test("c2v composite pipeline over reference-shaped comments") {
