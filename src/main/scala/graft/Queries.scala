@@ -886,6 +886,32 @@ object Queries {
         .orderBy(col("o_orderkey"), col("l_linenumber"))
     }},
 
+    // Exact per-group percentiles without a row-level sort: rows
+    // collapse to (group, value) counts, the cumulative window runs
+    // over DISTINCT values only (the W1 construction), and each
+    // percentile is the first value reaching the integer-exact rank
+    // (p·n+99) DIV 100. The oracle ranks every row — same answer,
+    // the plans differ by design (theirs is the O(n log n) reference
+    // semantics, ours is the 100 TB shape).
+    q("q42_percentiles",
+      """WITH b AS (SELECT l_returnflag,
+        |             CAST(FLOOR(l_quantity * 100) AS BIGINT) AS qc
+        |           FROM lineitem),
+        |r AS (SELECT l_returnflag, qc,
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY qc) AS rn,
+        |        COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |      FROM b)
+        |SELECT l_returnflag,
+        |       MAX(CASE WHEN rn = (25*n+99)//100 THEN qc END) AS p25_c,
+        |       MAX(CASE WHEN rn = (50*n+99)//100 THEN qc END) AS p50_c,
+        |       MAX(CASE WHEN rn = (75*n+99)//100 THEN qc END) AS p75_c
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        R.exactPercentiles(T(s, d, "lineitem"), "l_returnflag",
+            expr("CAST(FLOOR(l_quantity * 100) AS BIGINT)"), Seq(25, 50, 75))
+          .orderBy(col("l_returnflag"))
+    },
+
     // KMV approximate distinct count, oracle-exact: the dedup mode of
     // the BottomKByHash sketch keeps the k smallest DISTINCT
     // (md5-hash, user) pairs per event_type in O(k) state per group

@@ -134,6 +134,35 @@ object Relational {
     joined.groupBy(col(parentId)).agg(consts.head, (consts.tail :+ doc): _*)
   }
 
+  /** Exact per-group percentiles (discrete: the value at sorted position
+    * ceil(p·n/100)), computed WITHOUT a row-level sort: rows collapse to
+    * (group, value) counts first, a cumulative window runs over the
+    * DISTINCT values per group (thousands, not the row count — the same
+    * construction as [[excludeTopPercentByCount]]), and each requested
+    * percentile is the smallest value whose cumulative count reaches the
+    * integer-exact rank `(p·n + 99) DIV 100`. Exact at any scale,
+    * integer math end-to-end — unlike `percentile_approx`, bit-equal
+    * in an external SQL oracle.
+    *
+    * Output: one row per group with a `p<P>_c` column per requested
+    * percent (value expression must be integral, e.g. a scaled amount).
+    */
+  def exactPercentiles(df: DataFrame, keyCol: String, value: Column,
+                       percents: Seq[Int]): DataFrame = {
+    val counts = df.groupBy(col(keyCol), value.as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val cum = counts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val aggs = percents.map { p =>
+      min(when(col("_cum") >= expr(s"($p * _n + 99) DIV 100"), col("_v")))
+        .as(s"p${p}_c")
+    }
+    cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   // ---------------------------------------------------------------- window
 
   /** W1: drop the most-active top `pct` fraction of keys by exact global

@@ -128,6 +128,18 @@ class RelationalSpec extends SparkSpec {
       Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("exactPercentiles: discrete value at ceil(p·n/100), duplicates counted") {
+    // group a: n=5 sorted [10,10,20,30,40] → p25 rank ceil(1.25)=2 → 10,
+    // p50 rank 3 → 20, p75 rank ceil(3.75)=4 → 30
+    // group b: n=2 sorted [7,9] → p25 rank 1 → 7, p50 rank 1 → 7, p75 rank 2 → 9
+    val df = Seq(("a", 30L), ("a", 10L), ("a", 40L), ("a", 20L), ("a", 10L),
+      ("b", 9L), ("b", 7L)).toDF("g", "v")
+    val got = Relational.exactPercentiles(df, "g", col("v"), Seq(25, 50, 75))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("a", 10L, 20L, 30L), ("b", 7L, 7L, 9L)))
+  }
+
   test("as-of join picks the latest right row at-or-before left ts") {
     val left = Seq((1L, 100L, "L1"), (1L, 50L, "L2"), (2L, 10L, "L3"))
       .toDF("k", "lts", "lid")
