@@ -954,6 +954,21 @@ object Queries {
         .orderBy(col("bucket_ms"), col("event_type"))
     },
 
+    // Stream-static enrichment join (the third canonical streaming
+    // shape, next to x15's windowed agg and x19's stateful sessions):
+    // the event stream joins the broadcast static customer dim per
+    // micro-batch and aggregates per nation — the oracle is the plain
+    // batch join+agg, which the incremental plan must reproduce.
+    q("x20_stream_enrich",
+      """SELECT c_nationkey, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_micro
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      graft.streaming.EventStream.replayEnriched(s, d)
+        .orderBy(col("c_nationkey"))
+    },
+
     // §3.1 c2v-prep composite: top-N membership → per-key context build →
     // percentile exclusion → min length (reference ihop/import_data.py:422-467)
     q("q30_c2v_composite",

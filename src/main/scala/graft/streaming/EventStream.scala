@@ -28,6 +28,46 @@ object EventStream {
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("cnt"), col("sum_value_micro"))
 
+  /** Stream-static enrichment: the streaming event feed joins a STATIC
+    * dimension (no watermark needed on the static side — Structured
+    * Streaming re-plans the static relation per micro-batch) and
+    * aggregates per dimension attribute. The static side is broadcast:
+    * each micro-batch pays a hash-join probe, never a shuffle of the
+    * stream. This is the third canonical streaming shape next to the
+    * windowed aggregation ([[hourlyByType]]) and stateful sessions
+    * ([[StatefulSessions]]). */
+  def enrichedTotalsByNation(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1000000)).as("sum_value_micro"))
+
+  /** Replay parquet events against the static customer table through
+    * the stream-static plan; returns the completed result. */
+  def replayEnriched(spark: SparkSession, dir: String,
+                     queryName: String = "stream_enrich",
+                     statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = enrichedTotalsByNation(stream, customers).writeStream
+        .outputMode("complete")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    spark.table(queryName)
+  }
+
   /** Replay parquet events through the streaming plan into an
     * in-memory table; returns the completed result. The file-stream
     * source requires a directory, so the table is selected with a glob

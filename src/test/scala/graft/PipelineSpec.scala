@@ -55,6 +55,19 @@ class PipelineSpec extends SparkSpec {
     assert(s == b)
   }
 
+  test("stream-static enrichment join ≡ batch join+agg") {
+    val d = sf("sf0.001")
+    val streamed = EventStream.replayEnriched(spark, d, queryName = "test_enrich")
+      .select("c_nationkey", "cnt", "sum_value_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = spark.read.parquet(s"$d/events.parquet")
+    val batch = EventStream.enrichedTotalsByNation(
+        ev, spark.read.parquet(s"$d/customer.parquet"))
+      .select("c_nationkey", "cnt", "sum_value_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming dedup: survivors' texts ≡ batch distinct texts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
