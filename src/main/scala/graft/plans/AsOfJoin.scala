@@ -50,6 +50,40 @@ final case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     copy(left = l, right = r)
 }
 
+/** Optimizer rule: push left-side filters through [[AsOfJoinNode]].
+  *
+  * Catalyst's own `PushDownPredicates` does not know custom logical
+  * nodes, so a `Filter` above the as-of join would otherwise run after
+  * the (expensive) merge and block parquet pushdown entirely. Each left
+  * row matches independently of every other left row, so any
+  * deterministic conjunct referencing only left-side attributes commutes
+  * with the join — it lands directly above the left relation, where
+  * normal planning carries it into the scan (`PushedFilters`).
+  *
+  * Right-side conjuncts must NOT be pushed: they filter the RESULT's
+  * matched row, not the candidate history — pre-filtering the right side
+  * would change which row is "latest at-or-before" (e.g. `o_orderkey
+  * != 5` above the join removes results that matched order 5; pushed
+  * down it would instead match those events to the next-older order).
+  */
+object AsOfFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinNode) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lk, rk, lt, rt, tb) =>
@@ -158,6 +192,7 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => AsOfFilterPushdown)
     graft.functions.NativeFns.builders.foreach { case (name, b) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -178,6 +213,8 @@ object AsOf {
     val em = spark.experimental
     if (!em.extraStrategies.contains(AsOfJoinStrategy))
       em.extraStrategies = em.extraStrategies :+ AsOfJoinStrategy
+    if (!em.extraOptimizations.contains(AsOfFilterPushdown))
+      em.extraOptimizations = em.extraOptimizations :+ AsOfFilterPushdown
   }
 
   /** As-of join `left` to the latest `right` row at-or-before the left

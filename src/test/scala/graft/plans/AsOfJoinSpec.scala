@@ -63,4 +63,42 @@ class AsOfJoinSpec extends SparkSpec {
       s"custom exec missing from plan:\n$plan")
     assert(!plan.contains("Window"), "as-of exec must not plan a window")
   }
+
+  test("AsOfFilterPushdown: left filters reach the scan, right filters stay") {
+    val d = sf("sf0.001")
+    val e = spark.read.parquet(s"$d/events.parquet")
+      .withColumn("_t", expr("ts DIV 1000000"))
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .withColumn("_ot", unix_millis(col("o_orderdate").cast("timestamp")))
+    val joined = AsOf.latest(e, o, "user_id", "o_custkey", "_t", "_ot",
+      Seq("o_orderkey"))
+
+    // left-only predicate: must cross the custom node and land in the
+    // parquet scan's pushed filters
+    val leftFiltered = joined.where(col("event_id") <= 100L)
+    val planL = leftFiltered.queryExecution.executedPlan.toString
+    assert(planL.contains("PushedFilters: [IsNotNull(event_id), LessThanOrEqual(event_id,100)]")
+        || planL.contains("LessThanOrEqual(event_id,100)"),
+      s"left filter must reach the events scan:\n$planL")
+    // and semantics are filter-after-join ≡ filter-before-join here
+    val expect = joined.collect().filter(_.getAs[Long]("event_id") <= 100L)
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("o_orderkey"))).toSet
+    val got = leftFiltered.collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("o_orderkey"))).toSet
+    assert(got == expect && got.nonEmpty)
+
+    // right-side predicate: must NOT be pushed below the join (it
+    // filters the matched result, not the candidate history)
+    val rightFiltered = joined.where(col("o_orderkey") =!= 1L)
+    val opt = rightFiltered.queryExecution.optimizedPlan
+    val joinNode = opt.collectFirst { case j: AsOfJoinNode => j }.get
+    val rightFilters = joinNode.right.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(!rightFilters.exists(_.condition.toString.contains("o_orderkey")),
+      s"right side must stay unfiltered, got: $rightFilters")
+    val planR = rightFiltered.queryExecution.executedPlan.toString
+    assert(!planR.contains("PushedFilters: [IsNotNull(o_orderkey), Not(EqualTo(o_orderkey,1))]"),
+      s"right filter must not reach the orders scan:\n$planR")
+  }
 }
