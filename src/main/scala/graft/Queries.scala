@@ -204,6 +204,31 @@ object Queries {
        |FROM sel GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** q42's requested percentiles; the oracle SQL is GENERATED from this
+    * list so the two engines cannot drift (a hardcoded `25/50/75` on
+    * one side would silently desync a config change on the other). */
+  private val PercentileSteps = Seq(25, 50, 75)
+
+  /** DuckDB oracle for q42: discrete percentile = value at sorted row
+    * number `(p·n + 99) DIV 100` per group (integer-exact ceil), over
+    * every row — the reference O(n log n) semantics; the Spark plan
+    * ranks only distinct values and must agree bit-for-bit. */
+  private def percentilesOracleSql: String = {
+    val cases = PercentileSteps.map(p =>
+      s"       MAX(CASE WHEN rn = ($p*n+99)//100 THEN qc END) AS p${p}_c")
+      .mkString(",\n")
+    s"""WITH b AS (SELECT l_returnflag,
+       |             CAST(FLOOR(l_quantity * 100) AS BIGINT) AS qc
+       |           FROM lineitem),
+       |r AS (SELECT l_returnflag, qc,
+       |        row_number() OVER (PARTITION BY l_returnflag ORDER BY qc) AS rn,
+       |        COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+       |      FROM b)
+       |SELECT l_returnflag,
+       |$cases
+       |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Epoch millis from the events.ts column, which Spark reads as BIGINT
     * nanoseconds (spark.sql.legacy.parquet.nanosAsLong — parquet NANOS
     * is otherwise unreadable). Integer DIV keeps exactness; matches
@@ -893,22 +918,10 @@ object Queries {
     // (p·n+99) DIV 100. The oracle ranks every row — same answer,
     // the plans differ by design (theirs is the O(n log n) reference
     // semantics, ours is the 100 TB shape).
-    q("q42_percentiles",
-      """WITH b AS (SELECT l_returnflag,
-        |             CAST(FLOOR(l_quantity * 100) AS BIGINT) AS qc
-        |           FROM lineitem),
-        |r AS (SELECT l_returnflag, qc,
-        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY qc) AS rn,
-        |        COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-        |      FROM b)
-        |SELECT l_returnflag,
-        |       MAX(CASE WHEN rn = (25*n+99)//100 THEN qc END) AS p25_c,
-        |       MAX(CASE WHEN rn = (50*n+99)//100 THEN qc END) AS p50_c,
-        |       MAX(CASE WHEN rn = (75*n+99)//100 THEN qc END) AS p75_c
-        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    q("q42_percentiles", percentilesOracleSql) {
       (s, d) =>
         R.exactPercentiles(T(s, d, "lineitem"), "l_returnflag",
-            expr("CAST(FLOOR(l_quantity * 100) AS BIGINT)"), Seq(25, 50, 75))
+            expr("CAST(FLOOR(l_quantity * 100) AS BIGINT)"), PercentileSteps)
           .orderBy(col("l_returnflag"))
     },
 
