@@ -155,16 +155,20 @@ object Queries {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |ORDER BY o_orderkey, l_linenumber""".stripMargin
 
-  /** Gap-based sessionization oracle (1 h gap, (ts, event_id) ordering)
-    * — shared by the batch window plan (q19) and the stateful streaming
-    * replay (x19): stream ≡ batch is the correctness contract. */
-  private val sessionizeOracleSql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+  /** Session gap for q19/x19 — interpolated into the shared oracle SQL
+    * so the Spark calls and the DuckDB mirror cannot drift. */
+  private val SessionGapMs = 3600000L
+
+  /** Gap-based sessionization oracle ((ts, event_id) ordering) — shared
+    * by the batch window plan (q19) and the stateful streaming replay
+    * (x19): stream ≡ batch is the correctness contract. */
+  private def sessionizeOracleSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
       |f AS (SELECT user_id, event_id, ts_ms,
       |        CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
       |                  IS NULL
       |              OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
-      |                  ORDER BY ts_ms, event_id) > 3600000
+      |                  ORDER BY ts_ms, event_id) > $SessionGapMs
       |             THEN 1 ELSE 0 END AS is_new
       |      FROM e),
       |g AS (SELECT user_id, ts_ms,
@@ -463,7 +467,7 @@ object Queries {
     q("q19_sessionize", sessionizeOracleSql) {
       (s, d) =>
         R.sessionize(T(s, d, "events"), "user_id", msEvent,
-            "event_id", 3600000L)
+            "event_id", SessionGapMs)
           .orderBy(col("user_id"), col("session_seq"))
     },
 
@@ -474,7 +478,7 @@ object Queries {
     // watermark flush of still-open sessions.
     q("x19_stream_sessions", sessionizeOracleSql) { (s, d) =>
       graft.streaming.StatefulSessions
-        .replayParquet(s, d, gapMs = 3600000L, queryName = "x19_sessions")
+        .replayParquet(s, d, gapMs = SessionGapMs, queryName = "x19_sessions")
         .toDF()
         .orderBy(col("user_id"), col("session_seq"))
     },
