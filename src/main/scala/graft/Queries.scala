@@ -155,6 +155,21 @@ object Queries {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |ORDER BY o_orderkey, l_linenumber""".stripMargin
 
+  /** As-of join oracle (latest order at-or-before the event time, ties
+    * to the larger orderkey, unmatched events dropped) — shared by the
+    * compositional window plan (q20), the custom sort-merge physical
+    * operator (q37) and the streaming broadcast-index replay (x21):
+    * three implementations, one row-for-row contract. */
+  private val asOfOracleSql: String =
+    """WITH j AS (
+      |  SELECT event_id, o_orderkey, epoch_ms(o_orderdate) AS ord_ms,
+      |         row_number() OVER (PARTITION BY event_id
+      |           ORDER BY epoch_ms(o_orderdate) DESC, o_orderkey DESC) AS rn
+      |  FROM events JOIN orders ON user_id = o_custkey
+      |    AND epoch_ms(o_orderdate) <= epoch_ms(ts))
+      |SELECT event_id, o_orderkey, ord_ms FROM j WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   /** Session gap for q19/x19 — interpolated into the shared oracle SQL
     * so the Spark calls and the DuckDB mirror cannot drift. */
   private val SessionGapMs = 3600000L
@@ -485,15 +500,7 @@ object Queries {
 
     // As-of join: per event, the latest order of that customer at-or-before
     // the event time (events are 2024, orders span the order history).
-    q("q20_asof_join",
-      """WITH j AS (
-        |  SELECT event_id, o_orderkey, epoch_ms(o_orderdate) AS ord_ms,
-        |         row_number() OVER (PARTITION BY event_id
-        |           ORDER BY epoch_ms(o_orderdate) DESC, o_orderkey DESC) AS rn
-        |  FROM events JOIN orders ON user_id = o_custkey
-        |    AND epoch_ms(o_orderdate) <= epoch_ms(ts))
-        |SELECT event_id, o_orderkey, ord_ms FROM j WHERE rn = 1
-        |ORDER BY event_id""".stripMargin) {
+    q("q20_asof_join", asOfOracleSql) {
       (s, d) => {
         val e = T(s, d, "events"); val o = T(s, d, "orders")
         R.asOfLatest(e, o, "user_id", "o_custkey",
@@ -510,15 +517,7 @@ object Queries {
     // BinaryExecNode): one O(|L|+|R|) merge pass per co-partition,
     // no pair materialization, no rank window. Shares q20's oracle —
     // the two implementations must agree row-for-row.
-    q("q37_asof_native",
-      """WITH j AS (
-        |  SELECT event_id, o_orderkey, epoch_ms(o_orderdate) AS ord_ms,
-        |         row_number() OVER (PARTITION BY event_id
-        |           ORDER BY epoch_ms(o_orderdate) DESC, o_orderkey DESC) AS rn
-        |  FROM events JOIN orders ON user_id = o_custkey
-        |    AND epoch_ms(o_orderdate) <= epoch_ms(ts))
-        |SELECT event_id, o_orderkey, ord_ms FROM j WHERE rn = 1
-        |ORDER BY event_id""".stripMargin) {
+    q("q37_asof_native", asOfOracleSql) {
       (s, d) => {
         val e = T(s, d, "events").withColumn("_t", msEvent)
         val o = T(s, d, "orders").withColumn("_ot", msTs(col("o_orderdate")))
@@ -969,6 +968,15 @@ object Queries {
         |ORDER BY bucket_ms, event_type""".stripMargin) { (s, d) =>
       graft.streaming.EventStream.replayParquet(s, d)
         .orderBy(col("bucket_ms"), col("event_type"))
+    },
+
+    // Streaming as-of enrichment (broadcast sorted dimension index,
+    // binary-search lookup per event — no per-batch shuffle, no state
+    // store): the THIRD implementation of the as-of contract, sharing
+    // q20/q37's oracle row-for-row.
+    q("x21_stream_asof", asOfOracleSql) { (s, d) =>
+      graft.streaming.StreamAsOf.replayParquet(s, d, queryName = "x21_asof")
+        .orderBy(col("event_id"))
     },
 
     // Stream-static enrichment join (the third canonical streaming
