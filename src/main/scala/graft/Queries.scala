@@ -828,6 +828,25 @@ object Queries {
         .orderBy(col("cluster"))
     },
 
+    // X6's second clustering backend (reference sklearn
+    // AgglomerativeClustering(linkage=average, affinity=cosine)):
+    // driver-side over a vocabulary-bounded matrix, like the reference —
+    // the subset cap keeps the O(n²) pair table at annotation scale at
+    // every SF (the corpus NEVER feeds agglomerative clustering).
+    rowsOnly("x22_agglomerative") { (s, d) => {
+      import s.implicits._
+      val pts = T(s, d, "embeddings").where(col("vec_id") < 500)
+        .orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val labels = graft.cluster.Agglomerative.fitPredict(
+        pts.map(_._2.map(_.toDouble)), k = 8)
+      pts.map(_._1).zip(labels).toSeq.toDF("vec_id", "cluster")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"),
+          min(col("vec_id")).as("first_member"))
+        .orderBy(col("cluster"))
+    }},
+
     rowsOnly("x07_cluster_metrics") { (s, d) => {
       val m = graft.cluster.Clustering.metrics(assignedEmbeddings(s, d))
       import s.implicits._

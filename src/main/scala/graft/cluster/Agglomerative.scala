@@ -32,15 +32,22 @@ object Agglomerative {
     val members = scala.collection.mutable.Map[Int, List[Int]]()
     (0 until n).foreach(i => members(i) = List(i))
     // average-linkage distance between clusters = mean pairwise point
-    // distance; maintained incrementally via the Lance-Williams update
-    val dist = scala.collection.mutable.Map[(Int, Int), Double]()
-    def key(a: Int, b: Int) = if (a < b) (a, b) else (b, a)
-    for (i <- 0 until n; j <- i + 1 until n)
-      dist(key(i, j)) = cosineDistance(points(i), points(j))
+    // distance; maintained incrementally via the Lance-Williams update.
+    // Keys are (lo, hi) id pairs packed into a Long: LongMap avoids the
+    // tuple boxing that dominated the original profile at n≈500.
+    val dist = scala.collection.mutable.LongMap[Double]()
+    def key(a: Int, b: Int): Long =
+      if (a < b) (a.toLong << 32) | b else (b.toLong << 32) | a
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { dist(key(i, j)) = cosineDistance(points(i), points(j)); j += 1 }
+      i += 1
+    }
 
     val pq = scala.collection.mutable.PriorityQueue[(Double, Int, Int)]()(
       Ordering.by[(Double, Int, Int), Double](_._1).reverse)
-    dist.foreach { case ((a, b), d) => pq.enqueue((d, a, b)) }
+    dist.foreach { case (p, d) => pq.enqueue((d, (p >>> 32).toInt, (p & 0xffffffffL).toInt)) }
 
     var nextId = n
     var active = members.keySet.size
@@ -59,8 +66,11 @@ object Agglomerative {
           dist(key(merged, c)) = dmc
           pq.enqueue((dmc, math.min(merged, c), math.max(merged, c)))
         }
-        dist.keys.filter(p => p._1 == a || p._2 == a || p._1 == b || p._2 == b)
-          .foreach(dist.remove)
+        // Stale dist entries for a/b are left in place deliberately: a
+        // pair's distance is written exactly once (merged ids are fresh)
+        // and the PQ validity check requires BOTH ids in `members`, so
+        // dead entries can never be acted on — scanning every key to
+        // delete them (the previous code) was the O(n³) hot spot.
         members.remove(a); members.remove(b)
         active -= 1
       }
