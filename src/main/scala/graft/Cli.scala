@@ -32,7 +32,7 @@ object Cli {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args.head, parseOpts(args.tail))
+    try run(spark, args.head, parseOpts(args.tail.toIndexedSeq))
     finally spark.stop()
   }
 

@@ -92,13 +92,13 @@ object Projection {
     val centered = ExprBound.centered(col("_v"), mu)
     prepared
       .select(col(keyCol),
-        NativeFns.dot(centered, array(pc1.map(lit): _*)).as("c1"),
-        NativeFns.dot(centered, array(pc2.map(lit): _*)).as("c2"))
+        NativeFns.dot(centered, array(pc1.toIndexedSeq.map(lit): _*)).as("c1"),
+        NativeFns.dot(centered, array(pc2.toIndexedSeq.map(lit): _*)).as("c2"))
   }
 
   private object ExprBound {
     /** x − μ as a zip_with against the literal mean (bound once). */
     def centered(v: org.apache.spark.sql.Column, mu: Array[Double]) =
-      zip_with(v, array(mu.map(lit): _*), (x, m) => x - m)
+      zip_with(v, array(mu.toIndexedSeq.map(lit): _*), (x, m) => x - m)
   }
 }

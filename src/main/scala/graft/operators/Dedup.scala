@@ -246,7 +246,7 @@ object Dedup {
       val hyperplanes = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
       ExprUtils.bind(v) { nv =>
         val sk = hyperplanes.zipWithIndex.map { case (p, i) =>
-          when(NativeFns.dot(nv, array(p.map(lit): _*)) > 0,
+          when(NativeFns.dot(nv, array(p.toIndexedSeq.map(lit): _*)) > 0,
             call_function("shiftleft", lit(1L), lit(i))).otherwise(lit(0L))
         }.reduce((a, b) => a.bitwiseOR(b))
         // fail fast on width mismatch: a silent NULL dot would zero every

@@ -262,8 +262,8 @@ object Relational {
                  leftKey: String, rightKey: String,
                  leftTs: Column, rightTs: Column,
                  leftId: String, rightTie: String): DataFrame = {
-    val lStruct = struct(left.columns.map(left(_)): _*)
-    val rStruct = struct(right.columns.map(right(_)): _*)
+    val lStruct = struct(left.columns.toIndexedSeq.map(left(_)): _*)
+    val rStruct = struct(right.columns.toIndexedSeq.map(right(_)): _*)
     val lTagged = left.select(
       left(leftKey).as("_k"), leftTs.as("_ts"), lit(1).as("_side"),
       lit(null).cast(right.schema(rightTie).dataType).as("_tie"), lStruct.as("_l"),

@@ -13,8 +13,8 @@ object CorpusBridge {
   import scala.jdk.CollectionConverters._
 
   private def reshape(v: Vector): Seq[(Int, Double)] = v match {
-    case s: SparseVector => s.indices.zip(s.values).toSeq
-    case d => d.toArray.zipWithIndex.collect { case (x, i) if x != 0 => (i, x) }
+    case s: SparseVector => s.indices.zip(s.values).toIndexedSeq
+    case d => d.toArray.zipWithIndex.collect { case (x, i) if x != 0 => (i, x) }.toIndexedSeq
   }
 
   /** Collect the whole column (small corpora only). */
