@@ -1164,6 +1164,27 @@ object Queries {
             col("l_linestatus").asc_nulls_first)
     },
 
+    // Explicit GROUPING SETS (completes the grouping-set family next to
+    // rollup q33 / cube q36): per-flag and per-status pricing totals in
+    // ONE scan+shuffle instead of two grouped queries unioned.
+    q("q43_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_c
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        T(s, d, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(floor(col("l_extendedprice") * 100)).as("sum_price_c"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+    },
+
     rowsOnly("x16_multimodal_features") { (s, d) => {
       import s.implicits._
       val media = graft.multimodal.Multimodal

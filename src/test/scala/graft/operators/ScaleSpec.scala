@@ -23,6 +23,24 @@ class ScaleSpec extends SparkSpec {
     assert(hot.head.getLong(0) == 1L && hot.head.getLong(1) == 201L)
   }
 
+  test("autoSaltedJoin ≡ plain join with and without hot keys") {
+    val left = (1 to 3000).map(i => (if (i % 3 == 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload") // key 1 carries a third of the rows
+    val right = Seq((1L, "one"), (2L, "two"), (500L, "fh")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "payload", "name")
+      .as[(Long, String, String)].collect().toSet
+    // threshold low enough that key 1 is detected hot from the sample
+    val hybrid = Skew.autoSaltedJoin(left, right, "k",
+        saltFactor = 4, hotThreshold = 100L, sampleFraction = 0.5)
+      .select("k", "payload", "name").as[(Long, String, String)].collect().toSet
+    assert(hybrid == plain)
+    // threshold nothing reaches → pure cold path, still the plain result
+    val allCold = Skew.autoSaltedJoin(left, right, "k",
+        saltFactor = 4, hotThreshold = 1000000L, sampleFraction = 0.5)
+      .select("k", "payload", "name").as[(Long, String, String)].collect().toSet
+    assert(allCold == plain)
+  }
+
   test("bucketed join on the bucket key runs without a shuffle exchange") {
     val s2 = spark
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
