@@ -128,6 +128,20 @@ class RelationalSpec extends SparkSpec {
       Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("exactPercentiles ≡ naive sorted-position oracle on random data") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 2000).map(_ =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(40).toLong)) // heavy duplication
+    val ps = Seq(10, 25, 50, 75, 90)
+    val got = Relational.exactPercentiles(rows.toDF("g", "v"), "g", col("v"), ps)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getLong(i + 1))).toMap
+    val expect = rows.groupBy(_._1).view.mapValues { g =>
+      val sorted = g.map(_._2).sorted
+      ps.map(p => sorted(((p * sorted.size + 99) / 100 - 1).max(0)))
+    }.toMap
+    assert(got == expect)
+  }
+
   test("exactPercentiles: discrete value at ceil(p·n/100), duplicates counted") {
     // group a: n=5 sorted [10,10,20,30,40] → p25 rank ceil(1.25)=2 → 10,
     // p50 rank 3 → 20, p75 rank ceil(3.75)=4 → 30
