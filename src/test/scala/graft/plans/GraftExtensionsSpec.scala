@@ -56,4 +56,10 @@ class GraftExtensionsSpec extends SparkSpec {
       // do NOT ext.stop(): it would stop the shared SparkContext
     }
   }
+
+  // NOTE: the `spark.sql.extensions=<class>` config route is NOT
+  // testable here — it is a STATIC SQL conf read from the SparkContext
+  // at session build, and the suite's context predates it. Both routes
+  // funnel through the same applyExtensions(GraftExtensions) call the
+  // test above exercises.
 }
