@@ -98,7 +98,10 @@ object Queries {
   /** DuckDB oracle for q39: the full MinHash+LSH pipeline in SQL, with
     * the identical md5-prefix element hash and (a,b) permutation
     * literals the Spark side bakes in. */
-  private def minhashMirrorOracleSql: String = {
+  /** Common mirror CTEs (toks → shingles → md5 hashes → signature →
+    * band keys over `documents`) shared by the q39 full-pipeline oracle
+    * and the x23 decontamination oracle — one hash family, one SQL. */
+  private def mirrorBandCtes: String = {
     val p = graft.functions.HashFns.MersennePrime
     val params = graft.functions.HashFns.hashParams(MirrorBands * MirrorRows, MirrorSeed)
     val sigExprs = params.zipWithIndex.map { case ((a, b), j) =>
@@ -132,7 +135,11 @@ object Queries {
        |bands AS (
        |  SELECT doc_id, unnest([
        |      $bandKeys]) AS bk
-       |  FROM sig),
+       |  FROM sig)""".stripMargin
+  }
+
+  private def minhashMirrorOracleSql: String =
+    s"""$mirrorBandCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
        |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
@@ -144,7 +151,28 @@ object Queries {
        |kp AS (SELECT b AS doc_id, MIN(a) AS keep FROM ver GROUP BY b)
        |SELECT d.doc_id, COALESCE(kp.keep, d.doc_id) AS keep_id
        |FROM documents d LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin
-  }
+
+  /** Reference-set bound for x23: documents with doc_id below this are
+    * the "benchmark/eval set" the stream is decontaminated against. */
+  private val DecontamRefMax = 50L
+
+  /** DuckDB oracle for x23: candidate (doc, ref) pairs share a band
+    * key, ref in the reference set, verified on true Jaccard — the
+    * exact math the streaming broadcast-index lookup performs. */
+  private def decontaminateOracleSql: String =
+    s"""$mirrorBandCtes,
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS a, r.doc_id AS ref
+       |  FROM bands d JOIN bands r ON d.bk = r.bk
+       |  WHERE r.doc_id < $DecontamRefMax AND r.doc_id <> d.doc_id),
+       |ver AS (
+       |  SELECT c.a, c.ref
+       |  FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.ref = y.doc_id
+       |  WHERE len(list_intersect(x.g, y.g)) * $MirrorTauDenom
+       |        >= $MirrorTauNum * (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))),
+       |hit AS (SELECT a AS doc_id, MIN(ref) AS contaminated_by FROM ver GROUP BY a)
+       |SELECT d.doc_id, hit.contaminated_by
+       |FROM documents d LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Inner equi-join + time-delta oracle — shared by the plain join
     * (q09) and the salted-join plan variant (q41): salting only routes
@@ -996,6 +1024,21 @@ object Queries {
     q("x21_stream_asof", asOfOracleSql) { (s, d) =>
       graft.streaming.StreamAsOf.replayParquet(s, d, queryName = "x21_asof")
         .orderBy(col("event_id"))
+    },
+
+    // Streaming benchmark decontamination: the corpus streams past a
+    // broadcast MinHash+LSH index of the reference (eval) set, band-key
+    // collisions confirmed on true Jaccard — state-free streaming, the
+    // production shape when eval sets are small and the corpus is the
+    // 100 TB side. Oracle: the q39 mirror CTEs restricted to
+    // (doc, ref) pairs, same md5 hash family, same exact verification.
+    q("x23_stream_decontam", decontaminateOracleSql) { (s, d) =>
+      graft.streaming.StreamDecontaminate
+        .replayParquet(s, d, refMax = DecontamRefMax,
+          shingleK = 3, numBands = MirrorBands, rowsPerBand = MirrorRows,
+          tauNum = MirrorTauNum, tauDenom = MirrorTauDenom, seed = MirrorSeed,
+          queryName = "x23_decontam")
+        .orderBy(col("doc_id"))
     },
 
     // Stream-static enrichment join (the third canonical streaming
