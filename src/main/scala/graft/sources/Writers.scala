@@ -19,6 +19,12 @@ object Writers {
   def orc(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").orc(dir)
 
+  /** Newline-JSON sink (gzip — splittable is not needed on the write
+    * side; re-ingest goes through the S1 schema'd reader). Completes
+    * the matrix: every readable format round-trips. */
+  def jsonGzip(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(dir)
+
   /** S7: single-file CSV with header. The reference collects to pandas
     * for this (`top_n_df.toPandas().to_csv`); the distributed-friendly
     * equivalent is a coalesce(1) write — only valid for small results

@@ -43,6 +43,29 @@ class PipelineSpec extends SparkSpec {
     assert(files.length == 1)
     val lines = java.nio.file.Files.readAllLines(files.head.toPath)
     assert(lines.get(0) == "subreddit_concat,context_length" && lines.size == 3)
+    // newline-JSON round-trip through the S1 schema'd reader
+    Writers.jsonGzip(df, s"$dir/json")
+    assert(new java.io.File(s"$dir/json").listFiles().exists(_.getName.endsWith(".gz")))
+    val jback = Readers.json(spark,
+      "subreddit_concat STRING, context_length BIGINT", Seq(s"$dir/json"))
+    assert(jback.as[(String, Long)].collect().toSet ==
+      Set(("AskReddit aww", 2L), ("nba funny", 2L)))
+  }
+
+  test("streaming as-of replay ≡ batch custom as-of operator") {
+    val d = sf("sf0.001")
+    val streamed = graft.streaming.StreamAsOf
+      .replayParquet(spark, d, queryName = "test_asof_stream")
+      .as[(Long, Long, Long)].collect().toSet
+    val e = spark.read.parquet(s"$d/events.parquet")
+      .withColumn("_t", expr("ts DIV 1000000"))
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .withColumn("_ot", unix_millis(col("o_orderdate").cast("timestamp")))
+    val batch = graft.plans.AsOf.latest(e, o, "user_id", "o_custkey", "_t", "_ot",
+        Seq("o_orderkey"))
+      .select(col("event_id"), col("o_orderkey"), col("_ot"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
   }
 
   test("streaming hourly aggregation ≡ batch q28 (same semantics)") {
