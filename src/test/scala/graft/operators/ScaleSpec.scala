@@ -90,6 +90,19 @@ class ScaleSpec extends SparkSpec {
       "KMV sketch must partial-aggregate before the shuffle:\n" + q40)
     assert(q40.contains("ReadSchema: struct<user_id:bigint,event_type:string>"),
       "KMV scan must prune to (user_id, event_type)")
+    // P4-style range predicates must reach the parquet scan
+    val q06 = formatted("q06_filter_range")
+    assert(q06.contains("PushedFilters: [") && q06.contains("GreaterThan"),
+      "range filter must be pushed into the scan:\n" + q06)
+    // the pricing aggregation must map-side combine (partial_sum/count)
+    val q21 = formatted("q21_agg_pricing")
+    assert(q21.contains("partial_sum") || q21.contains("Partial"),
+      "group aggregation must run a partial stage before the shuffle:\n" + q21)
+    // the c2v composite's top-N membership must broadcast the top-N side
+    // (a 1000-row dim must never shuffle the fact table)
+    val q30 = formatted("q30_c2v_composite")
+    assert(q30.contains("BroadcastHashJoin") || q30.contains("BroadcastExchange"),
+      "top-N membership must be a broadcast join:\n" + q30)
   }
 
   test("c2v composite pipeline over reference-shaped comments") {
