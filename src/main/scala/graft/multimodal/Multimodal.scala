@@ -60,4 +60,42 @@ object Multimodal {
     df.select(col(idCol).as("media_id"), lit("text/plain").as("kind"),
       encode(col(textCol), "UTF-8").as("payload"),
       lit(0).as("width"), lit(0).as("height"))
+
+  /** STUB resize — a real implementation decodes, scales and re-encodes
+    * (libvips/Pillow-SIMD class work); the stub derives a
+    * deterministic payload of size ∝ w·h so size accounting and the
+    * 1:1 `mapPartitions` shape (per-partition codec init, streamed
+    * rows, metadata rewritten alongside the payload) are real. */
+  def resize(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    require(w > 0 && h > 0, "resize: target dims must be positive")
+    ds.mapPartitions { it =>
+      val decoder = new StubDecoder() // real: codec/scaler init, once per partition
+      it.map { row =>
+        val seed = decoder.features(row).checksum
+        val out = Array.tabulate(math.max(1, w * h / 64))(i =>
+          ((seed ^ (0x9e3779b97f4a7c15L * (i + 1))) & 0xff).toByte)
+        row.copy(payload = out, width = w, height = h)
+      }
+    }
+  }
+
+  /** STUB frame sampling — the 1:N batch shape of video work: each
+    * media row fans out to ceil(payloadLen / frameBytes) frames, keep
+    * every `everyN`-th. A real implementation seeks keyframes via the
+    * container index instead of slicing bytes; the flatMap contract
+    * (streamed, never materializing a whole video's frames) is the
+    * Spark-side point. */
+  final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+  def sampleFrames(ds: Dataset[MediaRow], frameBytes: Int,
+                   everyN: Int): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    require(frameBytes > 0 && everyN > 0, "sampleFrames: positive params")
+    ds.flatMap { row =>
+      row.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (bytes, i) if i % everyN == 0 =>
+          Frame(row.media_id, i, bytes)
+        }
+    }
+  }
 }

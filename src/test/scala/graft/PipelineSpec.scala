@@ -221,6 +221,19 @@ class PipelineSpec extends SparkSpec {
     assert(feats1.map(_.checksum).toSeq == feats2.map(_.checksum).toSeq)
     assert(feats1.forall(_.embedding.length == 8))
     assert(feats1.forall(f => f.n_bytes > 0))
+    // resize: 1:1 shape, metadata rewritten with the payload
+    val resized = Multimodal.resize(media, 64, 32).collect()
+    assert(resized.length == 50 &&
+      resized.forall(r => r.width == 64 && r.height == 32 && r.payload.length == 32))
+    // frame sampling: 1:N fan-out, every 2nd 16-byte frame survives
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, everyN = 2)
+      .collect().groupBy(_.media_id)
+    val byId = media.collect().map(r => r.media_id -> r.payload.length).toMap
+    frames.foreach { case (id, fs) =>
+      val total = (byId(id) + 15) / 16 // ceil(frames)
+      assert(fs.length == (total + 1) / 2, s"media $id frame count")
+      assert(fs.forall(_.frame_idx % 2 == 0))
+    }
   }
 
   test("every registered query answers with rows on sf0.001") {
