@@ -152,6 +152,27 @@ object Queries {
        |SELECT d.doc_id, COALESCE(kp.keep, d.doc_id) AS keep_id
        |FROM documents d LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** DuckDB oracle for x24: candidate pairs share a band key, verified
+    * on the MinHash SIGNATURE-AGREEMENT Jaccard estimator (≥ tau of the
+    * slots equal) — exactly the bounded-state test the streaming bucket
+    * index performs (8 longs per doc in state, never shingle sets). */
+  private def streamNearDupOracleSql: String = {
+    val slots = MirrorBands * MirrorRows
+    val agree = (0 until slots)
+      .map(j => s"CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$mirrorBandCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT c.a, c.b
+       |  FROM cand c JOIN sig x ON c.a = x.doc_id JOIN sig y ON c.b = y.doc_id
+       |  WHERE ($agree) * $MirrorTauDenom >= $MirrorTauNum * $slots),
+       |kp AS (SELECT b AS doc_id, MIN(a) AS keep FROM ver GROUP BY b)
+       |SELECT d.doc_id, COALESCE(kp.keep, d.doc_id) AS keep_id
+       |FROM documents d LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** Reference-set bound for x23: documents with doc_id below this are
     * the "benchmark/eval set" the stream is decontaminated against. */
   private val DecontamRefMax = 50L
@@ -1024,6 +1045,20 @@ object Queries {
     q("x21_stream_asof", asOfOracleSql) { (s, d) =>
       graft.streaming.StreamAsOf.replayParquet(s, d, queryName = "x21_asof")
         .orderBy(col("event_id"))
+    },
+
+    // Stateful streaming SELF near-dup: cross-batch LSH bucket index in
+    // the state store (8 longs of signature per doc — bounded state),
+    // verification by the signature-agreement Jaccard estimator. The
+    // oracle mirrors the estimator over the same md5 hash family, so
+    // the whole stateful pipeline hash-matches.
+    q("x24_stream_neardup", streamNearDupOracleSql) { (s, d) =>
+      graft.streaming.StreamNearDup
+        .replayParquet(s, d, shingleK = 3,
+          numBands = MirrorBands, rowsPerBand = MirrorRows,
+          tauNum = MirrorTauNum, tauDenom = MirrorTauDenom, seed = MirrorSeed,
+          queryName = "x24_neardup")
+        .orderBy(col("doc_id"))
     },
 
     // Streaming benchmark decontamination: the corpus streams past a

@@ -91,6 +91,35 @@ class PipelineSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream near-dup: bucket state carries across micro-batches, cap respected") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamNearDup.{BandRow, Hit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[BandRow]
+    val q = graft.streaming.StreamNearDup
+      .bucketHits(src.toDS(), tauNum = 1, tauDenom = 2, maxBucket = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_state").start()
+    val sigA = Array(1L, 2L, 3L, 4L); val sigB = Array(1L, 2L, 9L, 9L)
+    val far = Array(9L, 9L, 9L, 8L)
+    // batch 1: docs 1 and 2 in bucket "b" — 2 agrees with 1 on 2/4 slots
+    src.addData(BandRow("b", 1L, sigA), BandRow("b", 2L, sigB))
+    q.processAllAvailable()
+    // batch 2: doc 3 must hit BOTH stored docs (state carried); doc 4
+    // arrives after the cap (2) is full — it still probes but isn't
+    // stored, and matches nothing anyway
+    src.addData(BandRow("b", 3L, sigA), BandRow("b", 4L, far))
+    q.processAllAvailable()
+    // batch 3: doc 5 ≡ sigA must hit ONLY the stored docs 1 and 2 —
+    // doc 3 was never added to the full bucket
+    src.addData(BandRow("b", 5L, sigA))
+    q.processAllAvailable()
+    val hits = spark.table("neardup_state").as[Hit].collect()
+      .map(h => h.doc_id -> h.keeper).toSet
+    q.stop()
+    assert(hits == Set(2L -> 1L, 3L -> 1L, 3L -> 2L, 5L -> 1L, 5L -> 2L))
+  }
+
   test("streaming dedup: survivors' texts ≡ batch distinct texts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
