@@ -1047,6 +1047,25 @@ object Queries {
         .orderBy(col("event_id"))
     },
 
+    // Pure range join (no equi-key): event pairs within 30 minutes of
+    // each other, via the bucketized plan — bin both sides by the
+    // window, replicate the left into adjacent bins (3×), equi-join on
+    // the bin. The oracle states the O(n·m) semantic definition; the
+    // Spark plan must produce it with one bin-shuffle per side.
+    q("q44_range_join",
+      """SELECT a.event_id AS a, b.event_id AS b
+        |FROM events a JOIN events b ON a.event_id < b.event_id
+        |  AND ABS(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 300000
+        |ORDER BY a, b""".stripMargin) { (s, d) => {
+      val ev = T(s, d, "events")
+      val l = ev.select(col("event_id").as("a"), msEvent.as("_ta"))
+      val r = ev.select(col("event_id").as("b"), msEvent.as("_tb"))
+      R.rangeJoinBucketed(l, r, col("_ta"), col("_tb"), 300000L)
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"))
+        .orderBy(col("a"), col("b"))
+    }},
+
     // Stateful streaming SELF near-dup: cross-batch LSH bucket index in
     // the state store (8 longs of signature per doc — bounded state),
     // verification by the signature-agreement Jaccard estimator. The

@@ -163,6 +163,38 @@ object Relational {
     cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Bucketized range join: all (left, right) pairs with
+    * `|leftTime − rightTime| ≤ halfWidth`, WITHOUT an equi-key.
+    *
+    * Catalyst's only plan for a pure range predicate is a nested-loop
+    * join — O(|L|·|R|) comparisons, a non-starter at scale. Binning
+    * both sides by `floor(time / halfWidth)` turns it into an
+    * equi-join: a qualifying pair's bins differ by at most 1, so the
+    * left side is replicated into its bin and both neighbors (3×, a
+    * constant) and each qualifying pair meets in EXACTLY the right
+    * side's bin — no dedup needed, one shuffle each side on the bin
+    * key, per-bin work proportional to the true match density. This is
+    * the standard range-join optimization, expressed with plain
+    * DataFrame ops.
+    *
+    * Caller adds any further predicates (equi-keys, id ordering) on the
+    * result; both sides' columns must be disjoint (rename first).
+    */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame,
+                        leftTime: Column, rightTime: Column,
+                        halfWidth: Long): DataFrame = {
+    require(halfWidth > 0, "rangeJoinBucketed: halfWidth must be positive")
+    val l = left.withColumn("_lt", leftTime)
+      .withColumn("_lb", expr(s"CAST(FLOOR(_lt / $halfWidth) AS BIGINT)"))
+      .withColumn("_bin", explode(array(col("_lb") - 1, col("_lb"), col("_lb") + 1)))
+      .drop("_lb")
+    val r = right.withColumn("_rt", rightTime)
+      .withColumn("_bin", expr(s"CAST(FLOOR(_rt / $halfWidth) AS BIGINT)"))
+    l.join(r, Seq("_bin"))
+      .where(abs(col("_lt") - col("_rt")) <= halfWidth)
+      .drop("_bin", "_lt", "_rt")
+  }
+
   // ---------------------------------------------------------------- window
 
   /** W1: drop the most-active top `pct` fraction of keys by exact global

@@ -154,6 +154,26 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq(("a", 10L, 20L, 30L), ("b", 7L, 7L, 9L)))
   }
 
+  test("rangeJoinBucketed ≡ nested-loop semantics incl. bin boundaries") {
+    val rnd = new scala.util.Random(31)
+    val xs = (1 to 300).map(i => (i.toLong, rnd.nextInt(5000).toLong))
+    val l = xs.toDF("lid", "lt")
+    val r = xs.map { case (i, t) => (i + 1000L, t) }.toDF("rid", "rt")
+    val w = 100L
+    val got = Relational.rangeJoinBucketed(l, r, col("lt"), col("rt"), w)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      (li, lt) <- xs; (ri0, rt) <- xs
+      if math.abs(lt - rt) <= w
+    } yield (li, ri0 + 1000L)).toSet
+    assert(got == expect && got.nonEmpty)
+    // exact-boundary pair in adjacent bins must survive
+    val lb = Seq((1L, 199L)).toDF("lid", "lt") // bin 1
+    val rb = Seq((2L, 299L)).toDF("rid", "rt") // bin 2, delta == w
+    assert(Relational.rangeJoinBucketed(lb, rb, col("lt"), col("rt"), 100L)
+      .count() == 1)
+  }
+
   test("as-of join picks the latest right row at-or-before left ts") {
     val left = Seq((1L, 100L, "L1"), (1L, 50L, "L2"), (2L, 10L, "L3"))
       .toDF("k", "lts", "lid")
