@@ -1047,6 +1047,30 @@ object Queries {
         .orderBy(col("event_id"))
     },
 
+    // Full outer join with both-side survivors: rich customers with no
+    // open orders (left-only), open-order groups whose customer missed
+    // the balance cut (right-only), and the matched middle — null-safe
+    // keys and counts on both engines.
+    q("q45_full_outer",
+      """WITH c AS (SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c
+        |           FROM customer WHERE c_acctbal > 7000),
+        |o AS (SELECT o_custkey, COUNT(*) AS open_cnt FROM orders
+        |      WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS ckey,
+        |       bal_c, open_cnt
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY ckey""".stripMargin) { (s, d) => {
+      val c = T(s, d, "customer").where(col("c_acctbal") > 7000)
+        .select(col("c_custkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val o = T(s, d, "orders").where(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("open_cnt"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("ckey"),
+          col("bal_c"), col("open_cnt"))
+        .orderBy(col("ckey"))
+    }},
+
     // Pure range join (no equi-key): event pairs within 30 minutes of
     // each other, via the bucketized plan — bin both sides by the
     // window, replicate the left into adjacent bins (3×), equi-join on
