@@ -101,6 +101,16 @@ object Queries {
   /** Common mirror CTEs (toks → shingles → md5 hashes → signature →
     * band keys over `documents`) shared by the q39 full-pipeline oracle
     * and the x23 decontamination oracle — one hash family, one SQL. */
+  /** Engine-portable tokenizer CTE over `documents` — the SQL mirror of
+    * [[graft.functions.TextFns.wordTokens]], shared by every mirrored
+    * dedup/fingerprint oracle (one tokenizer definition, one SQL). */
+  private val mirrorToksCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+      |                     x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+
   private def mirrorBandCtes: String = {
     val p = graft.functions.HashFns.MersennePrime
     val params = graft.functions.HashFns.hashParams(MirrorBands * MirrorRows, MirrorSeed)
@@ -112,11 +122,7 @@ object Queries {
         .map(r => s"CAST(s${b * MirrorRows + r} AS VARCHAR)").mkString(", ")
       s"concat_ws(',', CAST($b AS VARCHAR), $slots)"
     }.mkString(",\n      ")
-    s"""WITH toks AS (
-       |  SELECT doc_id,
-       |         list_filter(string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}]+'),
-       |                     x -> x <> '') AS t
-       |  FROM documents),
+    s"""$mirrorToksCte,
        |sh AS (
        |  SELECT doc_id,
        |         CASE WHEN len(t) >= 3
@@ -171,6 +177,65 @@ object Queries {
        |kp AS (SELECT b AS doc_id, MIN(a) AS keep FROM ver GROUP BY b)
        |SELECT d.doc_id, COALESCE(kp.keep, d.doc_id) AS keep_id
        |FROM documents d LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  // q46 simhash-mirror configuration — interpolated into BOTH the Spark
+  // call and the generated oracle SQL so the two engines cannot drift.
+  // 60-bit md5-prefix token hash; bits must stay divisible by the
+  // pigeonhole chunk count (maxHamming + 1).
+  private val SimMirrorHamming = 3
+  private val SimMirrorBits = Dedup.MirroredSimhashBits
+
+  /** DuckDB oracle for q46: the full SimHash pipeline in SQL — per-bit
+    * ±1 majority vote over the identical md5-prefix token hashes, then
+    * an ALL-PAIRS `bit_count(xor) <= h` join. The Spark side generates
+    * candidates via pigeonhole bit-chunks, but with no bucket cap that
+    * candidate set provably contains every pair at hamming ≤ h, so the
+    * two formulations are equal by construction (exactness, not
+    * recall). */
+  private def simhashMirrorOracleSql: String =
+    s"""$mirrorToksCte,
+       |th AS (
+       |  SELECT doc_id,
+       |         [CAST(('0x' || substr(md5(t),1,15)) AS BIGINT) FOR t IN t] AS hs
+       |  FROM toks),
+       |tok AS (SELECT doc_id, unnest(hs) AS h FROM th),
+       |bits AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM tok CROSS JOIN generate_series(0, ${SimMirrorBits - 1}) AS g(b)
+       |  GROUP BY doc_id, b),
+       |sk0 AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+       |                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sim
+       |  FROM bits GROUP BY doc_id),
+       |sk AS (SELECT d.doc_id, COALESCE(sk0.sim, 0) AS sim
+       |       FROM documents d LEFT JOIN sk0 USING (doc_id)),
+       |ver AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM sk x JOIN sk y ON x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sim, y.sim)) <= $SimMirrorHamming),
+       |kp AS (SELECT b AS doc_id, MIN(a) AS keep FROM ver GROUP BY b)
+       |SELECT d.doc_id, COALESCE(kp.keep, d.doc_id) AS keep_id
+       |FROM documents d LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for q47: the rolling-hash document fingerprint with
+    * the engine-portable md5-prefix token hash — a left fold
+    * `(acc*31 + h(token)) mod p` reproduced via
+    * `list_reduce(list_prepend(0, hashes), ...)` (list_reduce has no
+    * initial accumulator; prepending the zero supplies it). */
+  private def fingerprintMirrorOracleSql: String = {
+    val p = graft.functions.HashFns.MersennePrime
+    s"""$mirrorToksCte,
+       |hs AS (
+       |  SELECT doc_id,
+       |         [CAST(('0x' || substr(md5(t),1,15)) AS BIGINT) % $p FOR t IN t] AS h
+       |  FROM toks)
+       |SELECT doc_id,
+       |       CAST(CASE WHEN len(h) = 0 THEN 0
+       |            ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+       |                             (acc, x) -> (acc*31 + x) % $p)
+       |            END AS BIGINT) AS fp
+       |FROM hs ORDER BY doc_id""".stripMargin
   }
 
   /** Reference-set bound for x23: documents with doc_id below this are
@@ -789,6 +854,17 @@ object Queries {
         .orderBy(col("doc_id"))
     },
 
+    // Oracle-backed SimHash mirror: engine-portable md5 token hash and
+    // NO bucket cap — the pigeonhole candidate set then equals the
+    // all-pairs hamming join the oracle runs, so the match is exact by
+    // construction (x02 stays the capped xxhash64 production path).
+    q("q46_simhash_mirror", simhashMirrorOracleSql) { (s, d) =>
+      Dedup.simhash(T(s, d, "documents"), "doc_id", "text",
+          maxHamming = SimMirrorHamming, maxBucket = Int.MaxValue,
+          sqlMirroredHashes = true)
+        .orderBy(col("doc_id"))
+    },
+
     rowsOnly("x03_embedding_dedup") { (s, d) =>
       Dedup.embeddingCosine(T(s, d, "embeddings"), "vec_id", "embedding", tau = 0.95)
         .orderBy(col("vec_id"))
@@ -863,6 +939,15 @@ object Queries {
     rowsOnly("x13_fingerprint") { (s, d) =>
       T(s, d, "documents")
         .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Oracle-backed fingerprint mirror: same rolling fold as x13 with
+    // the engine-portable md5 token hash (x13 stays the xxhash64
+    // production path).
+    q("q47_fingerprint_mirror", fingerprintMirrorOracleSql) { (s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"), TextFns.fingerprintMirrored(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     },
 

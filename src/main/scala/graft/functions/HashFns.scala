@@ -62,6 +62,13 @@ object HashFns {
   def md5Hash(s: Column): Column =
     pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MersennePrime))
 
+  /** Raw 60-bit md5-prefix hash (no modulus) — the SQL-mirrorable token
+    * hash for bitwise sketches, where every one of the 60 bits is a
+    * usable signal (a mod-p hash would bias the high bits):
+    * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. Always ≥ 0. */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** MinHash signature from pre-materialized shingle hashes: for each
     * (a,b) in the family, min over hashes of (a*h+b) mod p. Empty
     * shingle set → p (sentinel larger than any hash, never collides
@@ -122,16 +129,36 @@ object HashFns {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Generalized SimHash over pre-materialized per-token hashes: per bit
+    * b in [0, bits), the sign of the sum of ±1 contributions from each
+    * hash's bit b. HOF form — the parity baseline for the native
+    * `graft_simhash_hs` expression (see SketchExprs). Null hash
+    * elements are skipped. Empty array → 0. */
+  def simhashFromHashesHof(hashes: Column, bits: Int): Column =
+    ExprUtils.bind(hashes) { hs =>
+      val counts = aggregate(
+        filter(hs, h => h.isNotNull),
+        transform(sequence(lit(0), lit(bits - 1)), _ => lit(0)),
+        (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+          (c, b) => c + when(shr(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
+      aggregate(
+        zip_with(counts, sequence(lit(0), lit(bits - 1)),
+          (c, b) => when(c > 0, shl(lit(1L), b)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    }
+
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Split a 64-bit sketch into `chunks` equal bit-chunks (pigeonhole
-    * candidate generation: hamming <= chunks-1 ⇒ some chunk equal).
-    * The sketch is lambda-bound: otherwise CollapseProject inlines the
-    * (possibly expensive) sketch-producing expression into the lambda,
-    * where it is re-evaluated once per chunk. */
-  def bitChunks(sketch: Column, chunks: Int): Column = {
-    val width = 64 / chunks
+  /** Split the low `bits` bits of a sketch into `chunks` equal
+    * bit-chunks (pigeonhole candidate generation: hamming over those
+    * bits <= chunks-1 ⇒ some chunk equal; `bits` must be divisible by
+    * `chunks`). The sketch is lambda-bound: otherwise CollapseProject
+    * inlines the (possibly expensive) sketch-producing expression into
+    * the lambda, where it is re-evaluated once per chunk. */
+  def bitChunks(sketch: Column, chunks: Int, bits: Int = 64): Column = {
+    require(bits % chunks == 0, s"bitChunks: $bits bits not divisible by $chunks")
+    val width = bits / chunks
     val mask = (1L << width) - 1
     ExprUtils.bind(sketch) { sk =>
       transform(sequence(lit(0), lit(chunks - 1)),

@@ -74,6 +74,7 @@ object NativeFns {
   val DotName = "graft_dot"
   val MinHashName = "graft_minhash"
   val SimHashName = "graft_simhash"
+  val SimHashHsName = "graft_simhash_hs"
   val TokensInSetName = "graft_tokens_in_set"
   val BottomKName = "graft_bottomk"
   val BottomKDistinctName = "graft_bottomk_distinct"
@@ -85,6 +86,7 @@ object NativeFns {
     DotName -> (exprs => ArrayDotProduct(exprs.head, exprs(1))),
     MinHashName -> (exprs => MinHashSignature(exprs.head, exprs(1), exprs(2))),
     SimHashName -> (exprs => SimHash64(exprs.head)),
+    SimHashHsName -> (exprs => SimHashFromHashes(exprs.head, exprs(1))),
     TokensInSetName -> (exprs => TokensInSet(exprs.head, exprs(1))),
     BottomKName -> (exprs =>
       BottomKByHash(exprs.head, exprs(1), literalK(BottomKName, exprs(2)))),
@@ -124,6 +126,13 @@ object NativeFns {
   /** Native SimHash64 over tokens (bit-identical to
     * [[HashFns.simhash64]]). */
   def simhash(tokens: Column): Column = call_function(SimHashName, tokens)
+
+  /** Native SimHash over pre-materialized per-token hashes with a
+    * caller-chosen bit width (bit-identical to
+    * [[HashFns.simhashFromHashesHof]]). */
+  def simhashFromHashes(hs: Column, bits: Int): Column =
+    call_function(SimHashHsName, hs,
+      org.apache.spark.sql.functions.lit(bits))
 
   /** Native membership count: tokens present in the literal word list,
     * with multiplicity (≡ `size(filter(tokens, isin(words)))`). */

@@ -190,3 +190,64 @@ case class SimHash64(child: Expression)
 
   override def prettyName: String = "graft_simhash"
 }
+
+/** Generalized SimHash over pre-materialized per-token hashes: per bit
+  * b in [0, bits), the sign of the sum of ±1 contributions from each
+  * hash's bit b; bit set iff the sum is strictly positive. Lets the
+  * caller pick an engine-portable token hash (e.g. the 60-bit
+  * md5-prefix [[HashFns.md5Hash60]]) so an external SQL oracle can
+  * reproduce the sketch bit-for-bit. Null elements are skipped; empty
+  * array → 0. Mirrors [[HashFns.simhashFromHashesHof]].
+  *
+  * Children: (hashes: array<bigint>, bits: int literal in [1, 64]).
+  */
+case class SimHashFromHashes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+      val b = right.eval(null)
+      if (b == null || b.asInstanceOf[Int] < 1 || b.asInstanceOf[Int] > 64)
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash_hs: bits must be a literal in [1, 64], got $b")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_hs expects (array<bigint>, literal int), got $other")
+  }
+
+  @transient private lazy val bits: Int = right.eval(null).asInstanceOf[Int]
+
+  override def nullSafeEval(h: Any, b: Any): Any = {
+    val hs = h.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val hv = hs.getLong(i)
+        var j = 0
+        while (j < bits) {
+          if (((hv >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_simhash_hs"
+}

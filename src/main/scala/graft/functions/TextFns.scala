@@ -122,8 +122,20 @@ object TextFns {
     * expression is ANSI-safe. Deterministic across runs/partitions;
     * whitespace-normalization invariant. */
   val FingerprintPrime: Long = (1L << 31) - 1
-  def fingerprint(text: Column): Column =
+
+  /** [[fingerprint]] with a caller-chosen per-token hash (must return
+    * values in [0, p) so `acc*31 + h` stays ANSI-overflow-safe). */
+  def fingerprintWith(text: Column, elemHash: Column => Column): Column =
     aggregate(wordTokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(FingerprintPrime)),
-        lit(FingerprintPrime)))
+      (acc, t) => pmod(acc * lit(31L) + elemHash(t), lit(FingerprintPrime)))
+
+  def fingerprint(text: Column): Column =
+    fingerprintWith(text, t => pmod(xxhash64(t), lit(FingerprintPrime)))
+
+  /** SQL-mirrorable fingerprint: the md5-prefix token hash
+    * ([[HashFns.md5Hash]]) instead of xxhash64 — an external SQL oracle
+    * reproduces the fold bit-for-bit via
+    * `list_reduce(list_prepend(0, hashes), (acc,x) -> (acc*31+x) % p)`. */
+  def fingerprintMirrored(text: Column): Column =
+    fingerprintWith(text, HashFns.md5Hash)
 }

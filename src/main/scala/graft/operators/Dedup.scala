@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Sketch width of the SQL-mirrored [[simhash]] path: 60 bits, the
+    * widest hash reconstructible from an md5 hex prefix in any engine
+    * without signed-overflow hazards (15 hex chars). Oracle SQL
+    * generators must interpolate THIS constant, not a literal 60. */
+  val MirroredSimhashBits: Int = 60
+
   /** Exact dedup: group identical values of `textCol`, keep min id.
     * One hash-shuffle on the text (Spark aggregates on the full value;
     * at scale pre-hash with xxhash64+md5 pair to shrink shuffle width). */
@@ -129,22 +135,42 @@ object Dedup {
     keeperFromPairs(df.select(col(idCol)), idCol, verified)
   }
 
-  /** SimHash near-dedup: 64-bit bit-majority sketch over word tokens;
+  /** SimHash near-dedup: bit-majority sketch over word tokens;
     * candidates via pigeonhole bit-chunks (hamming ≤ chunks-1 ⇒ equal on
-    * some chunk), verified with exact hamming distance. */
+    * some chunk), verified with exact hamming distance. The pigeonhole
+    * candidate set is EXACT (not a recall tradeoff): with
+    * `maxBucket = Int.MaxValue` the result equals a full all-pairs
+    * hamming join — which is how the SQL oracle verifies it.
+    *
+    * @param sqlMirroredHashes hash tokens with the 60-bit md5 prefix
+    *   ([[HashFns.md5Hash60]]) and sketch over 60 bits instead of
+    *   xxhash64/64 — every bit of the sketch is then reproducible in an
+    *   external SQL oracle. Default keeps xxhash64 (codegen'd, faster)
+    *   for the production path. 60 must stay divisible by
+    *   `maxHamming + 1` chunk count (3 → 4 chunks of 15 bits). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+              maxHamming: Int = 3, maxBucket: Int = 1000,
+              sqlMirroredHashes: Boolean = false): DataFrame = {
     graft.functions.NativeFns.register(df.sparkSession)
     val chunks = maxHamming + 1
-    val docs = df.select(col(idCol), col(textCol))
-      .repartition(col(idCol)) // spread single-file scans before the sketch fold
-      .select(col(idCol),
+    val bits = if (sqlMirroredHashes) MirroredSimhashBits else 64
+    val sketch =
+      if (sqlMirroredHashes)
+        // md5 per token is codegen'd built-ins; the bit-majority fold is
+        // one native pass over the materialized hash array
+        graft.functions.NativeFns.simhashFromHashes(
+          HashFns.shingleHashesWith(TextFns.wordTokens(col(textCol)),
+            HashFns.md5Hash60), bits)
+      else
         // native expression: one pass per row vs 64×numTokens
         // interpreted lambda evals in the HOF fold
-        graft.functions.NativeFns.simhash(TextFns.wordTokens(col(textCol))).as("_sim"))
+        graft.functions.NativeFns.simhash(TextFns.wordTokens(col(textCol)))
+    val docs = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // spread single-file scans before the sketch fold
+      .select(col(idCol), sketch.as("_sim"))
     val buckets = docs
       .select(col(idCol), col("_sim"),
-        posexplode(HashFns.bitChunks(col("_sim"), chunks)).as(Seq("_ci", "_ck")))
+        posexplode(HashFns.bitChunks(col("_sim"), chunks, bits)).as(Seq("_ci", "_ck")))
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_ci"), col("_ck"))))
       .where(col("_bsz") <= maxBucket)
       // consumed twice by the candidate self-join: persist so the
@@ -267,7 +293,7 @@ object Dedup {
     val chunks = 2 // 2×(planes/2)-bit chunk keys: candidates must agree on half the sketch
     val buckets = docs
       .select(col(idCol),
-        posexplode(bitChunksOf(col("_sk"), chunks, planes)).as(Seq("_ci", "_ck")))
+        posexplode(HashFns.bitChunks(col("_sk"), chunks, planes)).as(Seq("_ci", "_ck")))
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_ci"), col("_ck"))))
       .where(col("_bsz") <= maxBucket)
       .persist() // consumed twice by the candidate self-join
@@ -285,15 +311,4 @@ object Dedup {
     keeperFromPairs(df.select(col(idCol)), idCol, pairs)
   }
 
-  /** bit-chunks over only the low `bits` sketch bits (sketch bound —
-    * see [[graft.functions.HashFns.bitChunks]]). */
-  private def bitChunksOf(sketch: org.apache.spark.sql.Column, chunks: Int,
-                          bits: Int): org.apache.spark.sql.Column = {
-    val width = bits / chunks
-    val mask = (1L << width) - 1
-    graft.functions.ExprUtils.bind(sketch) { sk =>
-      transform(sequence(lit(0), lit(chunks - 1)),
-        i => call_function("shiftright", sk, i * lit(width)).bitwiseAND(lit(mask)))
-    }
-  }
 }

@@ -99,6 +99,24 @@ class FunctionsSpec extends SparkSpec {
     assert(fps.forall(f => f >= 0 && f < TextFns.FingerprintPrime))
   }
 
+  test("mirrored fingerprint matches a driver-side md5 reference fold") {
+    val texts = Seq("hello  world", "The quick brown Fox!", "", "a b c d e")
+    val got = texts.toDF("t")
+      .select(TextFns.fingerprintMirrored(col("t"))).as[Long].collect()
+    // reference implementation of the identical fold in plain Scala
+    val p = TextFns.FingerprintPrime
+    def md5h(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % p
+    }
+    val expected = texts.map { t =>
+      val toks = t.trim.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+      toks.foldLeft(0L)((acc, w) => (acc * 31 + md5h(w)) % p)
+    }
+    assert(got.toSeq == expected)
+  }
+
   test("vector math: dot/norm/cosine on float arrays") {
     val df = Seq((Array(1f, 0f, 2f), Array(2f, 1f, 0f))).toDF("a", "b")
     val (d, na, c) = df.select(

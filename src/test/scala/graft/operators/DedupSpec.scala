@@ -58,6 +58,48 @@ class DedupSpec extends SparkSpec {
     assert(res(3L) == 3L && res(5L) == 5L)
   }
 
+  test("simhash with SQL-mirrored hashes: same exact-dup linking, 60-bit domain") {
+    import graft.functions.{HashFns, NativeFns, TextFns}
+    val res = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3,
+        maxBucket = Int.MaxValue, sqlMirroredHashes = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(4L) == 1L)
+    assert(res(3L) == 3L && res(5L) == 5L)
+    // the mirrored sketch stays within the 60-bit md5-prefix domain
+    NativeFns.register(spark)
+    val sketches = docs.select(
+      NativeFns.simhashFromHashes(
+        HashFns.shingleHashesWith(TextFns.wordTokens(col("text")),
+          HashFns.md5Hash60), Dedup.MirroredSimhashBits).as("sk"))
+      .collect().map(_.getLong(0))
+    assert(sketches.forall(s => s >= 0 && s < (1L << Dedup.MirroredSimhashBits)))
+    // identical texts → identical sketches; disjoint-vocab texts differ
+    assert(sketches(0) == sketches(3))
+    assert(sketches(0) != sketches(2))
+  }
+
+  test("native simhash-from-hashes is bit-identical to the HOF fold") {
+    import graft.functions.{HashFns, NativeFns, TextFns}
+    NativeFns.register(spark)
+    val bits = Dedup.MirroredSimhashBits
+    val both = docs
+      .withColumn("_hs", HashFns.shingleHashesWith(
+        TextFns.wordTokens(col("text")), HashFns.md5Hash60))
+      .select(
+        HashFns.simhashFromHashesHof(col("_hs"), bits).as("hof"),
+        NativeFns.simhashFromHashes(col("_hs"), bits).as("native"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), "simhash_hs parity"))
+    // empty input → 0 sketch in both forms
+    val empty = Seq(Tuple1("")).toDF("text")
+      .withColumn("_hs", HashFns.shingleHashesWith(
+        TextFns.wordTokens(col("text")), HashFns.md5Hash60))
+      .select(HashFns.simhashFromHashesHof(col("_hs"), bits).as("hof"),
+        NativeFns.simhashFromHashes(col("_hs"), bits).as("native"))
+      .head()
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
+  }
+
   test("embedding cosine dedup links identical vectors") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
