@@ -658,6 +658,38 @@ object Queries {
           .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // Pivot / crosstab: wide per-group matrix with EXPLICIT pivot
+    // values — the implicit form first runs a hidden distinct job to
+    // discover the value domain; at 100 TB the domain must be declared,
+    // not scanned, and explicit values keep the aggregation one
+    // partial-aggregatable pass. Oracle = conditional aggregation.
+    q("q48_pivot_crosstab",
+      """SELECT l_returnflag,
+        |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS f_cnt,
+        |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+        |              THEN CAST(FLOOR(l_quantity * 100) AS BIGINT) END), 0) AS BIGINT)
+        |         AS f_qty_c,
+        |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS o_cnt,
+        |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+        |              THEN CAST(FLOOR(l_quantity * 100) AS BIGINT) END), 0) AS BIGINT)
+        |         AS o_qty_c
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        T(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(floor(col("l_quantity") * 100)).as("qty_c"))
+          // a pivot cell with no rows is NULL; the oracle's conditional
+          // aggregation says 0 for counts — normalize both to 0
+          .select(col("l_returnflag"),
+            coalesce(col("F_cnt"), lit(0L)).as("f_cnt"),
+            coalesce(col("F_qty_c"), lit(0L)).cast("long").as("f_qty_c"),
+            coalesce(col("O_cnt"), lit(0L)).as("o_cnt"),
+            coalesce(col("O_qty_c"), lit(0L)).cast("long").as("o_qty_c"))
+          .orderBy(col("l_returnflag"))
+    },
+
     // JSON path extraction from a string column
     q("q22_json_extract",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -711,6 +743,28 @@ object Queries {
             TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
             TextFns.nChars(col("text")).cast("long").as("n_chars_calc"))
           .orderBy(col("doc_id"))
+    },
+
+    // Generator / lateral-view surface: one output row per token.
+    // posexplode keeps the token position, giving the flattened table a
+    // deterministic unique key (doc_id, pos) — an exploded table
+    // without one can't be ordered or oracle-compared. Mirrored by a
+    // DuckDB index cross join (its 1-based subscripts shifted to
+    // posexplode's 0-based positions).
+    q("q49_explode_tokens",
+      s"""$mirrorToksCte,
+        |x AS (
+        |  SELECT doc_id,
+        |         unnest([{'pos': CAST(i - 1 AS BIGINT), 'tok': t[i]}
+        |                 FOR i IN generate_series(1, len(t))], recursive := true)
+        |  FROM toks)
+        |SELECT doc_id, pos, tok FROM x ORDER BY doc_id, pos""".stripMargin) {
+      (s, d) =>
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFns.wordTokens(col("text"))).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+          .orderBy(col("doc_id"), col("pos"))
     },
 
     // BPE-ish token budget (GPT-2-style pre-tokenization segments)

@@ -103,6 +103,20 @@ class ScaleSpec extends SparkSpec {
     val q30 = formatted("q30_c2v_composite")
     assert(q30.contains("BroadcastHashJoin") || q30.contains("BroadcastExchange"),
       "top-N membership must be a broadcast join:\n" + q30)
+    // pivot with EXPLICIT values: one partial-aggregatable pass (no
+    // hidden distinct job to discover the domain), scan pruned to the
+    // three referenced columns
+    val q48 = formatted("q48_pivot_crosstab")
+    assert(q48.contains("partial_"),
+      "explicit-values pivot must partial-aggregate before the shuffle:\n" + q48)
+    assert(q48.contains(
+      "ReadSchema: struct<l_quantity:double,l_returnflag:string,l_linestatus:string>"),
+      "pivot scan must prune to (l_quantity, l_returnflag, l_linestatus):\n" + q48)
+    // generator queries stay a streaming Generate over a pruned scan
+    val q49 = formatted("q49_explode_tokens")
+    assert(q49.contains("Generate"), "explode must plan as Generate:\n" + q49)
+    assert(q49.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "explode scan must prune to (doc_id, text):\n" + q49)
   }
 
   test("c2v composite pipeline over reference-shaped comments") {
