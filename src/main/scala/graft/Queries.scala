@@ -368,6 +368,27 @@ object Queries {
     * DuckDB's epoch_ms floor semantics for positive epochs. */
   private def msEvent = expr("ts DIV 1000000")
 
+  /** Trailing window width for q50 — interpolated into the oracle SQL so
+    * the two engines cannot drift. */
+  private val RollingWindowMs = 3600000L
+
+  /** DuckDB oracle for q50: per-event trailing-hour aggregates via a
+    * RANGE frame over event-time millis. RANGE (not ROWS) makes ties
+    * deterministic: all peer rows at the same ts_ms share one frame, so
+    * the result is independent of intra-timestamp row order. */
+  private def rollingWindowOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+       |         CAST(FLOOR(value * 1000000) AS BIGINT) AS v_c
+       |  FROM events)
+       |SELECT user_id, event_id, ts_ms,
+       |       COUNT(*) OVER w AS n_trail,
+       |       CAST(SUM(v_c) OVER w AS BIGINT) AS sum_trail_micro
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+       |             RANGE BETWEEN $RollingWindowMs PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------------------------------
   // Relational inventory (SURVEY.md §2.2–§2.7)
   // ------------------------------------------------------------------------
@@ -688,6 +709,49 @@ object Queries {
             coalesce(col("O_cnt"), lit(0L)).as("o_cnt"),
             coalesce(col("O_qty_c"), lit(0L)).cast("long").as("o_qty_c"))
           .orderBy(col("l_returnflag"))
+    },
+
+    // Window FRAME specs: per-event trailing-hour rate/volume via a
+    // rangeBetween frame on event-time millis — the burst-detection /
+    // rate-limit signal a curation pipeline computes per key. Scales:
+    // the window shuffles once on user_id; no self-join, no explode.
+    q("q50_rolling_window", rollingWindowOracleSql) { (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-RollingWindowMs, 0L)
+      T(s, d, "events")
+        .select(col("user_id"), col("event_id"), msEvent.as("ts_ms"),
+          floor(col("value") * 1000000).as("v_c"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          count(lit(1)).over(w).as("n_trail"),
+          sum(col("v_c")).over(w).as("sum_trail_micro"))
+        .orderBy(col("user_id"), col("event_id"))
+    }},
+
+    // Unpivot / melt — the inverse of q48's pivot: wide per-group
+    // measures back to long (group, measure, value) rows via
+    // Dataset.unpivot. Runs AFTER the aggregation, so the melt touches
+    // k×measures rows, never the fact table. Oracle = UNION ALL.
+    q("q51_unpivot_melt",
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+        |         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c,
+        |         CAST(SUM(CAST(FLOOR(l_discount * 10000) AS BIGINT)) AS BIGINT) AS disc_c
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty_c' AS measure, qty_c AS value_c FROM wide
+        |UNION ALL SELECT l_returnflag, 'price_c', price_c FROM wide
+        |UNION ALL SELECT l_returnflag, 'disc_c', disc_c FROM wide
+        |ORDER BY l_returnflag, measure""".stripMargin) {
+      (s, d) =>
+        T(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(sum(floor(col("l_quantity") * 100)).as("qty_c"),
+            sum(floor(col("l_extendedprice") * 100)).as("price_c"),
+            sum(floor(col("l_discount") * 10000)).as("disc_c"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("qty_c"), col("price_c"), col("disc_c")),
+            "measure", "value_c")
+          .orderBy(col("l_returnflag"), col("measure"))
     },
 
     // JSON path extraction from a string column
