@@ -754,6 +754,50 @@ object Queries {
           .orderBy(col("l_returnflag"), col("measure"))
     },
 
+    // Correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + left outer join (RewriteCorrelatedScalarSubquery),
+    // including the COUNT-on-empty-group → 0 repair; nothing here runs
+    // per-row. Registered through spark.sql to exercise the SQL front
+    // end over the same tables.
+    q("q52_correlated_subquery",
+      """SELECT o_orderkey,
+        |       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey)
+        |         AS n_items
+        |FROM orders ORDER BY o_orderkey""".stripMargin) {
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("v_orders")
+        T(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT o_orderkey,
+                   (SELECT COUNT(*) FROM v_lineitem WHERE l_orderkey = o_orderkey)
+                     AS n_items
+                 FROM v_orders ORDER BY o_orderkey""")
+      }
+    },
+
+    // Ranking/offset window functions: per-user previous-event gap
+    // (lag) and activity quartile (ntile). The window orders by the
+    // unique (ts_ms, event_id) pair, so frames — and therefore ntile's
+    // bucket boundaries — are total-order deterministic in both engines.
+    q("q53_lag_ntile",
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events)
+        |SELECT user_id, event_id,
+        |       ts_ms - lag(ts_ms) OVER w AS gap_ms,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) {
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+        T(s, d, "events")
+          .select(col("user_id"), col("event_id"), msEvent.as("ts_ms"))
+          .select(col("user_id"), col("event_id"),
+            (col("ts_ms") - lag(col("ts_ms"), 1).over(w)).as("gap_ms"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy(col("user_id"), col("event_id"))
+      }
+    },
+
     // JSON path extraction from a string column
     q("q22_json_extract",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

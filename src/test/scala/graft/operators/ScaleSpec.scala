@@ -117,6 +117,13 @@ class ScaleSpec extends SparkSpec {
     assert(q49.contains("Generate"), "explode must plan as Generate:\n" + q49)
     assert(q49.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "explode scan must prune to (doc_id, text):\n" + q49)
+    // the correlated scalar subquery must decorrelate into an aggregate
+    // + join — never a per-outer-row subquery execution
+    val q52 = formatted("q52_correlated_subquery")
+    assert(!q52.contains("ScalarSubquery"),
+      "correlated subquery must be decorrelated, not executed per row:\n" + q52)
+    assert(q52.contains("Join") && q52.contains("Aggregate"),
+      "decorrelation must produce an aggregate + join plan:\n" + q52)
   }
 
   test("c2v composite pipeline over reference-shaped comments") {
