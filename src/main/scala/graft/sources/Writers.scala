@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Sink operators (SURVEY.md §2.1, S5–S7). */
 object Writers {
@@ -24,6 +25,25 @@ object Writers {
     * the matrix: every readable format round-trips. */
   def jsonGzip(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").option("compression", "gzip").json(dir)
+
+  /** Hive-partitioned zstd parquet — the curated-dataset layout for
+    * cold data at scale: one directory per partition value lets readers
+    * prune whole partitions at planning time; zstd is the best
+    * ratio/speed tradeoff of the built-in codecs for archival tables
+    * (zstd-jni ships with Spark). The repartition on the partition
+    * columns routes each partition value to ONE task — without it every
+    * task writes a file into every value directory (tasks × values
+    * small files); the in-partition sort adds parquet page-level
+    * min/max locality on `sortCols` for row-group skipping. */
+  def partitionedParquetZstd(df: DataFrame, dir: String,
+                             partitionCols: Seq[String],
+                             sortCols: Seq[String] = Nil): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
 
   /** S7: single-file CSV with header. The reference collects to pandas
     * for this (`top_n_df.toPandas().to_csv`); the distributed-friendly

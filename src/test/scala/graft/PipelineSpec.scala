@@ -52,6 +52,28 @@ class PipelineSpec extends SparkSpec {
       Set(("AskReddit aww", 2L), ("nba funny", 2L)))
   }
 
+  test("partitioned zstd parquet: pruned reads, one file per partition value") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    val df = (1 to 300).map(i => (i.toLong, s"t${i % 3}", s"payload$i"))
+      .toDF("id", "kind", "payload")
+    Writers.partitionedParquetZstd(df, s"$dir/pq", Seq("kind"), sortCols = Seq("id"))
+    // layout: one directory per value, exactly one zstd file inside each
+    val kinds = new java.io.File(s"$dir/pq").listFiles()
+      .filter(_.getName.startsWith("kind=")).map(_.getName).sorted
+    assert(kinds.toSeq == Seq("kind=t0", "kind=t1", "kind=t2"))
+    val filesPerKind = kinds.map(k =>
+      new java.io.File(s"$dir/pq/$k").listFiles().count(_.getName.endsWith(".parquet")))
+    assert(filesPerKind.forall(_ == 1),
+      s"repartition must yield one file per partition value, got ${filesPerKind.toSeq}")
+    // a filter on the partition column must prune at planning time
+    val pruned = spark.read.parquet(s"$dir/pq").where(col("kind") === "t1")
+    assert(pruned.count() == 100)
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [") && plan.contains("kind"),
+      "partition-column filter must appear as a PartitionFilter:\n" + plan)
+  }
+
   test("streaming as-of replay ≡ batch custom as-of operator") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamAsOf
