@@ -372,6 +372,19 @@ object Queries {
     * the two engines cannot drift. */
   private val RollingWindowMs = 3600000L
 
+  /** q48's declared pivot-value domain — the Spark pivot call and the
+    * generated conditional-aggregation oracle both derive from this
+    * list, so adding a status cannot desync the two engines. */
+  private val PivotStatuses = Seq("F", "O")
+
+  /** q51's melted measures: (output alias, source column, integer scale
+    * for the floor-scaled exact sum). Both the Spark aggregation and
+    * the generated UNION ALL oracle derive from this one list. */
+  private val MeltMeasures: Seq[(String, String, Long)] = Seq(
+    ("qty_c", "l_quantity", 100L),
+    ("price_c", "l_extendedprice", 100L),
+    ("disc_c", "l_discount", 10000L))
+
   /** DuckDB oracle for q50: per-event trailing-hour aggregates via a
     * RANGE frame over event-time millis. RANGE (not ROWS) makes ties
     * deterministic: all peer rows at the same ts_ms share one frame, so
@@ -683,31 +696,33 @@ object Queries {
     // values — the implicit form first runs a hidden distinct job to
     // discover the value domain; at 100 TB the domain must be declared,
     // not scanned, and explicit values keep the aggregation one
-    // partial-aggregatable pass. Oracle = conditional aggregation.
-    q("q48_pivot_crosstab",
-      """SELECT l_returnflag,
-        |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS f_cnt,
-        |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
-        |              THEN CAST(FLOOR(l_quantity * 100) AS BIGINT) END), 0) AS BIGINT)
-        |         AS f_qty_c,
-        |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS o_cnt,
-        |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
-        |              THEN CAST(FLOOR(l_quantity * 100) AS BIGINT) END), 0) AS BIGINT)
-        |         AS o_qty_c
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    // partial-aggregatable pass. Oracle = conditional aggregation,
+    // GENERATED from the same PivotStatuses list the Spark call uses.
+    q("q48_pivot_crosstab", {
+      val cols = PivotStatuses.map { v =>
+        val lc = v.toLowerCase
+        s"""       CAST(COUNT(*) FILTER (WHERE l_linestatus = '$v') AS BIGINT) AS ${lc}_cnt,
+           |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = '$v'
+           |              THEN CAST(FLOOR(l_quantity * 100) AS BIGINT) END), 0) AS BIGINT)
+           |         AS ${lc}_qty_c""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT l_returnflag,
+         |$cols
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }) {
       (s, d) =>
         T(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
-          .pivot("l_linestatus", Seq("F", "O"))
+          .pivot("l_linestatus", PivotStatuses)
           .agg(count(lit(1)).as("cnt"),
             sum(floor(col("l_quantity") * 100)).as("qty_c"))
           // a pivot cell with no rows is NULL; the oracle's conditional
           // aggregation says 0 for counts — normalize both to 0
-          .select(col("l_returnflag"),
-            coalesce(col("F_cnt"), lit(0L)).as("f_cnt"),
-            coalesce(col("F_qty_c"), lit(0L)).cast("long").as("f_qty_c"),
-            coalesce(col("O_cnt"), lit(0L)).as("o_cnt"),
-            coalesce(col("O_qty_c"), lit(0L)).cast("long").as("o_qty_c"))
+          .select(col("l_returnflag") +: PivotStatuses.flatMap { v =>
+            Seq(coalesce(col(s"${v}_cnt"), lit(0L)).as(s"${v.toLowerCase}_cnt"),
+              coalesce(col(s"${v}_qty_c"), lit(0L)).cast("long")
+                .as(s"${v.toLowerCase}_qty_c"))
+          }: _*)
           .orderBy(col("l_returnflag"))
     },
 
@@ -731,27 +746,33 @@ object Queries {
     // Unpivot / melt — the inverse of q48's pivot: wide per-group
     // measures back to long (group, measure, value) rows via
     // Dataset.unpivot. Runs AFTER the aggregation, so the melt touches
-    // k×measures rows, never the fact table. Oracle = UNION ALL.
-    q("q51_unpivot_melt",
-      """WITH wide AS (
-        |  SELECT l_returnflag,
-        |         CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
-        |         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c,
-        |         CAST(SUM(CAST(FLOOR(l_discount * 10000) AS BIGINT)) AS BIGINT) AS disc_c
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag, 'qty_c' AS measure, qty_c AS value_c FROM wide
-        |UNION ALL SELECT l_returnflag, 'price_c', price_c FROM wide
-        |UNION ALL SELECT l_returnflag, 'disc_c', disc_c FROM wide
-        |ORDER BY l_returnflag, measure""".stripMargin) {
-      (s, d) =>
+    // k×measures rows, never the fact table. Oracle = UNION ALL,
+    // GENERATED from the same MeltMeasures list the Spark agg uses.
+    q("q51_unpivot_melt", {
+      val wide = MeltMeasures.map { case (a, src, scale) =>
+        s"         CAST(SUM(CAST(FLOOR($src * $scale) AS BIGINT)) AS BIGINT) AS $a"
+      }.mkString(",\n")
+      val arms = MeltMeasures.map { case (a, _, _) =>
+        s"SELECT l_returnflag, '$a' AS measure, $a AS value_c FROM wide"
+      }.mkString("\nUNION ALL ")
+      s"""WITH wide AS (
+         |  SELECT l_returnflag,
+         |$wide
+         |  FROM lineitem GROUP BY l_returnflag)
+         |$arms
+         |ORDER BY l_returnflag, measure""".stripMargin
+    }) {
+      (s, d) => {
+        val aggs = MeltMeasures.map { case (a, src, scale) =>
+          sum(floor(col(src) * scale)).as(a)
+        }
         T(s, d, "lineitem").groupBy(col("l_returnflag"))
-          .agg(sum(floor(col("l_quantity") * 100)).as("qty_c"),
-            sum(floor(col("l_extendedprice") * 100)).as("price_c"),
-            sum(floor(col("l_discount") * 10000)).as("disc_c"))
+          .agg(aggs.head, aggs.tail: _*)
           .unpivot(Array(col("l_returnflag")),
-            Array(col("qty_c"), col("price_c"), col("disc_c")),
+            MeltMeasures.map { case (a, _, _) => col(a) }.toArray,
             "measure", "value_c")
           .orderBy(col("l_returnflag"), col("measure"))
+      }
     },
 
     // Correlated scalar subquery — Catalyst decorrelates it into an
