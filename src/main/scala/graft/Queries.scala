@@ -238,6 +238,40 @@ object Queries {
        |FROM hs ORDER BY doc_id""".stripMargin
   }
 
+  // q54 transitive-dedup configuration — interpolated into the
+  // generated oracle SQL so the two engines cannot drift.
+  private val TransTauNum = 1
+  private val TransTauDenom = 3
+
+  /** DuckDB oracle for q54: the q27 n-gram Jaccard pair CTEs (at the
+    * q54 threshold) + a WITH RECURSIVE min-label closure — every doc
+    * maps to the smallest id REACHABLE through duplicate pairs, however
+    * long the chain, exactly what the distributed label propagation
+    * converges to. */
+  private def transitiveDedupOracleSql: String =
+    s"""WITH RECURSIVE ${mirrorToksCte.stripPrefix("WITH ")},
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest([array_to_string(t[i:i+2], ' ')
+       |                 FOR i IN generate_series(1, len(t)-2)]) AS g
+       |  FROM toks WHERE len(t) >= 3),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT a, b FROM inter
+       |  JOIN sz x ON inter.a = x.doc_id JOIN sz y ON inter.b = y.doc_id
+       |  WHERE i * $TransTauDenom >= $TransTauNum * (x.n + y.n - i)),
+       |e AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node)
+       |SELECT node AS doc_id, MIN(lbl) AS keep_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** Reference-set bound for x23: documents with doc_id below this are
     * the "benchmark/eval set" the stream is decontaminated against. */
   private val DecontamRefMax = 50L
@@ -985,6 +1019,22 @@ object Queries {
             shingleK = 3, tauNum = 1, tauDenom = 2)
           .orderBy(col("doc_id"))
     },
+
+    // Transitive-closure dedup: connected components over the n-gram
+    // Jaccard duplicate pairs — A~B~C chains collapse to one keeper,
+    // unlike the single-hop policy of q27/q39/q46. The oracle runs the
+    // identical pair CTEs through a WITH RECURSIVE min-label closure;
+    // the Spark side is distributed label propagation to a fixpoint.
+    // maxPostings is uncapped: the oracle pairs every posting
+    // collision, so a capped list would silently desync at a larger SF.
+    q("q54_dedup_transitive", transitiveDedupOracleSql) { (s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 3, tauNum = TransTauNum, tauDenom = TransTauDenom,
+        maxPostings = Int.MaxValue)
+      Dedup.keeperTransitiveFromPairs(docs.select(col("doc_id")), "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }},
 
     // MinHash+LSH dedup, fully oracle-mirrored: with the md5-prefix
     // element hash and plain band keys, every stage — shingling, the

@@ -45,13 +45,56 @@ object Dedup {
     * assigned the min partner seen (single-hop union-find: adequate when
     * duplicate groups are cliques or near-cliques, the common case for
     * near-dup detection; chains longer than one hop keep distinct
-    * keepers — documented divergence from full transitive closure). */
+    * keepers — see [[keeperTransitiveFromPairs]] for the full closure). */
   private[operators] def keeperFromPairs(allIds: DataFrame, idCol: String,
                                          pairs: DataFrame): DataFrame = {
     val minPartner = pairs.select(col("b").as(idCol), col("a").as("_p"))
       .groupBy(col(idCol)).agg(min(col("_p")).as("_keep"))
     allIds.join(minPartner, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("_keep"), col(idCol)).as("keep_id"))
+  }
+
+  /** Full transitive-closure keeper (connected components by min
+    * label): every doc in a duplicate component maps to the component's
+    * smallest id, however long the A~B~C chain. Distributed
+    * label propagation — per round, each node adopts the minimum label
+    * among itself and its neighbors; rounds run until a fixpoint, which
+    * arrives within the duplicate graph's diameter (near-dup chains are
+    * short in practice; `maxIters` bounds the pathological case and the
+    * method fails loudly rather than return a partial closure, which
+    * would silently disagree with a transitive oracle). Each round is
+    * one join + one groupBy-min — all shuffles on the node id; the
+    * `count` action per round materializes the persisted labels, so
+    * lineage never re-runs earlier rounds. */
+  def keeperTransitiveFromPairs(allIds: DataFrame, idCol: String,
+                                pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // symmetric edges: min labels must flow both directions
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = allIds.select(col(idCol).as("_node"), col(idCol).as("_lbl")).persist()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.select(col("_node").as("b"), col("_lbl")), Seq("b"))
+        .select(col("a").as("_node"), col("_lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("_node")).agg(min(col("_lbl")).as("_lbl"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("_node"), col("_lbl").as("_old")), Seq("_node"))
+        .where(col("_lbl") < col("_old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"keeperTransitiveFromPairs: no fixpoint after $maxIters rounds — " +
+        "raise maxIters (duplicate-graph diameter exceeds the bound)")
+    labels.select(col("_node").as(idCol), col("_lbl").as("keep_id"))
   }
 
   /** MinHash + LSH near-dedup over word `k`-shingles.
@@ -190,7 +233,16 @@ object Dedup {
     * integer threshold test — mirrors the DuckDB oracle 1:1. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, tauNum: Int = 1, tauDenom: Int = 2,
-                   maxPostings: Int = 1000): DataFrame = {
+                   maxPostings: Int = 1000): DataFrame =
+    keeperFromPairs(df.select(col(idCol)), idCol,
+      ngramJaccardPairs(df, idCol, textCol, shingleK, tauNum, tauDenom, maxPostings))
+
+  /** The confirmed duplicate pairs (a < b) behind [[ngramJaccard]] —
+    * exposed so alternative keeper policies (e.g.
+    * [[keeperTransitiveFromPairs]]) can run on the same candidates. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, tauNum: Int = 1, tauDenom: Int = 2,
+                        maxPostings: Int = 1000): DataFrame = {
     // The shingle set feeds the posting-list sides AND both size joins —
     // persist so tokenize+shingle runs once, not 4×. (Cached partitions
     // are LRU-evicted and the ContextCleaner unpersists once the RDD is
@@ -213,13 +265,12 @@ object Dedup {
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_inter"))
     val sizes = docs.select(col(idCol), col("_nsh"))
-    val pairs = inter
+    inter
       .join(sizes.select(col(idCol).as("a"), col("_nsh").as("_na")), "a")
       .join(sizes.select(col(idCol).as("b"), col("_nsh").as("_nb")), "b")
       .where(col("_inter") * tauDenom >=
         lit(tauNum) * (col("_na") + col("_nb") - col("_inter")))
       .select(col("a"), col("b"))
-    keeperFromPairs(df.select(col(idCol)), idCol, pairs)
   }
 
   /** Exact all-pairs embedding cosine dedup — the oracle-verifiable

@@ -164,4 +164,24 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(res == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L))
   }
+
+  test("keeperTransitiveFromPairs: chains collapse where single-hop does not") {
+    val ids = (1L to 7L).toDF("id")
+    // chain 1~2~3~4 (no direct 1~3, 1~4, 2~4 edges) + pair 5~6
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val trans = Dedup.keeperTransitiveFromPairs(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(trans == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // the single-hop policy leaves the chain split — the documented
+    // divergence the transitive operator exists to remove
+    val hop = Dedup.keeperFromPairs(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hop(4L) == 3L && trans(4L) == 1L)
+    // empty pair set → identity map, converges in one round
+    val none = Dedup.keeperTransitiveFromPairs(ids, "id",
+        Seq.empty[(Long, Long)].toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none == (1L to 7L).map(i => i -> i).toMap)
+  }
 }
