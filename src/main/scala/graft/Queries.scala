@@ -1015,8 +1015,13 @@ object Queries {
         |SELECT dd.doc_id, COALESCE(kp.keep, dd.doc_id) AS keep_id
         |FROM documents dd LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin) {
       (s, d) =>
+        // maxPostings uncapped: the oracle pairs every posting
+        // collision, so a capped list would silently desync at a larger
+        // SF (same hazard class as q39's maxBucket — production paths
+        // keep the default skew cap; oracle queries must not)
         Dedup.ngramJaccard(T(s, d, "documents"), "doc_id", "text",
-            shingleK = 3, tauNum = 1, tauDenom = 2)
+            shingleK = 3, tauNum = 1, tauDenom = 2,
+            maxPostings = Int.MaxValue)
           .orderBy(col("doc_id"))
     },
 
@@ -1035,6 +1040,16 @@ object Queries {
       Dedup.keeperTransitiveFromPairs(docs.select(col("doc_id")), "doc_id", pairs)
         .orderBy(col("doc_id"))
     }},
+
+    // Streaming exact dedup (dropDuplicatesWithinWatermark) replayed
+    // over the documents table. WHICH row survives a duplicate group is
+    // arrival-order dependent, so the registered result is the
+    // deterministic projection — the surviving text set ≡ DISTINCT.
+    q("x25_stream_dedup",
+      "SELECT DISTINCT text FROM documents ORDER BY text") { (s, d) =>
+      graft.streaming.StreamDedup.replayParquet(s, d, queryName = "x25_dedup")
+        .orderBy(col("text"))
+    },
 
     // MinHash+LSH dedup, fully oracle-mirrored: with the md5-prefix
     // element hash and plain band keys, every stage — shingling, the
