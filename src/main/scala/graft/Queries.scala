@@ -595,6 +595,27 @@ object Queries {
           count(lit(1)).as("cnt"))
     },
 
+    // A6/F7: timeframe stats with human-readable display columns — the
+    // reference's only datetime function (from_unixtime, reference
+    // ihop/utils.py:111-124). Session TZ is UTC on both engines, so the
+    // formatted strings agree byte-for-byte.
+    q("q55_timeframe_display",
+      """SELECT CAST(min(epoch_ms(ts) // 1000) AS BIGINT) AS min_sec,
+        |       CAST(max(epoch_ms(ts) // 1000) AS BIGINT) AS max_sec,
+        |       strftime(to_timestamp(min(epoch_ms(ts) // 1000)),
+        |                '%Y-%m-%d %H:%M:%S') AS min_display,
+        |       strftime(to_timestamp(max(epoch_ms(ts) // 1000)),
+        |                '%Y-%m-%d %H:%M:%S') AS max_display
+        |FROM events""".stripMargin) {
+      (s, d) =>
+        T(s, d, "events")
+          .agg(min(expr("ts DIV 1000000000")).as("min_sec"),
+            max(expr("ts DIV 1000000000")).as("max_sec"))
+          .select(col("min_sec"), col("max_sec"),
+            from_unixtime(col("min_sec")).as("min_display"),
+            from_unixtime(col("max_sec")).as("max_display"))
+    },
+
     // A7/O3: thread-document build (deterministic in-group ordering)
     q("q15_thread_doc",
       """SELECT o_orderkey, min(o_orderpriority) AS o_orderpriority,
