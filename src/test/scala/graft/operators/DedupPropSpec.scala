@@ -82,6 +82,33 @@ class DedupPropSpec extends SparkSpec {
     }
   }
 
+  test("transitive keeper ≡ driver-side union-find over random pair graphs") {
+    for (seed <- Seq(5, 17, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val ids = (1L to n).toDF("id")
+      val rawPairs = Seq.fill(25) {
+        val x = rnd.nextInt(n) + 1L; val y = rnd.nextInt(n) + 1L
+        (math.min(x, y), math.max(x, y))
+      }.filter(p => p._1 != p._2).distinct
+      val got = Dedup.keeperTransitiveFromPairs(ids, "id", rawPairs.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: classic union-find with path compression
+      val parent = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+      }
+      rawPairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1L to n).map(i => i -> find(i)).toMap
+      assert(got == expected, s"seed $seed")
+      // idempotence: the keeper map is its own fixpoint
+      got.foreach { case (id, keep) => assert(got(keep) == keep, s"seed $seed") }
+    }
+  }
+
   test("every exact duplicate is caught by every near-dup method") {
     val df = corpus(31, 50, 6)
     val exactGroups = Dedup.exact(df, "doc_id", "text")
