@@ -157,6 +157,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("null/empty/blank texts survive every dedup method as self-keepers") {
+    val dirty = Seq(
+      (1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
+      (4L, "real text with enough words to shingle cleanly here"),
+      (5L, "real text with enough words to shingle cleanly here"))
+      .toDF("doc_id", "text")
+    for ((name, res) <- Seq(
+      "exact" -> Dedup.exact(dirty, "doc_id", "text"),
+      "minhash" -> Dedup.minhashLsh(dirty, "doc_id", "text"),
+      "minhash-mirror" -> Dedup.minhashLsh(dirty, "doc_id", "text",
+        sqlMirroredHashes = true),
+      "simhash" -> Dedup.simhash(dirty, "doc_id", "text"),
+      "simhash-mirror" -> Dedup.simhash(dirty, "doc_id", "text",
+        sqlMirroredHashes = true),
+      "ngram" -> Dedup.ngramJaccard(dirty, "doc_id", "text"))) {
+      val m = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m.keySet == Set(1L, 2L, 3L, 4L, 5L),
+        s"$name lost rows: ${m.keySet}")
+      assert(m(5L) == 4L, s"$name missed the exact dup pair")
+      // a doc with no tokens must never be merged into a real group by
+      // the all-sentinel/zero-sketch degenerate signature alone — except
+      // with each other, which exact dedup does for identical strings
+      assert(m(1L) == 1L, s"$name merged the null row into ${m(1L)}")
+      assert(m(4L) == 4L, s"$name gave the real doc a degenerate keeper")
+    }
+  }
+
   test("keeperFromPairs: min partner wins, singletons self-map") {
     val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
     val pairs = Seq((1L, 3L), (2L, 3L)).toDF("a", "b")
