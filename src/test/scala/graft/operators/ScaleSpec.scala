@@ -126,6 +126,72 @@ class ScaleSpec extends SparkSpec {
       "decorrelation must produce an aggregate + join plan:\n" + q52)
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    val s2 = spark
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    // big enough that DPP's benefit heuristic fires; useStats=false makes
+    // the decision size-based (fallback ratio), not catalog-stats-based
+    val fact = (1 to 50000).map(i => (i.toLong, "x" * 100, s"k${i % 10}"))
+      .toDF("v", "p", "kind")
+    graft.sources.Writers.partitionedParquetZstd(fact, s"$dir/fact", Seq("kind"))
+    val prev = s2.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    try {
+      s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      // the dim must be a FILE relation: a filter over a local Seq gets
+      // constant-folded into the LocalRelation and DPP then sees no
+      // selective predicate to derive the runtime filter from
+      Seq(("k1", "one"), ("k2", "two"), ("k3", "three")).toDF("kind", "name")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val dim = s2.read.parquet(s"$dir/dim")
+      val joined = s2.read.parquet(s"$dir/fact")
+        .join(dim.where(col("name") === "one"), Seq("kind"))
+      // the partition filter must come from the JOIN at runtime — the scan
+      // carries a dynamicpruning subquery instead of reading all 10 dirs
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("dynamicpruning"),
+        "partitioned fact ⋈ filtered dim must plan dynamic partition pruning:\n" + plan)
+      assert(joined.count() == 5000)
+    } finally prev match {
+      case Some(v) => s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
+      case None => s2.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    }
+  }
+
+  test("AQE splits a skewed sort-merge join partition") {
+    val s2 = spark
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s2.conf.getOption(k)).toMap
+    try {
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import s2.implicits._
+      val payload = "x" * 200
+      // 90% of left rows share key 0 → one reducer partition dwarfs the rest
+      val left = (1 to 20000)
+        .map(i => (if (i % 10 != 0) 0L else i.toLong, payload)).toDF("k", "p")
+      val right = (0L to 20000L).map(k => (k, s"d$k")).toDF("k", "name")
+      val joined = left.join(right.hint("merge"), Seq("k"))
+      // collect() drives THIS dataset's own AdaptiveSparkPlanExec to its
+      // final plan (count() would execute a separate aggregate query and
+      // leave joined's plan un-adapted)
+      assert(joined.collect().length == 20000)
+      // AQE's final executed plan must mark the rewritten join skew=true
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "skewed SMJ must be rewritten by AQE skew-join handling:\n" + finalPlan)
+    } finally prev.foreach {
+      case (k, Some(v)) => s2.conf.set(k, v)
+      case (k, None) => s2.conf.unset(k)
+    }
+  }
+
   test("c2v composite pipeline over reference-shaped comments") {
     val comments = Seq(
       ("c1", "alice", "AskReddit"), ("c2", "alice", "aww"),
