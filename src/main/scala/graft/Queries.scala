@@ -616,6 +616,24 @@ object Queries {
             from_unixtime(col("max_sec")).as("max_display"))
     },
 
+    // Z-order (Morton) clustering key — the multi-dimensional layout
+    // primitive behind Layout.zorderedParquet: pure integer bit
+    // interleave of (user, time), reproduced bit-for-bit in the oracle
+    // (disjoint bits make the SQL sum ≡ the Spark bitwise OR).
+    q("q56_zorder_key",
+      """WITH e AS (SELECT event_id, user_id & 2147483647 AS a,
+        |                  (epoch_ms(ts) // 1000) & 2147483647 AS b FROM events)
+        |SELECT event_id,
+        |       CAST(list_sum([(((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i+1))
+        |                      FOR i IN generate_series(0, 30)]) AS BIGINT) AS zkey
+        |FROM e ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+        T(s, d, "events").select(col("event_id"),
+            graft.operators.Layout.mortonKey(col("user_id"),
+              expr("ts DIV 1000000000")).as("zkey"))
+          .orderBy(col("event_id"))
+    },
+
     // A7/O3: thread-document build (deterministic in-group ordering)
     q("q15_thread_doc",
       """SELECT o_orderkey, min(o_orderpriority) AS o_orderpriority,
