@@ -672,6 +672,40 @@ object Queries {
     },
 
     // SO1: union-distinct of two key sets
+    // Multiset (bag) set operations — exceptAll/intersectAll keep
+    // duplicate cardinalities (a key occurring n times on the left and
+    // m on the right survives max(n−m, 0) / min(n, m) times), unlike
+    // the set-semantics q17/q18/q32. Both engines implement the SQL ALL
+    // variants; the count column makes the multiset visible to the
+    // hash compare.
+    q("q57_except_all",
+      """WITH d AS (
+        |  SELECT user_id FROM events
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders)
+        |SELECT user_id, COUNT(*) AS n FROM d GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        T(s, d, "events").select(col("user_id"))
+          .exceptAll(T(s, d, "orders").select(col("o_custkey")))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("user_id"))
+    },
+
+    q("q58_intersect_all",
+      """WITH d AS (
+        |  SELECT user_id FROM events
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders)
+        |SELECT user_id, COUNT(*) AS n FROM d GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        T(s, d, "events").select(col("user_id"))
+          .intersectAll(T(s, d, "orders").select(col("o_custkey")))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("user_id"))
+    },
+
     q("q17_union_keys",
       """SELECT o_custkey AS ckey FROM orders WHERE o_orderstatus = 'O'
         |UNION
