@@ -95,12 +95,6 @@ object Queries {
   private val MirrorTauNum = 1
   private val MirrorTauDenom = 2
 
-  /** DuckDB oracle for q39: the full MinHash+LSH pipeline in SQL, with
-    * the identical md5-prefix element hash and (a,b) permutation
-    * literals the Spark side bakes in. */
-  /** Common mirror CTEs (toks → shingles → md5 hashes → signature →
-    * band keys over `documents`) shared by the q39 full-pipeline oracle
-    * and the x23 decontamination oracle — one hash family, one SQL. */
   /** Engine-portable tokenizer CTE over `documents` — the SQL mirror of
     * [[graft.functions.TextFns.wordTokens]], shared by every mirrored
     * dedup/fingerprint oracle (one tokenizer definition, one SQL). */
@@ -111,6 +105,10 @@ object Queries {
       |                     x -> x <> '') AS t
       |  FROM documents)""".stripMargin
 
+  /** Common mirror CTEs (toks → shingles → md5 hashes → signature →
+    * band keys over `documents`) shared by the q39 full-pipeline
+    * oracle, the x23 decontamination oracle and the x24 estimator
+    * oracle — one hash family, one SQL. */
   private def mirrorBandCtes: String = {
     val p = graft.functions.HashFns.MersennePrime
     val params = graft.functions.HashFns.hashParams(MirrorBands * MirrorRows, MirrorSeed)
