@@ -117,6 +117,21 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("graft_simhash_hs rejects a non-literal bits argument cleanly") {
+    import graft.functions.NativeFns
+    NativeFns.register(spark)
+    val df = Seq((Array(1L, 2L), 3)).toDF("hs", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function(NativeFns.SimHashHsName, col("hs"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("literal int"))
+    // out-of-range literal also fails analysis, not evaluation
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function(NativeFns.SimHashHsName, col("hs"), lit(65))).collect()
+    }
+    assert(e2.getMessage.contains("bits must be a literal in [1, 64]"))
+  }
+
   test("vector math: dot/norm/cosine on float arrays") {
     val df = Seq((Array(1f, 0f, 2f), Array(2f, 1f, 0f))).toDF("a", "b")
     val (d, na, c) = df.select(

@@ -192,6 +192,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter join pruning injects a might-contain probe") {
+    val s2 = spark
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    // both sides file relations: the filter must survive to runtime-filter
+    // injection (local Seqs constant-fold), and the fact side must be
+    // large enough to clear the application threshold
+    (1 to 60000).map(i => (i.toLong % 5000, "x" * 60)).toDF("k", "p")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (0L until 5000L).map(k => (k, s"d$k", k % 7)).toDF("k", "name", "grp")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s2.conf.getOption(k)).toMap
+    try {
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val joined = s2.read.parquet(s"$dir/fact")
+        .join(s2.read.parquet(s"$dir/dim").where(col("grp") === 3), Seq("k"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        "selective dim filter must inject a runtime bloom filter on the fact scan:\n"
+          + plan)
+      assert(joined.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => s2.conf.set(k, v)
+      case (k, None) => s2.conf.unset(k)
+    }
+  }
+
   test("c2v composite pipeline over reference-shaped comments") {
     val comments = Seq(
       ("c1", "alice", "AskReddit"), ("c2", "alice", "aww"),
