@@ -880,6 +880,27 @@ object Queries {
       }
     },
 
+    // Latest-wins compaction (CDC/upsert reduction): each user's most
+    // recent event becomes their current state. Tie-broken on event_id
+    // so the survivor is total-order deterministic; the plan's partial
+    // WindowGroupLimit shrinks the shuffle to ~one row per key per map
+    // task.
+    q("q59_latest_by_key",
+      """WITH r AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, ts_ms, event_type FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        R.latestByKey(
+            T(s, d, "events").select(col("user_id"), col("event_id"),
+              msEvent.as("ts_ms"), col("event_type")),
+            Seq("user_id"), col("ts_ms"), Seq(col("event_id")))
+          .orderBy(col("user_id"))
+    },
+
     // Correlated scalar subquery — Catalyst decorrelates it into an
     // aggregate + left outer join (RewriteCorrelatedScalarSubquery),
     // including the COUNT-on-empty-group → 0 repair; nothing here runs

@@ -250,6 +250,21 @@ object Relational {
     df.withColumn(rankName, row_number().over(w)).where(col(rankName) <= k)
   }
 
+  /** Latest-wins compaction: keep, per key, the single row with the
+    * greatest (orderCol, tieCols...) — the standard reduction of an
+    * append-only change log (CDC feed, upsert stream) to current
+    * state. One shuffle on the key; the per-partition WindowGroupLimit
+    * keeps only a candidate row per key per map task before the
+    * exchange, so the shuffle carries ~|keys| rows, not the log. The
+    * tie-break columns make the survivor total-order deterministic —
+    * required for replayable compaction jobs. */
+  def latestByKey(df: DataFrame, keyCols: Seq[String],
+                  orderCol: Column, tieCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((orderCol +: tieCols).map(_.desc): _*)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
   // ------------------------------------------------------------- temporal
 
   /** Sessionization: assign session ids per user from event-time gaps
