@@ -34,7 +34,12 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // drop the library's tracked intermediates so one query's caches
+      // don't squeeze the next one's execution memory (shared ML-fit
+      // memoizations in Queries are deliberately NOT tracked)
+      Caches.release()
+      (name, elapsed, ok)
     }
     // a failed query reports null timing and lands in "failed" — its
     // near-zero wall time must not masquerade as a speedup

@@ -190,7 +190,11 @@ object Queries {
     * candidates via pigeonhole bit-chunks, but with no bucket cap that
     * candidate set provably contains every pair at hamming ≤ h, so the
     * two formulations are equal by construction (exactness, not
-    * recall). */
+    * recall). NULL texts null-propagate on both sides: Spark's sketch
+    * is NULL (the doc drops out of bucketing and keeps itself), so the
+    * oracle keeps sim NULL for NULL `t` and excludes NULL sketches
+    * from the self-join — an EMPTY text still sketches to 0 and
+    * participates, on both sides. */
   private def simhashMirrorOracleSql: String =
     s"""$mirrorToksCte,
        |th AS (
@@ -206,12 +210,15 @@ object Queries {
        |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
        |                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sim
        |  FROM bits GROUP BY doc_id),
-       |sk AS (SELECT d.doc_id, COALESCE(sk0.sim, 0) AS sim
-       |       FROM documents d LEFT JOIN sk0 USING (doc_id)),
+       |sk AS (SELECT toks.doc_id,
+       |              CASE WHEN toks.t IS NULL THEN NULL
+       |                   ELSE COALESCE(sk0.sim, 0) END AS sim
+       |       FROM toks LEFT JOIN sk0 USING (doc_id)),
        |ver AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b
        |  FROM sk x JOIN sk y ON x.doc_id < y.doc_id
-       |  WHERE bit_count(xor(x.sim, y.sim)) <= $SimMirrorHamming),
+       |  WHERE x.sim IS NOT NULL AND y.sim IS NOT NULL
+       |    AND bit_count(xor(x.sim, y.sim)) <= $SimMirrorHamming),
        |kp AS (SELECT b AS doc_id, MIN(a) AS keep FROM ver GROUP BY b)
        |SELECT d.doc_id, COALESCE(kp.keep, d.doc_id) AS keep_id
        |FROM documents d LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin
@@ -1496,8 +1503,8 @@ object Queries {
         .orderBy(col("ckey"))
     }},
 
-    // Pure range join (no equi-key): event pairs within 30 minutes of
-    // each other, via the bucketized plan — bin both sides by the
+    // Pure range join (no equi-key): event pairs within 5 minutes
+    // (300000 ms) of each other, via the bucketized plan — bin both sides by the
     // window, replicate the left into adjacent bins (3×), equi-join on
     // the bin. The oracle states the O(n·m) semantic definition; the
     // Spark plan must produce it with one bin-shuffle per side.

@@ -73,6 +73,8 @@ object Dedup {
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
     var labels = allIds.select(col(idCol).as("_node"), col(idCol).as("_lbl")).persist()
+    // (the loop unpersists each round's labels itself; the FINAL labels
+    // stay cached behind the returned plan — registered for release)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -91,6 +93,7 @@ object Dedup {
       iters += 1
     }
     edges.unpersist()
+    graft.Caches.track(labels)
     if (!converged) throw new IllegalStateException(
       s"keeperTransitiveFromPairs: no fixpoint after $maxIters rounds — " +
         "raise maxIters (duplicate-graph diameter exceeds the bound)")
@@ -129,19 +132,19 @@ object Dedup {
     // per row. The exchange turns the shingle set / its hashes into
     // materialized attributes computed exactly once — and spreads
     // single-file scans across the cluster.
-    val docs = df.select(col(idCol), col(textCol))
+    val docs0 = df.select(col(idCol), col(textCol))
       .repartition(col(idCol)) // spread single-file scans before heavy exprs
       .select(col(idCol),
         HashFns.wordShingles(TextFns.wordTokens(col(textCol)), shingleK).as("_sh"))
       .withColumn("_nsh", size(col("_sh")))
-      // consumed by the signature path and both verification sides:
-      // persist so tokenize+shingle runs once, not 3× (LRU-evicted,
-      // ContextCleaner-unpersisted once unreferenced)
-      .persist()
+    // consumed by the signature path and both verification sides:
+    // persist so tokenize+shingle runs once, not 3× (registered in
+    // graft.Caches — callers release after consuming results)
+    val docsP = graft.Caches.persist(docs0)
     val hashCol =
       if (sqlMirroredHashes) HashFns.shingleHashesWith(col("_sh"), HashFns.md5Hash)
       else HashFns.shingleHashes(col("_sh"))
-    val hashed = docs
+    val hashed = docsP
       .select(col(idCol), col("_nsh"), hashCol.as("_hs"))
       .repartition(col(idCol))
     val withSig = hashed
@@ -156,19 +159,19 @@ object Dedup {
     val buckets = withSig
       .select(col(idCol), explode(col("_bands")).as("_bk"))
       .distinct()
-    val smallBuckets = buckets
+    val smallBuckets0 = buckets
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_bk"))))
       .where(col("_bsz") <= maxBucket)
-      .persist() // consumed twice by the candidate self-join
+    val smallBucketsP = graft.Caches.persist(smallBuckets0) // two self-join sides
 
-    val l = smallBuckets.select(col("_bk"), col(idCol).as("a"))
-    val r = smallBuckets.select(col("_bk"), col(idCol).as("b"))
+    val l = smallBucketsP.select(col("_bk"), col(idCol).as("a"))
+    val r = smallBucketsP.select(col("_bk"), col(idCol).as("b"))
     val candidates = l.join(r, Seq("_bk")).where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
 
     // verify: true Jaccard over shingle sets
-    val da = docs.select(col(idCol).as("a"), col("_sh").as("_sha"), col("_nsh").as("_na"))
-    val db = docs.select(col(idCol).as("b"), col("_sh").as("_shb"), col("_nsh").as("_nb"))
+    val da = docsP.select(col(idCol).as("a"), col("_sh").as("_sha"), col("_nsh").as("_na"))
+    val db = docsP.select(col(idCol).as("b"), col("_sh").as("_shb"), col("_nsh").as("_nb"))
     val verified = candidates.join(da, "a").join(db, "b")
       .withColumn("_inter", size(array_intersect(col("_sha"), col("_shb"))))
       .where(col("_inter") * tauDenom >=
@@ -216,11 +219,11 @@ object Dedup {
         posexplode(HashFns.bitChunks(col("_sim"), chunks, bits)).as(Seq("_ci", "_ck")))
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_ci"), col("_ck"))))
       .where(col("_bsz") <= maxBucket)
-      // consumed twice by the candidate self-join: persist so the
-      // tokenize+sketch+window chain runs once (LRU-evicted)
-      .persist()
-    val l = buckets.select(col("_ci"), col("_ck"), col(idCol).as("a"), col("_sim").as("_sa"))
-    val r = buckets.select(col("_ci"), col("_ck"), col(idCol).as("b"), col("_sim").as("_sb"))
+    // consumed twice by the candidate self-join: persist so the
+    // tokenize+sketch+window chain runs once (graft.Caches-registered)
+    val bucketsP = graft.Caches.persist(buckets)
+    val l = bucketsP.select(col("_ci"), col("_ck"), col(idCol).as("a"), col("_sim").as("_sa"))
+    val r = bucketsP.select(col("_ci"), col("_ck"), col(idCol).as("b"), col("_sim").as("_sb"))
     val pairs = l.join(r, Seq("_ci", "_ck")).where(col("a") < col("b"))
       .where(HashFns.hamming64(col("_sa"), col("_sb")) <= maxHamming)
       .select(col("a"), col("b")).distinct()
@@ -244,15 +247,13 @@ object Dedup {
                         shingleK: Int = 3, tauNum: Int = 1, tauDenom: Int = 2,
                         maxPostings: Int = 1000): DataFrame = {
     // The shingle set feeds the posting-list sides AND both size joins —
-    // persist so tokenize+shingle runs once, not 4×. (Cached partitions
-    // are LRU-evicted and the ContextCleaner unpersists once the RDD is
-    // unreferenced, so the cache does not leak across jobs.)
-    val docs = df.select(col(idCol), col(textCol))
+    // persist so tokenize+shingle runs once, not 4× (graft.Caches-
+    // registered; callers release after consuming results).
+    val docs = graft.Caches.persist(df.select(col(idCol), col(textCol))
       .repartition(col(idCol)) // spread single-file scans before shingling
       .select(col(idCol),
         HashFns.wordShingles(TextFns.wordTokens(col(textCol)), shingleK).as("_sh"))
-      .withColumn("_nsh", size(col("_sh")))
-      .persist()
+      .withColumn("_nsh", size(col("_sh"))))
     // (the posting list itself is NOT persisted: its two self-join
     // sides are identical subtrees whose window shuffle AQE serves from
     // one exchange — caching the wide exploded strings costs more than
@@ -288,9 +289,9 @@ object Dedup {
     // CollapseProject inlines the l2-normalize HOF into the per-pair
     // join predicate, re-normalizing both vectors once per PAIR (n²
     // interpreted HOF evals) instead of once per row
-    val normed = df.select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_nv"))
-      .repartition(col(idCol))
-      .persist() // both pair sides read it: normalize once
+    val normed = graft.Caches.persist( // both pair sides: normalize once
+      df.select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_nv"))
+        .repartition(col(idCol)))
     val a = normed.select(col(idCol).as("a"), col("_nv").as("_na"))
     val b = normed.select(col(idCol).as("b"), col("_nv").as("_nb"))
     val pairs = a.join(broadcast(b), col("a") < col("b"))
@@ -311,12 +312,11 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     // L2-normalize ONCE (verification then needs only a dot product, a
     // single interpreted pass instead of cosine's three)
-    val normed = df.select(col(idCol), col(vecCol))
+    // the dim probe, the sketch path, and both verification sides all
+    // read this: persist so l2-normalize runs once, not 5×
+    val normed = graft.Caches.persist(df.select(col(idCol), col(vecCol))
       .repartition(col(idCol))
-      .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_nv"))
-      // the dim probe, the sketch path, and both verification sides all
-      // read this: persist so l2-normalize runs once, not 5×
-      .persist()
+      .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_nv")))
     // sign sketch: bit i = dot(v, plane_i) > 0; the normalized vector is
     // lambda-bound so it is computed once, not once per hyperplane
     def sketchOf(v: org.apache.spark.sql.Column, dim: Int) = {
@@ -347,9 +347,9 @@ object Dedup {
         posexplode(HashFns.bitChunks(col("_sk"), chunks, planes)).as(Seq("_ci", "_ck")))
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_ci"), col("_ck"))))
       .where(col("_bsz") <= maxBucket)
-      .persist() // consumed twice by the candidate self-join
-    val l = buckets.select(col("_ci"), col("_ck"), col(idCol).as("a"))
-    val r = buckets.select(col("_ci"), col("_ck"), col(idCol).as("b"))
+    val bucketsP = graft.Caches.persist(buckets) // two self-join sides
+    val l = bucketsP.select(col("_ci"), col("_ck"), col(idCol).as("a"))
+    val r = bucketsP.select(col("_ci"), col("_ck"), col(idCol).as("b"))
     // distinct on bare id pairs BEFORE re-attaching vectors: the shuffle
     // carries 16 bytes per candidate, not two embedding payloads
     val candidates = l.join(r, Seq("_ci", "_ck")).where(col("a") < col("b"))

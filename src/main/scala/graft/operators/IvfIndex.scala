@@ -61,7 +61,7 @@ final class IvfIndex private (val router: KMeansModel,
     // corpus this is STATIC partition pruning — the scan lists only the
     // probed cell directories (visible as PartitionFilters), no reliance
     // on dynamic-partition-pruning kicking in for the broadcast join.
-    val probed = probes.persist()
+    val probed = graft.Caches.persist(probes)
     val cells = probed.select(col("_cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val pruned = corpus.where(col("_cell").isin(cells: _*))
@@ -96,9 +96,9 @@ object IvfIndex {
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
       .setMaxIter(cellIter).setPredictionCol("_cell")
     val model = km.fit(corpusV)
-    val assigned = model.transform(corpusV)
+    val assigned = graft.Caches.persist(model.transform(corpusV)
       .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_cnv"), col("_cell"))
-      .persist() // assignment runs once; save/search both read it
+    ) // assignment runs once; save/search both read it (Caches-registered)
     new IvfIndex(model, assigned, idCol)
   }
 
