@@ -42,6 +42,36 @@ object HashFns {
             i => array_join(slice(t, i + lit(1), lit(k)), " "))))
     }
 
+  /** Positional word k-shingles: the ORDERED k-gram sequence of a
+    * token array, duplicates kept — unlike [[wordShingles]] (a distinct
+    * SET for Jaccard/minhash), this preserves document positions, which
+    * window-based selection ([[winnow]]) depends on. */
+  def wordShingleSeq(tokens: Column, k: Int): Column =
+    ExprUtils.bind(tokens) { t =>
+      when(size(t) < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - k),
+          i => array_join(slice(t, i + lit(1), lit(k)), " ")))
+    }
+
+  /** MOSS-style winnowing selection over a positional hash sequence:
+    * slide a window of `w` consecutive k-gram hashes and keep each
+    * window's minimum; the distinct selected values are the document's
+    * fingerprint set. Guarantee (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * any shared substring of at least w+k-1 tokens contributes at
+    * least one common fingerprint, while storage is ~2/(w+1) of the
+    * hash count. Fewer than `w` hashes → empty fingerprint (too short
+    * to attest). The hash array is lambda-bound: the producing
+    * expression evaluates once per row, not once per window. */
+  def winnow(hashes: Column, w: Int): Column =
+    ExprUtils.bind(hashes) { h =>
+      // NB sequence(1, n) with n < 1 would DESCEND in Spark — guard it
+      when(size(h) >= w,
+        array_sort(array_distinct(
+          transform(sequence(lit(1), size(h) - (w - 1)),
+            i => array_min(slice(h, i, lit(w)))))))
+        .otherwise(array().cast("array<long>"))
+    }
+
   /** Non-negative element hash of each shingle.
     * NOTE for callers: materialize the result (e.g. behind a
     * repartition) before feeding it to a multi-hash consumer — an

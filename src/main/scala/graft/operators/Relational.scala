@@ -265,6 +265,40 @@ object Relational {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) build: collapse a change
+    * stream into versioned rows per key. A new version opens only when
+    * one of `attrCols` CHANGES (null-safe `<=>` comparison, so
+    * NULL→NULL is "no change" and NULL→x is a change); each version is
+    * stamped `valid_from` (its opening `orderCol` value), `valid_to`
+    * (the next version's `valid_from`, NULL while current) and
+    * `is_current`. Rows that repeat the previous attribute values are
+    * collapsed away — the classic dimension-table history build.
+    *
+    * Scale: both windows partition on the key, so the whole operator is
+    * ONE shuffle; the second window (over the filtered version-start
+    * rows) reuses the first's hash partitioning and only re-sorts.
+    * `tieCol` must make (orderCol, tieCol) unique per key or version
+    * boundaries are nondeterministic. */
+  def scd2(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+           tieCol: Column, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2: need at least one tracked attribute")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol, tieCol)
+    val changed = attrCols.map(a => !(lag(col(a), 1).over(w) <=> col(a)))
+      .reduce(_ || _)
+    val starts = df
+      .withColumn("_vf", orderCol)
+      .withColumn("_tie", tieCol)
+      .withColumn("_open", row_number().over(w) === 1 || changed)
+      .where(col("_open"))
+    val w2 = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_vf"), col("_tie"))
+    starts
+      .withColumn("valid_from", col("_vf"))
+      .withColumn("valid_to", lead(col("_vf"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_vf", "_tie", "_open")
+  }
+
   // ------------------------------------------------------------- temporal
 
   /** Sessionization: assign session ids per user from event-time gaps
