@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share process-global state (graft.Caches, the SparkSession):
+// keep them serial explicitly — CachesSpec's release()/trackedCount
+// assertions would flake under concurrent suites (round-6 advice).
+Test / testForkedParallel := false
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,6 +3,11 @@
 the gate expectation ("N pass / 0 fail") is N = len(oracle_sql.json),
 never a hardcoded number (round-5 advice: hardcoded counts go stale).
 
+The registered count comes from names.json (written by Verify from the
+registry itself); the output-dir count is reported separately because a
+query that FAILS in Verify leaves no parquet dir — a dir-count alone
+would silently undercount after any failure (round-6 advice).
+
 Usage: python3 scripts/count_registry.py /tmp/vout
 """
 import json
@@ -11,7 +16,15 @@ import sys
 
 out = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout")
 oracles = json.loads((out / "oracle_sql.json").read_text())
-registered = sum(1 for p in out.iterdir() if p.is_dir())
+dirs = sum(1 for p in out.iterdir() if p.is_dir())
+names_file = out / "names.json"
+if names_file.exists():
+    registered = len(json.loads(names_file.read_text()))
+    if dirs < registered:
+        print(f"WARNING: only {dirs} of {registered} registered queries "
+              f"produced output — {registered - dirs} crashed in Verify")
+else:  # pre-manifest Verify output: dir count (valid only if all passed)
+    registered = dirs
 print(f"{len(oracles)} oracle-backed of {registered} registered "
       f"({registered - len(oracles)} rows-only)")
 print(f"gate expectation: {len(oracles)} pass / 0 fail")

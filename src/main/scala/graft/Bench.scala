@@ -25,7 +25,11 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    // n>=3 timed iterations per query; the headline number is the MEDIAN so
+    // one GC pause / JIT recompile can't masquerade as a regression, and the
+    // min/max spread is recorded so noise is visible instead of argued about
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
+    def run1(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       // noop sink: full plan executes (no count-only column pruning),
       // nothing is written
@@ -37,19 +41,34 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       // drop the library's tracked intermediates so one query's caches
       // don't squeeze the next one's execution memory (shared ML-fit
-      // memoizations in Queries are deliberately NOT tracked)
+      // memoizations in Queries are deliberately NOT tracked); released
+      // between iterations too, so every iteration measures the same
+      // cold-cache work rather than iteration 1 paying for the rest
       Caches.release()
-      (name, elapsed, ok)
+      if (ok) Some(elapsed) else None
     }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to iters).flatMap(_ => run1(name, fn)).sorted
+      (name, times)
+    }
+    def fmt(d: Double) = "%.4f".format(d)
+    def median(ts: Seq[Double]) = ts(ts.size / 2)
     // a failed query reports null timing and lands in "failed" — its
-    // near-zero wall time must not masquerade as a speedup
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v.toString else "null")
+    // near-zero wall time must not masquerade as a speedup. A query is
+    // "failed" only if EVERY iteration failed; partial failures still
+    // report the median of successful runs but are listed in "flaky".
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.nonEmpty) fmt(median(ts)) else "null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val spread = results.collect { case (k, ts) if ts.nonEmpty =>
+      "\"" + k + "\":[" + fmt(ts.head) + "," + fmt(ts.last) + "]"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val flaky = results.collect { case (k, ts) if ts.nonEmpty && ts.size < iters => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -243,6 +243,89 @@ object Queries {
        |FROM hs ORDER BY doc_id""".stripMargin
   }
 
+  // q60 multimodal-mirror hash family — derived once on the driver and
+  // interpolated into BOTH the Spark call and the oracle SQL.
+  private val MmParams = graft.functions.HashFns.hashParams(8, 7L)
+
+  /** DuckDB oracle for q60: the portable multimodal feature pipeline in
+    * SQL — UTF-8 payload bytes recovered via `hex()` (2 hex chars per
+    * byte), checksum as the modular byte fold `(acc*31 + byte) mod p`
+    * (list_reduce with a prepended zero accumulator, as in q47), and
+    * the pseudo-embedding as the `(a·checksum+b) mod p` family joined
+    * to a comma string. NULL text NULL-propagates (hex(NULL) → NULL
+    * falls through every CASE); EMPTY text checksums to 0 and still
+    * gets an embedding — both exactly what
+    * [[graft.multimodal.Multimodal.PortableStubDecoder]] computes. */
+  private def multimodalMirrorOracleSql: String = {
+    val p = graft.functions.HashFns.MersennePrime
+    val embExprs = MmParams
+      .map { case (a, b) => s"CAST(($a*checksum + $b) % $p AS VARCHAR)" }
+      .mkString(",\n         ")
+    s"""WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+       |f AS (
+       |  SELECT doc_id, CAST(len(hx)//2 AS BIGINT) AS n_bytes,
+       |         CAST(CASE WHEN len(hx) = 0 THEN 0 ELSE
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             [CAST(('0x' || substr(hx, 2*i-1, 2)) AS BIGINT)
+       |              FOR i IN generate_series(1, len(hx)//2)]),
+       |             (acc, x) -> (acc*31 + x) % $p) END AS BIGINT) AS checksum
+       |  FROM hx)
+       |SELECT doc_id AS media_id, 'text/plain' AS kind, n_bytes, checksum,
+       |       CASE WHEN checksum IS NULL THEN NULL
+       |            ELSE array_to_string([
+       |         $embExprs], ',') END AS embedding
+       |FROM f ORDER BY media_id""".stripMargin
+  }
+
+  // q61 analogy-mirror question set — sections of (a,b) pairs over
+  // `embeddings.vec_id`; all cross-pair 4-tuples become questions on
+  // BOTH sides (Embeddings.analogiesFromPairs ≡ the SQL VALUES list).
+  private val AnalogyMirrorPairs: Seq[(String, Seq[(Long, Long)])] = Seq(
+    "m1" -> Seq((0L, 1L), (2L, 3L), (4L, 5L)),
+    "m2" -> Seq((6L, 7L), (8L, 9L), (10L, 11L)))
+
+  /** DuckDB oracle for q61: 3CosAdd per-question argmax in SQL. Exact
+    * double parity with [[graft.embed.Embeddings.predictAnalogies]] by
+    * construction: float→double casts before any arithmetic, norms and
+    * dots as LEFT sequential folds (`list_reduce` with a prepended 0.0
+    * accumulator — the same order as the Scala loops), sqrt is
+    * IEEE-correctly-rounded in both engines, and ties break toward the
+    * smallest candidate id (the Scala strict-`>` scan over vec_id-sorted
+    * words ≡ `ORDER BY score DESC, cand ASC`). */
+  private def analogyMirrorOracleSql: String = {
+    val values = (for {
+      (sec, ps) <- AnalogyMirrorPairs
+      (a, b) <- ps; (c, d) <- ps if (a, b) != (c, d)
+    } yield s"('$sec',$a,$b,$c,$d)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id AS id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |           FROM embeddings),
+       |n AS (SELECT id, [x / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                    [y*y FOR y IN v]), (a,b) -> a+b)) FOR x IN v] AS u
+       |      FROM e),
+       |q(section, qa, qb, qc, qd) AS (VALUES $values),
+       |t AS (SELECT q.section, q.qa, q.qb, q.qc, q.qd,
+       |        [nb.u[i] + nc.u[i] - na.u[i]
+       |         FOR i IN generate_series(1, len(na.u))] AS raw
+       |      FROM q JOIN n na ON na.id = q.qa
+       |             JOIN n nb ON nb.id = q.qb
+       |             JOIN n nc ON nc.id = q.qc),
+       |tt AS (SELECT section, qa, qb, qc, qd,
+       |         [x / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |            [y*y FOR y IN raw]), (a,b) -> a+b)) FOR x IN raw] AS tgt
+       |       FROM t),
+       |sc AS (SELECT tt.section, tt.qa, tt.qb, tt.qc, tt.qd, n.id AS cand,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           [n.u[i] * tgt[i] FOR i IN generate_series(1, len(tgt))]),
+       |           (a,b) -> a+b) AS score
+       |       FROM tt JOIN n ON n.id <> tt.qa AND n.id <> tt.qb AND n.id <> tt.qc),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY section, qa, qb, qc, qd
+       |                                      ORDER BY score DESC, cand ASC) AS rn
+       |         FROM sc)
+       |SELECT section, qa, qb, qc, qd, cand AS pred,
+       |       CAST(CASE WHEN cand = qd THEN 1 ELSE 0 END AS BIGINT) AS hit
+       |FROM best WHERE rn = 1 ORDER BY section, qa, qb, qc, qd""".stripMargin
+  }
+
   // q54 transitive-dedup configuration — interpolated into the
   // generated oracle SQL so the two engines cannot drift.
   private val TransTauNum = 1
@@ -1283,6 +1366,58 @@ object Queries {
         .orderBy(col("query_id"), col("rank"))
     }},
 
+    // The persisted-index ANN serving shape (build→save→load→search):
+    // unlike x05 (transient router re-fit per call), this exercises
+    // graft.operators.IvfIndex — `partitionBy(_cell)` corpus on disk,
+    // static partition pruning at search (IvfIndexSpec asserts the
+    // PartitionFilters plan shape and result-equivalence with ivfTopK).
+    rowsOnly("x26_knn_ivf_index") { (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${math.abs(d.hashCode)}"
+      val built = graft.operators.IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      built.save(dir)
+      val loaded = graft.operators.IvfIndex.load(s, dir, "vec_id")
+      val qs = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      loaded.search(qs, "query_id", "embedding", k = 5, nprobe = 3)
+        .drop("cosine") // float-derived; rank is the deterministic contract
+        .orderBy(col("query_id"), col("rank"))
+    }},
+
+    // True t-SNE (Barnes–Hut, cosine metric, PCA init — the reference's
+    // sklearn TSNE call, visualizations.py:80-115) over the embeddings
+    // fixture; driver-sized by contract like the reference (X16's
+    // distributed default remains PCA, x11). Deterministic: no RNG in
+    // the path, so rows are stable run-to-run.
+    rowsOnly("x28_tsne_project") { (s, d) => {
+      graft.export.Tsne.project(T(s, d, "embeddings"), "vec_id", "embedding",
+          graft.export.Tsne.Config(maxIter = 500))
+        .select(col("vec_id"),
+          round(col("tsne_1"), 4).as("tsne_1"),
+          round(col("tsne_2"), 4).as("tsne_2"))
+        .orderBy(col("vec_id"))
+    }},
+
+    // Skew stress probe: documents + 500 synthetic docs sharing a hot
+    // 12-token prefix (a deliberate stop-shingle), deduped with the
+    // posting cap engaged. Times the capped path under adversarial
+    // skew every bench round; ScaleSpec asserts the bounding semantics
+    // (capped ≡ cold-evidence pairs only, uncapped goes quadratic).
+    rowsOnly("x27_skew_stress") { (s, d) => {
+      val hotPrefix = "the quick brown fox jumps over the lazy dog again and again"
+      val synth = s.range(500).select(
+        (col("id") + 1000000L).as("doc_id"),
+        concat(lit(hotPrefix + " unique tail token"), col("id").cast("string"))
+          .as("text"))
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(synth)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        maxPostings = 200)
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("a") >= 1000000L, 1)).as("n_hot_pairs"))
+    }},
+
     rowsOnly("x13_fingerprint") { (s, d) =>
       T(s, d, "documents")
         .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
@@ -1751,6 +1886,79 @@ object Queries {
             x => format_number(x.cast("double"), 6)), ","))
         .orderBy(col("media_id"))
     }},
+
+    // Oracle-backed mirror of x16: the SAME mapPartitions pipeline
+    // (per-partition decoder init, streamed rows) with the portable
+    // modular decoder, so the whole multimodal feature path — byte
+    // fold, metadata, pseudo-embedding — is hash-checked against
+    // DuckDB rather than rows-only (the q39/q46/q47 mirror pattern).
+    q("q60_multimodal_mirror", multimodalMirrorOracleSql) { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal
+        .fromText(T(s, d, "documents"), "doc_id", "text")
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.extractFeaturesPortable(media, MmParams)
+        .toDF().orderBy(col("media_id"))
+    },
+
+    // SCD2 dimension-history build (Relational.scd2): collapse each
+    // order's lineitem change stream on l_linestatus into versioned
+    // rows with valid_from/valid_to/is_current. One shuffle on the key
+    // (both windows share the partitioning).
+    q("q62_scd2",
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms,
+        |         l_linestatus
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT *, CASE WHEN row_number() OVER w = 1
+        |                   OR lag(l_linestatus) OVER w IS DISTINCT FROM l_linestatus
+        |            THEN 1 ELSE 0 END AS _o
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY l_orderkey ORDER BY ship_ms, l_linenumber)),
+        |v AS (SELECT l_orderkey, l_linenumber, ship_ms, l_linestatus
+        |      FROM m WHERE _o = 1)
+        |SELECT l_orderkey, l_linenumber, ship_ms, l_linestatus,
+        |       ship_ms AS valid_from,
+        |       lead(ship_ms) OVER w2 AS valid_to,
+        |       lead(ship_ms) OVER w2 IS NULL AS is_current
+        |FROM v
+        |WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY ship_ms, l_linenumber)
+        |ORDER BY l_orderkey, ship_ms, l_linenumber""".stripMargin) { (s, d) =>
+      val changes = T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          msTs(col("l_shipdate")).as("ship_ms"), col("l_linestatus"))
+      R.scd2(changes, keyCols = Seq("l_orderkey"), orderCol = col("ship_ms"),
+          tieCol = col("l_linenumber"), attrCols = Seq("l_linestatus"))
+        .orderBy(col("l_orderkey"), col("ship_ms"), col("l_linenumber"))
+    },
+
+    // Oracle-backed mirror of x18: the SAME driver-side 3CosAdd argmax
+    // (Embeddings.predictAnalogies) over the `embeddings` fixture
+    // vectors instead of the W2V fit (which DuckDB cannot retrain), so
+    // the analogy math — normalize, b-a+c target, excluded-candidate
+    // argmax, tie-break — is hash-checked per question. The collect is
+    // vocab-bounded by design (X3 is a driver-side evaluation; see
+    // Embeddings.evaluateAnalogies scaladoc).
+    q("q61_analogy_mirror", analogyMirrorOracleSql) { (s, d) =>
+      import s.implicits._
+      val vecs = T(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getLong(0).toString -> r.getSeq[Float](1).toArray).toSeq
+      val analogies = AnalogyMirrorPairs.flatMap { case (sec, ps) =>
+        graft.embed.Embeddings.analogiesFromPairs(
+          ps.map { case (a, b) => (a.toString, b.toString) }, sec)
+      }
+      graft.embed.Embeddings
+        .predictAnalogies(vecs, analogies, restrictVocab = vecs.size)
+        .map { p =>
+          (p.q.section, p.q.a.toLong, p.q.b.toLong, p.q.c.toLong, p.q.d.toLong,
+            p.predicted.map(_.toLong).getOrElse(-1L),
+            if (p.predicted.contains(p.q.d)) 1L else 0L)
+        }
+        .toDF("section", "qa", "qb", "qc", "qd", "pred", "hit")
+        .orderBy(col("section"), col("qa"), col("qb"), col("qc"), col("qd"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -42,6 +42,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // registry manifest: the authoritative registered-query list, so
+    // tooling never has to infer it from output dirs (a failed query
+    // leaves no dir and would silently undercount)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/names.json"), names)
     spark.stop()
   }
 }

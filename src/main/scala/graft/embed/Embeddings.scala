@@ -69,6 +69,54 @@ object Embeddings {
   final case class AnalogyResult(overall: Double, solvable: Long,
                                  sections: Seq[SectionScore])
 
+  /** One scored question: `solvable` = all four terms in the
+    * (restricted) vocab; `predicted` = the 3CosAdd argmax word, None
+    * when unsolvable or every candidate was excluded. */
+  final case class AnalogyPrediction(q: Analogy, solvable: Boolean,
+                                     predicted: Option[String])
+
+  /** Per-question 3CosAdd argmax — the math of [[evaluateAnalogies]]
+    * exposed one question at a time, so an oracle-backed mirror query
+    * can hash-check WHICH candidate wins, not just the accuracy count.
+    * Ties break toward the earliest word in `vecs` order (strict `>`
+    * scan), which a SQL mirror reproduces with
+    * `ORDER BY score DESC, word ASC`. */
+  def predictAnalogies(vecs: Seq[(String, Array[Float])],
+                       analogies: Seq[Analogy],
+                       restrictVocab: Int = 10000,
+                       caseInsensitive: Boolean = false): Seq[AnalogyPrediction] = {
+    val restricted = vecs.take(restrictVocab)
+    def key(w: String) = if (caseInsensitive) w.toLowerCase else w
+    val index = restricted.map { case (w, v) => key(w) -> v }.toMap
+    val words = restricted.map(_._1).toArray
+    val unit = restricted.map { case (_, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v.map(_.toDouble) else v.map(_ / n)
+    }.toArray
+
+    analogies.map { q =>
+      (index.get(key(q.a)), index.get(key(q.b)), index.get(key(q.c)),
+        index.get(key(q.d))) match {
+        case (Some(va), Some(vb), Some(vc), Some(_)) =>
+          val target = norm1(sub(add(norm(vb), norm(vc)), norm(va)))
+          val exclude = Set(key(q.a), key(q.b), key(q.c))
+          var best = -1; var bestScore = Double.MinValue
+          var i = 0
+          while (i < words.length) {
+            if (!exclude.contains(key(words(i)))) {
+              val s = dot(unit(i), target)
+              if (s > bestScore) { bestScore = s; best = i }
+            }
+            i += 1
+          }
+          AnalogyPrediction(q, solvable = true,
+            if (best >= 0) Some(words(best)) else None)
+        case _ => // unsolvable: some term OOV — skipped (gensim semantics)
+          AnalogyPrediction(q, solvable = false, None)
+      }
+    }
+  }
+
   /** X3: 3CosAdd analogy accuracy, gensim semantics
     * (reference `ihop/community2vec.py:307-328`): restrict to the
     * `restrictVocab` most-frequent words, skip questions with any OOV
@@ -86,39 +134,14 @@ object Embeddings {
                         analogies: Seq[Analogy],
                         restrictVocab: Int = 10000,
                         caseInsensitive: Boolean = false): AnalogyResult = {
-    val restricted = vecs.take(restrictVocab)
     def key(w: String) = if (caseInsensitive) w.toLowerCase else w
-    val index = restricted.map { case (w, v) => key(w) -> v }.toMap
-    val words = restricted.map(_._1).toArray
-    val unit = restricted.map { case (_, v) =>
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      if (n == 0) v.map(_.toDouble) else v.map(_ / n)
-    }.toArray
-
-    val bySection = analogies.groupBy(_.section)
-    val sections = bySection.toSeq.sortBy(_._1).map { case (sec, qs) =>
-      var correct = 0L; var total = 0L
-      qs.foreach { q =>
-        (index.get(key(q.a)), index.get(key(q.b)), index.get(key(q.c)),
-          index.get(key(q.d))) match {
-          case (Some(va), Some(vb), Some(vc), Some(_)) =>
-            total += 1
-            val target = norm1(sub(add(norm(vb), norm(vc)), norm(va)))
-            val exclude = Set(key(q.a), key(q.b), key(q.c))
-            var best = -1; var bestScore = Double.MinValue
-            var i = 0
-            while (i < words.length) {
-              if (!exclude.contains(key(words(i)))) {
-                val s = dot(unit(i), target)
-                if (s > bestScore) { bestScore = s; best = i }
-              }
-              i += 1
-            }
-            if (best >= 0 && key(words(best)) == key(q.d)) correct += 1
-          case _ => // unsolvable: some term OOV — skipped (gensim semantics)
-        }
-      }
-      SectionScore(sec, correct, total)
+    val preds = predictAnalogies(vecs, analogies, restrictVocab, caseInsensitive)
+    val sections = preds.groupBy(_.q.section).toSeq.sortBy(_._1).map {
+      case (sec, ps) =>
+        val solvable = ps.filter(_.solvable)
+        val correct = solvable.count(p =>
+          p.predicted.exists(w => key(w) == key(p.q.d)))
+        SectionScore(sec, correct.toLong, solvable.size.toLong)
     }
     val correct = sections.map(_.correct).sum
     val total = sections.map(_.total).sum
@@ -166,24 +189,93 @@ object Embeddings {
 
   // ----------------------------------------------------------- grid search
 
-  final case class GridResult(params: Map[String, String], accuracy: Double,
+  final case class GridResult(modelId: String, params: Map[String, String],
+                              accuracy: Double, detail: String,
                               model: Word2VecModel)
+
+  /** Grid axes over every knob Spark ML Word2Vec exposes. The
+    * reference's 4-D grid also sweeps gensim's `negative`/`sample`
+    * (`params.yaml:68-74`), which have no Spark ML W2V equivalent —
+    * a documented SURVEY.md §7.4.1 divergence, not silently remapped. */
+  final case class Grid(alphas: Seq[Double] = Seq(0.025),
+                        vectorSizes: Seq[Int] = Seq(150),
+                        windowSizes: Seq[Int] = Seq(1000),
+                        minCounts: Seq[Int] = Seq(0),
+                        epochsList: Seq[Int] = Seq(5),
+                        numPartitionsList: Seq[Int] = Seq(1)) {
+    def size: Int = alphas.size * vectorSizes.size * windowSizes.size *
+      minCounts.size * epochsList.size * numPartitionsList.size
+  }
+
+  /** Reference model-id format (`ihop/community2vec.py:557-568`): param
+    * keys sorted alphabetically, snake_case camelCased, each rendered
+    * `key` + `value`, all joined with `_` —
+    * e.g. `alpha0.05_minCount0_vectorSize100_window5`. */
+  def modelId(params: Map[String, String]): String =
+    params.toSeq.sortBy(_._1).map { case (k, v) =>
+      val parts = k.split("_")
+      (parts.head +: parts.tail.map(_.capitalize)).mkString + v
+    }.mkString("_")
+
+  /** Reference per-section detail format (`ihop/community2vec.py:85-97`):
+    * `section:correct/total`, comma-joined. */
+  def sectionsToStr(sections: Seq[SectionScore]): String =
+    sections.map(s => s"${s.section}:${s.correct}/${s.total}").mkString(",")
 
   /** X5: cartesian grid-search trainer — train each configuration,
     * score on analogies, keep the best (ties → later config, matching
     * the reference's `acc >= best_acc` update rule,
-    * `ihop/community2vec.py:476-505`). Pure driver orchestration. */
+    * `ihop/community2vec.py:476-505`). Pure driver orchestration; pass
+    * `metricsDir` to persist the reference's per-model accuracy CSV. */
+  def gridSearch(spark: SparkSession, df: DataFrame,
+                 base: Config, grid: Grid, analogies: Seq[Analogy],
+                 metricsDir: Option[String] = None): (GridResult, Seq[GridResult]) = {
+    val results = for {
+      a <- grid.alphas; vs <- grid.vectorSizes; w <- grid.windowSizes
+      mc <- grid.minCounts; ep <- grid.epochsList; np <- grid.numPartitionsList
+    } yield {
+      val cfg = base.copy(alpha = a, vectorSize = vs, windowSize = w,
+        minCount = mc, epochs = ep, numPartitions = np)
+      val m = train(df, cfg)
+      val vecs = collectVectors(m)
+      val res = evaluateAnalogies(vecs, analogies, restrictVocab = vecs.size)
+      // gensim param names where the concept maps (window ≡ windowSize,
+      // workers ≡ numPartitions, epochs ≡ maxIter) → reference-shaped ids
+      val params = Map("alpha" -> a.toString, "vector_size" -> vs.toString,
+        "window" -> w.toString, "min_count" -> mc.toString,
+        "epochs" -> ep.toString, "workers" -> np.toString)
+      GridResult(modelId(params), params, res.overall,
+        sectionsToStr(res.sections), m)
+    }
+    metricsDir.foreach(dir => writePerformanceCsv(spark, results, dir))
+    (results.reduceLeft((b, r) => if (r.accuracy >= b.accuracy) r else b), results)
+  }
+
+  /** Back-compat 2-axis sweep (alpha × vectorSize). */
   def gridSearch(spark: SparkSession, df: DataFrame,
                  base: Config,
                  alphas: Seq[Double], vectorSizes: Seq[Int],
-                 analogies: Seq[Analogy]): (GridResult, Seq[GridResult]) = {
-    val results = for (a <- alphas; vs <- vectorSizes) yield {
-      val cfg = base.copy(alpha = a, vectorSize = vs)
-      val m = train(df, cfg)
-      val vecs = collectVectors(m)
-      val acc = evaluateAnalogies(vecs, analogies, restrictVocab = vecs.size).overall
-      GridResult(Map("alpha" -> a.toString, "vectorSize" -> vs.toString), acc, m)
-    }
-    (results.reduceLeft((b, r) => if (r.accuracy >= b.accuracy) r else b), results)
+                 analogies: Seq[Analogy]): (GridResult, Seq[GridResult]) =
+    gridSearch(spark, df, base,
+      Grid(alphas, vectorSizes, Seq(base.windowSize), Seq(base.minCount),
+        Seq(base.epochs), Seq(base.numPartitions)), analogies)
+
+  /** The reference's `analogy_accuracy_results.csv` artifact — one row
+    * per trained model: id, accuracy, per-section detail, then the
+    * param columns (`ihop/community2vec.py:582-589`) — written through
+    * the S7 single-file CSV sink. */
+  def writePerformanceCsv(spark: SparkSession, results: Seq[GridResult],
+                          dir: String): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val paramKeys = results.headOption.map(_.params.keys.toSeq.sorted).getOrElse(Nil)
+    val schema = StructType(
+      (Seq("model_id", "analogy_acc", "detailed_analogy") ++ paramKeys)
+        .map(StructField(_, StringType)))
+    val rows = results.map(r => Row.fromSeq(
+      Seq(r.modelId, r.accuracy.toString, r.detail) ++ paramKeys.map(r.params)))
+    import scala.jdk.CollectionConverters._
+    graft.sources.Writers.singleCsv(
+      spark.createDataFrame(rows.asJava, schema), dir)
   }
 }

@@ -64,11 +64,17 @@ object HashFns {
     * expression evaluates once per row, not once per window. */
   def winnow(hashes: Column, w: Int): Column =
     ExprUtils.bind(hashes) { h =>
+      // NULL hash array NULL-propagates (same convention as the
+      // shingle fns) — only a real-but-short document yields the EMPTY
+      // fingerprint; without the explicit first branch a NULL `size`
+      // would fall through `when` into `.otherwise(empty)` and
+      // conflate the two.
       // NB sequence(1, n) with n < 1 would DESCEND in Spark — guard it
-      when(size(h) >= w,
-        array_sort(array_distinct(
-          transform(sequence(lit(1), size(h) - (w - 1)),
-            i => array_min(slice(h, i, lit(w)))))))
+      when(h.isNull, lit(null).cast("array<long>"))
+        .when(size(h) >= w,
+          array_sort(array_distinct(
+            transform(sequence(lit(1), size(h) - (w - 1)),
+              i => array_min(slice(h, i, lit(w)))))))
         .otherwise(array().cast("array<long>"))
     }
 

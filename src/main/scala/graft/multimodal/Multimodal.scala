@@ -54,6 +54,50 @@ object Multimodal {
     }
   }
 
+  /** Engine-portable features (nullable: a NULL payload NULL-propagates
+    * instead of crashing the decoder — same convention as the q46
+    * simhash mirror). */
+  final case class PortableMediaFeatures(media_id: Long, kind: String,
+                                         n_bytes: Option[Long],
+                                         checksum: Option[Long],
+                                         embedding: Option[String])
+
+  /** Engine-portable twin of [[StubDecoder]]: identical per-partition
+    * init + streamed-rows execution shape, but every derived value is
+    * modular integer math in the 2^31-1 Mersenne domain
+    * ([[graft.functions.HashFns.MersennePrime]]) instead of wrapping
+    * 64-bit folds — so a DuckDB oracle reproduces checksum AND
+    * pseudo-embedding bit-for-bit (see the multimodal mirror query in
+    * [[graft.Queries]]). The pseudo-embedding is the checksum pushed
+    * through a splitmix64-derived universal-hash family `(a·h+b) mod p`,
+    * emitted as a comma-joined string (hashable by the driver). */
+  final class PortableStubDecoder(params: Seq[(Long, Long)]) {
+    private val p = graft.functions.HashFns.MersennePrime
+    def features(row: MediaRow): PortableMediaFeatures =
+      if (row.payload == null)
+        PortableMediaFeatures(row.media_id, row.kind, None, None, None)
+      else {
+        var h = 0L
+        row.payload.foreach(b => h = (h * 31 + (b & 0xff)) % p)
+        val emb = params.map { case (a, b) => (a * h + b) % p }
+        PortableMediaFeatures(row.media_id, row.kind,
+          Some(row.payload.length.toLong), Some(h), Some(emb.mkString(",")))
+      }
+  }
+
+  /** [[extractFeatures]] with the portable decoder — the oracle-backed
+    * mirror of the stub pipeline. `params` must be derived on the
+    * driver ([[graft.functions.HashFns.hashParams]]) so the SQL oracle
+    * can interpolate the same family. */
+  def extractFeaturesPortable(ds: Dataset[MediaRow],
+                              params: Seq[(Long, Long)]): Dataset[PortableMediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val decoder = new PortableStubDecoder(params) // per-partition init
+      it.map(decoder.features)
+    }
+  }
+
   /** Wrap a text table as a media table (payload = UTF-8 bytes) — lets
     * the pipeline be exercised end-to-end without binary fixtures. */
   def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =

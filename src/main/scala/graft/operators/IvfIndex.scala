@@ -33,7 +33,15 @@ import org.apache.spark.sql.functions._
   */
 final class IvfIndex private (val router: KMeansModel,
                               val corpus: DataFrame,
-                              val idCol: String) {
+                              val idCol: String,
+                              owned: Option[DataFrame] = None) {
+
+  /** Release the cell-assignment cache a `build` persisted (no-op for
+    * a loaded index). Long-lived index state gets its OWN lifecycle so
+    * a request loop calling [[graft.Caches.release]] per query cannot
+    * silently drop an index it intends to keep serving — see the
+    * `track` parameter on [[IvfIndex.build]]. */
+  def close(): Unit = owned.foreach(_.unpersist(blocking = false))
 
   /** Centroid table as plain arrays (tiny — nlist rows). */
   private def centroids: DataFrame = {
@@ -87,19 +95,28 @@ object IvfIndex {
 
   /** Fit the cell router and assign the corpus.
     * @param cellIter small on purpose: cells are a routing partition,
-    *   not an analysis clustering — recall comes from nprobe. */
+    *   not an analysis clustering — recall comes from nprobe.
+    * @param track `true` (default) registers the assignment cache in
+    *   [[graft.Caches]] — right for per-query index builds whose caller
+    *   releases after consuming (`Bench`/`Verify` loops). Pass `false`
+    *   for a LONG-LIVED index that must survive global
+    *   `Caches.release()` calls; the owner then frees it with
+    *   [[IvfIndex.close]]. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-            nlist: Int = 16, seed: Long = 11L, cellIter: Int = 8): IvfIndex = {
+            nlist: Int = 16, seed: Long = 11L, cellIter: Int = 8,
+            track: Boolean = true): IvfIndex = {
     import org.apache.spark.ml.functions.array_to_vector
     val corpusV = corpus.select(col(idCol), col(vecCol))
       .withColumn("_features", array_to_vector(VectorFns.toDoubles(col(vecCol))))
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
       .setMaxIter(cellIter).setPredictionCol("_cell")
     val model = km.fit(corpusV)
-    val assigned = graft.Caches.persist(model.transform(corpusV)
+    val assigned0 = model.transform(corpusV)
       .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_cnv"), col("_cell"))
-    ) // assignment runs once; save/search both read it (Caches-registered)
-    new IvfIndex(model, assigned, idCol)
+    // assignment runs once; save/search both read it
+    val assigned = if (track) graft.Caches.persist(assigned0)
+                   else assigned0.persist()
+    new IvfIndex(model, assigned, idCol, owned = Some(assigned))
   }
 
   /** Load a saved index; the corpus scan stays lazy (and cell-pruned

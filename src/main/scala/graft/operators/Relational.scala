@@ -282,6 +282,12 @@ object Relational {
   def scd2(df: DataFrame, keyCols: Seq[String], orderCol: Column,
            tieCol: Column, attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "scd2: need at least one tracked attribute")
+    // reserved output/scratch names — refuse inputs that would be
+    // silently overwritten rather than guessing a rename
+    val reserved = Seq("_vf", "_tie", "_open", "valid_from", "valid_to", "is_current")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty, s"scd2: input columns ${clash.mkString(", ")} " +
+      s"collide with reserved output names (${reserved.mkString(", ")})")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol, tieCol)
     val changed = attrCols.map(a => !(lag(col(a), 1).over(w) <=> col(a)))
       .reduce(_ || _)

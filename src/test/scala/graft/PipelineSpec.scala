@@ -287,6 +287,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: portable decoder — exact modular math + NULL propagation") {
+    import spark.implicits._
+    val p = graft.functions.HashFns.MersennePrime
+    val params = graft.functions.HashFns.hashParams(4, 7L)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "text/plain", "ab".getBytes("UTF-8"), 0, 0),
+      Multimodal.MediaRow(2L, "text/plain", Array.empty[Byte], 0, 0),
+      Multimodal.MediaRow(3L, "text/plain", null, 0, 0))
+    val out = Multimodal.extractFeaturesPortable(spark.createDataset(rows), params)
+      .collect().sortBy(_.media_id)
+    // "ab" = bytes 97, 98 → ((0*31+97)*31+98) mod p = 3105
+    val expect = ((97L * 31) + 98) % p
+    assert(out(0).checksum.contains(expect))
+    assert(out(0).n_bytes.contains(2L))
+    assert(out(0).embedding.contains(
+      params.map { case (a, b) => (a * expect + b) % p }.mkString(",")))
+    // empty payload: checksum 0, embedding still derived
+    assert(out(1).checksum.contains(0L) && out(1).n_bytes.contains(0L))
+    assert(out(1).embedding.contains(
+      params.map { case (_, b) => b % p }.mkString(",")))
+    // NULL payload NULL-propagates (q46 convention), never crashes
+    assert(out(2).checksum.isEmpty && out(2).n_bytes.isEmpty && out(2).embedding.isEmpty)
+  }
+
   test("every registered query answers with rows on sf0.001") {
     val d = sf("sf0.001")
     Queries.all.foreach { case (name, q) =>

@@ -75,6 +75,48 @@ class GapSpec extends SparkSpec {
     intercept[IllegalArgumentException](Timeparse.toSeconds("abc"))
   }
 
+  test("X5 grid: reference model-id format, full axes, metrics CSV round-trip") {
+    import graft.embed.Embeddings
+    // id format: sorted keys, snake_case camelCased, key+value, '_'-joined
+    // (ihop/community2vec.py:557-568)
+    assert(Embeddings.modelId(Map(
+      "vector_size" -> "100", "alpha" -> "0.05", "min_count" -> "0"))
+      == "alpha0.05_minCount0_vectorSize100")
+    assert(Embeddings.sectionsToStr(Seq(
+      Embeddings.SectionScore("ops", 1, 4), Embeddings.SectionScore("zz", 0, 2)))
+      == "ops:1/4,zz:0/2")
+
+    val rnd = new scala.util.Random(5)
+    val ctx = (1 to 60).map { _ =>
+      if (rnd.nextBoolean()) Seq("a1", "b1", "c1") else Seq("a2", "b2", "c2")
+    }.toDF("context_words")
+    val analogies = Embeddings.analogiesFromPairs(
+      Seq(("a1", "b1"), ("a2", "b2")), "pairs")
+    val grid = Embeddings.Grid(alphas = Seq(0.025, 0.05),
+      vectorSizes = Seq(4), windowSizes = Seq(3), minCounts = Seq(0),
+      epochsList = Seq(1), numPartitionsList = Seq(1, 2))
+    assert(grid.size == 4)
+    val dir = java.nio.file.Files.createTempDirectory("gridcsv").toString
+    val (best, all) = Embeddings.gridSearch(spark, ctx,
+      Embeddings.Config(epochs = 1, windowSize = 3), grid, analogies,
+      metricsDir = Some(s"$dir/metrics"))
+    assert(all.size == 4)
+    assert(all.map(_.modelId).distinct.size == 4)
+    assert(all.forall(_.modelId.matches(
+      "alpha[\\d.]+_epochs1_minCount0_vectorSize4_window3_workers[12]")))
+    assert(best.accuracy == all.map(_.accuracy).max)
+    // the CSV artifact round-trips with one row per model and the
+    // reference's column layout (id, acc, detail, then param columns)
+    val csv = spark.read.option("header", "true").csv(s"$dir/metrics")
+    assert(csv.count() == 4)
+    assert(csv.columns.toSeq == Seq("model_id", "analogy_acc",
+      "detailed_analogy", "alpha", "epochs", "min_count", "vector_size",
+      "window", "workers"))
+    val accs = csv.select("model_id", "analogy_acc").collect()
+      .map(r => r.getString(0) -> r.getString(1).toDouble).toMap
+    all.foreach(r => assert(accs(r.modelId) == r.accuracy))
+  }
+
   test("S8 KMeans/W2V model persistence round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("models").toString
     val pts = Seq((1L, Array(0f, 0f)), (2L, Array(10f, 10f))).toDF("vec_id", "embedding")

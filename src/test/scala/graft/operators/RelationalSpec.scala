@@ -174,6 +174,46 @@ class RelationalSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("scd2 collapses repeats, opens on change (incl. NULL transitions)") {
+    // key 1 stream: A, A (collapse), NULL (open: A→NULL), NULL (collapse:
+    // NULL<=>NULL no change), B (open: NULL→B)
+    val df = Seq(
+      (1L, 10L, 1L, Option("A")), (1L, 20L, 2L, Option("A")),
+      (1L, 30L, 3L, Option.empty[String]), (1L, 40L, 4L, Option.empty[String]),
+      (1L, 50L, 5L, Option("B")),
+      (2L, 5L, 1L, Option("X")))
+      .toDF("k", "ts", "seq", "attr")
+    val got = Relational.scd2(df, Seq("k"), col("ts"), col("seq"), Seq("attr"))
+      .select("k", "ts", "attr", "valid_from", "valid_to", "is_current")
+      .orderBy("k", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      (1L, 10L, Some("A"), 10L, Some(30L), false),
+      (1L, 30L, None, 30L, Some(50L), false),
+      (1L, 50L, Some("B"), 50L, None, true),
+      (2L, 5L, Some("X"), 5L, None, true)))
+  }
+
+  test("scd2 tie order + reserved-column guard") {
+    // same ts: seq decides which row opens the version (tie column)
+    val tied = Seq((1L, 10L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 10L, 3L, "B"))
+      .toDF("k", "ts", "seq", "attr")
+    val got = Relational.scd2(tied, Seq("k"), col("ts"), col("seq"), Seq("attr"))
+      .select("seq", "attr", "is_current").orderBy("seq")
+      .as[(Long, String, Boolean)].collect().toSeq
+    // seq 1 opens A, seq 2 opens B, seq 3 collapses into it
+    assert(got == Seq((1L, "A", false), (2L, "B", true)))
+    // input columns clashing with reserved output names must be refused
+    val clash = Seq((1L, 10L, 1L, "A", true)).toDF("k", "ts", "seq", "attr", "is_current")
+    val e = intercept[IllegalArgumentException] {
+      Relational.scd2(clash, Seq("k"), col("ts"), col("seq"), Seq("attr"))
+    }
+    assert(e.getMessage.contains("is_current"))
+  }
+
   test("as-of join picks the latest right row at-or-before left ts") {
     val left = Seq((1L, 100L, "L1"), (1L, 50L, "L2"), (2L, 10L, "L3"))
       .toDF("k", "lts", "lid")

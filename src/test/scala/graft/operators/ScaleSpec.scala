@@ -226,6 +226,56 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("posting/bucket caps bound quadratic buckets under an injected hot shingle") {
+    // 600 synthetic docs share a hot 12-token prefix: every prefix
+    // shingle (and each prefix/tail straddle) lands in a 600-doc
+    // posting list. Uncapped, those buckets alone yield C(600,2) ≈
+    // 179k verified pairs (prefix Jaccard ≈ 0.75 > τ). The cap drops
+    // exactly those buckets, so the candidate set stays linear in the
+    // docs — this is the knob that keeps a stop-shingle at 100 TB from
+    // creating a quadratic bucket.
+    val hot = "the quick brown fox jumps over the lazy dog again and again"
+    val synth = (0 until 600)
+      .map(i => (i.toLong, s"$hot unique tail token$i"))
+    // plant one REAL duplicate pair whose evidence is entirely COLD
+    // shingles (2 postings each) — it must survive the cap. NB the
+    // posting cap bounds the measured INTERSECTION too (a pair whose
+    // overlap is mostly hot shingles cannot verify) — that is the
+    // operator's documented semantics, mirrored 1:1 by the q27 oracle.
+    val planted = "planted duplicate alpha beta gamma delta epsilon zeta"
+    val docs = (synth ++ Seq((8000L, planted), (9000L, planted)))
+      .toDF("doc_id", "text")
+
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      maxPostings = Int.MaxValue).count()
+    assert(uncapped >= 600L * 599 / 2,
+      s"uncapped hot shingle must go quadratic (got $uncapped)")
+
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      maxPostings = 100)
+    val cappedPairs = capped.as[(Long, Long)].collect().toSet
+    assert(cappedPairs == Set((8000L, 9000L)),
+      s"cap must keep only cold-evidence pairs, got ${cappedPairs.size}")
+
+    // same bounding behavior on the LSH band-bucket path: uncapped, the
+    // shared-prefix signatures agree on bands for huge crowds; capped,
+    // buckets above maxBucket are dropped and the pair count collapses
+    val lshUncapped = Dedup.minhashLsh(docs, "doc_id", "text",
+        tauNum = 1, tauDenom = 2, maxBucket = Int.MaxValue)
+      .where(col("keep_id") =!= col("doc_id")).count()
+    val lshCapped = Dedup.minhashLsh(docs, "doc_id", "text",
+        tauNum = 1, tauDenom = 2, maxBucket = 100)
+    val lshCappedDups = lshCapped.where(col("keep_id") =!= col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(lshUncapped >= 599,
+      s"uncapped LSH must find the whole hot crowd (got $lshUncapped)")
+    assert(lshCappedDups.size <= 10,
+      s"maxBucket must drop the hot band buckets (got ${lshCappedDups.size})")
+    assert(lshCappedDups.contains((9000L, 8000L)),
+      "the cold-bucket planted pair must survive the band cap")
+    graft.Caches.release()
+  }
+
   test("c2v composite pipeline over reference-shaped comments") {
     val comments = Seq(
       ("c1", "alice", "AskReddit"), ("c2", "alice", "aww"),
