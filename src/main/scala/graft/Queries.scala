@@ -1384,6 +1384,23 @@ object Queries {
         .orderBy(col("query_id"), col("rank"))
     }},
 
+    // Affinity propagation (the reference factory's last cell,
+    // clustering.py:353-447) over the embeddings fixture — driver-side
+    // over the vocab-sized matrix exactly like sklearn's, deterministic
+    // (splitmix tie-break jitter, no RNG).
+    rowsOnly("x29_affinity_prop") { (s, d) => {
+      import s.implicits._
+      val pts = T(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      val res = graft.cluster.AffinityPropagation.fitPredictPoints(
+        pts.map(_._2), graft.cluster.AffinityPropagation.Config(maxIter = 300))
+      res.labels.zipWithIndex.groupBy(_._1).toSeq
+        .map { case (c, ms) => (c, ms.length.toLong, pts(res.exemplars(c))._1) }
+        .sortBy(_._1)
+        .toDF("cluster", "size", "exemplar_vec_id")
+    }},
+
     // True t-SNE (Barnes–Hut, cosine metric, PCA init — the reference's
     // sklearn TSNE call, visualizations.py:80-115) over the embeddings
     // fixture; driver-sized by contract like the reference (X16's
@@ -1806,6 +1823,54 @@ object Queries {
       topics.map(_._1).zip(scores).toSeq.toDF("topic", "umass")
         .select(col("topic"), round(col("umass"), 6).as("umass"))
     }},
+
+    // Oracle-backed mirror of x17's distributed layer: u_mass coherence
+    // is a driver-side log-sum over DOCUMENT-FREQUENCY and CO-DOCUMENT
+    // counts — those counts are exact integer relational algebra, so
+    // this query computes them for the corpus's top-8 tokens (df-desc,
+    // lexicographic ties) and hash-checks them against DuckDB. The
+    // log-sum itself is closed-form unit-tested (GapSpec X10); the
+    // production x17 path keeps the 64-bit-mask single-scan plan.
+    q("q63_coherence_counts",
+      s"""$mirrorToksCte,
+         |dt AS (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks),
+         |dfq AS (SELECT w, COUNT(*) AS df FROM dt GROUP BY w),
+         |top AS (SELECT w, df, row_number() OVER (ORDER BY df DESC, w ASC) AS rk
+         |        FROM dfq ORDER BY df DESC, w ASC LIMIT 8),
+         |codoc AS (SELECT a.w AS wi, b.w AS wj, COUNT(*) AS co
+         |          FROM dt a JOIN dt b ON a.doc_id = b.doc_id
+         |          JOIN top ta ON ta.w = a.w JOIN top tb ON tb.w = b.w
+         |          WHERE ta.rk > tb.rk GROUP BY a.w, b.w)
+         |SELECT t1.rk AS ri, t2.rk AS rj, t1.w AS wi, t2.w AS wj,
+         |       CAST(COALESCE(codoc.co, 0) AS BIGINT) AS co,
+         |       CAST(t2.df AS BIGINT) AS df_j
+         |FROM top t1 JOIN top t2 ON t1.rk > t2.rk
+         |LEFT JOIN codoc ON codoc.wi = t1.w AND codoc.wj = t2.w
+         |ORDER BY ri, rj""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = T(s, d, "documents")
+        .select(col("doc_id"),
+          array_distinct(TextFns.wordTokens(col("text"))).as("t"))
+      val dt = toks.select(col("doc_id"), explode(col("t")).as("w"))
+      val dfq = dt.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // 8 rows — the single-partition window is dimension-bounded
+      val top = dfq.orderBy(col("df").desc, col("w").asc).limit(8)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("df").desc, col("w").asc)))
+      val dtop = dt.join(broadcast(top.select(col("w"), col("rk"))), "w")
+      val coCounts = dtop.select(col("doc_id"), col("w").as("wi"), col("rk").as("ri"))
+        .join(dtop.select(col("doc_id"), col("w").as("wj"), col("rk").as("rj")),
+          Seq("doc_id"))
+        .where(col("ri") > col("rj"))
+        .groupBy(col("wi"), col("wj")).agg(count(lit(1)).as("_co"))
+      val t1 = top.select(col("w").as("wi"), col("rk").as("ri"))
+      val t2 = top.select(col("w").as("wj"), col("rk").as("rj"), col("df").as("df_j"))
+      t1.crossJoin(t2).where(col("ri") > col("rj")) // 28 ordered pairs
+        .join(coCounts, Seq("wi", "wj"), "left")
+        .select(col("ri"), col("rj"), col("wi"), col("wj"),
+          coalesce(col("_co"), lit(0L)).as("co"), col("df_j"))
+        .orderBy(col("ri"), col("rj"))
+    },
 
     // X3/X5: analogy evaluation over the shared word2vec fit
     rowsOnly("x18_analogy_eval") { (s, d) => {

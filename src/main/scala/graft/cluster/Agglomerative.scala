@@ -82,9 +82,11 @@ object Agglomerative {
     labels
   }
 
-  /** Reference-factory parity: affinity propagation is not implemented. */
-  def affinityPropagation(): Nothing =
-    throw new UnsupportedOperationException(
-      "AffinityPropagation is not supported (unused by the reference pipeline; " +
-        "SURVEY.md §7.4.2). Use KMeans or average-linkage agglomerative.")
+  /** Reference-factory parity: cosine affinity propagation
+    * (`ihop/clustering.py:353-447`) — delegates to
+    * [[AffinityPropagation.fitPredictPoints]]. */
+  def affinityPropagation(points: Array[Array[Double]],
+                          cfg: AffinityPropagation.Config = AffinityPropagation.Config())
+      : AffinityPropagation.Result =
+    AffinityPropagation.fitPredictPoints(points, cfg)
 }

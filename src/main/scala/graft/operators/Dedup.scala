@@ -68,36 +68,56 @@ object Dedup {
     * lineage never re-runs earlier rounds. */
   def keeperTransitiveFromPairs(allIds: DataFrame, idCol: String,
                                 pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = allIds.sparkSession
     // symmetric edges: min labels must flow both directions
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
-    var labels = allIds.select(col(idCol).as("_node"), col(idCol).as("_lbl")).persist()
-    // (the loop unpersists each round's labels itself; the FINAL labels
-    // stay cached behind the returned plan — registered for release)
+    var labels = allIds.select(col(idCol).as("_node"), col(idCol).as("_lbl"))
+    // Per round the labels are materialized to a persisted RDD and the
+    // frame is REBUILT over it (LogicalRDD scan). This truncates the
+    // Catalyst lineage — without it round k's plan contains TWO copies
+    // of round k-1's (union + join both reference `labels`), i.e. 2^k
+    // nodes, and every AQE stage update stringifies that plan: the
+    // fixpoint loop ends up CPU-bound on explainString, not on data.
+    // The RDD handle also gives the round an explicit unpersist, so
+    // memory discipline is unchanged.
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
       val viaNeighbor = edges
         .join(labels.select(col("_node").as("b"), col("_lbl")), Seq("b"))
         .select(col("a").as("_node"), col("_lbl"))
-      val next = labels.union(viaNeighbor)
+      val next0 = labels.union(viaNeighbor)
         .groupBy(col("_node")).agg(min(col("_lbl")).as("_lbl"))
-        .persist()
+      val nextRdd = next0.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = spark.createDataFrame(nextRdd, next0.schema)
       val changed = next
         .join(labels.select(col("_node"), col("_lbl").as("_old")), Seq("_node"))
         .where(col("_lbl") < col("_old")).count()
-      labels.unpersist()
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = nextRdd
       labels = next
       converged = changed == 0
       iters += 1
     }
     edges.unpersist()
-    graft.Caches.track(labels)
-    if (!converged) throw new IllegalStateException(
-      s"keeperTransitiveFromPairs: no fixpoint after $maxIters rounds — " +
-        "raise maxIters (duplicate-graph diameter exceeds the bound)")
-    labels.select(col("_node").as(idCol), col("_lbl").as("keep_id"))
+    if (!converged) {
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"keeperTransitiveFromPairs: no fixpoint after $maxIters rounds — " +
+          "raise maxIters (duplicate-graph diameter exceeds the bound)")
+    }
+    // hand the FINAL labels to the tracked-cache registry (Dataset-level
+    // persist, released by Caches.release) and free the loop's last RDD
+    // once the tracked copy is materialized
+    val out = graft.Caches.persist(
+      labels.select(col("_node").as(idCol), col("_lbl").as("keep_id")))
+    out.count()
+    if (prevRdd != null) prevRdd.unpersist(blocking = false)
+    out
   }
 
   /** MinHash + LSH near-dedup over word `k`-shingles.

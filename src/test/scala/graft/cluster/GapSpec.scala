@@ -21,7 +21,11 @@ class GapSpec extends SparkSpec {
     // k = n → singletons; k = 1 → one cluster
     assert(Agglomerative.fitPredict(pts, 5).toSet.size == 5)
     assert(Agglomerative.fitPredict(pts, 1).toSet.size == 1)
-    intercept[UnsupportedOperationException](Agglomerative.affinityPropagation())
+    // factory's affinity-prop cell delegates to the real implementation
+    val ap = Agglomerative.affinityPropagation(pts,
+      AffinityPropagation.Config(preference = Some(-0.5)))
+    assert(ap.labels(0) == ap.labels(1) && ap.labels(1) == ap.labels(2))
+    assert(ap.labels(0) != ap.labels(3) && ap.labels(3) == ap.labels(4))
   }
 
   test("X10 u_mass coherence: hand-computed counts") {
