@@ -1631,6 +1631,16 @@ object Queries {
         .orderBy(col("event_id"))
     },
 
+    // The oversized-dimension streaming as-of: dimension stays a
+    // distributed frame, each micro-batch runs the batch union-merge
+    // as-of in foreachBatch — no driver-side dimension collect (the
+    // x21 broadcast index is dimension-bounded; this path is not).
+    // FOURTH implementation of the as-of contract on the same oracle.
+    q("x30_stream_asof_dist", asOfOracleSql) { (s, d) =>
+      graft.streaming.StreamAsOf.replayParquetDistributed(s, d)
+        .orderBy(col("event_id"))
+    },
+
     // Full outer join with both-side survivors: rich customers with no
     // open orders (left-only), open-order groups whose customer missed
     // the balance cut (right-only), and the matched middle — null-safe
@@ -1980,7 +1990,8 @@ object Queries {
         |                   OR lag(l_linestatus) OVER w IS DISTINCT FROM l_linestatus
         |            THEN 1 ELSE 0 END AS _o
         |  FROM base
-        |  WINDOW w AS (PARTITION BY l_orderkey ORDER BY ship_ms, l_linenumber)),
+        |  WINDOW w AS (PARTITION BY l_orderkey
+        |               ORDER BY ship_ms, l_linenumber, l_linestatus)),
         |v AS (SELECT l_orderkey, l_linenumber, ship_ms, l_linestatus
         |      FROM m WHERE _o = 1)
         |SELECT l_orderkey, l_linenumber, ship_ms, l_linestatus,
@@ -1988,14 +1999,20 @@ object Queries {
         |       lead(ship_ms) OVER w2 AS valid_to,
         |       lead(ship_ms) OVER w2 IS NULL AS is_current
         |FROM v
-        |WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY ship_ms, l_linenumber)
-        |ORDER BY l_orderkey, ship_ms, l_linenumber""".stripMargin) { (s, d) =>
+        |WINDOW w2 AS (PARTITION BY l_orderkey
+        |              ORDER BY ship_ms, l_linenumber, l_linestatus)
+        |ORDER BY l_orderkey, ship_ms, l_linenumber, l_linestatus""".stripMargin) { (s, d) =>
       val changes = T(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           msTs(col("l_shipdate")).as("ship_ms"), col("l_linestatus"))
+      // the testdata has duplicate (orderkey, ship_ms, linenumber) rows
+      // with DIFFERING status — the status must join the tie-break or the
+      // change-stream order (hence the kept set) is partition-order luck
       R.scd2(changes, keyCols = Seq("l_orderkey"), orderCol = col("ship_ms"),
-          tieCol = col("l_linenumber"), attrCols = Seq("l_linestatus"))
-        .orderBy(col("l_orderkey"), col("ship_ms"), col("l_linenumber"))
+          tieCol = struct(col("l_linenumber"), col("l_linestatus")),
+          attrCols = Seq("l_linestatus"))
+        .orderBy(col("l_orderkey"), col("ship_ms"), col("l_linenumber"),
+          col("l_linestatus"))
     },
 
     // Oracle-backed mirror of x18: the SAME driver-side 3CosAdd argmax

@@ -50,11 +50,19 @@ object AffinityPropagation {
                        cfg: Config = Config()): Result =
     fitPredict(negCosineDistances(points), cfg)
 
+  /** Driver-size ceiling: three n×n double matrices ≈ 24·n² bytes
+    * (20k → ~10 GB). Affinity propagation is a vocab-scale algorithm
+    * (sklearn's is equally in-memory); fail loudly instead of OOMing. */
+  val MaxPoints: Int = 20000
+
   /** Cluster a precomputed similarity matrix (higher = more similar). */
   def fitPredict(similarity: Array[Array[Double]],
                  cfg: Config = Config()): Result = {
     val n = similarity.length
     require(n >= 2, s"affinity propagation: need at least 2 points, got $n")
+    require(n <= MaxPoints,
+      s"affinity propagation: $n points exceeds the driver-sized ceiling " +
+        s"$MaxPoints (three n×n matrices); cluster aggregates, not rows")
     require(similarity.forall(_.length == n), "similarity matrix must be square")
 
     // preference (self-similarity): sklearn default = median of S

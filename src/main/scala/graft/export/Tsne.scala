@@ -44,10 +44,21 @@ object Tsne {
     * fit, return `(key, tsne_1, tsne_2)` — the reference's
     * `generate_tsne_dataframe` schema. Rows are collected in key order
     * so the fit is reproducible regardless of upstream partitioning. */
+  /** Driver-size ceiling: t-SNE is O(n²) in the k-NN stage and holds
+    * n·k affinities in heap — beyond this, project per-key AFTER
+    * aggregation (the reference's own regime) or use the distributed
+    * [[Projection.pca2d]]. Fail loudly instead of OOMing the driver. */
+  val MaxPoints: Int = 50000
+
   def project(df: DataFrame, keyCol: String, vecCol: String,
               cfg: Config = Config()): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val n = df.count()
+    require(n <= MaxPoints,
+      s"Tsne.project: $n rows exceeds the driver-sized ceiling $MaxPoints — " +
+        "t-SNE is a vocab-scale visualization (aggregate first), not a " +
+        "row-per-document operator; use Projection.pca2d for distributed 2-D")
     val rows = df.select(col(keyCol).cast("string"),
         graft.functions.VectorFns.toDoubles(col(vecCol)))
       .orderBy(col(keyCol)).collect()

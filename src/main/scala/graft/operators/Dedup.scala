@@ -83,6 +83,14 @@ object Dedup {
     // The RDD handle also gives the round an explicit unpersist, so
     // memory discipline is unchanged.
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    // Fixpoint detection WITHOUT a per-round join: per-node labels are
+    // non-increasing (each round takes a min), so the total label sum is
+    // strictly monotone until convergence — an unchanged sum IS the
+    // fixpoint. One scan-aggregate per round (it also materializes the
+    // round's RDD), versus the join+count the loop used to pay. The sum
+    // is exact decimal(38,0): n ids of up to 2^63 would overflow a LONG
+    // sum at cluster scale.
+    var prevSum: String = null // decimal rendered to string; null = no round yet
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -94,13 +102,14 @@ object Dedup {
       val nextRdd = next0.rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val next = spark.createDataFrame(nextRdd, next0.schema)
-      val changed = next
-        .join(labels.select(col("_node"), col("_lbl").as("_old")), Seq("_node"))
-        .where(col("_lbl") < col("_old")).count()
+      val curSum = String.valueOf(next
+        .agg(sum(col("_lbl").cast("decimal(38,0)")).as("_s"))
+        .head.getDecimal(0))
       if (prevRdd != null) prevRdd.unpersist(blocking = false)
       prevRdd = nextRdd
       labels = next
-      converged = changed == 0
+      converged = prevSum != null && prevSum == curSum
+      prevSum = curSum
       iters += 1
     }
     edges.unpersist()

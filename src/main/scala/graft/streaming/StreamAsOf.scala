@@ -79,4 +79,46 @@ object StreamAsOf {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** The OVERSIZED-dimension variant: the dimension stays a distributed
+    * DataFrame and each micro-batch runs the batch union-merge as-of
+    * ([[graft.operators.Relational.asOfLatest]]) against it inside
+    * `foreachBatch` — one key-shuffle per batch, the dimension is never
+    * collected to the driver (the [[replayParquet]] broadcast index is
+    * bounded by the dimension; this path is bounded by nothing but the
+    * cluster). Same as-of semantics, same oracle. */
+  def replayParquetDistributed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+
+    val dim = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS ord_ms", "o_orderkey")
+
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .selectExpr("event_id", "user_id", "ts DIV 1000000 AS t")
+
+    // per-batch results land in a driver buffer — bounded by the
+    // replay's OUTPUT exactly like the memory sink the other replays use
+    val acc = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Enriched]())
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val joined = graft.operators.Relational.asOfLatest(
+            batch, dim, "user_id", "o_custkey",
+            col("t"), col("ord_ms"), "event_id", "o_orderkey")
+          .select(col("event_id"), col("o_orderkey"), col("ord_ms"))
+          .as[Enriched].collect()
+        acc.addAll(java.util.Arrays.asList(joined: _*))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    acc.asScala.toSeq.toDF()
+  }
 }
