@@ -331,12 +331,12 @@ object Queries {
   private val TransTauNum = 1
   private val TransTauDenom = 3
 
-  /** DuckDB oracle for q54: the q27 n-gram Jaccard pair CTEs (at the
-    * q54 threshold) + a WITH RECURSIVE min-label closure — every doc
-    * maps to the smallest id REACHABLE through duplicate pairs, however
-    * long the chain, exactly what the distributed label propagation
-    * converges to. */
-  private def transitiveDedupOracleSql: String =
+  /** The q54/q66 shared CTE prefix: the q27 n-gram Jaccard pair CTEs
+    * (at the q54 threshold) + a WITH RECURSIVE min-label closure —
+    * every doc maps to the smallest id REACHABLE through duplicate
+    * pairs, however long the chain, exactly what the distributed label
+    * propagation converges to. */
+  private def transitiveDedupCtes: String =
     s"""WITH RECURSIVE ${mirrorToksCte.stripPrefix("WITH ")},
        |sh AS (
        |  SELECT DISTINCT doc_id,
@@ -356,9 +356,119 @@ object Queries {
        |reach(node, lbl) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node)
+       |  SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node)""".stripMargin
+
+  /** DuckDB oracle for q54 (see [[transitiveDedupCtes]]). */
+  private def transitiveDedupOracleSql: String =
+    s"""$transitiveDedupCtes
        |SELECT node AS doc_id, MIN(lbl) AS keep_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for q66: the same transitive clusters, but the
+    * representative each cluster KEEPS is its best-quality member
+    * (most word tokens, ties to the smallest id) — the policy real
+    * curation pipelines use instead of min-id. */
+  private def canonicalDedupOracleSql: String =
+    s"""$transitiveDedupCtes,
+       |lbl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+       |        FROM reach GROUP BY node),
+       |j AS (SELECT l.doc_id, l.cluster_id, CAST(len(t.t) AS BIGINT) AS n_tokens
+       |      FROM lbl l JOIN toks t USING (doc_id)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |                 ORDER BY n_tokens DESC, doc_id) AS rn FROM j),
+       |can AS (SELECT cluster_id, doc_id AS canonical_id FROM r WHERE rn = 1)
+       |SELECT j.doc_id, j.cluster_id, j.n_tokens, can.canonical_id,
+       |       j.doc_id = can.canonical_id AS is_canonical
+       |FROM j JOIN can USING (cluster_id) ORDER BY j.doc_id""".stripMargin
+
+  /** DuckDB oracle for q64: Gopher-style repetition signals, all
+    * row-local list math mirroring the Spark array expressions. */
+  private def repetitionOracleSql: String =
+    s"""$mirrorToksCte,
+       |m AS (
+       |  SELECT doc_id, t,
+       |         [array_to_string(t[i:i+1], ' ')
+       |          FOR i IN generate_series(1, len(t)-1)] AS bg,
+       |         [array_to_string(t[i:i+2], ' ')
+       |          FOR i IN generate_series(1, len(t)-2)] AS tg
+       |  FROM toks),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+       |    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+       |         AS BIGINT) AS chars_tokens,
+       |    CAST(COALESCE(list_sum(list_transform(list_distinct(t),
+       |                                          x -> length(x))), 0)
+       |         AS BIGINT) AS chars_distinct_tokens,
+       |    CAST(len(bg) AS BIGINT) AS n_bigrams,
+       |    CAST(CASE WHEN len(bg) = 0 THEN 0
+       |              ELSE list_max(list_transform(list_distinct(bg),
+       |                     x -> len(list_filter(bg, y -> y = x)))) END
+       |         AS BIGINT) AS top_bigram_cnt,
+       |    CAST(len(tg) AS BIGINT) AS n_trigrams,
+       |    CAST(CASE WHEN len(tg) = 0 THEN 0
+       |              ELSE list_max(list_transform(list_distinct(tg),
+       |                     x -> len(list_filter(tg, y -> y = x)))) END
+       |         AS BIGINT) AS top_trigram_cnt
+       |  FROM m)
+       |SELECT *, (n_tokens > 0 AND n_distinct_tokens * 2 <= n_tokens)
+       |          OR (n_bigrams > 0 AND top_bigram_cnt * 5 >= n_bigrams)
+       |          AS is_repetitive
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  // q65 masking patterns — the COMMON Java-regex/RE2 dialect (no
+  // lookahead, no backrefs) so both engines compile them identically
+  private val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val LongNumPat = "[0-9]{9,}"
+  private val BlockPat = """\b(customer|merge|stream)\b"""
+
+  /** DuckDB oracle for q65: the same three-stage mask chain (email →
+    * long-number → blocklist), each stage counting then replacing. */
+  private def blocklistMaskOracleSql: String =
+    s"""WITH s1 AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT)
+       |           AS n_email,
+       |         regexp_replace(text, '$EmailPat', '[EMAIL]', 'g') AS t1
+       |  FROM documents),
+       |s2 AS (
+       |  SELECT doc_id, n_email,
+       |         CAST(len(regexp_extract_all(t1, '$LongNumPat')) AS BIGINT)
+       |           AS n_longnum,
+       |         regexp_replace(t1, '$LongNumPat', '[NUM]', 'g') AS t2
+       |  FROM s1)
+       |SELECT doc_id, n_email, n_longnum,
+       |       CAST(len(regexp_extract_all(t2, '$BlockPat')) AS BIGINT)
+       |         AS n_blocked,
+       |       regexp_replace(t2, '$BlockPat', '[TERM]', 'g') AS text_masked
+       |FROM s2 ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for q67: exact distinct-3-gram overlap of each train
+    * doc against the union of the eval set's 3-grams (the GPT-3-style
+    * n-gram decontamination check, batch form; doc_id < $DecontamRefMax
+    * is the eval set, as in x23). */
+  private def contaminationOracleSql: String =
+    s"""$mirrorToksCte,
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest([array_to_string(t[i:i+2], ' ')
+       |                 FOR i IN generate_series(1, len(t)-2)]) AS g
+       |  FROM toks WHERE len(t) >= 3),
+       |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < $DecontamRefMax),
+       |tr AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh
+       |       WHERE doc_id >= $DecontamRefMax GROUP BY doc_id),
+       |hit AS (SELECT s.doc_id, COUNT(*) AS n_overlap
+       |        FROM sh s JOIN ev USING (g)
+       |        WHERE s.doc_id >= $DecontamRefMax GROUP BY s.doc_id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(tr.n_grams, 0) AS BIGINT) AS n_grams,
+       |       CAST(COALESCE(hit.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |       (COALESCE(tr.n_grams, 0) > 0
+       |        AND COALESCE(hit.n_overlap, 0) * 5 >= COALESCE(tr.n_grams, 0))
+       |         AS contaminated
+       |FROM documents d LEFT JOIN tr USING (doc_id) LEFT JOIN hit USING (doc_id)
+       |WHERE d.doc_id >= $DecontamRefMax ORDER BY d.doc_id""".stripMargin
 
   /** Reference-set bound for x23: documents with doc_id below this are
     * the "benchmark/eval set" the stream is decontaminated against. */
@@ -2041,6 +2151,103 @@ object Queries {
         .toDF("section", "qa", "qb", "qc", "qd", "pred", "hit")
         .orderBy(col("section"), col("qa"), col("qb"), col("qc"), col("qd"))
     },
+
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
+    // token/char mass and top-n-gram dominance, plus the boolean gate a
+    // curation pipeline filters on. Every metric is row-local array math
+    // — the whole query is a single scan with ZERO shuffles, so it runs
+    // at input bandwidth at any scale.
+    q("q64_repetition", repetitionOracleSql) { (s, d) =>
+      val H = graft.functions.HashFns
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("t"))).cast("long").as("n_distinct_tokens"),
+          TextFns.charSum(col("t")).as("chars_tokens"),
+          TextFns.charSum(array_distinct(col("t"))).as("chars_distinct_tokens"),
+          size(H.wordShingleSeq(col("t"), 2)).cast("long").as("n_bigrams"),
+          TextFns.topElementCount(H.wordShingleSeq(col("t"), 2)).as("top_bigram_cnt"),
+          size(H.wordShingleSeq(col("t"), 3)).cast("long").as("n_trigrams"),
+          TextFns.topElementCount(H.wordShingleSeq(col("t"), 3)).as("top_trigram_cnt"))
+      base.withColumn("is_repetitive",
+          (col("n_tokens") > 0 && col("n_distinct_tokens") * 2 <= col("n_tokens")) ||
+          (col("n_bigrams") > 0 && col("top_bigram_cnt") * 5 >= col("n_bigrams")))
+        .orderBy(col("doc_id"))
+    },
+
+    // Redaction-style masking: a three-stage count-and-replace chain
+    // (email → long digit run → blocklist terms). The PII patterns are
+    // exercised end-to-end (and hash-checked) even where the synthetic
+    // corpus yields zero hits; the blocklist stage hits constantly.
+    // Row-local regexes — single scan, zero shuffles.
+    q("q65_blocklist_mask", blocklistMaskOracleSql) { (s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          TextFns.maskPattern(col("text"), EmailPat, "[EMAIL]").as("_m1"))
+        .select(col("doc_id"), col("_m1.n").as("n_email"),
+          TextFns.maskPattern(col("_m1.masked"), LongNumPat, "[NUM]").as("_m2"))
+        .select(col("doc_id"), col("n_email"), col("_m2.n").as("n_longnum"),
+          TextFns.maskPattern(col("_m2.masked"), BlockPat, "[TERM]").as("_m3"))
+        .select(col("doc_id"), col("n_email"), col("n_longnum"),
+          col("_m3.n").as("n_blocked"), col("_m3.masked").as("text_masked"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality-aware canonical selection over the q54 transitive dup
+    // clusters: each cluster keeps its BEST member (most word tokens,
+    // ties to the smallest id) — the policy real curation pipelines use
+    // instead of min-id. Window partitioned by cluster id: clusters are
+    // duplicate groups (small by construction), so the extra shuffle is
+    // skew-safe.
+    q("q66_dedup_canonical", canonicalDedupOracleSql) { (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, d, "documents")
+      val prs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 3, tauNum = TransTauNum, tauDenom = TransTauDenom,
+        maxPostings = Int.MaxValue)
+      val clusters = Dedup
+        .keeperTransitiveFromPairs(docs.select(col("doc_id")), "doc_id", prs)
+        .withColumnRenamed("keep_id", "cluster_id")
+      val withTok = clusters.join(
+        docs.select(col("doc_id"),
+          size(TextFns.wordTokens(col("text"))).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      val can = withTok.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+      withTok.join(can, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+          col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }},
+
+    // Batch n-gram decontamination (the GPT-3-appendix-C-style check):
+    // overlap of each train doc's distinct 3-gram set with the union of
+    // the eval set's 3-grams (doc_id < DecontamRefMax, as in x23). The
+    // eval-gram set is bounded by the eval corpus — BROADCAST it; the
+    // train side streams through without ever shuffling full text.
+    q("q67_ngram_contamination", contaminationOracleSql) { (s, d) => {
+      val H = graft.functions.HashFns
+      val grams = T(s, d, "documents").select(col("doc_id"),
+        H.wordShingles(TextFns.wordTokens(col("text")), 3).as("gs"))
+      val evalGrams = grams.where(col("doc_id") < DecontamRefMax)
+        .select(explode(col("gs")).as("g")).distinct()
+      val train = grams.where(col("doc_id") >= DecontamRefMax)
+      val hits = train.select(col("doc_id"), explode(col("gs")).as("g"))
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      train.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("contaminated",
+          col("n_grams") > 0 && col("n_overlap") * 5 >= col("n_grams"))
+        .orderBy(col("doc_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name subset (iteration
+    // aid — the driver always runs the full registry with 2 args)
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b)    => (a, b, Option.empty[Set[String]])
+      case Array(a, b, f) => (a, b, Some(f.split(",").toSet))
+    }
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +25,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -39,13 +45,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // registry manifest: the authoritative registered-query list, so
     // tooling never has to infer it from output dirs (a failed query
     // leaves no dir and would silently undercount)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.filter(keep).toSeq.sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/names.json"), names)
     spark.stop()

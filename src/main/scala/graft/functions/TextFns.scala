@@ -116,6 +116,36 @@ object TextFns {
     (nt >= minTokens) && (nd * 1000 <= nc * maxDigitPerMille)
   }
 
+  /** Repetition signals (Rae et al. 2021 "Gopher" §A1.1-style): heavily
+    * self-repeating documents are a dominant failure mode of scraped
+    * training data. All counts are row-local array math — zero shuffle,
+    * the metrics compose into any downstream filter. */
+
+  /** Occurrence count of the most frequent element of a string array
+    * (0 for an empty array). Row-local O(d·n) over d distinct values —
+    * bounded by the document, never a shuffle. */
+  def topElementCount(arr: Column): Column =
+    ExprUtils.bind(arr) { a =>
+      when(size(a) <= 0, lit(0L)).otherwise(
+        array_max(transform(array_distinct(a),
+          x => size(filter(a, y => y === x)).cast("long"))))
+    }
+
+  /** Total characters across a string array's elements (0 when empty). */
+  def charSum(arr: Column): Column =
+    ExprUtils.bind(arr) { a =>
+      coalesce(aggregate(a, lit(0L), (acc, x) => acc + length(x)), lit(0L))
+    }
+
+  /** Pattern masking for redaction-style curation: count and replace
+    * every match of `pattern` (a Java-regex/RE2 COMMON-dialect pattern —
+    * no lookahead/backrefs — so an external SQL oracle reproduces it).
+    * Returns (hit count, masked text) as a 2-field struct. */
+  def maskPattern(text: Column, pattern: String, replacement: String): Column =
+    struct(
+      size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long").as("n"),
+      regexp_replace(text, pattern, replacement).as("masked"))
+
   /** Rolling document fingerprint over word tokens:
     * fp = fold(acc * 31 + h(token)) mod p, p = 2^31-1 — the modular
     * domain keeps every intermediate far below Long overflow, so the

@@ -18,6 +18,29 @@ class FunctionsSpec extends SparkSpec {
     assert(toks == Seq("hello", "world", "héllo", "2"))
   }
 
+  test("repetition signals: topElementCount, charSum, edge cases") {
+    val df = Seq("a a a b", "x y z", "", "c c").toDF("t")
+      .select(TextFns.wordTokens(col("t")).as("tk"))
+      .select(TextFns.topElementCount(col("tk")).as("top"),
+        TextFns.charSum(col("tk")).as("cs"),
+        TextFns.charSum(array_distinct(col("tk"))).as("csd"))
+    assert(df.as[(Long, Long, Long)].collect().toSeq ==
+      Seq((3L, 4L, 2L), (1L, 3L, 3L), (0L, 0L, 0L), (2L, 2L, 1L)))
+  }
+
+  test("maskPattern counts and replaces; chain stages compose") {
+    val df = Seq("mail me at a.b@x.co and c@y.org or call 123456789")
+      .toDF("t")
+      .select(TextFns.maskPattern(col("t"),
+        """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "[EMAIL]").as("m"))
+      .select(col("m.n"), TextFns.maskPattern(col("m.masked"),
+        "[0-9]{9,}", "[NUM]").as("m2"))
+      .select(col("n"), col("m2.n").as("n2"), col("m2.masked"))
+    val (ne, nn, masked) = df.as[(Long, Long, String)].head()
+    assert(ne == 2L && nn == 1L)
+    assert(masked == "mail me at [EMAIL] and [EMAIL] or call [NUM]")
+  }
+
   test("langId votes stopwords with declared-order tie-break") {
     graft.functions.NativeFns.register(spark)
     val docs = Seq(

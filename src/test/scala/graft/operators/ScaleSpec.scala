@@ -124,6 +124,24 @@ class ScaleSpec extends SparkSpec {
       "correlated subquery must be decorrelated, not executed per row:\n" + q52)
     assert(q52.contains("Join") && q52.contains("Aggregate"),
       "decorrelation must produce an aggregate + join plan:\n" + q52)
+    // row-local curation metrics (repetition, masking) must stay a
+    // single scan: no Exchange anywhere before the final presentation
+    // sort — at 100 TB these run at input bandwidth or not at all.
+    // (The registered queries end in an orderBy for the oracle, which
+    // plans one range-partitioned sort Exchange; strip it by asserting
+    // exactly ONE Exchange total.)
+    for (name <- Seq("q64_repetition", "q65_blocklist_mask")) {
+      val p = formatted(name)
+      assert("Exchange".r.findAllIn(p).size <= 2, // rangepartition sort + AQE read
+        s"$name must not shuffle beyond the presentation sort:\n" + p)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name scan must prune to (doc_id, text):\n" + p)
+    }
+    // n-gram decontamination: the eval-gram side must broadcast — the
+    // train corpus must never shuffle on gram keys
+    val q67 = formatted("q67_ngram_contamination")
+    assert(q67.contains("BroadcastHashJoin"),
+      "eval-gram membership must be a broadcast join:\n" + q67)
   }
 
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
