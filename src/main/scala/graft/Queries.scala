@@ -444,6 +444,48 @@ object Queries {
        |       regexp_replace(t2, '$BlockPat', '[TERM]', 'g') AS text_masked
        |FROM s2 ORDER BY doc_id""".stripMargin
 
+  // q68 packing configuration — shard-local packing (pack within a
+  // shard/file, never a global cumsum) is the policy real pretraining
+  // pipelines use; both constants are interpolated into the oracle.
+  private val PackShard = 100L
+  private val PackBudget = 512L
+
+  /** DuckDB oracle for q68: per-shard running token totals and the
+    * greedy streaming bin assignment (bin = starting offset ÷ budget;
+    * oversized docs overflow their bin rather than split). */
+  private def packBinsOracleSql: String =
+    s"""$mirrorToksCte,
+       |s AS (SELECT doc_id, doc_id // $PackShard AS shard,
+       |             CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+       |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+       |                     ORDER BY doc_id) AS BIGINT) AS cum_tokens FROM s)
+       |SELECT doc_id, shard, n_tokens, cum_tokens,
+       |       (cum_tokens - n_tokens) // $PackBudget AS bin_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for x31: the q25 quality gate AND NOT the q64
+    * repetition gate — one row filter, reproduced over the batch table
+    * (the stream is stateless, so stream ≡ batch row-for-row). */
+  private def streamQualityOracleSql: String =
+    s"""$mirrorToksCte,
+       |m AS (SELECT doc_id, t,
+       |             [array_to_string(t[i:i+1], ' ')
+       |              FOR i IN generate_series(1, len(t)-1)] AS bg
+       |      FROM toks),
+       |f AS (
+       |  SELECT d.doc_id,
+       |    (CASE WHEN trim(d.text) = '' THEN 0
+       |          ELSE len(string_split_regex(trim(d.text), '\\s+')) END >= 5
+       |     AND (length(d.text)
+       |          - length(regexp_replace(d.text, '[0-9]', '', 'g'))) * 1000
+       |         <= length(d.text) * 300) AS q,
+       |    ((len(t) > 0 AND len(list_distinct(t)) * 2 <= len(t))
+       |     OR (len(bg) > 0 AND
+       |         list_max(list_transform(list_distinct(bg),
+       |           x -> len(list_filter(bg, y -> y = x)))) * 5 >= len(bg))) AS r
+       |  FROM documents d JOIN m USING (doc_id))
+       |SELECT doc_id FROM f WHERE q AND NOT r ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for q67: exact distinct-3-gram overlap of each train
     * doc against the union of the eval set's 3-grams (the GPT-3-style
     * n-gram decontamination check, batch form; doc_id < $DecontamRefMax
@@ -2248,6 +2290,35 @@ object Queries {
           col("n_grams") > 0 && col("n_overlap") * 5 >= col("n_grams"))
         .orderBy(col("doc_id"))
     }},
+
+    // Sequence packing for pretraining batches: greedy streaming bin
+    // assignment under a fixed token budget, packed per SHARD — the
+    // cumsum window partitions on the shard key, so no single partition
+    // ever holds the corpus (a GLOBAL packing cumsum would; real
+    // pipelines pack within a shard/file for exactly this reason).
+    q("q68_pack_bins", packBinsOracleSql) { (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextFns.wordTokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("shard", expr(s"doc_id DIV $PackShard"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("bin_id",
+          expr(s"(cum_tokens - n_tokens) DIV $PackBudget"))
+        .orderBy(col("doc_id"))
+    }},
+
+    // Streaming curation gate: the q25 quality filter AND NOT the q64
+    // repetition gate on a document stream. Stateless row filter — the
+    // streaming plan IS the batch plan, so stream ≡ batch row-for-row
+    // and the oracle is the plain batch SQL.
+    q("x31_stream_quality", streamQualityOracleSql) { (s, d) =>
+      graft.streaming.StreamQualityGate
+        .replayParquet(s, d, queryName = "x31_quality")
+        .orderBy(col("doc_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -137,6 +137,18 @@ object TextFns {
       coalesce(aggregate(a, lit(0L), (acc, x) => acc + length(x)), lit(0L))
     }
 
+  /** The repetition GATE over a token array — the q64 boolean in one
+    * reusable expression (over half the tokens are repeats, or one
+    * bigram accounts for ≥20% of all bigrams). Row-local; used by the
+    * streaming quality gate so stream ≡ batch by construction. */
+  def isRepetitive(tokens: Column): Column =
+    ExprUtils.bind(tokens) { t =>
+      ExprUtils.bind(HashFns.wordShingleSeq(t, 2)) { bg =>
+        (size(t) > 0 && size(array_distinct(t)) * 2 <= size(t)) ||
+          (size(bg) > 0 && topElementCount(bg) * 5 >= size(bg))
+      }
+    }
+
   /** Pattern masking for redaction-style curation: count and replace
     * every match of `pattern` (a Java-regex/RE2 COMMON-dialect pattern —
     * no lookahead/backrefs — so an external SQL oracle reproduces it).
