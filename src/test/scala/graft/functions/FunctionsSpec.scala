@@ -28,6 +28,20 @@ class FunctionsSpec extends SparkSpec {
       Seq((3L, 4L, 2L), (1L, 3L, 3L), (0L, 0L, 0L), (2L, 2L, 1L)))
   }
 
+  test("isRepetitive: duplicate-token and dominant-bigram gates, empty-safe") {
+    val df = Seq(
+      "a b a b a b a b",          // one bigram dominates → repetitive
+      "a a a b b b c c c d d d",  // >half tokens are repeats → repetitive
+      // diverse and long enough that a single bigram is < 20% (short
+      // docs trip the dominance gate by construction — a 5-token doc
+      // has 4 bigrams, so even top=1 is ≥ 20%; length gating is
+      // isQuality's job, the two compose in the x31 stream gate)
+      "one two three four five six seven eight nine ten",
+      "").toDF("t")               // empty → clean (not a division crash)
+      .select(TextFns.isRepetitive(TextFns.wordTokens(col("t"))))
+    assert(df.as[Boolean].collect().toSeq == Seq(true, true, false, false))
+  }
+
   test("maskPattern counts and replaces; chain stages compose") {
     val df = Seq("mail me at a.b@x.co and c@y.org or call 123456789")
       .toDF("t")
