@@ -463,16 +463,16 @@ object Queries {
        |       (cum_tokens - n_tokens) // $PackBudget AS bin_id
        |FROM c ORDER BY doc_id""".stripMargin
 
-  /** DuckDB oracle for x31: the q25 quality gate AND NOT the q64
-    * repetition gate — one row filter, reproduced over the batch table
-    * (the stream is stateless, so stream ≡ batch row-for-row). */
-  private def streamQualityOracleSql: String =
+  /** Shared CTE chain ending in `adm(doc_id)`: the q25 quality gate
+    * AND NOT the q64 repetition gate — used by the x31 stream-gate
+    * oracle and as stage 1 of the q69 curation composite. */
+  private def admittedCtes: String =
     s"""$mirrorToksCte,
-       |m AS (SELECT doc_id, t,
+       |mrep AS (SELECT doc_id, t,
        |             [array_to_string(t[i:i+1], ' ')
        |              FOR i IN generate_series(1, len(t)-1)] AS bg
        |      FROM toks),
-       |f AS (
+       |fgate AS (
        |  SELECT d.doc_id,
        |    (CASE WHEN trim(d.text) = '' THEN 0
        |          ELSE len(string_split_regex(trim(d.text), '\\s+')) END >= 5
@@ -483,8 +483,47 @@ object Queries {
        |     OR (len(bg) > 0 AND
        |         list_max(list_transform(list_distinct(bg),
        |           x -> len(list_filter(bg, y -> y = x)))) * 5 >= len(bg))) AS r
-       |  FROM documents d JOIN m USING (doc_id))
-       |SELECT doc_id FROM f WHERE q AND NOT r ORDER BY doc_id""".stripMargin
+       |  FROM documents d JOIN mrep USING (doc_id)),
+       |adm AS (SELECT doc_id FROM fgate WHERE q AND NOT r)""".stripMargin
+
+  /** DuckDB oracle for x31 (see [[admittedCtes]]; the stream is
+    * stateless, so stream ≡ batch row-for-row). */
+  private def streamQualityOracleSql: String =
+    s"""$admittedCtes
+       |SELECT doc_id FROM adm ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for q69: the full curation pipeline — admit (q25 ∧
+    * ¬q64) → mask (q65 chain) → exact-dedup on the MASKED text keeping
+    * the smallest id → pack survivors into shard-local token-budget
+    * bins (q68). One CTE chain, each stage reusing its standalone
+    * query's mirrored SQL. */
+  private def curationCompositeOracleSql: String =
+    s"""$admittedCtes,
+       |c1 AS (
+       |  SELECT d.doc_id,
+       |         regexp_replace(d.text, '$EmailPat', '[EMAIL]', 'g') AS t1
+       |  FROM documents d JOIN adm USING (doc_id)),
+       |c2 AS (SELECT doc_id,
+       |              regexp_replace(t1, '$LongNumPat', '[NUM]', 'g') AS t2
+       |       FROM c1),
+       |c3 AS (SELECT doc_id,
+       |              regexp_replace(t2, '$BlockPat', '[TERM]', 'g')
+       |                AS text_masked
+       |       FROM c2),
+       |dd AS (SELECT MIN(doc_id) AS doc_id, text_masked
+       |       FROM c3 GROUP BY text_masked),
+       |tk AS (SELECT doc_id, doc_id // $PackShard AS shard,
+       |              CAST(len(list_filter(
+       |                string_split_regex(lower(trim(text_masked)),
+       |                                   '[^\\p{L}\\p{N}]+'),
+       |                x -> x <> '')) AS BIGINT) AS n_tokens
+       |       FROM dd),
+       |cc AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+       |                      ORDER BY doc_id) AS BIGINT) AS cum_tokens
+       |       FROM tk)
+       |SELECT doc_id, shard, n_tokens, cum_tokens,
+       |       (cum_tokens - n_tokens) // $PackBudget AS bin_id
+       |FROM cc ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle for q67: exact distinct-3-gram overlap of each train
     * doc against the union of the eval set's 3-grams (the GPT-3-style
@@ -2201,6 +2240,11 @@ object Queries {
     // at input bandwidth at any scale.
     q("q64_repetition", repetitionOracleSql) { (s, d) =>
       val H = graft.functions.HashFns
+      val N = graft.functions.NativeFns
+      // native graft_top_count: sort+scan per row instead of the HOF
+      // distinct×filter cascade (O(d log d) vs interpreted O(d²));
+      // FunctionsSpec asserts parity with TextFns.topElementCount
+      N.register(s)
       val base = T(s, d, "documents")
         .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
         .select(
@@ -2210,9 +2254,9 @@ object Queries {
           TextFns.charSum(col("t")).as("chars_tokens"),
           TextFns.charSum(array_distinct(col("t"))).as("chars_distinct_tokens"),
           size(H.wordShingleSeq(col("t"), 2)).cast("long").as("n_bigrams"),
-          TextFns.topElementCount(H.wordShingleSeq(col("t"), 2)).as("top_bigram_cnt"),
+          N.topCount(H.wordShingleSeq(col("t"), 2)).as("top_bigram_cnt"),
           size(H.wordShingleSeq(col("t"), 3)).cast("long").as("n_trigrams"),
-          TextFns.topElementCount(H.wordShingleSeq(col("t"), 3)).as("top_trigram_cnt"))
+          N.topCount(H.wordShingleSeq(col("t"), 3)).as("top_trigram_cnt"))
       base.withColumn("is_repetitive",
           (col("n_tokens") > 0 && col("n_distinct_tokens") * 2 <= col("n_tokens")) ||
           (col("n_bigrams") > 0 && col("top_bigram_cnt") * 5 >= col("n_bigrams")))
@@ -2319,6 +2363,39 @@ object Queries {
         .replayParquet(s, d, queryName = "x31_quality")
         .orderBy(col("doc_id"))
     },
+
+    // The full curation pipeline as ONE plan: admit (quality ∧ ¬
+    // repetitive, both row-local) → mask (three regex stages, row-local)
+    // → exact-dedup on the MASKED text (one hash shuffle — the only
+    // data-proportional shuffle in the pipeline) → pack survivors into
+    // shard-local token-budget bins (one shard-key window). Stages 1-2
+    // fuse into the scan; the composite proves the curation operators
+    // compose without materialization between stages.
+    q("q69_curation_composite", curationCompositeOracleSql) { (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gated = T(s, d, "documents")
+        .where(TextFns.isQuality(col("text")) &&
+          !TextFns.isRepetitive(TextFns.wordTokens(col("text"))))
+      val masked = gated
+        .select(col("doc_id"),
+          TextFns.maskPattern(col("text"), EmailPat, "[EMAIL]").as("_m1"))
+        .select(col("doc_id"),
+          TextFns.maskPattern(col("_m1.masked"), LongNumPat, "[NUM]").as("_m2"))
+        .select(col("doc_id"),
+          TextFns.maskPattern(col("_m2.masked"), BlockPat, "[TERM]").as("_m3"))
+        .select(col("doc_id"), col("_m3.masked").as("text_masked"))
+      val survivors = Dedup.exactSurvivors(masked, "doc_id", "text_masked")
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      survivors
+        .select(col("doc_id"),
+          size(TextFns.wordTokens(col("text_masked"))).cast("long").as("n_tokens"))
+        .withColumn("shard", expr(s"doc_id DIV $PackShard"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("bin_id",
+          expr(s"(cum_tokens - n_tokens) DIV $PackBudget"))
+        .orderBy(col("doc_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -70,8 +70,62 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** Native max-run counter: the occurrence count of the most frequent
+  * element of a string array (0 for empty, NULL for NULL input or a
+  * NULL element). Semantics ≡ [[TextFns.topElementCount]]'s HOF form,
+  * but O(d log d) sort+scan in one JIT-compiled loop instead of the
+  * interpreted O(d²) distinct×filter lambda cascade — the repetition
+  * metrics (q64/x31/q69) call this once per n-gram size per row.
+  */
+case class TopRunCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_top_count expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return 0L
+    val arr = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      arr(i) = a.getUTF8String(i)
+      i += 1
+    }
+    java.util.Arrays.sort(arr.asInstanceOf[Array[Object]])
+    var best = 1L
+    var run = 1L
+    i = 1
+    while (i < n) {
+      if (arr(i) == arr(i - 1)) {
+        run += 1
+        if (run > best) best = run
+      } else run = 1
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_top_count"
+}
+
 object NativeFns {
   val DotName = "graft_dot"
+  val TopCountName = "graft_top_count"
   val MinHashName = "graft_minhash"
   val SimHashName = "graft_simhash"
   val SimHashHsName = "graft_simhash_hs"
@@ -84,6 +138,7 @@ object NativeFns {
     * (session-build-time `injectFunction`). */
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     DotName -> (exprs => ArrayDotProduct(exprs.head, exprs(1))),
+    TopCountName -> (exprs => TopRunCount(exprs.head)),
     MinHashName -> (exprs => MinHashSignature(exprs.head, exprs(1), exprs(2))),
     SimHashName -> (exprs => SimHash64(exprs.head)),
     SimHashHsName -> (exprs => SimHashFromHashes(exprs.head, exprs(1))),
@@ -115,6 +170,10 @@ object NativeFns {
 
   /** Native dot product — caller must have [[register]]ed the session. */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Native top-element occurrence count (≡
+    * [[TextFns.topElementCount]]) — caller must have [[register]]ed. */
+  def topCount(arr: Column): Column = call_function(TopCountName, arr)
 
   /** Native MinHash signature over pre-materialized shingle hashes
     * (bit-identical to [[HashFns.minhashFromHashes]]). */

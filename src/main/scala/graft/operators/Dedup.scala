@@ -39,6 +39,17 @@ object Dedup {
       .select(explode(col("_ids")).as(idCol), col("keep_id"), col("n_copies"))
   }
 
+  /** Exact dedup, SURVIVOR form: one row per distinct text — the
+    * smallest id — with the text kept. One hash shuffle and no
+    * join-back, unlike [[exact]] (which tags every input row); this is
+    * the form a pipeline composes when downstream stages only consume
+    * survivors (e.g. the q69 curation composite). */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol))
+      .groupBy(xxhash64(col(textCol)).as("_h"), col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+
   /** Generic keeper-assignment from a candidate-pair table.
     * `pairs` must have columns (a, b) with a < b, both ints/longs,
     * containing each confirmed duplicate pair at least once. Each doc is

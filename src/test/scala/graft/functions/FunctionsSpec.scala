@@ -28,6 +28,23 @@ class FunctionsSpec extends SparkSpec {
       Seq((3L, 4L, 2L), (1L, 3L, 3L), (0L, 0L, 0L), (2L, 2L, 1L)))
   }
 
+  test("graft_top_count ≡ topElementCount HOF (incl. empty and NULL)") {
+    graft.functions.NativeFns.register(spark)
+    val docs = Seq("a b a b a b c", "x", "", "q w e r t y q q w")
+      .toDF("t")
+      .select(TextFns.wordTokens(col("t")).as("tk"))
+      .select(graft.functions.NativeFns.topCount(col("tk")).as("n"),
+        TextFns.topElementCount(col("tk")).as("h"))
+    docs.collect().foreach(r => assert(r.getLong(0) == r.getLong(1),
+      "native/HOF top-count parity"))
+    // NULL array → NULL both ways
+    val nul = Seq(Option.empty[Seq[String]]).toDF("tk")
+      .select(graft.functions.NativeFns.topCount(col("tk")).as("n"),
+        TextFns.topElementCount(col("tk")).as("h"))
+      .head()
+    assert(nul.isNullAt(0) && nul.isNullAt(1))
+  }
+
   test("isRepetitive: duplicate-token and dominant-bigram gates, empty-safe") {
     val df = Seq(
       "a b a b a b a b",          // one bigram dominates → repetitive

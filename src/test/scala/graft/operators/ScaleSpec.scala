@@ -142,6 +142,14 @@ class ScaleSpec extends SparkSpec {
     val q67 = formatted("q67_ngram_contamination")
     assert(q67.contains("BroadcastHashJoin"),
       "eval-gram membership must be a broadcast join:\n" + q67)
+    // sequence packing: the cumsum window must partition on the shard
+    // key (a global-window packing plan would concentrate the corpus
+    // on one task) and the scan must stay pruned
+    val q68 = formatted("q68_pack_bins")
+    assert(q68.contains("windowspecdefinition(shard"),
+      "packing cumsum must partition on the shard key, never global:\n" + q68)
+    assert(q68.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "packing scan must prune to (doc_id, text):\n" + q68)
   }
 
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
