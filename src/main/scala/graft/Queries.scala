@@ -2300,12 +2300,13 @@ object Queries {
         docs.select(col("doc_id"),
           size(TextFns.wordTokens(col("text"))).cast("long").as("n_tokens")),
         Seq("doc_id"))
+      // first_value over the quality-ranked window: the canonical id
+      // lands on every member in ONE window pass — no rank-filter +
+      // join-back (which would re-scan the corpus for a second branch)
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("n_tokens").desc, col("doc_id"))
-      val can = withTok.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1)
-        .select(col("cluster_id"), col("doc_id").as("canonical_id"))
-      withTok.join(can, Seq("cluster_id"))
+      withTok
+        .withColumn("canonical_id", first(col("doc_id")).over(w))
         .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
           col("canonical_id"),
           (col("doc_id") === col("canonical_id")).as("is_canonical"))
@@ -2396,6 +2397,32 @@ object Queries {
           expr(s"(cum_tokens - n_tokens) DIV $PackBudget"))
         .orderBy(col("doc_id"))
     }},
+
+    // Deterministic train/val/test split (80/10/10): bucket by the
+    // engine-portable md5-prefix hash of the id, never by RNG — the
+    // same doc lands in the same split in any engine, any run, any
+    // partitioning. Row-local; composes as a filter into any pipeline.
+    q("q70_dataset_split",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T(s, d, "documents").select(col("doc_id"))
+        .withColumn("bucket",
+          pmod(graft.functions.HashFns.md5Hash60(col("doc_id").cast("string")),
+            lit(100L)))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")))
+        .orderBy(col("doc_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -21,6 +21,14 @@ class DedupSpec extends SparkSpec {
     assert(res(2L) == ((2L, 1L)) && res(3L) == ((3L, 1L)) && res(5L) == ((5L, 1L)))
   }
 
+  test("exactSurvivors keeps one min-id row per distinct text, text intact") {
+    val res = Dedup.exactSurvivors(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(res.size == 4)                  // 5 docs, one exact dup pair
+    assert(res.contains(1L) && !res.contains(4L), "min id 1 survives its dup 4")
+    assert(res.keySet == Set(1L, 2L, 3L, 5L))
+  }
+
   test("minhash LSH finds planted near-dups and exact dups") {
     val res = Dedup.minhashLsh(docs, "doc_id", "text",
         shingleK = 3, numBands = 8, rowsPerBand = 2, tauNum = 1, tauDenom = 2)

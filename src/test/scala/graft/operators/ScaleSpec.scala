@@ -150,6 +150,18 @@ class ScaleSpec extends SparkSpec {
       "packing cumsum must partition on the shard key, never global:\n" + q68)
     assert(q68.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "packing scan must prune to (doc_id, text):\n" + q68)
+    // the curation composite: gate+mask fuse into ONE scan (a single
+    // parquet read), the dedup aggregate partial-combines map-side, and
+    // the packing window partitions on the shard key
+    val q69 = formatted("q69_curation_composite")
+    // count detail-section headers only — the tree line AND the detail
+    // header both print "Scan parquet" for a single scan node
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(q69).size == 1,
+      "composite must make exactly one pass over the corpus:\n" + q69)
+    assert(q69.contains("partial_min"),
+      "composite dedup must map-side combine before its shuffle:\n" + q69)
+    assert(q69.contains("windowspecdefinition(shard"),
+      "composite packing must window per shard:\n" + q69)
   }
 
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
