@@ -2398,6 +2398,43 @@ object Queries {
         .orderBy(col("doc_id"))
     }},
 
+    // Embedding pooling: element-wise sum of chunk embeddings into a
+    // per-document vector (the chunk→doc mean-pool pattern; the exact
+    // mean is pooled/n_chunks). Components are floor-scaled to exact
+    // integers BEFORE summing so both engines agree bit-for-bit in any
+    // accumulation order. Plan: posexplode → (group, pos) partial-
+    // aggregated sum — each component sums independently across the
+    // cluster; the per-group collect_list is bounded by the DIMENSION,
+    // never the corpus.
+    q("q71_embedding_pool",
+      """WITH e AS (
+        |  SELECT vec_id // 10 AS group_id,
+        |         unnest([{'pos': CAST(i - 1 AS BIGINT),
+        |                  'sv': CAST(floor(CAST(embedding[i] AS DOUBLE)
+        |                                   * 10000) AS BIGINT)}
+        |                 FOR i IN generate_series(1, len(embedding))],
+        |                recursive := true)
+        |  FROM embeddings),
+        |g AS (SELECT group_id, pos, CAST(SUM(sv) AS BIGINT) AS s,
+        |             COUNT(*) AS c
+        |      FROM e GROUP BY group_id, pos)
+        |SELECT group_id, CAST(MAX(c) AS BIGINT) AS n_chunks,
+        |       list(s ORDER BY pos) AS pooled_scaled
+        |FROM g GROUP BY group_id ORDER BY group_id""".stripMargin) { (s, d) =>
+      T(s, d, "embeddings")
+        .select(expr("vec_id DIV 10").as("group_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("group_id"), col("pos").cast("long").as("pos"),
+          floor(col("v").cast("double") * 10000).cast("long").as("sv"))
+        .groupBy(col("group_id"), col("pos"))
+        .agg(sum(col("sv")).as("s"), count(lit(1)).as("c"))
+        .groupBy(col("group_id"))
+        .agg(max(col("c")).as("n_chunks"),
+          transform(sort_array(collect_list(struct(col("pos"), col("s")))),
+            x => x.getField("s")).as("pooled_scaled"))
+        .orderBy(col("group_id"))
+    },
+
     // Deterministic train/val/test split (80/10/10): bucket by the
     // engine-portable md5-prefix hash of the id, never by RNG — the
     // same doc lands in the same split in any engine, any run, any
