@@ -2442,6 +2442,38 @@ object Queries {
         .orderBy(col("group_id"))
     },
 
+    // BPE merge-step statistics: corpus-wide adjacent character-pair
+    // frequencies weighted by word frequency — the count table the
+    // FIRST merge of byte-pair-encoding tokenizer training reads. Two
+    // narrow shuffles ((word, count) then (pair, count) — never text),
+    // top-k fuses to TakeOrderedAndProject.
+    q("q72_bpe_pair_counts",
+      s"""$mirrorToksCte,
+        |w AS (SELECT unnest(t) AS w FROM toks),
+        |wc AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+        |p AS (SELECT unnest([substr(w, i, 2)
+        |                     FOR i IN generate_series(1, length(w)-1)]) AS pair,
+        |             c
+        |      FROM wc),
+        |pc AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt
+        |       FROM p GROUP BY pair)
+        |SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 50""".stripMargin) {
+      (s, d) =>
+        val words = T(s, d, "documents")
+          .select(explode(TextFns.wordTokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        words
+          // guard: Spark's sequence(1, 0) DESCENDS instead of emitting
+          // empty — single-char words must short-circuit to array()
+          .select(explode(expr(
+            """CASE WHEN length(w) < 2 THEN CAST(array() AS ARRAY<STRING>)
+              |ELSE transform(sequence(1, length(w) - 1),
+              |               i -> substr(w, i, 2)) END""".stripMargin))
+            .as("pair"), col("c"))
+          .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(50)
+    },
+
     // Deterministic train/val/test split (80/10/10): bucket by the
     // engine-portable md5-prefix hash of the id, never by RNG — the
     // same doc lands in the same split in any engine, any run, any
