@@ -2442,6 +2442,46 @@ object Queries {
         .orderBy(col("group_id"))
     },
 
+    // MOSS-winnowing near-dup: contiguous-run fingerprint overlap
+    // (Schleimer/Wilkerson/Aiken SIGMOD'03) — catches a copy-pasted
+    // passage inside otherwise-different documents, which bag-of-ngram
+    // Jaccard dilutes by global size. The oracle reproduces the FULL
+    // pipeline from the md5 hash family: positional 3-gram hashes →
+    // width-4 window minima → distinct fingerprints → ≥2-shared pairs →
+    // min-partner keeper. maxPostings uncapped: the oracle pairs every
+    // posting collision (q27/q54's rule — oracle queries must not cap).
+    q("q73_winnow_overlap", {
+      val p = graft.functions.HashFns.MersennePrime
+      s"""$mirrorToksCte,
+        |sq AS (
+        |  SELECT doc_id,
+        |         [CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % $p
+        |          FOR g IN [array_to_string(t[i:i+2], ' ')
+        |                    FOR i IN generate_series(1, len(t)-2)]] AS h
+        |  FROM toks),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(h) >= 4
+        |              THEN list_sort(list_distinct(
+        |                     [list_min(h[i:i+3])
+        |                      FOR i IN generate_series(1, len(h)-3)]))
+        |              ELSE [] END AS f
+        |  FROM sq),
+        |po AS (SELECT DISTINCT doc_id, unnest(f) AS f FROM fp),
+        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS s
+        |       FROM po a JOIN po b ON a.f = b.f AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT a, b FROM pr WHERE s >= 2),
+        |kp AS (SELECT b AS doc_id, MIN(a) AS keep FROM pairs GROUP BY b)
+        |SELECT d.doc_id, COALESCE(kp.keep, d.doc_id) AS keep_id
+        |FROM documents d LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Dedup.winnowOverlap(T(s, d, "documents"), "doc_id", "text",
+          shingleK = 3, w = 4, minShared = 2,
+          maxPostings = Int.MaxValue, sqlMirroredHashes = true)
+        .orderBy(col("doc_id"))
+    },
+
     // BPE merge-step statistics: corpus-wide adjacent character-pair
     // frequencies weighted by word frequency — the count table the
     // FIRST merge of byte-pair-encoding tokenizer training reads. Two

@@ -314,6 +314,49 @@ object Dedup {
       .select(col("a"), col("b"))
   }
 
+  /** MOSS-winnowing near-dup (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * positional k-gram hashes → sliding-window minima
+    * ([[graft.functions.HashFns.winnow]]) → distinct fingerprints →
+    * inverted-index pairing on shared fingerprints (≥ `minShared`) →
+    * min-partner keeper. CONTIGUOUS-RUN sensitive — any shared token
+    * run of ≥ w+k-1 tokens attests at least one shared fingerprint —
+    * where bag-of-ngram Jaccard dilutes a long local overlap by global
+    * document size; this is the detector for copy-pasted passages
+    * inside otherwise-different documents. The posting shuffle carries
+    * (fingerprint long, id) only, never text; `maxPostings` caps hot
+    * fingerprints exactly like [[ngramJaccardPairs]]'s inverted index.
+    * With `sqlMirroredHashes` the whole pipeline is SQL-mirrorable
+    * (q73's oracle). */
+  def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
+                    shingleK: Int = 3, w: Int = 4, minShared: Int = 2,
+                    maxPostings: Int = 1000,
+                    sqlMirroredHashes: Boolean = false): DataFrame = {
+    val elem: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (sqlMirroredHashes) HashFns.md5Hash
+      else s => pmod(xxhash64(s), lit(HashFns.MersennePrime))
+    // fingerprints are row-local; persist them (not the exploded
+    // postings) so tokenize+shingle+hash+winnow runs once, not per
+    // posting-join side (graft.Caches-registered)
+    val docs = graft.Caches.persist(df.select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // spread single-file scans before hashing
+      .select(col(idCol),
+        HashFns.winnow(
+          HashFns.shingleHashesWith(
+            HashFns.wordShingleSeq(TextFns.wordTokens(col(textCol)), shingleK),
+            elem),
+          w).as("_fp")))
+    val postings = docs.select(col(idCol), explode(col("_fp")).as("_f"))
+      .withColumn("_pf", count(lit(1)).over(Window.partitionBy(col("_f"))))
+      .where(col("_pf") <= maxPostings)
+    val pairs = postings.select(col("_f"), col(idCol).as("a"))
+      .join(postings.select(col("_f"), col(idCol).as("b")), Seq("_f"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_shared"))
+      .where(col("_shared") >= minShared)
+      .select(col("a"), col("b"))
+    keeperFromPairs(df.select(col(idCol)), idCol, pairs)
+  }
+
   /** Exact all-pairs embedding cosine dedup — the oracle-verifiable
     * baseline for [[embeddingCosine]]: every pair is scored, so recall
     * is 1 by construction. O(n²) dot products; right answer at

@@ -28,6 +28,24 @@ class FunctionsSpec extends SparkSpec {
       Seq((3L, 4L, 2L), (1L, 3L, 3L), (0L, 0L, 0L), (2L, 2L, 1L)))
   }
 
+  test("winnow guarantee: a shared w+k-1-token run yields a shared fingerprint") {
+    // k=3, w=4 → any shared run of ≥ 6 tokens must contribute at least
+    // one common fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+    def fps(texts: String*): Seq[Set[Long]] =
+      texts.toDF("t")
+        .select(HashFns.winnow(HashFns.shingleHashes(
+          HashFns.wordShingleSeq(TextFns.wordTokens(col("t")), 3)), 4))
+        .as[Seq[Long]].collect().toSeq.map(_.toSet)
+    val Seq(a, b, c) = fps(
+      "p1 p2 p3 p4 p5 aaa bbb ccc ddd eee fff",
+      "x1 x2 x3 aaa bbb ccc ddd eee fff y1 y2",
+      "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")
+    assert((a & b).nonEmpty, "6-token shared run must attest a fingerprint")
+    assert((a & c).isEmpty && (b & c).isEmpty, "disjoint docs share nothing")
+    // too short to attest: fewer than w hashes → EMPTY, not NULL
+    assert(fps("t1 t2 t3 t4 t5").head.isEmpty)
+  }
+
   test("graft_top_count ≡ topElementCount HOF (incl. empty and NULL)") {
     graft.functions.NativeFns.register(spark)
     val docs = Seq("a b a b a b c", "x", "", "q w e r t y q q w")
