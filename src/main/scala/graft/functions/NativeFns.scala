@@ -71,11 +71,15 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 }
 
 /** Native max-run counter: the occurrence count of the most frequent
-  * element of a string array (0 for empty, NULL for NULL input or a
-  * NULL element). Semantics ≡ [[TextFns.topElementCount]]'s HOF form,
-  * but O(d log d) sort+scan in one JIT-compiled loop instead of the
-  * interpreted O(d²) distinct×filter lambda cascade — the repetition
-  * metrics (q64/x31/q69) call this once per n-gram size per row.
+  * element of a string array (0 for empty, NULL for NULL input).
+  * Semantics ≡ [[TextFns.topElementCount]]'s HOF form on NULL-free
+  * arrays (all callers — the n-gram producers never emit NULL
+  * elements); on an array CONTAINING a NULL element the two diverge by
+  * design: this returns NULL (can't attest a max run), the HOF counts
+  * the non-NULL elements. O(d log d) sort+scan in one JIT-compiled
+  * loop instead of the interpreted O(d²) distinct×filter lambda
+  * cascade — the repetition metrics (q64/x31/q69) call this once per
+  * n-gram size per row.
   */
 case class TopRunCount(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
