@@ -25,9 +25,13 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // n>=3 timed iterations per query; the headline number is the MEDIAN so
-    // one GC pause / JIT recompile can't masquerade as a regression, and the
-    // min/max spread is recorded so noise is visible instead of argued about
+    // n>=3 timed PASSES over the whole query list (pass-major, not
+    // query-major): the headline per-query number is the MEDIAN across
+    // passes, so one GC pause / JIT recompile can't masquerade as a
+    // regression. Pass-major ordering matters on a noisy host — a
+    // multi-minute slow-window poisons ONE pass (visible in
+    // "pass_totals", discarded by the median) instead of all
+    // back-to-back iterations of whichever queries it overlapped.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     def run1(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
@@ -47,11 +51,20 @@ object Bench {
       Caches.release()
       if (ok) Some(elapsed) else None
     }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to iters).flatMap(_ => run1(name, fn)).sorted
-      (name, times)
+    val passes: Seq[Seq[(String, Option[Double])]] = (1 to iters).map { p =>
+      val ts = selected.map { case (name, fn) => (name, run1(name, fn)) }
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] pass %d/%d total %.1fs", Int.box(p), Int.box(iters),
+        Double.box(ts.flatMap(_._2).sum)))
+      ts
     }
-    def fmt(d: Double) = "%.4f".format(d)
+    val byName = passes.flatten.groupBy(_._1)
+    val results = selected.map { case (name, _) =>
+      (name, byName(name).flatMap(_._2).sorted)
+    }
+    // Locale.ROOT: a comma-decimal default locale must not emit
+    // malformed JSON ("1,2345")
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     def median(ts: Seq[Double]) = ts(ts.size / 2)
     // a failed query reports null timing and lands in "failed" — its
     // near-zero wall time must not masquerade as a speedup. A query is
@@ -68,7 +81,9 @@ object Bench {
     val flaky = results.collect { case (k, ts) if ts.nonEmpty && ts.size < iters => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
+    val passTotals = passes.map(p => fmt(p.flatMap(_._2).sum))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"pass_totals":$passTotals,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

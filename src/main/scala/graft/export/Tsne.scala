@@ -53,19 +53,30 @@ object Tsne {
   def project(df: DataFrame, keyCol: String, vecCol: String,
               cfg: Config = Config()): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val n = df.count()
     require(n <= MaxPoints,
       s"Tsne.project: $n rows exceeds the driver-sized ceiling $MaxPoints — " +
         "t-SNE is a vocab-scale visualization (aggregate first), not a " +
         "row-per-document operator; use Projection.pca2d for distributed 2-D")
-    val rows = df.select(col(keyCol).cast("string"),
-        graft.functions.VectorFns.toDoubles(col(vecCol)))
-      .orderBy(col(keyCol)).collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray)
-    val y = fitTransform(rows.map(_._2), cfg)
-    rows.indices.map(i => (rows(i)._1, y(i)(0), y(i)(1))).toSeq
-      .toDF(keyCol, "tsne_1", "tsne_2")
+    // Order by the ORIGINAL-typed key (numeric keys sort numerically,
+    // not lexicographically) with the vector as tiebreaker, so
+    // duplicate keys still get a partition-independent total order; the
+    // output key column keeps the input type.
+    val sel = df.select(col(keyCol).as("_k"),
+        graft.functions.VectorFns.toDoubles(col(vecCol)).as("_v"))
+      .orderBy(col("_k"), col("_v"))
+    val rows = sel.collect()
+    val y = fitTransform(rows.map(_.getSeq[Double](1).toArray), cfg)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      sel.schema.head.copy(name = keyCol),
+      org.apache.spark.sql.types.StructField("tsne_1",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("tsne_2",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val outRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(rows.indices.map(i =>
+        org.apache.spark.sql.Row(rows(i).get(0), y(i)(0), y(i)(1))): _*)
+    spark.createDataFrame(outRows, outSchema)
   }
 
   /** The reference's CSV artifact (`visualizations.py:118-131`). */
@@ -77,6 +88,9 @@ object Tsne {
   def fitTransform(x: Array[Array[Double]], cfg: Config = Config()): Array[Array[Double]] = {
     val n = x.length
     require(n >= 4, s"tsne: need at least 4 points, got $n")
+    require(x(0).length >= 2,
+      s"tsne: input vectors need >= 2 dimensions for the 2-D PCA init, " +
+        s"got ${x(0).length}")
     val k = math.min(n - 1, math.max(1, (3 * cfg.perplexity).toInt))
 
     // --- cosine distances to the k nearest neighbors of each point ---
@@ -85,7 +99,10 @@ object Tsne {
       if (nrm == 0) v.clone() else v.map(_ / nrm)
     }
     val nbrIdx = Array.ofDim[Int](n, k)
-    val nbrD2 = Array.ofDim[Double](n, k) // squared cosine distance
+    // RAW cosine distance: sklearn squares k-NN distances only for the
+    // euclidean metric (_joint_probabilities gets metric distances
+    // as-is for metric="cosine"), so calibration uses 1 - cos directly
+    val nbrD = Array.ofDim[Double](n, k)
     parallelFor(n) { i =>
       val cand = new Array[(Double, Int)](n - 1)
       var c = 0
@@ -104,7 +121,7 @@ object Tsne {
       var m = 0
       while (m < k) {
         nbrIdx(i)(m) = sorted(m)._2
-        nbrD2(i)(m) = sorted(m)._1 * sorted(m)._1
+        nbrD(i)(m) = sorted(m)._1
         m += 1
       }
     }
@@ -119,7 +136,7 @@ object Tsne {
       var iter = 0
       while (iter < 50) {
         var sum = 0.0; var m = 0
-        while (m < k) { condP(i)(m) = math.exp(-beta * nbrD2(i)(m)); sum += condP(i)(m); m += 1 }
+        while (m < k) { condP(i)(m) = math.exp(-beta * nbrD(i)(m)); sum += condP(i)(m); m += 1 }
         if (sum == 0) sum = Double.MinPositiveValue
         var entropy = 0.0
         m = 0

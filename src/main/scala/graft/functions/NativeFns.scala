@@ -127,6 +127,95 @@ case class TopRunCount(child: Expression)
   override def prettyName: String = "graft_top_count"
 }
 
+/** Fused repetition statistics: ONE eval over the token array emits
+  * (n_bigrams, top_bigram_cnt, n_trigrams, top_trigram_cnt) — the four
+  * adjacent-n-gram signals the Gopher-style repetition gate (q64/x31)
+  * reads. Semantics ≡ `size(wordShingleSeq(t, k))` +
+  * `graft_top_count(wordShingleSeq(t, k))` for k = 2, 3 on NULL-free,
+  * space-free tokens (all callers — `wordTokens` splits on non-alnum,
+  * so component-wise n-gram comparison ≡ the joined-string comparison;
+  * FunctionsSpec asserts the parity). NULL token element → NULL struct,
+  * matching [[TopRunCount]]'s can't-attest rule. The fusion removes the
+  * 4 shingle-array materializations (2 per k: size + top-count inputs)
+  * and their joined-string allocations — the positional n-grams are
+  * counted by sorting an INDEX array with component-wise comparison,
+  * never building the n-gram strings at all.
+  */
+case class RepetitionStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram_cnt", LongType, nullable = false),
+    StructField("n_trigrams", LongType, nullable = false),
+    StructField("top_trigram_cnt", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_rep_stats expects array<string>, got $other")
+    }
+
+  /** Most-frequent adjacent k-gram count via index sort: order n-gram
+    * start positions by component-wise token comparison, then run-scan.
+    * Equivalent to sorting the joined strings (tokens contain no
+    * separator char) without allocating them. */
+  private def topKgram(toks: Array[org.apache.spark.unsafe.types.UTF8String],
+                       k: Int): Long = {
+    val m = toks.length - k + 1
+    if (m <= 0) return 0L
+    val idx = Array.tabulate(m)(Integer.valueOf)
+    val cmp = new java.util.Comparator[Integer] {
+      override def compare(x: Integer, y: Integer): Int = {
+        var j = 0
+        while (j < k) {
+          val c = toks(x + j).compareTo(toks(y + j))
+          if (c != 0) return c
+          j += 1
+        }
+        0
+      }
+    }
+    java.util.Arrays.sort(idx, cmp)
+    var best = 1L
+    var run = 1L
+    var i = 1
+    while (i < m) {
+      if (cmp.compare(idx(i), idx(i - 1)) == 0) {
+        run += 1
+        if (run > best) best = run
+      } else run = 1
+      i += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      toks(i) = a.getUTF8String(i)
+      i += 1
+    }
+    val nBi = math.max(n - 1, 0).toLong
+    val nTri = math.max(n - 2, 0).toLong
+    org.apache.spark.sql.catalyst.InternalRow(
+      nBi, topKgram(toks, 2), nTri, topKgram(toks, 3))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_rep_stats"
+}
+
 object NativeFns {
   val DotName = "graft_dot"
   val TopCountName = "graft_top_count"
@@ -136,6 +225,7 @@ object NativeFns {
   val TokensInSetName = "graft_tokens_in_set"
   val BottomKName = "graft_bottomk"
   val BottomKDistinctName = "graft_bottomk_distinct"
+  val RepStatsName = "graft_rep_stats"
 
   /** All native function (name, builder) pairs — one registry shared by
     * [[register]] (live session) and `plans.GraftExtensions`
@@ -152,6 +242,7 @@ object NativeFns {
     BottomKDistinctName -> (exprs =>
       BottomKByHash(exprs.head, exprs(1),
         literalK(BottomKDistinctName, exprs(2)), dedup = true)),
+    RepStatsName -> (exprs => RepetitionStats(exprs.head)),
   )
 
   /** k must be constant-foldable: eval(null) on e.g. an attribute
@@ -178,6 +269,10 @@ object NativeFns {
   /** Native top-element occurrence count (≡
     * [[TextFns.topElementCount]]) — caller must have [[register]]ed. */
   def topCount(arr: Column): Column = call_function(TopCountName, arr)
+
+  /** Fused adjacent-n-gram repetition stats struct (see
+    * [[RepetitionStats]]) — caller must have [[register]]ed. */
+  def repStats(tokens: Column): Column = call_function(RepStatsName, tokens)
 
   /** Native MinHash signature over pre-materialized shingle hashes
     * (bit-identical to [[HashFns.minhashFromHashes]]). */

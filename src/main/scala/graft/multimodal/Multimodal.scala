@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * partition-mapped feature-extraction operator with a real batch
   * shape.
   *
-  * The actual decoders (image/audio/video libraries) are NOT available
-  * in this environment — [[StubDecoder]] is a clearly-marked
-  * deterministic fake standing in for the decode step. Everything
-  * Spark-side is real: the schema, the `mapPartitions` batch boundary
+  * The image modality decodes FOR REAL: [[decodeImageFeatures]] parses
+  * 24-bit BMP payloads with the pure-JVM [[ImageCodec]] (headers, BGR
+  * order, stride padding, bottom-up rows) and emits genuine raster
+  * statistics — oracle-backed end-to-end (q75). Compressed formats and
+  * the audio/video decoders (libjpeg/ffmpeg-class work) are NOT
+  * available in this container — [[StubDecoder]] remains the
+  * clearly-marked deterministic fake for those. Everything Spark-side
+  * is real either way: the schema, the `mapPartitions` batch boundary
   * (one decoder init per partition, streaming rows through it — the
   * same shape a JNI/FFI decoder needs), partitioning, and the typed
   * output contract.
@@ -95,6 +99,41 @@ object Multimodal {
     ds.mapPartitions { it =>
       val decoder = new PortableStubDecoder(params) // per-partition init
       it.map(decoder.features)
+    }
+  }
+
+  /** Real decoded-raster statistics for the image modality. The sums
+    * are exact integers (engine-portable); `moment` weights channel-0
+    * values by raster position `y*width + x`, so a decoder that
+    * mis-handles row order or stride padding produces a DIFFERENT
+    * moment even when the order-invariant sums agree. */
+  final case class ImageStats(media_id: Long, width: Long, height: Long,
+                              r_sum: Long, g_sum: Long, b_sum: Long,
+                              r_moment: Long)
+
+  /** REAL image decode: parse each payload as 24-bit BMP
+    * ([[ImageCodec.decodeBmp24]]) and reduce the raster to integer
+    * channel statistics. Same per-partition batch shape as the stub
+    * operators; malformed payloads fail loudly (a curation pipeline
+    * filters by `kind` first). */
+  def decodeImageFeatures(ds: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val img = ImageCodec.decodeBmp24(row.payload)
+        var r = 0L; var g = 0L; var b = 0L; var mom = 0L
+        val npx = img.width * img.height
+        var i = 0
+        while (i < npx) {
+          r += img.rgb(3 * i)
+          g += img.rgb(3 * i + 1)
+          b += img.rgb(3 * i + 2)
+          mom += img.rgb(3 * i).toLong * i
+          i += 1
+        }
+        ImageStats(row.media_id, img.width.toLong, img.height.toLong,
+          r, g, b, mom)
+      }
     }
   }
 

@@ -46,6 +46,9 @@ class TsneSpec extends SparkSpec {
       Tsne.Config(perplexity = 4, maxIter = 150, earlyExagIter = 50))
     assert(out.columns.toSeq == Seq("subreddit", "tsne_1", "tsne_2"))
     assert(out.count() == 30)
+    // the key column keeps its input type (no silent cast to string)
+    assert(out.schema.head.dataType ==
+      org.apache.spark.sql.types.LongType)
 
     val dir = java.nio.file.Files.createTempDirectory("tsnecsv").toString
     Tsne.projectToCsv(df, "subreddit", "vec", s"$dir/t",

@@ -63,6 +63,32 @@ class FunctionsSpec extends SparkSpec {
     assert(nul.isNullAt(0) && nul.isNullAt(1))
   }
 
+  test("graft_rep_stats ≡ composed wordShingleSeq/graft_top_count form") {
+    graft.functions.NativeFns.register(spark)
+    val N = graft.functions.NativeFns
+    val H = graft.functions.HashFns
+    val docs = Seq("a b a b a b c", "x", "", "q w e r t y q q w",
+        "a a a a a", "x y x y x y x y", "one two", "one two three")
+      .toDF("t")
+      .select(TextFns.wordTokens(col("t")).as("tk"))
+      .select(N.repStats(col("tk")).as("rs"),
+        size(H.wordShingleSeq(col("tk"), 2)).cast("long").as("nb"),
+        N.topCount(H.wordShingleSeq(col("tk"), 2)).as("tb"),
+        size(H.wordShingleSeq(col("tk"), 3)).cast("long").as("nt"),
+        N.topCount(H.wordShingleSeq(col("tk"), 3)).as("tt"))
+    docs.collect().foreach { r =>
+      val rs = r.getStruct(0)
+      assert(rs.getLong(0) == r.getLong(1), "n_bigrams parity")
+      assert(rs.getLong(1) == r.getLong(2), "top_bigram_cnt parity")
+      assert(rs.getLong(2) == r.getLong(3), "n_trigrams parity")
+      assert(rs.getLong(3) == r.getLong(4), "top_trigram_cnt parity")
+    }
+    // NULL array → NULL struct (TopRunCount's can't-attest rule)
+    val nul = Seq(Option.empty[Seq[String]]).toDF("tk")
+      .select(N.repStats(col("tk")).as("rs")).head()
+    assert(nul.isNullAt(0))
+  }
+
   test("isRepetitive: duplicate-token and dominant-bigram gates, empty-safe") {
     val df = Seq(
       "a b a b a b a b",          // one bigram dominates → repetitive
