@@ -2286,6 +2286,50 @@ object Queries {
       }
     },
 
+    // REAL audio decode, oracle-backed end-to-end (q75's pattern for
+    // the audio modality): per doc a genuine PCM16 WAV payload —
+    // including a JUNK chunk between fmt and data, so only a decoder
+    // that actually WALKS RIFF chunks parses it — is encoded from a
+    // closed-form waveform, decoded by the pure-JVM AudioCodec, and
+    // reduced to integer sample statistics the oracle computes
+    // analytically. Alternating mono/stereo exercises interleaving;
+    // c0_moment catches frame-order bugs the sums cannot.
+    q("q76_audio_decode",
+      s"""WITH d AS (SELECT doc_id, 50 + doc_id % 32 AS nf,
+        |                  1 + doc_id % 2 AS nc,
+        |                  8000 + (doc_id % 3) * 4000 AS sr
+        |           FROM documents WHERE doc_id < $ImgDecodeDocs),
+        |fr AS (SELECT doc_id, nf, nc, sr,
+        |              unnest(generate_series(0, nf - 1)) AS f FROM d)
+        |SELECT doc_id AS media_id, CAST(sr AS BIGINT) AS sample_rate,
+        |       CAST(nc AS BIGINT) AS channels, CAST(nf AS BIGINT) AS frames,
+        |       CAST(SUM((doc_id*13 + f*7) % 4001 - 2000) AS BIGINT) AS c0_sum,
+        |       CAST(SUM(abs((doc_id*13 + f*7) % 4001 - 2000)
+        |                + CASE WHEN nc = 2
+        |                       THEN abs((doc_id*13 + f*7 + 5) % 4001 - 2000)
+        |                       ELSE 0 END) AS BIGINT) AS abs_sum,
+        |       CAST(SUM(((doc_id*13 + f*7) % 4001 - 2000) * f) AS BIGINT)
+        |         AS c0_moment
+        |FROM fr GROUP BY doc_id, sr, nc, nf ORDER BY media_id""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val nf = (50 + id % 32).toInt
+            val nc = (1 + id % 2).toInt
+            val sr = (8000 + (id % 3) * 4000).toInt
+            M.MediaRow(id, "audio/wav",
+              graft.multimodal.AudioCodec.encodePcm16(sr, nc, nf,
+                (f, c) => ((id * 13 + f * 7 + c * 5) % 4001).toInt - 2000),
+              0, 0)
+          }
+        M.decodeAudioFeatures(media).toDF().orderBy(col("media_id"))
+      }
+    },
+
     // SCD2 dimension-history build (Relational.scd2): collapse each
     // order's lineitem change stream on l_linestatus into versioned
     // rows with valid_from/valid_to/is_current. One shuffle on the key

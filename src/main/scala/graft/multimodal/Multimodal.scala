@@ -137,6 +137,43 @@ object Multimodal {
     }
   }
 
+  /** Real decoded-audio statistics. Sums are exact integers; `moment`
+    * weights channel-0 samples by frame index, so a decoder that
+    * mis-walks chunks or mis-orders samples produces a different
+    * moment even when order-invariant sums agree (q75's r_moment
+    * rationale). `abs_sum` is the integer L1 energy. */
+  final case class AudioStats(media_id: Long, sample_rate: Long,
+                              channels: Long, frames: Long,
+                              c0_sum: Long, abs_sum: Long, c0_moment: Long)
+
+  /** REAL audio decode: parse each payload as PCM16 WAV
+    * ([[AudioCodec.decodePcm16]]) and reduce samples to integer
+    * statistics. Same per-partition batch shape as the other
+    * operators; malformed payloads fail loudly. */
+  def decodeAudioFeatures(ds: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val a = AudioCodec.decodePcm16(row.payload)
+        var c0 = 0L; var l1 = 0L; var mom = 0L
+        var f = 0
+        while (f < a.frames) {
+          val v0 = a.samples(f * a.channels)
+          c0 += v0
+          mom += v0.toLong * f
+          var c = 0
+          while (c < a.channels) {
+            l1 += math.abs(a.samples(f * a.channels + c))
+            c += 1
+          }
+          f += 1
+        }
+        AudioStats(row.media_id, a.sampleRate.toLong, a.channels.toLong,
+          a.frames.toLong, c0, l1, mom)
+      }
+    }
+  }
+
   /** Wrap a text table as a media table (payload = UTF-8 bytes) — lets
     * the pipeline be exercised end-to-end without binary fixtures. */
   def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
