@@ -83,6 +83,20 @@ object Queries {
           windowSize = 5, numPartitions = 1, seed = 1L))
     })
 
+  /** Shared native-SGNS fit per (session, dir) — x32's model, trained
+    * with the reference's semantics (negative sampling + subsampling);
+    * minCount bounds the vocab so the driver-held weights stay small. */
+  private val sgnsCache = scala.collection.concurrent.TrieMap[(Int, String),
+    graft.embed.Sgns.Model]()
+  private def fittedSgns(s: SparkSession, d: String) =
+    sgnsCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      val ctx = T(s, d, "documents")
+        .select(TextFns.wordTokens(col("text")).as("context_words"))
+      graft.embed.Sgns.fit(ctx,
+        graft.embed.Sgns.Config(vectorSize = 16, epochs = 2, window = 5,
+          negative = 5, sample = 1e-4, minCount = 5, seed = 1L))
+    })
+
   /** Shared q54/q66 transitive dup-cluster table per (session, dir):
     * n-gram Jaccard pairs (production posting cap) → label-propagation
     * closure, persisted once — q66's canonical selection reuses the
@@ -1788,6 +1802,22 @@ object Queries {
       graft.embed.Embeddings.neighbors(fittedW2v(s, d), "spark", 5)
         .select(col("word"), round(col("similarity"), 4).as("sim"))
     },
+
+    // X1/X5 native-SGNS path: true skip-gram negative sampling with
+    // subsampling (the reference's actual gensim training semantics,
+    // which Spark ML W2V cannot express). Deterministic by
+    // construction (content-hash partitioning, splitmix64 RNG), so the
+    // rows-only record is stable run-to-run. Emits each vocab word's
+    // top neighbor — the structure signal, robust to float formatting.
+    rowsOnly("x32_sgns_neighbors") { (s, d) => {
+      import s.implicits._
+      val m = fittedSgns(s, d)
+      m.words.take(20).toSeq.map { w =>
+        val (nb, sim) = m.neighbors(w, 1).head
+        (w, nb, math.rint(sim * 1e4) / 1e4)
+      }.toDF("word", "top_neighbor", "sim")
+        .orderBy(col("word"))
+    }},
 
     rowsOnly("x11_pca_project") { (s, d) =>
       graft.export.Projection.pca2d(T(s, d, "embeddings"), "vec_id", "embedding")

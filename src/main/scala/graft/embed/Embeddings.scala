@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * The reference trains gensim word2vec SGNS over per-user subreddit
   * "sentences" (`ihop/community2vec.py:157-276`) with the window sized
-  * to the longest context (effectively unlimited). Our engine uses
-  * Spark ML `Word2Vec` — same output contract (word → vector table,
-  * nearest neighbors, analogy accuracy); the training algorithm is
-  * skip-gram + hierarchical softmax rather than negative sampling, a
-  * documented divergence (SURVEY.md §7.4.1), not chased to bit-parity.
-  */
+  * to the longest context (effectively unlimited). Two trainers:
+  * Spark ML `Word2Vec` (skip-gram + hierarchical softmax — fast,
+  * battle-tested, but no `negative`/`sample` knobs) and the native
+  * [[Sgns]] module (true skip-gram negative sampling with
+  * subsampling — the reference's actual training semantics, enabling
+  * its full 4-axis sweep via [[sgnsGridSearch]]). Same output
+  * contract either way: word → vector table, nearest neighbors,
+  * analogy accuracy. */
 object Embeddings {
 
   /** Defaults mirror reference `ihop/community2vec.py:157-218`. */
@@ -194,9 +196,9 @@ object Embeddings {
                               model: Word2VecModel)
 
   /** Grid axes over every knob Spark ML Word2Vec exposes. The
-    * reference's 4-D grid also sweeps gensim's `negative`/`sample`
+    * reference's own 4-D grid sweeps gensim's `negative`/`sample`
     * (`params.yaml:68-74`), which have no Spark ML W2V equivalent —
-    * a documented SURVEY.md §7.4.1 divergence, not silently remapped. */
+    * use [[sgnsGridSearch]] (native SGNS) for that exact sweep. */
   final case class Grid(alphas: Seq[Double] = Seq(0.025),
                         vectorSizes: Seq[Int] = Seq(150),
                         windowSizes: Seq[Int] = Seq(1000),
@@ -265,17 +267,58 @@ object Embeddings {
     * param columns (`ihop/community2vec.py:582-589`) — written through
     * the S7 single-file CSV sink. */
   def writePerformanceCsv(spark: SparkSession, results: Seq[GridResult],
-                          dir: String): Unit = {
+                          dir: String): Unit =
+    writePerformanceCsvRows(spark,
+      results.map(r => (r.modelId, r.accuracy, r.detail, r.params)), dir)
+
+  /** Model-type-agnostic form of [[writePerformanceCsv]] (shared by the
+    * Spark ML sweep and the native [[Sgns]] sweep). */
+  def writePerformanceCsvRows(spark: SparkSession,
+                              results: Seq[(String, Double, String, Map[String, String])],
+                              dir: String): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val paramKeys = results.headOption.map(_.params.keys.toSeq.sorted).getOrElse(Nil)
+    val paramKeys = results.headOption.map(_._4.keys.toSeq.sorted).getOrElse(Nil)
     val schema = StructType(
       (Seq("model_id", "analogy_acc", "detailed_analogy") ++ paramKeys)
         .map(StructField(_, StringType)))
-    val rows = results.map(r => Row.fromSeq(
-      Seq(r.modelId, r.accuracy.toString, r.detail) ++ paramKeys.map(r.params)))
+    val rows = results.map { case (id, acc, detail, params) =>
+      Row.fromSeq(Seq(id, acc.toString, detail) ++ paramKeys.map(params))
+    }
     import scala.jdk.CollectionConverters._
     graft.sources.Writers.singleCsv(
       spark.createDataFrame(rows.asJava, schema), dir)
+  }
+
+  /** X5, FULL reference semantics: the native-SGNS sweep over the
+    * reference's exact 4-axis grid — alpha × vector_size × sample ×
+    * negative (`params.yaml:68-74`) — which the Spark ML sweep above
+    * cannot express (no `negative`/`sample` knobs in ML Word2Vec).
+    * Same id format, tie rule (`acc >= best` keeps the later config)
+    * and CSV artifact as [[gridSearch]]. */
+  final case class SgnsGridResult(modelId: String, params: Map[String, String],
+                                  accuracy: Double, detail: String,
+                                  model: Sgns.Model)
+  def sgnsGridSearch(spark: SparkSession, df: DataFrame, base: Sgns.Config,
+                     alphas: Seq[Double], vectorSizes: Seq[Int],
+                     samples: Seq[Double], negatives: Seq[Int],
+                     analogies: Seq[Analogy],
+                     metricsDir: Option[String] = None): (SgnsGridResult, Seq[SgnsGridResult]) = {
+    val results = for {
+      a <- alphas; vs <- vectorSizes; smp <- samples; neg <- negatives
+    } yield {
+      val cfg = base.copy(alpha = a, vectorSize = vs, sample = smp,
+        negative = neg)
+      val m = Sgns.fit(df, cfg)
+      val res = evaluateAnalogies(m.collectVectors, analogies,
+        restrictVocab = m.words.length)
+      val params = Map("alpha" -> a.toString, "vector_size" -> vs.toString,
+        "sample" -> smp.toString, "negative" -> neg.toString)
+      SgnsGridResult(modelId(params), params, res.overall,
+        sectionsToStr(res.sections), m)
+    }
+    metricsDir.foreach(dir => writePerformanceCsvRows(spark,
+      results.map(r => (r.modelId, r.accuracy, r.detail, r.params)), dir))
+    (results.reduceLeft((b, r) => if (r.accuracy >= b.accuracy) r else b), results)
   }
 }
