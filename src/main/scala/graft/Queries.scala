@@ -2360,6 +2360,43 @@ object Queries {
       }
     },
 
+    // Intra-document duplicate-segment removal (the Gopher-class "drop
+    // repeated paragraphs INSIDE a document" curation op — the
+    // cross-document q23/q54 family can't see these). Documents are
+    // segmented into fixed 8-token pseudo-paragraphs; each doc keeps
+    // the FIRST occurrence of every distinct segment, order preserved
+    // (filter with an index lambda: position of first occurrence ==
+    // own position). Row-local array math, zero shuffles; the oracle
+    // mirrors the keep-first rule with an index-filtered list
+    // comprehension.
+    q("q77_intradoc_dedup",
+      s"""$mirrorToksCte,
+        |sg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE [array_to_string(t[(i-1)*8+1 : (i-1)*8+8], ' ')
+        |               FOR i IN generate_series(1, CAST(ceil(len(t)/8.0) AS INT))]
+        |    END AS segs
+        |  FROM toks),
+        |kp AS (
+        |  SELECT doc_id, segs,
+        |    [segs[i] FOR i IN generate_series(1, len(segs))
+        |     IF list_position(segs, segs[i]) = i] AS kept
+        |  FROM sg)
+        |SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_segments,
+        |       CAST(len(kept) AS BIGINT) AS n_unique_segments,
+        |       COALESCE(array_to_string(kept, ' '), '') AS text_dedup
+        |FROM kp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+        .select(col("doc_id"), TextFns.dedupSegments(col("t"), 8).as("_d"))
+        .select(col("doc_id"),
+          col("_d.n_segments").as("n_segments"),
+          col("_d.n_unique_segments").as("n_unique_segments"),
+          col("_d.text_dedup").as("text_dedup"))
+        .orderBy(col("doc_id"))
+    },
+
     // SCD2 dimension-history build (Relational.scd2): collapse each
     // order's lineitem change stream on l_linestatus into versioned
     // rows with valid_from/valid_to/is_current. One shuffle on the key

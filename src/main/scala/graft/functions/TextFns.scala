@@ -149,6 +149,31 @@ object TextFns {
       }
     }
 
+  /** Intra-document duplicate-segment removal (Gopher-class "drop
+    * repeated paragraphs inside a document"): segment the token array
+    * into fixed `segTokens`-token pseudo-paragraphs, keep the FIRST
+    * occurrence of each distinct segment in order (the keep rule:
+    * first-occurrence position == own position), and return the
+    * 3-field struct (n_segments, n_unique_segments, text_dedup).
+    * Row-local; both stages are lambda-bound so the segment array and
+    * the kept list evaluate once per row each. */
+  def dedupSegments(tokens: Column, segTokens: Int): Column =
+    ExprUtils.bind(
+      when(size(tokens) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0),
+            ceil(size(tokens) / lit(segTokens.toDouble)).cast("int") - 1),
+          i => array_join(slice(tokens, i * segTokens + 1, lit(segTokens)), " ")))
+    ) { segs =>
+      ExprUtils.bind(filter(segs, (x, i) =>
+        array_position(segs, x) === (i + 1).cast("long"))) { kept =>
+        struct(
+          size(segs).cast("long").as("n_segments"),
+          size(kept).cast("long").as("n_unique_segments"),
+          array_join(kept, " ").as("text_dedup"))
+      }
+    }
+
   /** Pattern masking for redaction-style curation: count and replace
     * every match of `pattern` (a Java-regex/RE2 COMMON-dialect pattern —
     * no lookahead/backrefs — so an external SQL oracle reproduces it).

@@ -89,6 +89,24 @@ class FunctionsSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("dedupSegments: keep-first order-preserving intra-doc dedup") {
+    // segment size 2: "a b | c d | a b | e f" → the repeated "a b" drops
+    val rows = Seq(
+      "a b c d a b e f",  // planted duplicate segment
+      "x y x y x y",      // all-same: 3 segments → 1 kept
+      "p q r",            // partial last segment, no dups
+      "")                 // empty → (0, 0, "")
+      .toDF("t")
+      .select(TextFns.dedupSegments(TextFns.wordTokens(col("t")), 2).as("d"))
+      .select(col("d.n_segments"), col("d.n_unique_segments"),
+        col("d.text_dedup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows(0) == ((4L, 3L, "a b c d e f")))
+    assert(rows(1) == ((3L, 1L, "x y")))
+    assert(rows(2) == ((2L, 2L, "p q r")))
+    assert(rows(3) == ((0L, 0L, "")))
+  }
+
   test("isRepetitive: duplicate-token and dominant-bigram gates, empty-safe") {
     val df = Seq(
       "a b a b a b a b",          // one bigram dominates → repetitive
