@@ -2771,6 +2771,51 @@ object Queries {
             .otherwise(lit("test")))
         .orderBy(col("doc_id"))
     },
+
+    // Weighted dataset mixing ("30% web, 2x books, ..."): per-source
+    // sampling rates in MILLI-units — rate DIV 1000 full repetitions
+    // (the deterministic upsampling/epoch factor) plus one extra copy
+    // admitted when the doc's portable md5 hash clears rate MOD 1000.
+    // No RNG anywhere: the same doc emits the same copies in any
+    // engine, any run, any partitioning (q70's split-hash discipline
+    // extended to rates above 1). Row-local sequence explode, zero
+    // shuffles; composes in front of packing (q68) / splits (q70).
+    // Sources here are synthetic thirds of the corpus at 0.5x / 2x /
+    // 1.25x.
+    q("q78_dataset_mix",
+      """WITH b AS (
+        |  SELECT doc_id, 's' || CAST(doc_id % 3 AS VARCHAR) AS source,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) % 1000 AS h,
+        |         CASE doc_id % 3 WHEN 0 THEN 500 WHEN 1 THEN 2000
+        |              ELSE 1250 END AS wm
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |             wm // 1000 + CASE WHEN h < wm % 1000 THEN 1 ELSE 0 END AS n
+        |      FROM b)
+        |SELECT doc_id, source,
+        |       CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+        |FROM c WHERE n > 0 ORDER BY doc_id, copy""".stripMargin) { (s, d) =>
+      T(s, d, "documents").select(col("doc_id"))
+        .withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(3L)).cast("string")))
+        .withColumn("_wm",
+          when(pmod(col("doc_id"), lit(3L)) === 0, lit(500L))
+            .when(pmod(col("doc_id"), lit(3L)) === 1, lit(2000L))
+            .otherwise(lit(1250L)))
+        .withColumn("_h",
+          pmod(graft.functions.HashFns.md5Hash60(col("doc_id").cast("string")),
+            lit(1000L)))
+        .withColumn("_n", expr("_wm DIV 1000") +
+          when(col("_h") < pmod(col("_wm"), lit(1000L)), lit(1L))
+            .otherwise(lit(0L)))
+        // Spark's sequence(1, 0) DESCENDS instead of emitting empty —
+        // zero-copy docs must short-circuit (q72's guard)
+        .select(col("doc_id"), col("source"),
+          explode(when(col("_n") < 1, array().cast("array<bigint>"))
+            .otherwise(sequence(lit(1L), col("_n")))).as("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
