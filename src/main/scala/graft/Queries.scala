@@ -2360,6 +2360,68 @@ object Queries {
       }
     },
 
+    // REAL video decode + frame sampling, oracle-backed end-to-end
+    // (closes the modality triple: q75 image, q76 audio, q79 video).
+    // Per doc a genuine Y4M stream — C420jpeg chroma subsampling, and
+    // per-frame X parameters on every third FRAME header, so only a
+    // decoder that tokenizes frame headers and gets the subsampled
+    // plane geometry right parses it — is encoded from closed-form
+    // plane formulas, then decoded and SAMPLED (every 2nd frame, the
+    // 1:N flatMap fan-out) by the streaming frame iterator. The oracle
+    // computes the same per-sampled-frame statistics analytically:
+    // y_moment catches raster-order/plane-slice bugs, uv_sum catches
+    // wrong chroma geometry (a 444 misread changes the plane sizes).
+    q("q79_video_decode",
+      s"""WITH d AS (SELECT doc_id, 4 + 2*(doc_id % 4) AS w,
+        |                  2 + 2*(doc_id % 3) AS h, 3 + doc_id % 5 AS nf
+        |           FROM documents WHERE doc_id < $ImgDecodeDocs),
+        |sfr AS (SELECT doc_id, w, h, f
+        |        FROM (SELECT doc_id, w, h,
+        |                     unnest(generate_series(0, nf - 1)) AS f FROM d)
+        |        WHERE f % 2 = 0),
+        |ys AS (SELECT doc_id, f, w, h,
+        |              CAST(SUM((doc_id*11 + f*17 + i*3) % 256) AS BIGINT)
+        |                AS y_sum,
+        |              CAST(SUM(((doc_id*11 + f*17 + i*3) % 256) * i) AS BIGINT)
+        |                AS y_moment
+        |       FROM (SELECT doc_id, f, w, h,
+        |                    unnest(generate_series(0, w*h - 1)) AS i FROM sfr)
+        |       GROUP BY doc_id, f, w, h),
+        |uvs AS (SELECT doc_id, f,
+        |               CAST(SUM((doc_id*11 + f*17 + j*5 + 1) % 256
+        |                      + (doc_id*11 + f*17 + j*7 + 2) % 256) AS BIGINT)
+        |                 AS uv_sum
+        |        FROM (SELECT doc_id, f,
+        |                     unnest(generate_series(0, (w//2)*(h//2) - 1)) AS j
+        |              FROM sfr)
+        |        GROUP BY doc_id, f)
+        |SELECT ys.doc_id AS media_id, CAST(ys.f AS BIGINT) AS frame_idx,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       y_sum, y_moment, uv_sum
+        |FROM ys JOIN uvs ON ys.doc_id = uvs.doc_id AND ys.f = uvs.f
+        |ORDER BY media_id, frame_idx""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (4 + 2 * (id % 4)).toInt
+            val h = (2 + 2 * (id % 3)).toInt
+            val nf = (3 + id % 5).toInt
+            M.MediaRow(id, "video/y4m",
+              graft.multimodal.VideoCodec.encodeY4m(w, h, 30, 1, nf,
+                (f, x, y) => ((id * 11 + f * 17 + (y * w + x) * 3) % 256).toInt,
+                (f, cx, cy) => ((id * 11 + f * 17 + (cy * (w / 2) + cx) * 5 + 1) % 256).toInt,
+                (f, cx, cy) => ((id * 11 + f * 17 + (cy * (w / 2) + cx) * 7 + 2) % 256).toInt),
+              w, h)
+          }
+        M.sampleVideoFrameStats(media, everyN = 2).toDF()
+          .orderBy(col("media_id"), col("frame_idx"))
+      }
+    },
+
     // Intra-document duplicate-segment removal (the Gopher-class "drop
     // repeated paragraphs INSIDE a document" curation op — the
     // cross-document q23/q54 family can't see these). Documents are

@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * partition-mapped feature-extraction operator with a real batch
   * shape.
   *
-  * The image modality decodes FOR REAL: [[decodeImageFeatures]] parses
-  * 24-bit BMP payloads with the pure-JVM [[ImageCodec]] (headers, BGR
-  * order, stride padding, bottom-up rows) and emits genuine raster
-  * statistics — oracle-backed end-to-end (q75). Compressed formats and
-  * the audio/video decoders (libjpeg/ffmpeg-class work) are NOT
-  * available in this container — [[StubDecoder]] remains the
-  * clearly-marked deterministic fake for those. Everything Spark-side
+  * All three modalities decode FOR REAL in one uncompressed format
+  * each: [[decodeImageFeatures]] parses 24-bit BMP via [[ImageCodec]]
+  * (q75), [[decodeAudioFeatures]] parses PCM16 WAV via [[AudioCodec]]
+  * (q76), and [[sampleVideoFrameStats]] parses Y4M via [[VideoCodec]]
+  * (q79) — each oracle-backed end-to-end. COMPRESSED formats
+  * (libjpeg/ffmpeg-class work) are NOT available in this container —
+  * [[StubDecoder]] remains the clearly-marked deterministic fake for
+  * those. Everything Spark-side
   * is real either way: the schema, the `mapPartitions` batch boundary
   * (one decoder init per partition, streaming rows through it — the
   * same shape a JNI/FFI decoder needs), partitioning, and the typed
@@ -200,10 +201,56 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling — the 1:N batch shape of video work: each
-    * media row fans out to ceil(payloadLen / frameBytes) frames, keep
-    * every `everyN`-th. A real implementation seeks keyframes via the
-    * container index instead of slicing bytes; the flatMap contract
+  /** Real decoded-frame statistics for the video modality: one row per
+    * SAMPLED frame (the 1:N fan-out). Sums are exact integers;
+    * `y_moment` weights luma by raster position, so a decoder that
+    * mis-slices planes or mis-orders rasters produces a different
+    * moment even when order-invariant sums agree (q75's r_moment
+    * rationale); `uv_sum` covers both subsampled chroma planes, so
+    * wrong chroma geometry (420 vs 444 plane sizes) breaks it. */
+  final case class VideoFrameStats(media_id: Long, frame_idx: Long,
+                                   width: Long, height: Long,
+                                   y_sum: Long, y_moment: Long, uv_sum: Long)
+
+  /** REAL video decode + frame sampling: parse each payload as Y4M
+    * ([[VideoCodec.frameIterator]]), keep every `everyN`-th frame, and
+    * reduce each kept frame to integer plane statistics. The frame
+    * iterator is LAZY and the fan-out is a `flatMap`, so frames stream
+    * through the operator one at a time — a whole video's frames are
+    * never materialized, the contract a container-index keyframe seek
+    * honors at scale. Malformed payloads fail loudly. */
+  def sampleVideoFrameStats(ds: Dataset[MediaRow],
+                            everyN: Int): Dataset[VideoFrameStats] = {
+    import ds.sparkSession.implicits._
+    require(everyN > 0, "sampleVideoFrameStats: everyN must be positive")
+    ds.flatMap { row =>
+      val (hdr, frames) = VideoCodec.frameIterator(row.payload)
+      frames.collect { case fr if fr.index % everyN == 0 =>
+        var ySum = 0L; var yMom = 0L; var uvSum = 0L
+        var i = 0
+        while (i < fr.y.length) {
+          val v = fr.y(i) & 0xff
+          ySum += v
+          yMom += v.toLong * i
+          i += 1
+        }
+        i = 0
+        while (i < fr.u.length) {
+          uvSum += (fr.u(i) & 0xff) + (fr.v(i) & 0xff)
+          i += 1
+        }
+        VideoFrameStats(row.media_id, fr.index.toLong,
+          hdr.width.toLong, hdr.height.toLong, ySum, yMom, uvSum)
+      }
+    }
+  }
+
+  /** STUB frame sampling — the 1:N batch shape for container formats
+    * without a pure-JVM decoder (compressed video needs ffmpeg-class
+    * work; `video/y4m` decodes FOR REAL via [[sampleVideoFrameStats]]):
+    * each media row fans out to ceil(payloadLen / frameBytes) frames,
+    * keep every `everyN`-th. A real implementation seeks keyframes via
+    * the container index instead of slicing bytes; the flatMap contract
     * (streamed, never materializing a whole video's frames) is the
     * Spark-side point. */
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
