@@ -335,6 +335,12 @@ object Queries {
   // q75 real-BMP-decode corpus bound: enough docs to hit every
   // (width, height) stride/flip combination 8×, row-local cost bounded
   private val ImgDecodeDocs = 200L
+  // q80 perplexity gate: minimum average scaled bigram log-prob
+  // (≈ average conditional perplexity ≤ e^3.4 ≈ 30). Sits inside the
+  // synthetic corpus's score distribution at BOTH driver scales
+  // (keeps ≈60% at sf0.01, ≈45% at sf0.1), so the gate demonstrably
+  // splits rather than degenerating to all-kept
+  private val LmKeepAvgScaled = -3400000L
 
   /** DuckDB oracle for q60: the portable multimodal feature pipeline in
     * SQL — UTF-8 payload bytes recovered via `hex()` (2 hex chars per
@@ -2419,6 +2425,54 @@ object Queries {
           }
         M.sampleVideoFrameStats(media, everyN = 2).toDF()
           .orderBy(col("media_id"), col("frame_idx"))
+      }
+    },
+
+    // CCNet-style LM perplexity filter, oracle-backed end-to-end: fit
+    // Laplace-smoothed bigram statistics on the corpus, score every
+    // doc's average bigram log-probability, keep docs above the
+    // threshold. Every log term is floor-scaled to an exact integer at
+    // 1e6 (division before ln in BOTH engines, the q74 pattern), so
+    // per-doc sums and the keep decision (integer cross-multiplication,
+    // no division) are engine-exact. The oracle recomputes the counts,
+    // the smoothing, and the gate in SQL.
+    q("q80_lm_perplexity",
+      s"""$mirrorToksCte,
+        |bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        |       FROM (SELECT doc_id, t,
+        |                    unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM toks)),
+        |bc AS (SELECT prev, cur, COUNT(*) AS c2 FROM bg GROUP BY prev, cur),
+        |pc AS (SELECT prev, SUM(c2) AS c1 FROM bc GROUP BY prev),
+        |v AS (SELECT COUNT(DISTINCT w) AS vs
+        |      FROM (SELECT unnest(t) AS w FROM toks)),
+        |term AS (SELECT b.doc_id,
+        |                CAST(FLOOR(1000000 * ln((CAST(bc.c2 AS DOUBLE) + 1.0)
+        |                       / (CAST(pc.c1 AS DOUBLE) + CAST(v.vs AS DOUBLE))))
+        |                     AS BIGINT) AS ts
+        |         FROM bg b
+        |         JOIN bc ON b.prev = bc.prev AND b.cur = bc.cur
+        |         JOIN pc ON b.prev = pc.prev
+        |         CROSS JOIN v),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(ts) AS lp_scaled
+        |       FROM term GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(sc.lp_scaled, 0) AS BIGINT) AS lp_scaled,
+        |       CAST(CASE WHEN COALESCE(sc.n_bigrams, 0) = 0
+        |                   OR COALESCE(sc.lp_scaled, 0)
+        |                      >= $LmKeepAvgScaled * sc.n_bigrams
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM toks d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin) {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+        val model = graft.text.NgramLm.fit(docs, "doc_id", "t")
+        graft.text.NgramLm.scoreScaled(model, docs, "doc_id", "t")
+          .withColumn("kept",
+            graft.text.NgramLm.keepCol(LmKeepAvgScaled).cast("long"))
+          .orderBy(col("doc_id"))
       }
     },
 
