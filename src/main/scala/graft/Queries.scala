@@ -2428,6 +2428,68 @@ object Queries {
       }
     },
 
+    // Overlapping token-window chunking (context-window prep for
+    // training/RAG): window 32, stride 24 → consecutive chunks share 8
+    // tokens; starts run while inside the doc so every token lands in
+    // at least one chunk. Row-local indexed lambda + explode, zero
+    // shuffles; the oracle mirrors the start arithmetic and 1-based
+    // inclusive list slicing.
+    q("q81_token_chunks",
+      s"""$mirrorToksCte,
+        |ch AS (SELECT doc_id, t, len(t) AS n,
+        |              unnest(generate_series(0, (len(t) - 1) // 24)) AS i
+        |       FROM toks WHERE len(t) > 0)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |       CAST(LEAST(32, n - i*24) AS BIGINT) AS chunk_len,
+        |       array_to_string(t[1 + i*24 : LEAST(i*24 + 32, n)], ' ') AS chunk
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) {
+      (s, d) =>
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextFns.tokenChunks(
+              TextFns.wordTokens(col("text")), window = 32, stride = 24)).as("c"))
+          .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+            col("c.chunk_len").as("chunk_len"), col("c.chunk").as("chunk"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Frequency-ranked vocab fit + token-id encoding ("documents →
+    // id sequences for the trainer"): id 1 = most frequent (ties by
+    // token text), tokens under minCount=3 encode to the reserved OOV
+    // id 0. The rank window runs over the VOCAB table (Zipf-bounded),
+    // not the corpus; encoding is a token-level left join + one
+    // position-sorted reassembly. The oracle recomputes ranking,
+    // OOV fallback, and order-preserving id join in SQL.
+    q("q82_vocab_encode",
+      s"""$mirrorToksCte,
+        |u AS (SELECT w, COUNT(*) AS c
+        |      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |v AS (SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT)
+        |               AS id
+        |      FROM u WHERE c >= 3),
+        |pos AS (SELECT doc_id, i, t[i] AS w
+        |        FROM (SELECT doc_id, t,
+        |                     unnest(generate_series(1, len(t))) AS i FROM toks)),
+        |enc AS (SELECT p.doc_id, p.i, COALESCE(v.id, 0) AS tid
+        |        FROM pos p LEFT JOIN v USING (w)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |               SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov,
+        |               string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i) AS ids
+        |        FROM enc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+        |       COALESCE(a.ids, '') AS ids
+        |FROM toks d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin) {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+        val vocab = graft.text.VocabEncoder.fit(docs, "t", minCount = 3L)
+        graft.text.VocabEncoder.encode(vocab, docs, "doc_id", "t")
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // CCNet-style LM perplexity filter, oracle-backed end-to-end: fit
     // Laplace-smoothed bigram statistics on the corpus, score every
     // doc's average bigram log-probability, keep docs above the

@@ -205,4 +205,28 @@ object TextFns {
     * `list_reduce(list_prepend(0, hashes), (acc,x) -> (acc*31+x) % p)`. */
   def fingerprintMirrored(text: Column): Column =
     fingerprintWith(text, HashFns.md5Hash)
+
+  /** Overlapping token-window chunks — the context-window prep stage of
+    * a training/RAG pipeline: chunk i covers tokens [i·stride,
+    * i·stride + window); starts run while they fall inside the doc, so
+    * every token lands in ≥1 chunk and consecutive chunks overlap by
+    * (window − stride). Returns array<struct<chunk_idx, chunk_len,
+    * chunk>> — row-local (explode downstream for one row per chunk;
+    * zero shuffles). Empty token arrays yield zero chunks. */
+  def tokenChunks(tokens: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"tokenChunks: need 0 < stride <= window, got window=$window stride=$stride")
+    val n = size(tokens)
+    // Spark's sequence(0, -1) counts DOWN — guard the empty case
+    val idxs = when(n > lit(0),
+      sequence(lit(0L), ((n - lit(1)) / lit(stride)).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    transform(idxs, i => {
+      val start = i * stride
+      val len = least(lit(window), n - start)
+      struct(i.as("chunk_idx"), len.cast("long").as("chunk_len"),
+        array_join(slice(tokens, (start + 1).cast("int"), len.cast("int")), " ")
+          .as("chunk"))
+    })
+  }
 }

@@ -330,4 +330,28 @@ class FunctionsSpec extends SparkSpec {
     // 16-bit chunks, low to high
     assert(df == Seq(0xcdefL, 0x89abL, 0x4567L, 0x123L))
   }
+
+  test("tokenChunks: coverage, overlap, tail length, empty doc") {
+    def chunksOf(n: Int, window: Int, stride: Int) =
+      Seq(Seq.tabulate(n)(i => s"t$i")).toDF("t")
+        .select(TextFns.tokenChunks(col("t"), window, stride).as("c"))
+        .select(explode(col("c")).as("e"))
+        .select(col("e.chunk_idx"), col("e.chunk_len"), col("e.chunk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // 10 tokens, window 4, stride 3 → starts 0,3,6,9
+    val got = chunksOf(10, 4, 3)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._2).toSeq == Seq(4L, 4L, 4L, 1L)) // tail is short
+    assert(got(1)._3 == "t3 t4 t5 t6") // overlap: t3 also ends chunk 0
+    assert(got(0)._3.endsWith("t3"))
+    assert(got(3)._3 == "t9")
+    // every token appears in >= 1 chunk
+    val covered = got.flatMap(_._3.split(" ")).toSet
+    assert(covered == (0 until 10).map(i => s"t$i").toSet)
+    assert(chunksOf(0, 4, 3).isEmpty)
+    // window == stride → disjoint exact partition
+    assert(chunksOf(6, 3, 3).map(_._3).toSeq == Seq("t0 t1 t2", "t3 t4 t5"))
+    intercept[IllegalArgumentException](
+      Seq(Seq("a")).toDF("t").select(TextFns.tokenChunks(col("t"), 3, 4)))
+  }
 }
