@@ -2428,6 +2428,78 @@ object Queries {
       }
     },
 
+    // Data-card profiling composite ("datasheets for datasets"): one
+    // row per source with doc/token volume, mean doc length,
+    // within-source exact-duplicate mass, short-doc count, and the
+    // language-distribution entropy. Two aggregation trees — per
+    // (source, text) for dup mass, per (source, lang) for the lang
+    // distribution — meet at source granularity (tiny join). Entropy
+    // terms are floor-scaled PER LANG then summed, so the sum is
+    // integer-exact and immune to float accumulation order.
+    q("q83_data_card",
+      """WITH g AS (
+        |  SELECT source, text, COUNT(*) AS g,
+        |         SUM(len(list_filter(
+        |               string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |               x -> x <> ''))) AS gt,
+        |         SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS gs
+        |  FROM documents GROUP BY source, text),
+        |s AS (SELECT source, SUM(g) AS n_docs, SUM(gt) AS n_tokens,
+        |             SUM(CASE WHEN g > 1 THEN g ELSE 0 END) AS n_dup_docs,
+        |             SUM(gs) AS n_short_docs
+        |      FROM g GROUP BY source),
+        |lc AS (SELECT source, lang, COUNT(*) AS c
+        |       FROM documents GROUP BY source, lang),
+        |le AS (SELECT lc.source, COUNT(*) AS n_langs,
+        |              SUM(CAST(FLOOR(1000000 *
+        |                    (CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE)) *
+        |                    ln(CAST(n_docs AS DOUBLE) / CAST(c AS DOUBLE)))
+        |                  AS BIGINT)) AS lang_entropy_scaled
+        |       FROM lc JOIN s ON lc.source = s.source GROUP BY lc.source)
+        |SELECT s.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(FLOOR(1000000 * CAST(n_tokens AS DOUBLE)
+        |                  / CAST(n_docs AS DOUBLE)) AS BIGINT)
+        |         AS mean_tokens_scaled,
+        |       CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+        |       CAST(n_short_docs AS BIGINT) AS n_short_docs,
+        |       CAST(n_langs AS BIGINT) AS n_langs,
+        |       CAST(lang_entropy_scaled AS BIGINT) AS lang_entropy_scaled
+        |FROM s JOIN le ON s.source = le.source
+        |ORDER BY s.source""".stripMargin) {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("source"), col("lang"), col("n_chars"), col("text"),
+            size(TextFns.wordTokens(col("text"))).cast("long").as("ntok"))
+        val byText = docs.groupBy(col("source"), col("text"))
+          .agg(count(lit(1)).as("g"), sum(col("ntok")).as("gt"),
+            sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("gs"))
+        val bySource = byText.groupBy(col("source"))
+          .agg(sum(col("g")).as("n_docs"), sum(col("gt")).as("n_tokens"),
+            sum(when(col("g") > 1, col("g")).otherwise(0L)).as("n_dup_docs"),
+            sum(col("gs")).as("n_short_docs"))
+        val langEnt = docs.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .join(bySource.select(col("source"), col("n_docs")), Seq("source"))
+          .select(col("source"),
+            floor(lit(1000000.0) *
+              (col("c").cast("double") / col("n_docs").cast("double")) *
+              log(col("n_docs").cast("double") / col("c").cast("double")))
+              .cast("long").as("term"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_langs"),
+            sum(col("term")).as("lang_entropy_scaled"))
+        bySource.join(langEnt, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            floor(lit(1000000.0) * col("n_tokens").cast("double")
+              / col("n_docs").cast("double")).cast("long")
+              .as("mean_tokens_scaled"),
+            col("n_dup_docs"), col("n_short_docs"), col("n_langs"),
+            col("lang_entropy_scaled"))
+          .orderBy(col("source"))
+      }
+    },
+
     // Overlapping token-window chunking (context-window prep for
     // training/RAG): window 32, stride 24 → consecutive chunks share 8
     // tokens; starts run while inside the doc so every token lands in
