@@ -335,6 +335,30 @@ object Queries {
   // q75 real-BMP-decode corpus bound: enough docs to hit every
   // (width, height) stride/flip combination 8×, row-local cost bounded
   private val ImgDecodeDocs = 200L
+  /** Shared q80/x33 CTE prefix: bigram/prev counts, |V|, and per-doc
+    * (n_bigrams, lp_scaled) — the Laplace-smoothed LM score with every
+    * log term floored at 1e6 scale (integer-exact, the q74 pattern). */
+  private def lmScoreCtes: String =
+    s"""$mirrorToksCte,
+       |bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+       |       FROM (SELECT doc_id, t,
+       |                    unnest(generate_series(1, len(t) - 1)) AS i
+       |             FROM toks)),
+       |bc AS (SELECT prev, cur, COUNT(*) AS c2 FROM bg GROUP BY prev, cur),
+       |pc AS (SELECT prev, SUM(c2) AS c1 FROM bc GROUP BY prev),
+       |v AS (SELECT COUNT(DISTINCT w) AS vs
+       |      FROM (SELECT unnest(t) AS w FROM toks)),
+       |term AS (SELECT b.doc_id,
+       |                CAST(FLOOR(1000000 * ln((CAST(bc.c2 AS DOUBLE) + 1.0)
+       |                       / (CAST(pc.c1 AS DOUBLE) + CAST(v.vs AS DOUBLE))))
+       |                     AS BIGINT) AS ts
+       |         FROM bg b
+       |         JOIN bc ON b.prev = bc.prev AND b.cur = bc.cur
+       |         JOIN pc ON b.prev = pc.prev
+       |         CROSS JOIN v),
+       |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(ts) AS lp_scaled
+       |       FROM term GROUP BY doc_id)""".stripMargin
+
   // q80 perplexity gate: minimum average scaled bigram log-prob
   // (≈ average conditional perplexity ≤ e^3.4 ≈ 30). Sits inside the
   // synthetic corpus's score distribution at BOTH driver scales
@@ -2571,25 +2595,7 @@ object Queries {
     // no division) are engine-exact. The oracle recomputes the counts,
     // the smoothing, and the gate in SQL.
     q("q80_lm_perplexity",
-      s"""$mirrorToksCte,
-        |bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
-        |       FROM (SELECT doc_id, t,
-        |                    unnest(generate_series(1, len(t) - 1)) AS i
-        |             FROM toks)),
-        |bc AS (SELECT prev, cur, COUNT(*) AS c2 FROM bg GROUP BY prev, cur),
-        |pc AS (SELECT prev, SUM(c2) AS c1 FROM bc GROUP BY prev),
-        |v AS (SELECT COUNT(DISTINCT w) AS vs
-        |      FROM (SELECT unnest(t) AS w FROM toks)),
-        |term AS (SELECT b.doc_id,
-        |                CAST(FLOOR(1000000 * ln((CAST(bc.c2 AS DOUBLE) + 1.0)
-        |                       / (CAST(pc.c1 AS DOUBLE) + CAST(v.vs AS DOUBLE))))
-        |                     AS BIGINT) AS ts
-        |         FROM bg b
-        |         JOIN bc ON b.prev = bc.prev AND b.cur = bc.cur
-        |         JOIN pc ON b.prev = pc.prev
-        |         CROSS JOIN v),
-        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(ts) AS lp_scaled
-        |       FROM term GROUP BY doc_id)
+      s"""$lmScoreCtes
         |SELECT d.doc_id,
         |       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |       CAST(COALESCE(sc.lp_scaled, 0) AS BIGINT) AS lp_scaled,
@@ -2845,6 +2851,28 @@ object Queries {
         .replayParquet(s, d, queryName = "x31_quality")
         .orderBy(col("doc_id"))
     },
+
+    // Streaming arm of the q80 LM perplexity filter: fit on the static
+    // corpus, broadcast the vocab-bounded count maps (loud size
+    // guard), gate the replayed document stream row-locally — no state
+    // store, no watermark, no stream-side shuffle. The per-term math
+    // is bit-identical to batch, so stream ≡ batch and this shares
+    // q80's score CTEs.
+    q("x33_stream_lm_gate",
+      s"""$lmScoreCtes
+        |SELECT d.doc_id
+        |FROM toks d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |WHERE COALESCE(sc.n_bigrams, 0) = 0
+        |   OR COALESCE(sc.lp_scaled, 0) >= $LmKeepAvgScaled * sc.n_bigrams
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+      val tables = graft.streaming.StreamLmGate
+        .collectModel(graft.text.NgramLm.fit(docs, "doc_id", "t"))
+      graft.streaming.StreamLmGate
+        .replayParquet(s, d, tables, LmKeepAvgScaled, queryName = "x33_lm")
+        .orderBy(col("doc_id"))
+    }},
 
     // The full curation pipeline as ONE plan: admit (quality ∧ ¬
     // repetitive, both row-local) → mask (three regex stages, row-local)
