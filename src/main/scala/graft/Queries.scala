@@ -2509,7 +2509,11 @@ object Queries {
         val docs = T(s, d, "documents")
           .select(col("source"), col("lang"), col("n_chars"), col("text"),
             size(TextFns.wordTokens(col("text"))).cast("long").as("ntok"))
-        val byText = docs.groupBy(col("source"), col("text"))
+        // hash-led grouping key (Dedup.exact's idiom): comparisons and
+        // sort keys stay narrow even though the text travels alongside;
+        // the hash never reaches the output, so the oracle is unchanged
+        val byText = docs
+          .groupBy(col("source"), xxhash64(col("text")).as("_h"), col("text"))
           .agg(count(lit(1)).as("g"), sum(col("ntok")).as("gt"),
             sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("gs"))
         val bySource = byText.groupBy(col("source"))
