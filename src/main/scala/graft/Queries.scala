@@ -2466,6 +2466,61 @@ object Queries {
       }
     },
 
+    // BM25 lexical retrieval (Okapi scoring, Lucene idf form): top-10
+    // docs per query over the corpus — the lexical complement of the
+    // ANN family, used for corpus probes and decontamination audits.
+    // The token stream is semi-filtered by the broadcast query vocab
+    // BEFORE any aggregation (tf exists only for query terms); per-term
+    // scores are floor-scaled integers (division before ln, identical
+    // multiply order, literal constants in both engines) so ranks are
+    // engine-exact; ties break by doc_id.
+    q("q84_bm25_topk",
+      s"""$mirrorToksCte,
+        |stats AS (SELECT COUNT(*) AS nd, SUM(len(t)) AS nt FROM toks),
+        |dfT AS (SELECT w, COUNT(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks)
+        |        GROUP BY w),
+        |qt AS (SELECT * FROM (VALUES (0, 'hash'), (0, 'join'), (0, 'merge'),
+        |                             (1, 'slow'), (1, 'scan'), (1, 'filter'),
+        |                             (2, 'stream'), (2, 'window'), (2, 'agg'))
+        |                     AS q(qid, w)),
+        |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM toks)
+        |       WHERE w IN (SELECT w FROM qt)
+        |       GROUP BY doc_id, dl, w),
+        |term AS (SELECT qt.qid, tf.doc_id,
+        |    CAST(FLOOR(1000000 *
+        |      ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                / (CAST(df AS DOUBLE) + 0.5)) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 *
+        |        (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                        / (CAST(nt AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        |    ) AS BIGINT) AS ts
+        |  FROM tf JOIN qt USING (w) JOIN dfT USING (w) CROSS JOIN stats),
+        |sc AS (SELECT qid, doc_id, SUM(ts) AS score_scaled
+        |       FROM term GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, score_scaled,
+        |             ROW_NUMBER() OVER (PARTITION BY qid
+        |               ORDER BY score_scaled DESC, doc_id) AS rnk
+        |      FROM sc)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+        |       doc_id, CAST(score_scaled AS BIGINT) AS score_scaled
+        |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+        val stats = graft.text.Bm25.fit(docs, "doc_id", "t")
+        graft.text.Bm25.topKScaled(stats, docs, "doc_id", "t",
+          queries = Seq(
+            0L -> Seq("hash", "join", "merge"),
+            1L -> Seq("slow", "scan", "filter"),
+            2L -> Seq("stream", "window", "agg")),
+          k = 10)
+          .orderBy(col("qid"), col("rnk"))
+      }
+    },
+
     // Data-card profiling composite ("datasheets for datasets"): one
     // row per source with doc/token volume, mean doc length,
     // within-source exact-duplicate mass, short-doc count, and the
