@@ -164,6 +164,31 @@ class ScaleSpec extends SparkSpec {
       "composite packing must window per shard:\n" + q69)
   }
 
+  test("text-op plan shapes: chunking is shuffle-free; BM25 broadcasts and filters before tf") {
+    val docs = (1 to 200).map(i => (i.toLong,
+      Seq.fill(5)(s"w${i % 7}") ++ Seq("hash", "join"))).toDF("doc_id", "t")
+    // chunk fan-out is row-local: no Exchange anywhere in the plan
+    val chunks = docs.select(col("doc_id"),
+      explode(graft.functions.TextFns.tokenChunks(col("t"), 4, 3)).as("c"))
+    assert(!chunks.queryExecution.executedPlan.toString.contains("Exchange"),
+      "tokenChunks + explode must not shuffle")
+    assert(chunks.count() > 200)
+    // BM25: both count-table joins broadcast; the query-vocab filter
+    // runs BEFORE the first aggregation (tf only for query terms)
+    val stats = graft.text.Bm25.fit(docs, "doc_id", "t")
+    val plan = graft.text.Bm25.topKScaled(stats, docs, "doc_id", "t",
+      Seq(0L -> Seq("hash", "join")), k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      "query-vocab-bounded sides must broadcast:\n" + plan.take(1500))
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(plan.indexOf("Filter") >= 0 && firstAgg >= 0,
+      "expected Filter and HashAggregate in plan")
+    // executed plans print top-down: the tf aggregate must have the
+    // isin Filter BELOW it (later in the string)
+    assert(plan.indexOf("Filter", firstAgg) > firstAgg,
+      "query-term filter must sit under the tf aggregation:\n" + plan.take(1500))
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     val s2 = spark
     val dir = java.nio.file.Files.createTempDirectory("dpp").toString
