@@ -379,6 +379,9 @@ object Queries {
   // (keeps ≈60% at sf0.01, ≈45% at sf0.1), so the gate demonstrably
   // splits rather than degenerating to all-kept
   private val LmKeepAvgScaled = -3400000L
+  // q85 resampling gate: minimum average per-gram scaled log importance
+  // weight (0 = "at least as target-like as the raw average")
+  private val DsirKeepAvgScaled = 0L
 
   /** DuckDB oracle for q60: the portable multimodal feature pipeline in
     * SQL — UTF-8 payload bytes recovered via `hex()` (2 hex chars per
@@ -2463,6 +2466,64 @@ object Queries {
           }
         M.sampleVideoFrameStats(media, everyN = 2).toDF()
           .orderBy(col("media_id"), col("frame_idx"))
+      }
+    },
+
+    // DSIR-style importance weighting (Xie et al. 2023): hash each
+    // doc's unigrams+bigrams into 256 buckets (portable md5 family),
+    // fit smoothed bucket distributions on the TARGET slice (source =
+    // 'src0') and the RAW corpus, and weight every doc by
+    // Σ_b c_doc[b]·⌊1e6·ln(p_t[b]/p_r[b])⌋ — the resampling gate keeps
+    // docs that look like the target domain. Per-bucket ratios are
+    // floored ONCE (fixed-order double product before a single ln);
+    // per-doc weights are pure integer arithmetic.
+    q("q85_dsir_importance",
+      s"""$mirrorToksCte,
+        |gr AS (SELECT doc_id,
+        |              unnest(list_concat(t,
+        |                [t[i] || ' ' || t[i+1]
+        |                 FOR i IN generate_series(1, len(t) - 1)])) AS g
+        |       FROM toks),
+        |fb AS (SELECT doc_id,
+        |              CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 256 AS b
+        |       FROM gr),
+        |td AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        |ns AS (SELECT (SELECT COUNT(*) FROM fb JOIN td USING (doc_id)) AS nt,
+        |              (SELECT COUNT(*) FROM fb) AS nr),
+        |tt AS (SELECT b, COUNT(*) AS ct FROM fb JOIN td USING (doc_id) GROUP BY b),
+        |rt AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY b),
+        |rb AS (SELECT r.range AS b,
+        |              CAST(FLOOR(1000000 * ln(
+        |                ((CAST(COALESCE(ct, 0) AS DOUBLE) + 1.0)
+        |                   * CAST(nr + 256 AS DOUBLE)) /
+        |                ((CAST(COALESCE(cr, 0) AS DOUBLE) + 1.0)
+        |                   * CAST(nt + 256 AS DOUBLE)))) AS BIGINT) AS r_scaled
+        |       FROM range(256) r
+        |       LEFT JOIN tt ON tt.b = r.range
+        |       LEFT JOIN rt ON rt.b = r.range
+        |       CROSS JOIN ns),
+        |db AS (SELECT doc_id, b, COUNT(*) AS c FROM fb GROUP BY doc_id, b),
+        |w AS (SELECT doc_id, SUM(c) AS n_grams,
+        |             SUM(c * r_scaled) AS logw_scaled
+        |      FROM db JOIN rb USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(w.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(w.logw_scaled, 0) AS BIGINT) AS logw_scaled,
+        |       CAST(CASE WHEN COALESCE(w.n_grams, 0) > 0
+        |                  AND COALESCE(w.logw_scaled, 0)
+        |                      >= $DsirKeepAvgScaled * w.n_grams
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM toks d LEFT JOIN w ON d.doc_id = w.doc_id
+        |ORDER BY d.doc_id""".stripMargin) {
+      (s, d) => {
+        val I = graft.text.ImportanceSampler
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFns.wordTokens(col("text")).as("t"))
+        val ratios = I.ratioTable(docs.where(col("source") === "src0"), docs,
+          "doc_id", "t", buckets = 256)
+        I.weigh(ratios, docs, "doc_id", "t", buckets = 256)
+          .withColumn("kept", I.keepCol(DsirKeepAvgScaled).cast("long"))
+          .orderBy(col("doc_id"))
       }
     },
 
