@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank centrality in exact integer fixed-point — the crawl-graph
+  * source-quality signal (CommonCrawl ranks its frontier by exactly
+  * this family of link centralities; a training pipeline weights
+  * source domains with it).
+  *
+  * Arithmetic contract: ranks live on an integer scale (`scaleTotal`
+  * mass, default 1e12). Every step is integer division (`div`), so the
+  * iteration is bit-exact in ANY engine — an unrolled SQL mirror
+  * reproduces it with `//`. Per-edge contribution is
+  * `((rank div outdeg) * 85) div 100`; teleport is `(base * 15) div
+  * 100`; dangling mass (out-degree-0 nodes) is DROPPED each round —
+  * rank totals decay, relative order is unaffected for ranking use
+  * (documented variant, same choice as sparse power-iteration
+  * implementations that renormalize lazily).
+  *
+  * Scale design: one shuffle join edges⨝ranks on src plus one
+  * aggregation on dst per iteration (both key-partitioned; AQE handles
+  * hub skew), and the per-round frame is persisted + lineage-truncated
+  * the q54 way so the plan does not grow with iteration count.
+  */
+object PageRank {
+
+  /** `nodes`: one column `node`; `edges`: (`src`, `dst`), pre-deduped.
+    * Returns (node, rank) on the integer scale. */
+  def ranks(nodes: DataFrame, edges: DataFrame, iterations: Int,
+            scaleTotal: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"ranks: iterations must be >= 1")
+    val spark = nodes.sparkSession
+    val n = nodes.count()
+    require(n > 0, "ranks: empty node set")
+    val base = scaleTotal / n
+    val teleport = base * 15 / 100
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist()
+    val e = edges.join(outdeg, Seq("src")).persist()
+    e.count() // materialize once; reused every iteration
+    var r = nodes.select(col("node"), lit(base).as("rank"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst").as("node"),
+          expr("((rank div outdeg) * 85) div 100").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      val next = nodes.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("rank"))
+        .persist()
+      // materialize + rebuild over the stored partitions so the plan
+      // stays constant-size across iterations (q54's lineage fix)
+      val truncated = spark.createDataFrame(next.rdd, next.schema)
+      if (i > 0) r.unpersist(blocking = false)
+      r = truncated
+      i += 1
+    }
+    r
+  }
+
+  /** The SQL mirror of [[ranks]], unrolled: chained CTEs `r0..rK` over
+    * caller-supplied CTEs `nodes(node)`, `e(src, dst, outdeg)` and
+    * `ns(n)` (the node count — the oracle derives base/teleport itself
+    * because registered oracle SQL is static across scale factors).
+    * Interpolate into a WITH clause and SELECT from `r$iterations`.
+    * Kept HERE so operator and oracle share one definition of the
+    * arithmetic. */
+  def unrolledSqlCtes(iterations: Int, scaleTotal: Long): String = {
+    val tp = s"((($scaleTotal // ns.n) * 15) // 100)"
+    ((s"r0 AS (SELECT node, CAST($scaleTotal // ns.n AS BIGINT) AS rank " +
+      "FROM nodes CROSS JOIN ns)") +:
+      (1 to iterations).map { k =>
+        s"""c$k AS (SELECT e.dst AS node,
+           |        SUM(((r${k - 1}.rank // e.outdeg) * 85) // 100) AS contrib
+           |        FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+           |        GROUP BY e.dst),
+           |r$k AS (SELECT n.node,
+           |        CAST($tp + COALESCE(c$k.contrib, 0) AS BIGINT) AS rank
+           |        FROM nodes n CROSS JOIN ns
+           |        LEFT JOIN c$k ON n.node = c$k.node)""".stripMargin
+      }).mkString(",\n")
+  }
+}
