@@ -30,7 +30,6 @@ object PageRank {
   def ranks(nodes: DataFrame, edges: DataFrame, iterations: Int,
             scaleTotal: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, s"ranks: iterations must be >= 1")
-    val spark = nodes.sparkSession
     val n = nodes.count()
     require(n > 0, "ranks: empty node set")
     val base = scaleTotal / n
@@ -51,11 +50,12 @@ object PageRank {
         .select(col("node"),
           (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("rank"))
         .persist()
-      // materialize + rebuild over the stored partitions so the plan
-      // stays constant-size across iterations (q54's lineage fix)
-      val truncated = spark.createDataFrame(next.rdd, next.schema)
+      next.count() // materialize: the next round's plan scans the
+      // InMemoryRelation, not the accumulated lineage — growth stays
+      // linear in plan text and constant in executed work (unlike
+      // q54's union-of-self doubling, no rdd rebuild is needed)
       if (i > 0) r.unpersist(blocking = false)
-      r = truncated
+      r = next
       i += 1
     }
     r
