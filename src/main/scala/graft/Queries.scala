@@ -3262,6 +3262,72 @@ object Queries {
             .otherwise(sequence(lit(1L), col("_n")))).as("copy"))
         .orderBy(col("doc_id"), col("copy"))
     },
+
+    // Cross-DOCUMENT duplicate-substring removal (the "dedup the spans,
+    // not the docs" curation op from Lee et al. 2022, §4 ExactSubstr:
+    // boilerplate/license blocks repeat across millions of documents
+    // that doc-level dedup — q23/q54 — correctly keeps). Every 8-token
+    // window is hashed with the portable md5-60 family; windows whose
+    // hash occurs ≥2 times corpus-wide (intra-doc repeats count) mark
+    // all 8 covered positions; covered tokens are removed and the doc
+    // reassembled, order preserved. Scale shape: the gram stream is
+    // hashed to a LONG before its one count shuffle (never the string),
+    // covered positions travel as bare (doc_id, pos) pairs, and the
+    // final keep-filter is a row-local indexed lambda — linear
+    // end-to-end, no all-pairs anywhere (contrast q27's pair join: span
+    // removal needs only per-gram counts, not gram co-membership).
+    q("q87_crossdoc_substring",
+      s"""$mirrorToksCte,
+        |g0 AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS pos
+        |  FROM toks WHERE len(t) >= 8),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |         CAST(('0x' || substr(md5(array_to_string(t[pos:pos+7], ' ')),
+        |                              1, 15)) AS BIGINT) AS gh
+        |  FROM g0),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+        |cv AS (
+        |  SELECT DISTINCT doc_id, cp FROM (
+        |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
+        |    FROM g WHERE gh IN (SELECT gh FROM dup))),
+        |cps AS (SELECT doc_id, list_sort(list(cp)) AS cps FROM cv GROUP BY doc_id),
+        |kp AS (
+        |  SELECT d.doc_id, d.t,
+        |         [d.t[i] FOR i IN generate_series(1, len(d.t))
+        |          IF c.cps IS NULL OR NOT list_contains(c.cps, i)] AS kept
+        |  FROM toks d LEFT JOIN cps c USING (doc_id))
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+        |       COALESCE(array_to_string(kept, ' '), '') AS text_clean
+        |FROM kp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val k = 8
+      val toks = T(s, d, "documents")
+        .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+      val g = toks.where(size(col("t")) >= k)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - (k - 1))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          graft.functions.HashFns.md5Hash60(
+            concat_ws(" ", slice(col("t"), col("pos"), lit(k)))).as("gh"))
+      val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select(col("gh"))
+      val cov = g.join(dup, Seq("gh"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      // collect_set dedupes covered positions — no pre-distinct shuffle;
+      // per-doc covered-position sets are doc-length-bounded
+      val cps = cov.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("cp"))).as("cps"))
+      toks.join(cps, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          expr("filter(t, (x, i) -> cps IS NULL OR NOT array_contains(cps, i + 1))")
+            .as("kept"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+          concat_ws(" ", col("kept")).as("text_clean"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
