@@ -3328,6 +3328,81 @@ object Queries {
           concat_ws(" ", col("kept")).as("text_clean"))
         .orderBy(col("doc_id"))
     },
+
+    // Quality-STRATIFIED sampling: rank every doc by its q80 LM score,
+    // cut the corpus into exact global deciles, then downsample the
+    // low-quality strata (deciles 1-3 keep 20%, 4-7 keep 50%, 8-10 keep
+    // all) with the q70/q78 hash gate — the "debias the quality mix
+    // without dropping the tail entirely" curation op. The decile is an
+    // EXACT global rank computed WITHOUT a global-order window (which
+    // would serialize 100 TB through one partition): docs bucket by a
+    // coarse score prefix (trunc-div is monotone, so bucket order ≡
+    // score order), a histogram over the ≤~40k distinct buckets gives
+    // each bucket its cumulative predecessor count (vocab-bounded
+    // single-partition window — bounded by score RANGE, not corpus
+    // size), and a per-bucket row_number completes the rank:
+    // r = cum_before(bucket) + rank_within(bucket). The oracle computes
+    // the same rank with a plain global row_number (single-node DuckDB
+    // can afford it) — both sides then share ((r-1)*10) DIV n + 1.
+    // All math integer: avg score is (lp_scaled*1000) DIV n_bigrams
+    // (trunc division agrees between Spark DIV and DuckDB // on
+    // negatives); bigram-less docs pin to 0 (= top decile; q80's gate
+    // passes them too).
+    q("q88_quality_strata",
+      s"""$lmScoreCtes,
+        |a AS (SELECT d.doc_id,
+        |        CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN 0
+        |             ELSE (sc.lp_scaled * 1000) // sc.n_bigrams
+        |        END AS avg_scaled
+        |      FROM toks d LEFT JOIN sc USING (doc_id)),
+        |r AS (SELECT doc_id, avg_scaled,
+        |             row_number() OVER (ORDER BY avg_scaled, doc_id) AS r,
+        |             COUNT(*) OVER () AS n
+        |      FROM a),
+        |dd AS (SELECT doc_id, avg_scaled,
+        |              ((r - 1) * 10) // n + 1 AS decile FROM r),
+        |g AS (SELECT doc_id, avg_scaled, decile,
+        |             CASE WHEN decile <= 3 THEN 200
+        |                  WHEN decile <= 7 THEN 500 ELSE 1000 END AS rate,
+        |             CAST(('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)),
+        |                                  1, 15)) AS BIGINT) % 1000 AS h
+        |      FROM dd)
+        |SELECT doc_id, CAST(avg_scaled AS BIGINT) AS avg_scaled,
+        |       CAST(decile AS BIGINT) AS decile,
+        |       CAST(CASE WHEN h < rate THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+      val scored = graft.text.NgramLm.scoreScaled(fittedLm(s, d), docs, "doc_id", "t")
+      val a = scored.select(col("doc_id"),
+        when(col("n_bigrams") === 0L, lit(0L))
+          .otherwise(expr("(lp_scaled * 1000) DIV n_bigrams")).as("avg_scaled"))
+      val b = a.withColumn("score_c", expr("avg_scaled DIV 1000"))
+      val hist = b.groupBy(col("score_c")).agg(count(lit(1)).as("c"))
+      // single-partition window over the score-RANGE-bounded histogram
+      // (≤ ~40k rows at any corpus size), never over the corpus
+      val wHist = Window.orderBy(col("score_c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.select(col("score_c"),
+        coalesce(sum(col("c")).over(wHist), lit(0L)).as("cum_before"))
+      val nTotal = a.agg(count(lit(1)).as("n_total"))
+      val wIn = Window.partitionBy(col("score_c"))
+        .orderBy(col("avg_scaled"), col("doc_id"))
+      b.join(broadcast(cum), Seq("score_c"))
+        .withColumn("r", col("cum_before") + row_number().over(wIn))
+        .crossJoin(broadcast(nTotal))
+        .select(col("doc_id"), col("avg_scaled"),
+          (expr("((r - 1) * 10) DIV n_total") + lit(1L)).as("decile"))
+        .withColumn("_rate",
+          when(col("decile") <= 3, lit(200L))
+            .when(col("decile") <= 7, lit(500L)).otherwise(lit(1000L)))
+        .select(col("doc_id"), col("avg_scaled"), col("decile"),
+          when(pmod(graft.functions.HashFns.md5Hash60(
+              concat(lit("strat"), col("doc_id").cast("string"))),
+            lit(1000L)) < col("_rate"), lit(1L)).otherwise(lit(0L)).as("kept"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
