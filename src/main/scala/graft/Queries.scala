@@ -3403,6 +3403,68 @@ object Queries {
             lit(1000L)) < col("_rate"), lit(1L)).otherwise(lit(0L)).as("kept"))
         .orderBy(col("doc_id"))
     },
+
+    // SemDeDup (Abbas et al. 2023) — semantic near-dup pruning scoped
+    // within a semantic cell. The PRODUCTION form is x34 (cells = the
+    // shared KMeans fit, the paper's own construction); this twin runs
+    // the SAME Dedup.semanticDedup operator over an engine-portable
+    // cell function — the axis-sign orthant of the first 4 embedding
+    // components (axis-aligned hyperplane LSH) — so the cell-scoped
+    // pair generation, the cosine gate (q35's left-to-right float
+    // discipline), and the min-id keeper all hash-check against DuckDB.
+    // τ=0.40 per q35's calibration note (synthetic embeddings top out
+    // at cosine ≈ 0.51).
+    q("q89_semantic_dedup",
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |bk AS (
+        |  SELECT vec_id,
+        |         (CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END
+        |        + CASE WHEN v[2] >= 0 THEN 4 ELSE 0 END
+        |        + CASE WHEN v[3] >= 0 THEN 2 ELSE 0 END
+        |        + CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+        |  FROM e),
+        |n AS (
+        |  SELECT vec_id, sqrt(list_reduce([x*x FOR x IN v], (a,b) -> a+b)) AS nrm, v FROM e),
+        |u AS (
+        |  SELECT vec_id, CASE WHEN nrm = 0 THEN v ELSE [x/nrm FOR x IN v] END AS v FROM n),
+        |p AS (
+        |  SELECT x.vec_id AS ai, y.vec_id AS bi
+        |  FROM u x JOIN bk bx USING (vec_id)
+        |  JOIN bk byy ON bx.bucket = byy.bucket
+        |  JOIN u y ON y.vec_id = byy.vec_id AND x.vec_id < y.vec_id
+        |  WHERE list_reduce([x.v[i]*y.v[i] FOR i IN generate_series(1, len(x.v))],
+        |                    (a,b) -> a+b) >= 0.40),
+        |kp AS (SELECT bi AS vec_id, MIN(ai) AS keep FROM p GROUP BY bi)
+        |SELECT em.vec_id, CAST(bk.bucket AS BIGINT) AS bucket,
+        |       COALESCE(kp.keep, em.vec_id) AS keep_id
+        |FROM embeddings em JOIN bk USING (vec_id) LEFT JOIN kp USING (vec_id)
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = T(s, d, "embeddings")
+      val signBucket =
+        (when(element_at(col("embedding"), 1) >= 0, lit(8)).otherwise(lit(0))
+          + when(element_at(col("embedding"), 2) >= 0, lit(4)).otherwise(lit(0))
+          + when(element_at(col("embedding"), 3) >= 0, lit(2)).otherwise(lit(0))
+          + when(element_at(col("embedding"), 4) >= 0, lit(1)).otherwise(lit(0)))
+      val withB = e.select(col("vec_id"), col("embedding"),
+        signBucket.cast("long").as("bucket"))
+      Dedup.semanticDedup(withB, "vec_id", "embedding", "bucket",
+          tau = 0.40, maxBucket = Int.MaxValue)
+        .join(withB.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+        .select(col("vec_id"), col("bucket"), col("keep_id"))
+        .orderBy(col("vec_id"))
+    },
+
+    // SemDeDup production form: cells from the SHARED KMeans fit (the
+    // four cluster-analytics queries' model — fitting again would bench
+    // the trainer twice), capped cells, same operator as q89's twin.
+    rowsOnly("x34_semantic_dedup") { (s, d) =>
+      val assigned = assignedEmbeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+      Dedup.semanticDedup(assigned, "vec_id", "embedding", "cluster",
+          tau = 0.40)
+        .orderBy(col("vec_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

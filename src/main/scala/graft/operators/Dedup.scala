@@ -445,4 +445,43 @@ object Dedup {
     keeperFromPairs(df.select(col(idCol)), idCol, pairs)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): near-duplicate pruning scoped WITHIN a
+    * precomputed semantic cell — `bucketCol` names the cell (a KMeans
+    * cluster id in the paper; any content-derived partition works).
+    * Candidate pairs are cell-local, so pair cost is Σ|cell|² instead
+    * of n², and missing cross-cell near-dups is the paper's own
+    * documented recall trade. Pairs with cosine ≥ `tau` collapse to
+    * the min-id keeper ([[keeperFromPairs]] contract, like
+    * [[embeddingCosineExact]]).
+    *
+    * Scale shape: one l2-normalize pass, bare `(cell, id)` rows through
+    * the self-join (embeddings re-attach per confirmed candidate, the
+    * [[embeddingCosine]] discipline), `maxBucket` caps pathological
+    * cells — a degenerate centroid that swallows 1% of a 100 TB corpus
+    * must not submit a quadratic cell. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    bucketCol: String, tau: Double,
+                    maxBucket: Int = 10000): DataFrame = {
+    graft.functions.NativeFns.register(df.sparkSession)
+    val normed = graft.Caches.persist( // id→vec side of both re-attaches
+      df.select(col(idCol), col(bucketCol),
+          VectorFns.l2Normalize(col(vecCol)).as("_nv"))
+        .repartition(col(idCol)))
+    val cells = normed.select(col(bucketCol).as("_bk"), col(idCol))
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("_bk"))))
+      .where(col("_bsz") <= maxBucket)
+    val cellsP = graft.Caches.persist(cells) // two self-join sides
+    val candidates = cellsP.select(col("_bk"), col(idCol).as("a"))
+      .join(cellsP.select(col("_bk"), col(idCol).as("b")), Seq("_bk"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val da = normed.select(col(idCol).as("a"), col("_nv").as("_na"))
+    val db = normed.select(col(idCol).as("b"), col("_nv").as("_nb"))
+    val pairs = candidates.join(da, "a").join(db, "b")
+      .where(graft.functions.NativeFns.dot(col("_na"), col("_nb")) >= tau)
+      .select(col("a"), col("b"))
+    keeperFromPairs(df.select(col(idCol)), idCol, pairs)
+  }
+
 }

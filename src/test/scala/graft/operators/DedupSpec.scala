@@ -165,6 +165,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup links only within a cell; cap silences quadratic cells") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0L), (2L, Array(1f, 0f, 0f, 0f), 0L),
+      (3L, Array(0.99f, 0.14f, 0f, 0f), 1L), // near-dup of 1 but other cell
+      (4L, Array(0f, 1f, 0f, 0f), 0L))
+      .toDF("vec_id", "embedding", "cell")
+    val res = Dedup.semanticDedup(vecs, "vec_id", "embedding", "cell",
+        tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(2L) == 1L, "in-cell identical pair collapses")
+    assert(res(3L) == 3L, "cross-cell near-dup is invisible (SemDeDup trade)")
+    assert(res(4L) == 4L, "in-cell orthogonal pair survives")
+    // cap: cell 0 has 3 members — maxBucket=2 drops the whole cell's pairs
+    val capped = Dedup.semanticDedup(vecs, "vec_id", "embedding", "cell",
+        tau = 0.95, maxBucket = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.values.toSet == Set(1L, 2L, 3L, 4L) && capped(2L) == 2L)
+  }
+
   test("null/empty/blank texts survive every dedup method as self-keepers") {
     val dirty = Seq(
       (1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
