@@ -3455,6 +3455,32 @@ object Queries {
         .orderBy(col("vec_id"))
     },
 
+    // Full BPE merge TRAINING (Sennrich et al. 2016), oracle-backed
+    // end-to-end: one corpus shuffle builds the distinct-word count
+    // table, then 20 merge rounds run over the vocab-bounded words —
+    // each round counts adjacent wrapped-symbol pairs, picks the
+    // (count desc, pair asc) argmax, and replays it as a literal
+    // replace (left-to-right non-overlapping in BOTH engines — BPE's
+    // simultaneous-merge rule). The oracle is GENERATED unrolled SQL
+    // (q86's pattern) that recomputes every round's counts AND argmax
+    // from scratch in DuckDB — it gate-checks the training decisions,
+    // not a replay of Spark's answers. q72 (one round's pair counts)
+    // and q82 (vocab-encode) are this operator's two bookends.
+    q("q91_bpe_train",
+      graft.text.Bpe.mirrorSql(
+        s"""$mirrorToksCte,
+           |wc AS (SELECT w, COUNT(*) AS c
+           |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w)""".stripMargin,
+        "wc", numMerges = 20)) { (s, d) =>
+      import s.implicits._
+      val words = T(s, d, "documents")
+        .select(explode(TextFns.wordTokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val merges = graft.text.Bpe.train(words, "w", "c", numMerges = 20)
+      merges.map(m => (m.step.toLong, m.pair, m.count))
+        .toDF("step", "pair", "cnt").orderBy(col("step"))
+    },
+
     // SemDeDup production form: cells from the SHARED KMeans fit (the
     // four cluster-analytics queries' model — fitting again would bench
     // the trainer twice), capped cells, same operator as q89's twin.
