@@ -112,6 +112,23 @@ object Bpe {
     * `numMerges`, never on a training run — the oracle verifies the
     * training decisions themselves. */
   def mirrorSql(withPrefix: String, wordsRel: String, numMerges: Int): String = {
+    val union = (0 until numMerges)
+      .map(i => s"SELECT $i AS step, pr AS pair, cnt FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""${mirrorCtes(withPrefix, wordsRel, numMerges)}
+       |SELECT CAST(step AS BIGINT) AS step, pair, CAST(cnt AS BIGINT) AS cnt
+       |FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** The shared CTE chain up to the final word table `w{numMerges}`
+    * (columns `(w, c, s)` — original word, count, merged symbol
+    * string). [[mirrorSql]] reads the per-round argmaxes `b{i}`;
+    * encode-side oracles (q92) read `w{numMerges}` as the learned
+    * word → subword map. Every per-round CTE is `MATERIALIZED`:
+    * DuckDB inlines multiply-referenced CTEs, and a chain where round
+    * i+1 references round i two-to-three times re-expands
+    * exponentially without it. */
+  def mirrorCtes(withPrefix: String, wordsRel: String, numMerges: Int): String = {
     val rounds = (0 until numMerges).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT pr, SUM(c) AS cnt FROM (
@@ -123,21 +140,17 @@ object Bpe {
          |b$i AS MATERIALIZED (
          |  SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr ASC LIMIT 1),
          |w${i + 1} AS MATERIALIZED (
-         |  SELECT replace(s, (SELECT pr FROM b$i),
-         |                 (SELECT replace(pr, '><', '') FROM b$i)) AS s, c
+         |  SELECT w, c,
+         |         replace(s, (SELECT pr FROM b$i),
+         |                 (SELECT replace(pr, '><', '') FROM b$i)) AS s
          |  FROM w$i)""".stripMargin
     }.mkString(",\n")
-    val union = (0 until numMerges)
-      .map(i => s"SELECT $i AS step, pr AS pair, cnt FROM b$i")
-      .mkString("\nUNION ALL ")
     s"""$withPrefix,
        |w0 AS MATERIALIZED (
-       |  SELECT list_aggregate(['<'||(w[i])||'>'
-       |           FOR i IN generate_series(1, len(w))], 'string_agg', '') AS s,
-       |         c
+       |  SELECT w, c,
+       |         list_aggregate(['<'||(w[i])||'>'
+       |           FOR i IN generate_series(1, len(w))], 'string_agg', '') AS s
        |  FROM $wordsRel),
-       |$rounds
-       |SELECT CAST(step AS BIGINT) AS step, pair, CAST(cnt AS BIGINT) AS cnt
-       |FROM ($union) ORDER BY step""".stripMargin
+       |$rounds""".stripMargin
   }
 }
