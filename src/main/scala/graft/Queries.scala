@@ -3392,26 +3392,14 @@ object Queries {
         |       CAST(decile AS BIGINT) AS decile,
         |       CAST(CASE WHEN h < rate THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = T(s, d, "documents")
         .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
       val scored = graft.text.NgramLm.scoreScaled(fittedLm(s, d), docs, "doc_id", "t")
       val a = scored.select(col("doc_id"),
         when(col("n_bigrams") === 0L, lit(0L))
           .otherwise(expr("(lp_scaled * 1000) DIV n_bigrams")).as("avg_scaled"))
-      val b = a.withColumn("score_c", expr("avg_scaled DIV 1000"))
-      val hist = b.groupBy(col("score_c")).agg(count(lit(1)).as("c"))
-      // single-partition window over the score-RANGE-bounded histogram
-      // (≤ ~40k rows at any corpus size), never over the corpus
-      val wHist = Window.orderBy(col("score_c"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = hist.select(col("score_c"),
-        coalesce(sum(col("c")).over(wHist), lit(0L)).as("cum_before"))
       val nTotal = a.agg(count(lit(1)).as("n_total"))
-      val wIn = Window.partitionBy(col("score_c"))
-        .orderBy(col("avg_scaled"), col("doc_id"))
-      b.join(broadcast(cum), Seq("score_c"))
-        .withColumn("r", col("cum_before") + row_number().over(wIn))
+      R.scalableRowNumber(a, "avg_scaled", "doc_id")
         .crossJoin(broadcast(nTotal))
         .select(col("doc_id"), col("avg_scaled"),
           (expr("((r - 1) * 10) DIV n_total") + lit(1L)).as("decile"))

@@ -367,4 +367,37 @@ object Relational {
       .where(col("_side") === 1 && col("_asof").isNotNull)
       .select(col("_l.*"), col("_asof.*"))
   }
+
+  /** Exact 1-based global row number by `(orderCol, tieCol)` ascending,
+    * computed WITHOUT a corpus-wide single-partition window (which
+    * serializes the whole table through one task — the reason naive
+    * global ranking dies at 100 TB). Construction: rows bucket by
+    * `orderCol DIV bucketDiv` — integer trunc-division is monotone, so
+    * bucket order refines to row order — a histogram over the buckets
+    * (cardinality bounded by the VALUE RANGE / bucketDiv, not the row
+    * count) yields each bucket's cumulative predecessor count via one
+    * tiny single-partition window, and a per-bucket `row_number`
+    * finishes the rank: `r = cum_before(bucket) + rank_within(bucket)`.
+    * Shuffles: one on the bucket key (+ the histogram's). Skew note:
+    * a value distribution collapsed onto one bucket degrades to the
+    * naive shape — pick `bucketDiv` so buckets stay populated; ranks
+    * are IDENTICAL for any `bucketDiv` (property-tested vs the direct
+    * window). `orderCol` must be integral; `tieCol` must make the
+    * order total or tie order is partition luck. */
+  def scalableRowNumber(df: DataFrame, orderCol: String, tieCol: String,
+                        bucketDiv: Long = 1000L,
+                        rankName: String = "r"): DataFrame = {
+    val b = df.withColumn("_rnk_bkt",
+      expr(s"$orderCol DIV ${bucketDiv}L"))
+    val hist = b.groupBy(col("_rnk_bkt")).agg(count(lit(1)).as("_c"))
+    val wHist = Window.orderBy(col("_rnk_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("_rnk_bkt"),
+      coalesce(sum(col("_c")).over(wHist), lit(0L)).as("_cum"))
+    val wIn = Window.partitionBy(col("_rnk_bkt"))
+      .orderBy(col(orderCol), col(tieCol))
+    b.join(broadcast(cum), Seq("_rnk_bkt"))
+      .withColumn(rankName, col("_cum") + row_number().over(wIn))
+      .drop("_rnk_bkt", "_cum")
+  }
 }

@@ -189,6 +189,30 @@ class ScaleSpec extends SparkSpec {
       "query-term filter must sit under the tf aggregation:\n" + plan.take(1500))
   }
 
+  test("scalableRowNumber ≡ direct global row_number for any bucketDiv") {
+    import org.apache.spark.sql.expressions.Window
+    // negatives, heavy ties, and a bucket boundary straddle (-1000..1000)
+    val rows = (1 to 997).map(i => (i.toLong, ((i * 37) % 21 - 10) * 100L))
+    val df = rows.toDF("id", "v")
+    val direct = df.withColumn("r",
+        row_number().over(Window.orderBy(col("v"), col("id"))))
+      .select(col("id"), col("r"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (div <- Seq(1L, 7L, 1000L, 1000000L)) { // 1e6 ⇒ ONE bucket (degenerate)
+      val scal = Relational.scalableRowNumber(df, "v", "id", bucketDiv = div)
+        .select(col("id"), col("r"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (id, _) =>
+        assert(scal(id) == direct(id).toLong, s"id=$id bucketDiv=$div")
+      }
+    }
+    // the corpus-scale relation never crosses a single-partition
+    // exchange: the only SinglePartition move feeds the tiny histogram
+    val plan = Relational.scalableRowNumber(df, "v", "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "expected per-bucket window")
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     val s2 = spark
     val dir = java.nio.file.Files.createTempDirectory("dpp").toString
