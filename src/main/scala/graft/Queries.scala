@@ -3526,6 +3526,100 @@ object Queries {
         .orderBy(col("doc_id"))
     },
 
+    // Hybrid retrieval (the production RAG/training-retrieval shape):
+    // BM25 candidate generation (q84's integer-exact scorer, top-20 per
+    // query) → embedding cosine RERANK of the candidates against the
+    // query's embedding → top-5 by the combined score. Lexical recall,
+    // semantic precision — each 1e6-floor-scaled (q74/q35 disciplines),
+    // summed as exact integers, so the full two-stage pipeline
+    // hash-matches DuckDB. Scale shape: stage 2 touches only
+    // |queries|×20 candidate rows — the rerank join is candidate-sized,
+    // query embeddings broadcast, the corpus is scanned once by BM25
+    // (whose query-vocab semi-filter precedes its aggregation).
+    // Candidates without an embedding drop at the rerank join (rerank
+    // covers the embeddable corpus, by contract).
+    q("q93_hybrid_retrieval",
+      s"""$mirrorToksCte,
+        |stats AS (SELECT COUNT(*) AS nd, SUM(len(t)) AS nt FROM toks),
+        |dfT AS (SELECT w, COUNT(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks)
+        |        GROUP BY w),
+        |qt AS (SELECT * FROM (VALUES (0, 'hash'), (0, 'join'), (0, 'merge'),
+        |                             (1, 'slow'), (1, 'scan'), (1, 'filter'),
+        |                             (2, 'stream'), (2, 'window'), (2, 'agg'))
+        |                     AS q(qid, w)),
+        |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM toks)
+        |       WHERE w IN (SELECT w FROM qt)
+        |       GROUP BY doc_id, dl, w),
+        |term AS (SELECT qt.qid, tf.doc_id,
+        |    CAST(FLOOR(1000000 *
+        |      ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                / (CAST(df AS DOUBLE) + 0.5)) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 *
+        |        (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                        / (CAST(nt AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        |    ) AS BIGINT) AS ts
+        |  FROM tf JOIN qt USING (w) JOIN dfT USING (w) CROSS JOIN stats),
+        |sc AS (SELECT qid, doc_id, SUM(ts) AS score_scaled
+        |       FROM term GROUP BY qid, doc_id),
+        |cand AS (SELECT qid, doc_id, score_scaled FROM (
+        |  SELECT qid, doc_id, score_scaled,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY score_scaled DESC, doc_id) AS rnk FROM sc)
+        |  WHERE rnk <= 20),
+        |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |      FROM embeddings),
+        |nn AS (SELECT vec_id,
+        |              sqrt(list_reduce([x*x FOR x IN v], (a,b) -> a+b)) AS nrm, v
+        |       FROM e),
+        |u AS (SELECT vec_id,
+        |             CASE WHEN nrm = 0 THEN v ELSE [x/nrm FOR x IN v] END AS v
+        |      FROM nn),
+        |qe AS (SELECT vec_id AS qid, v FROM u WHERE vec_id IN (0, 1, 2)),
+        |rr AS (SELECT c.qid, c.doc_id, c.score_scaled,
+        |         CAST(FLOOR(1000000 * list_reduce(
+        |           [q.v[i]*dv.v[i] FOR i IN generate_series(1, len(q.v))],
+        |           (a,b) -> a+b)) AS BIGINT) AS cos_scaled
+        |       FROM cand c JOIN u dv ON dv.vec_id = c.doc_id
+        |       JOIN qe q ON q.qid = c.qid),
+        |h AS (SELECT qid, doc_id, score_scaled + cos_scaled AS hybrid_scaled,
+        |             ROW_NUMBER() OVER (PARTITION BY qid
+        |               ORDER BY score_scaled + cos_scaled DESC, doc_id) AS rnk
+        |      FROM rr)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk, doc_id,
+        |       CAST(hybrid_scaled AS BIGINT) AS hybrid_scaled
+        |FROM h WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      graft.functions.NativeFns.register(s)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+      val stats = graft.text.Bm25.fit(docs, "doc_id", "t")
+      val cands = graft.text.Bm25.topKScaled(stats, docs, "doc_id", "t",
+        queries = Seq(
+          0L -> Seq("hash", "join", "merge"),
+          1L -> Seq("slow", "scan", "filter"),
+          2L -> Seq("stream", "window", "agg")),
+        k = 20).select(col("qid"), col("doc_id"), col("score_scaled"))
+      val normed = T(s, d, "embeddings")
+        .select(col("vec_id"), VectorFns.l2Normalize(col("embedding")).as("_nv"))
+      val qemb = normed.where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("_nv").as("_qv"))
+      val wQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("hybrid_scaled").desc, col("doc_id"))
+      cands.join(normed.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+        .join(broadcast(qemb), Seq("qid"))
+        .select(col("qid"), col("doc_id"),
+          (col("score_scaled") + floor(lit(1000000) *
+            graft.functions.NativeFns.dot(col("_qv"), col("_nv")))
+            .cast("long")).as("hybrid_scaled"))
+        .withColumn("rnk", row_number().over(wQ).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("doc_id"), col("hybrid_scaled"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     // SemDeDup production form: cells from the SHARED KMeans fit (the
     // four cluster-analytics queries' model — fitting again would bench
     // the trainer twice), capped cells, same operator as q89's twin.
