@@ -74,6 +74,20 @@ class PipelineSpec extends SparkSpec {
       "partition-column filter must appear as a PartitionFilter:\n" + plan)
   }
 
+  test("q87 plan: gram stream shuffles as a LONG hash, never the string") {
+    val d = sf("sf0.001")
+    val plan = Queries.all("q87_crossdoc_substring").fn(spark, d)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the dup-gram count shuffle keys on the md5-60 LONG (gh) — a plan
+    // that exchanges the gram STRING would ship ~8 tokens per window
+    assert(plan.contains("hashpartitioning(gh"),
+      "gram count shuffle must key on the long hash:\n" + plan.take(2000))
+    assert(!plan.contains("hashpartitioning(gram"),
+      "the gram string must never be a shuffle key")
+    assert(!plan.contains("CartesianProduct"), "q87 must stay linear")
+  }
+
   test("streaming as-of replay ≡ batch custom as-of operator") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamAsOf
