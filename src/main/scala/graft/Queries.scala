@@ -3620,6 +3620,94 @@ object Queries {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // Source-overlap matrix: pairwise 3-gram-set Jaccard between corpus
+    // SOURCES — the "is val's source secretly the same crawl as
+    // train's" analysis run before trusting a split. Exact overlap and
+    // the KMV bottom-64 sketch estimate side by side (the q40 sketch
+    // machinery, value = sort key = the md5-60 shingle hash), so the
+    // estimator's error is itself measurable in the result. Scale
+    // shape: shingles dedup to (source, gh) BEFORE any join, making
+    // the exact-overlap join's per-hash fanout ≤ C(|sources|, 2) —
+    // bounded by the source count, never doc count; the sketch path
+    // is one partial-aggregated shuffle into |sources| × 64 longs and
+    // a sources²-row broadcast self-join of sketch arrays.
+    q("q94_source_overlap",
+      s"""$mirrorToksCte,
+        |g0 AS (SELECT d.source, t.t FROM toks t
+        |       JOIN documents d USING (doc_id)),
+        |shd AS (SELECT DISTINCT source,
+        |          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS gh
+        |        FROM (SELECT source,
+        |                unnest(CASE WHEN len(t) >= 3
+        |                  THEN list_distinct([array_to_string(t[i:i+2], ' ')
+        |                         FOR i IN generate_series(1, len(t)-2)])
+        |                  ELSE [] END) AS s
+        |              FROM g0)),
+        |nsrc AS (SELECT source, COUNT(*) AS n FROM shd GROUP BY source),
+        |rk AS (SELECT source, gh,
+        |              row_number() OVER (PARTITION BY source ORDER BY gh) AS rn
+        |       FROM shd),
+        |sk AS (SELECT source, list_sort(list(gh)) AS sk
+        |       FROM rk WHERE rn <= 64 GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |             a.sk AS ska, b.sk AS skb,
+        |             list_sort(list_distinct(flatten([a.sk, b.sk])))[1:64] AS u64
+        |      FROM sk a JOIN sk b ON a.source < b.source),
+        |pk AS (SELECT src_a, src_b,
+        |         CAST(len(list_filter(u64, x -> list_contains(ska, x)
+        |                AND list_contains(skb, x))) AS BIGINT) AS kmv_common,
+        |         CAST(len(u64) AS BIGINT) AS kmv_den
+        |       FROM p),
+        |ex AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        |       FROM shd a JOIN shd b ON a.gh = b.gh AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT pk.src_a, pk.src_b,
+        |       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |       CAST(COALESCE(ex.n_common, 0) AS BIGINT) AS n_common,
+        |       pk.kmv_common, pk.kmv_den
+        |FROM pk JOIN nsrc na ON na.source = pk.src_a
+        |        JOIN nsrc nb ON nb.source = pk.src_b
+        |        LEFT JOIN ex ON ex.src_a = pk.src_a AND ex.src_b = pk.src_b
+        |ORDER BY pk.src_a, pk.src_b""".stripMargin) { (s, d) =>
+      graft.functions.NativeFns.register(s)
+      val k = 64
+      val sh = T(s, d, "documents")
+        .select(col("source"), TextFns.wordTokens(col("text")).as("t"))
+        .where(size(col("t")) >= 3)
+        .select(col("source"),
+          explode(graft.functions.HashFns.wordShingles(col("t"), 3)).as("g"))
+        .select(col("source"), graft.functions.HashFns.md5Hash60(col("g")).as("gh"))
+        .distinct()
+      val shP = graft.Caches.persist(sh) // three consumers: n, sketch, exact
+      val nsrc = shP.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val sk = shP.groupBy(col("source"))
+        .agg(graft.functions.NativeFns.bottomKDistinct(
+          col("gh"), col("gh"), k).as("sk"))
+      val pairs = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+        .join(sk.select(col("source").as("src_b"), col("sk").as("skb")),
+          col("src_a") < col("src_b"))
+        .withColumn("u64",
+          slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+        .select(col("src_a"), col("src_b"),
+          size(expr("filter(u64, x -> array_contains(ska, x) AND array_contains(skb, x))"))
+            .cast("long").as("kmv_common"),
+          size(col("u64")).cast("long").as("kmv_den"))
+      val ex = shP.select(col("source").as("src_a"), col("gh"))
+        .join(shP.select(col("source").as("src_b"), col("gh")), Seq("gh"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(broadcast(nsrc.select(col("source").as("src_a"), col("n").as("n_a"))),
+          Seq("src_a"))
+        .join(broadcast(nsrc.select(col("source").as("src_b"), col("n").as("n_b"))),
+          Seq("src_b"))
+        .join(ex, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          col("kmv_common"), col("kmv_den"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // SemDeDup production form: cells from the SHARED KMeans fit (the
     // four cluster-analytics queries' model — fitting again would bench
     // the trainer twice), capped cells, same operator as q89's twin.
