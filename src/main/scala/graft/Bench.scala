@@ -83,7 +83,18 @@ object Bench {
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     val passTotals = passes.map(p => fmt(p.flatMap(_._2).sum))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"pass_totals":$passTotals,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"pass_totals":$passTotals,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+    println(json)
+    // also land the JSON in a file: the driver's stdout scrape has
+    // twice recorded `"parsed": null` when sbt noise interleaved with
+    // the line, losing per-query history — a file artifact can't be
+    // corrupted by other writers
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

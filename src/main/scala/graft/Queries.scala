@@ -3464,6 +3464,60 @@ object Queries {
         .orderBy(col("vec_id"))
     },
 
+    // Annotation intruder-task export, oracle-backed (promotes x14's
+    // rows-only check): per source "cluster" of documents, the top-5 by
+    // n_chars plus one seeded intruder drawn from other sources whose
+    // size lies within ±1σ of the cluster's top-5 mean. The ±1σ band is
+    // the exact-integer predicate (c*n − Σx)² ≤ n*Σx² − (Σx)² (both
+    // sides of |c−μ| ≤ σ times n²), and pick/shuffle use the portable
+    // 60-bit md5-prefix hash — so DuckDB replays the selection AND the
+    // presentation order bit-for-bit. x14 keeps the production xxhash64
+    // form over the same operator.
+    q("q90_annotation_intruder",
+      """WITH a AS (SELECT CAST(doc_id AS VARCHAR) AS member,
+        |                  source AS cluster, n_chars FROM documents),
+        |t5 AS (
+        |  SELECT * FROM (
+        |    SELECT cluster, member, n_chars,
+        |           row_number() OVER (PARTITION BY cluster
+        |             ORDER BY n_chars DESC, member ASC) AS rk
+        |    FROM a) WHERE rk <= 5),
+        |el AS (
+        |  SELECT cluster, COUNT(*) AS n, SUM(n_chars) AS sx,
+        |         SUM(n_chars * n_chars) AS sxx
+        |  FROM t5 GROUP BY cluster HAVING COUNT(*) = 5),
+        |cand AS (
+        |  SELECT el.cluster AS target, a.member, a.n_chars,
+        |         CAST(('0x' || substr(md5('8675309|' || el.cluster || '|' || a.member),
+        |           1, 15)) AS BIGINT) AS h
+        |  FROM el JOIN a ON a.cluster <> el.cluster
+        |   AND (a.n_chars * el.n - el.sx) * (a.n_chars * el.n - el.sx)
+        |       <= el.n * el.sxx - el.sx * el.sx),
+        |intr AS (
+        |  SELECT target AS cluster, member, n_chars, TRUE AS is_intruder
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY target
+        |          ORDER BY h, member) AS prk FROM cand)
+        |  WHERE prk = 1),
+        |mem AS (
+        |  SELECT t5.cluster, t5.member, t5.n_chars, FALSE AS is_intruder
+        |  FROM t5 WHERE EXISTS (SELECT 1 FROM intr WHERE intr.cluster = t5.cluster)),
+        |un AS (SELECT * FROM mem UNION ALL SELECT * FROM intr)
+        |SELECT cluster, member, CAST(n_chars AS BIGINT) AS cnt,
+        |       CAST(is_intruder AS BIGINT) AS is_intruder,
+        |       CAST(row_number() OVER (PARTITION BY cluster
+        |         ORDER BY CAST(('0x' || substr(md5('8675310|' || cluster || '|' || member),
+        |           1, 15)) AS BIGINT), member) AS BIGINT) AS pos
+        |FROM un ORDER BY cluster, pos""".stripMargin) { (s, d) =>
+      val docs = T(s, d, "documents")
+        .select(col("doc_id").cast("string").as("member"),
+          col("source").as("cluster"), col("n_chars"))
+      graft.export.Annotation.intruderTask(docs, "member", "cluster", "n_chars",
+          sqlMirroredHashes = true)
+        .select(col("cluster"), col("member"), col("n_chars").cast("long").as("cnt"),
+          col("is_intruder").cast("long").as("is_intruder"), col("pos"))
+        .orderBy(col("cluster"), col("pos"))
+    },
+
     // Full BPE merge TRAINING (Sennrich et al. 2016), oracle-backed
     // end-to-end: one corpus shuffle builds the distinct-word count
     // table, then 20 merge rounds run over the vocab-bounded words —

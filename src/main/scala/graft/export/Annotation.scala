@@ -27,28 +27,48 @@ object Annotation {
     * popularity lies within ±1 stddev of the cluster's mean popularity;
     * clusters smaller than `topN` or without any eligible intruder are
     * skipped (reference `ihop/annotation_task_export.py:106-190`).
-    * Output: (cluster, member, count, is_intruder), members shuffled
-    * deterministically by a seeded hash. */
+    * Output: (cluster, member, count, is_intruder, pos) — `pos` is the
+    * member's 1-based presentation slot under the seeded shuffle, so
+    * the export carries its own total order.
+    *
+    * `countCol` must be integral (it is a popularity COUNT): the ±1σ
+    * band is evaluated as `(c*n − Σx)² ≤ n*Σx² − (Σx)²` — the same
+    * predicate with both sides multiplied by n², so it stays in exact
+    * long arithmetic (no stddev/sqrt float boundary flips) and an SQL
+    * oracle reproduces it bit-for-bit.
+    *
+    * `sqlMirroredHashes = true` swaps the xxhash64 pick/shuffle hashes
+    * for the engine-portable 60-bit md5-prefix family (q39's
+    * convention), making the whole export DuckDB-mirrorable (q90). */
   def intruderTask(assignments: DataFrame, keyCol: String, clusterCol: String,
-                   countCol: String, topN: Int = 5, seed: Long = 8675309L): DataFrame = {
+                   countCol: String, topN: Int = 5, seed: Long = 8675309L,
+                   sqlMirroredHashes: Boolean = false): DataFrame = {
+    def h(tag: Long, cluster: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (sqlMirroredHashes)
+        graft.functions.HashFns.md5Hash60(concat_ws("|",
+          lit(tag.toString), cluster.cast("string"), col(keyCol).cast("string")))
+      else xxhash64(lit(tag), cluster, col(keyCol))
+
     val byPop = Window.partitionBy(col(clusterCol))
       .orderBy(col(countCol).desc, col(keyCol).asc)
     val top = assignments
       .withColumn("_rk", row_number().over(byPop)).where(col("_rk") <= topN)
 
+    val cLong = col(countCol).cast("long")
     val eligible = top.groupBy(col(clusterCol))
-      .agg(count(lit(1)).as("_n"), avg(col(countCol)).as("_mu"),
-        coalesce(stddev_pop(col(countCol)), lit(0.0)).as("_sd"))
+      .agg(count(lit(1)).as("_n"), sum(cLong).as("_sx"),
+        sum(cLong * cLong).as("_sxx"))
       .where(col("_n") === topN)
 
     // candidate intruders: members of OTHER clusters within ±1σ of the
     // target cluster's mean count; pick one per cluster by seeded hash
-    val cand = eligible.select(col(clusterCol).as("_target"), col("_mu"), col("_sd"))
+    val dev = cLong * col("_n") - col("_sx")
+    val cand = eligible.select(col(clusterCol).as("_target"),
+        col("_n"), col("_sx"), col("_sxx"))
       .join(assignments,
         col(clusterCol) =!= col("_target") &&
-          col(countCol) >= col("_mu") - col("_sd") &&
-          col(countCol) <= col("_mu") + col("_sd"))
-      .withColumn("_h", xxhash64(lit(seed), col("_target"), col(keyCol)))
+          dev * dev <= col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("_h", h(seed, col("_target")))
     val pick = Window.partitionBy(col("_target")).orderBy(col("_h"), col(keyCol))
     val intruders = cand.withColumn("_rk", row_number().over(pick))
       .where(col("_rk") === 1)
@@ -58,9 +78,12 @@ object Annotation {
     val members = top.join(intruders.select(col(clusterCol)), Seq(clusterCol), "left_semi")
       .select(col(clusterCol), col(keyCol), col(countCol), lit(false).as("is_intruder"))
 
+    val slot = Window.partitionBy(col(clusterCol))
+      .orderBy(col("_shuffle"), col(keyCol))
     members.union(intruders)
-      .withColumn("_shuffle", xxhash64(lit(seed + 1), col(clusterCol), col(keyCol)))
-      .orderBy(col(clusterCol), col("_shuffle"))
+      .withColumn("_shuffle", h(seed + 1, col(clusterCol)))
+      .withColumn("pos", row_number().over(slot).cast("long"))
+      .orderBy(col(clusterCol), col("pos"))
       .drop("_shuffle")
   }
 }
