@@ -487,12 +487,13 @@ object Queries {
   // generated oracle SQL so the two engines cannot drift.
   private val TransTauNum = 1
   private val TransTauDenom = 3
-  // The q54/q66/q73 registered forms run the PRODUCTION skew cap
+  // The q27/q54/q66/q73 registered forms run the PRODUCTION skew cap
   // (posting lists longer than this are dropped before pairing) and
   // mirror it 1:1 in the oracle as a posting-frequency window filter —
   // sf-independent by construction, so the capped plan is what the
-  // bench times AND what the hash gate checks. q27 stays uncapped as
-  // the every-collision closure-semantics witness.
+  // bench times AND what the hash gate checks. The uncapped ≡ capped
+  // every-collision equivalence lives in DedupSpec at test scale, so
+  // no registered plan is quadratic on a hot shingle.
   private val DedupMaxPostings = 1000
 
   /** The q54/q66 shared CTE prefix: the q27 n-gram Jaccard pair CTEs
@@ -1546,10 +1547,14 @@ object Queries {
         |         unnest([array_to_string(t[i:i+2], ' ')
         |                 FOR i IN generate_series(1, len(t)-2)]) AS g
         |  FROM toks WHERE len(t) >= 3),
+        |shc AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS pf FROM sh)
+        |  WHERE pf <= """.stripMargin + DedupMaxPostings + """),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id),
         |pairs AS (
         |  SELECT a, b FROM inter
@@ -1559,13 +1564,14 @@ object Queries {
         |SELECT dd.doc_id, COALESCE(kp.keep, dd.doc_id) AS keep_id
         |FROM documents dd LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-        // maxPostings uncapped: the oracle pairs every posting
-        // collision, so a capped list would silently desync at a larger
-        // SF (same hazard class as q39's maxBucket — production paths
-        // keep the default skew cap; oracle queries must not)
+        // Runs the PRODUCTION posting cap, mirrored 1:1 in the oracle's
+        // `shc` window filter (the q54/q66/q73 pattern) — so the one
+        // registered plan that used to be quadratic on a hot shingle
+        // now times and verifies the capped shape. DedupSpec keeps the
+        // uncapped-≡-capped every-collision witness at test scale.
         Dedup.ngramJaccard(T(s, d, "documents"), "doc_id", "text",
             shingleK = 3, tauNum = 1, tauDenom = 2,
-            maxPostings = Int.MaxValue)
+            maxPostings = DedupMaxPostings)
           .orderBy(col("doc_id"))
     },
 
@@ -1575,8 +1581,8 @@ object Queries {
     // identical pair CTEs through a WITH RECURSIVE min-label closure;
     // the Spark side is distributed label propagation to a fixpoint.
     // Runs the PRODUCTION posting cap, mirrored 1:1 in the oracle's
-    // `shc` window filter (sf-independent); q27 keeps the uncapped
-    // every-collision witness. Closure table shared with q66.
+    // `shc` window filter (sf-independent), like q27 since round 9
+    // (DedupSpec holds the uncapped witness). Closure shared with q66.
     q("q54_dedup_transitive", transitiveDedupOracleSql) { (s, d) =>
       transitiveDupClusters(s, d).orderBy(col("doc_id"))
     },

@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(at90(4L) == 1L, "exact dup J=1 survives any τ")
   }
 
+  test("ngram Jaccard: production cap ≡ uncapped every-collision at test scale") {
+    // q27's registered form runs maxPostings = 1000 mirrored in its
+    // oracle; this is the every-collision witness that moved out of the
+    // registry in round 9 — at sf0.001 no shingle's posting list
+    // exceeds the cap, so the capped plan provably drops nothing and
+    // the capped oracle still checks every collision.
+    val d = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val capped = Dedup.ngramJaccard(d, "doc_id", "text", 3, 1, 2,
+      maxPostings = 1000).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uncapped = Dedup.ngramJaccard(d, "doc_id", "text", 3, 1, 2,
+      maxPostings = Int.MaxValue).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == uncapped)
+    assert(capped.exists { case (id, keep) => id != keep }, "witness needs real dups")
+  }
+
   test("simhash dedup links exact dups, keeps distinct docs apart") {
     val res = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
