@@ -2533,6 +2533,46 @@ object Queries {
       }
     },
 
+    // Canonical-PageRank twin of q86: same graph, same integer
+    // fixed-point, but each round redistributes the dangling-node rank
+    // sum uniformly (`((Σ dangling // n) * 85) // 100` to every node) —
+    // the NetworkX-equivalent policy, so a user comparing absolute
+    // ranks against a canonical implementation gets matching mass
+    // conservation. One extra 1-row aggregation per round; the oracle
+    // unrolls the same dangling CTE chain (MATERIALIZED — each round is
+    // now referenced twice).
+    q("q96_pagerank_full",
+      s"""WITH nodes AS (
+        |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+        |  UNION
+        |  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier),
+        |ed AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                       's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst,
+        |             COUNT(*) OVER (PARTITION BY src) AS outdeg FROM ed),
+        |ns AS (SELECT COUNT(*) AS n FROM nodes),
+        |${graft.operators.PageRank.unrolledSqlCtes(5, 1000000000000L,
+            redistributeDangling = true)}
+        |SELECT node, rank FROM r5 ORDER BY node""".stripMargin) {
+      (s, d) => {
+        val nodes = T(s, d, "customer")
+          .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+          .union(T(s, d, "supplier")
+            .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node")))
+          .distinct()
+        val edges = T(s, d, "orders")
+          .join(T(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        graft.operators.PageRank.ranks(nodes, edges, iterations = 5,
+            redistributeDangling = true)
+          .orderBy(col("node"))
+      }
+    },
+
     // DSIR-style importance weighting (Xie et al. 2023): hash each
     // doc's unigrams+bigrams into 256 buckets (portable md5 family),
     // fit smoothed bucket distributions on the TARGET slice (source =

@@ -13,22 +13,35 @@ import org.apache.spark.sql.functions._
   * iteration is bit-exact in ANY engine — an unrolled SQL mirror
   * reproduces it with `//`. Per-edge contribution is
   * `((rank div outdeg) * 85) div 100`; teleport is `(base * 15) div
-  * 100`; dangling mass (out-degree-0 nodes) is DROPPED each round —
-  * rank totals decay, relative order is unaffected for ranking use
-  * (documented variant, same choice as sparse power-iteration
-  * implementations that renormalize lazily).
+  * 100`.
+  *
+  * Dangling mass (out-degree-0 nodes) has two documented policies:
+  *  - `redistributeDangling = false` (default): dangling rank is
+  *    DROPPED each round — totals decay, relative order is unaffected
+  *    for ranking use (the lazy-renormalize choice of sparse
+  *    power-iteration implementations).
+  *  - `redistributeDangling = true`: each round adds
+  *    `((danglingSum div n) * 85) div 100` to every node — canonical
+  *    PageRank's uniform dangling redistribution (what NetworkX
+  *    computes), at the cost of one 1-row aggregation per round.
   *
   * Scale design: one shuffle join edges⨝ranks on src plus one
   * aggregation on dst per iteration (both key-partitioned; AQE handles
   * hub skew), and the per-round frame is persisted + lineage-truncated
-  * the q54 way so the plan does not grow with iteration count.
+  * the q54 way so the plan does not grow with iteration count. The
+  * dangling sum is a 1-row driver scalar per round (vocab-free; same
+  * class as Bpe's per-round argmax). Loop-local persists (out-degrees,
+  * weighted edges, superseded rounds) are unpersisted before
+  * returning; the final frame is registered in [[graft.Caches]] so a
+  * request loop's `Caches.release()` reclaims it.
   */
 object PageRank {
 
   /** `nodes`: one column `node`; `edges`: (`src`, `dst`), pre-deduped.
     * Returns (node, rank) on the integer scale. */
   def ranks(nodes: DataFrame, edges: DataFrame, iterations: Int,
-            scaleTotal: Long = 1000000000000L): DataFrame = {
+            scaleTotal: Long = 1000000000000L,
+            redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, s"ranks: iterations must be >= 1")
     val n = nodes.count()
     require(n > 0, "ranks: empty node set")
@@ -38,9 +51,23 @@ object PageRank {
       .persist()
     val e = edges.join(outdeg, Seq("src")).persist()
     e.count() // materialize once; reused every iteration
+    // the dangling node SET is static across rounds — only its rank
+    // sum changes — so compute it once
+    val dangling =
+      if (redistributeDangling)
+        Some(nodes.join(outdeg.select(col("src").as("node")),
+          Seq("node"), "left_anti").persist())
+      else None
     var r = nodes.select(col("node"), lit(base).as("rank"))
     var i = 0
     while (i < iterations) {
+      val share = dangling match {
+        case Some(d) =>
+          val dm = r.join(d, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0L))).first().getLong(0)
+          dm / n * 85 / 100
+        case None => 0L
+      }
       val contrib = e.join(r, e("src") === r("node"))
         .select(col("dst").as("node"),
           expr("((rank div outdeg) * 85) div 100").as("c"))
@@ -48,7 +75,7 @@ object PageRank {
       val next = nodes.select(col("node"))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("rank"))
+          (lit(teleport + share) + coalesce(col("contrib"), lit(0L))).as("rank"))
         .persist()
       next.count() // materialize: the next round's plan scans the
       // InMemoryRelation, not the accumulated lineage — growth stays
@@ -58,7 +85,10 @@ object PageRank {
       r = next
       i += 1
     }
-    r
+    outdeg.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    dangling.foreach(_.unpersist(blocking = false))
+    graft.Caches.track(r)
   }
 
   /** The SQL mirror of [[ranks]], unrolled: chained CTEs `r0..rK` over
@@ -67,19 +97,33 @@ object PageRank {
     * because registered oracle SQL is static across scale factors).
     * Interpolate into a WITH clause and SELECT from `r$iterations`.
     * Kept HERE so operator and oracle share one definition of the
-    * arithmetic. */
-  def unrolledSqlCtes(iterations: Int, scaleTotal: Long): String = {
+    * arithmetic. Per-round CTEs are `AS MATERIALIZED`: with the
+    * dangling CTE each round references the previous round twice, and
+    * DuckDB inlines multiply-referenced CTEs — an unmarked chain
+    * re-expands exponentially. */
+  def unrolledSqlCtes(iterations: Int, scaleTotal: Long,
+                      redistributeDangling: Boolean = false): String = {
     val tp = s"((($scaleTotal // ns.n) * 15) // 100)"
-    ((s"r0 AS (SELECT node, CAST($scaleTotal // ns.n AS BIGINT) AS rank " +
+    ((s"r0 AS MATERIALIZED (SELECT node, CAST($scaleTotal // ns.n AS BIGINT) AS rank " +
       "FROM nodes CROSS JOIN ns)") +:
       (1 to iterations).map { k =>
-        s"""c$k AS (SELECT e.dst AS node,
+        val dangCte =
+          if (redistributeDangling)
+            s"""d$k AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dm
+               |        FROM r${k - 1}
+               |        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = r${k - 1}.node)),
+               |""".stripMargin
+          else ""
+        val share =
+          if (redistributeDangling) s" + ((d$k.dm // ns.n) * 85) // 100" else ""
+        val extraJoin = if (redistributeDangling) s" CROSS JOIN d$k" else ""
+        s"""${dangCte}c$k AS MATERIALIZED (SELECT e.dst AS node,
            |        SUM(((r${k - 1}.rank // e.outdeg) * 85) // 100) AS contrib
            |        FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
            |        GROUP BY e.dst),
-           |r$k AS (SELECT n.node,
-           |        CAST($tp + COALESCE(c$k.contrib, 0) AS BIGINT) AS rank
-           |        FROM nodes n CROSS JOIN ns
+           |r$k AS MATERIALIZED (SELECT n.node,
+           |        CAST($tp$share + COALESCE(c$k.contrib, 0) AS BIGINT) AS rank
+           |        FROM nodes n CROSS JOIN ns$extraJoin
            |        LEFT JOIN c$k ON n.node = c$k.node)""".stripMargin
       }).mkString(",\n")
   }

@@ -30,6 +30,25 @@ class PageRankSpec extends SparkSpec {
     assert(r.values.sum < 300L, "dangling + integer truncation must only lose mass")
   }
 
+  test("dangling redistribution matches hand iteration, near-conserves mass") {
+    // r1: share = ((100 div 3)*85) div 100 = 28 added to every node;
+    //     contribs as in the drop-variant (b 42, c 42+85=127)
+    // r1 = (a 15+28, b 15+28+42, c 15+28+127) = (43, 85, 170)
+    val r1 = PageRank.ranks(nodes, edges, iterations = 1, scaleTotal = 300L,
+        redistributeDangling = true)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r1 == Map("a" -> 43L, "b" -> 85L, "c" -> 170L))
+    // r2: share = ((170 div 3)*85) div 100 = 47;
+    //     from a: ((43 div 2)*85) div 100 = 17 to b,c; from b: 72 to c
+    // r2 = (a 62, b 79, c 151); loss is integer truncation only
+    val r2 = PageRank.ranks(nodes, edges, iterations = 2, scaleTotal = 300L,
+        redistributeDangling = true)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2 == Map("a" -> 62L, "b" -> 79L, "c" -> 151L))
+    assert(r2.values.sum >= 290L && r2.values.sum <= 300L,
+      "redistribution keeps mass up to div-floor truncation")
+  }
+
   test("ranks are partitioning-independent (pure integer arithmetic)") {
     val big = (1L to 300L)
     val e = big.flatMap(i => Seq((s"n$i", s"n${i % 50}"), (s"n$i", s"n${(i + 7) % 50}")))
