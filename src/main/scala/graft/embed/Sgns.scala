@@ -175,6 +175,28 @@ object Sgns {
     lo
   }
 
+  /** Cumulative start offsets for the exact global alpha schedule:
+    * `offsets(p)` = number of sentences in partitions before `p` under
+    * the canonical partition-major order, so `offsets(p) + localPos`
+    * is a sentence's TRUE global position (no equal-partition
+    * approximation). */
+  private[embed] def exactOffsets(counts: Array[Long]): Array[Long] = {
+    val off = new Array[Long](counts.length)
+    var acc = 0L
+    var i = 0
+    while (i < counts.length) { off(i) = acc; acc += counts(i); i += 1 }
+    off
+  }
+
+  /** gensim's linear learning-rate decay as a closed form of global
+    * progress: `alpha0 * (1 - pos/total)` floored at `minAlpha`. The
+    * trainer calls exactly this — SgnsSpec asserts the schedule
+    * against it. */
+  private[embed] def alphaAt(alpha0: Double, minAlpha: Double,
+                             globalPos: Double, totalWork: Double): Double =
+    math.max(minAlpha,
+      alpha0 * (1.0 - math.min(globalPos, totalWork) / totalWork))
+
   /** gensim/word2vec.c subsampling keep-probability for a word with
     * count `c` in a corpus of `total` tokens at threshold `sample`:
     * p_keep = (sqrt(f/t) + 1) · t/f with f = c/total, t = sample. */
@@ -263,6 +285,17 @@ object Sgns {
       i += 1
     }
 
+    // --- exact global alpha schedule: per-partition sentence counts
+    // give each partition its true global offset (partition-major
+    // order; at numPartitions=1 this is the plain sequential counter).
+    // One cheap count pass over the already-cached sentence arrays. ---
+    val partSentCounts = sentences.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, {
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+      })))
+      .collect().sortBy(_._1).map(_._2)
+    val partOffsets = exactOffsets(partSentCounts)
+
     // --- epochs: broadcast weights, local SGD, weighted average -----
     val totalWork = nSentences.toDouble * cfg.epochs
     var epoch = 0
@@ -277,17 +310,17 @@ object Sgns {
           val lCdf = bCdf.value
           val lKeep = bKeep.value
           val rng = new Rng(splitmix64(cfg.seed ^ (epoch.toLong << 32) ^ pid))
+          val lOff = partOffsets(pid).toDouble
           val neu1e = new Array[Float](dim)
           var pairs = 0L
           var sent = 0L
           it.foreach { s =>
-            // linear alpha decay on global progress, approximated by
-            // per-partition position under the equal-partition,
-            // lockstep assumption — deterministic, content-derived
-            val progress = (doneWork + sent.toDouble * cfg.numPartitions)
-              .min(totalWork) / totalWork
-            val alpha = math.max(cfg.minAlpha,
-              cfg.alpha * (1.0 - progress))
+            // linear alpha decay on EXACT global progress: this
+            // partition's precomputed sentence offset + local position
+            // (partition-major order) — gensim's closed-form schedule,
+            // no equal-partition approximation
+            val alpha = alphaAt(cfg.alpha, cfg.minAlpha,
+              doneWork + lOff + sent.toDouble, totalWork)
             // subsample once per occurrence (gensim: per-position)
             val kept = s.filter(w => lKeep(w) >= 1.0 || rng.nextDouble() < lKeep(w))
             var pos = 0
@@ -336,18 +369,22 @@ object Sgns {
             }
             sent += 1
           }
-          Iterator((l0, l1, pairs))
+          // a partition that trained zero pairs (empty, or everything
+          // subsampled away) must NOT contribute its unchanged
+          // broadcast copy to the average — it would dilute the real
+          // updates at weight 1. Emit nothing instead.
+          if (pairs == 0L) Iterator.empty else Iterator((l0, l1, pairs))
         }
         .treeAggregate((null: Array[Double], null: Array[Double], 0L))(
           seqOp = { case ((a0, a1, aw), (p0, p1, pw)) =>
             val o0 = if (a0 == null) new Array[Double](v * dim) else a0
             val o1 = if (a1 == null) new Array[Double](v * dim) else a1
-            val w = math.max(pw, 1L).toDouble
+            val w = pw.toDouble // pw >= 1: zero-pair partitions emit nothing
             var j = 0
             while (j < o0.length) {
               o0(j) += p0(j) * w; o1(j) += p1(j) * w; j += 1
             }
-            (o0, o1, aw + math.max(pw, 1L))
+            (o0, o1, aw + pw)
           },
           combOp = { case ((a0, a1, aw), (b0, b1, bw)) =>
             if (a0 == null) (b0, b1, aw + bw)
@@ -359,17 +396,19 @@ object Sgns {
             }
           })
       bSyn0.destroy(); bSyn1.destroy()
-      val wTot = math.max(wSum, 1L).toDouble
-      val n0 = new Array[Float](v * dim)
-      val n1 = new Array[Float](v * dim)
-      var j = 0
-      while (j < n0.length) {
-        n0(j) = (s0Sum(j) / wTot).toFloat
-        n1(j) = (s1Sum(j) / wTot).toFloat
-        j += 1
+      if (wSum > 0L) { // all-zero-pair epoch: keep the previous weights
+        val wTot = wSum.toDouble
+        val n0 = new Array[Float](v * dim)
+        val n1 = new Array[Float](v * dim)
+        var j = 0
+        while (j < n0.length) {
+          n0(j) = (s0Sum(j) / wTot).toFloat
+          n1(j) = (s1Sum(j) / wTot).toFloat
+          j += 1
+        }
+        syn0 = n0
+        syn1 = n1
       }
-      syn0 = n0
-      syn1 = n1
       epoch += 1
     }
     sentences.unpersist(blocking = false)

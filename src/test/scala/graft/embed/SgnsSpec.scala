@@ -45,6 +45,37 @@ class SgnsSpec extends SparkSpec {
     assert(Sgns.keepProbability(1, 100000, 1e-3) == 1.0)
   }
 
+  test("exact alpha schedule: offsets tile the corpus; closed-form decay") {
+    // partition-major offsets: uneven partitions, including an empty one
+    val offs = Sgns.exactOffsets(Array(3L, 0L, 5L, 2L))
+    assert(offs.toSeq == Seq(0L, 3L, 3L, 8L))
+    // offsets + local positions enumerate every global position exactly once
+    val counts = Array(3L, 0L, 5L, 2L)
+    val positions = counts.indices.flatMap(p =>
+      (0L until counts(p)).map(offs(p) + _))
+    assert(positions.sorted == (0L until counts.sum).toSeq)
+    // closed-form linear decay with the min-alpha floor
+    val total = 100.0
+    assert(Sgns.alphaAt(0.025, 1e-4, 0.0, total) == 0.025)
+    assert(math.abs(Sgns.alphaAt(0.025, 1e-4, 50.0, total) - 0.0125) < 1e-15)
+    assert(Sgns.alphaAt(0.025, 1e-4, 100.0, total) == 1e-4)
+    assert(Sgns.alphaAt(0.025, 1e-4, 1e9, total) == 1e-4, "clamped past the end")
+  }
+
+  test("zero-pair partitions don't dilute: 1 sentence @ 4 partitions ≡ sequential") {
+    // one multi-word sentence lands in ONE of the 4 hash partitions;
+    // the other 3 train zero pairs and must contribute NOTHING to the
+    // epoch average (they used to enter at weight 1 with unchanged
+    // broadcast weights, shrinking every real update by 4x)
+    val one = Seq(Seq("apple", "banana", "cherry", "date", "cpu", "gpu"))
+      .toDF("context_words")
+    val seqM = Sgns.fit(one, fastCfg.copy(numPartitions = 1))
+    val parM = Sgns.fit(one, fastCfg.copy(numPartitions = 4))
+    assert(seqM.words.toSeq == parM.words.toSeq)
+    assert(java.util.Arrays.equals(seqM.syn0, parM.syn0),
+      "single non-empty partition must reproduce sequential training exactly")
+  }
+
   test("fit is deterministic; seed changes the embedding") {
     val d = df(40)
     val m1 = Sgns.fit(d, fastCfg)
