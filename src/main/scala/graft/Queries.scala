@@ -2237,10 +2237,15 @@ object Queries {
     // u_mass SCORE terms, oracle-backed end-to-end: each ordered pair's
     // ln((co+1)/df_j) — the quantity x17 averages per topic — floored
     // at 1e6 scale to an exact integer in BOTH engines. The division
-    // happens before the log in both (identical IEEE-754 rounding); the
-    // floor guard absorbs any last-ulp ln() difference between libm and
-    // the JVM. This closes the gap between q63's count mirror and the
-    // final coherence number.
+    // happens before the log in both (identical IEEE-754 rounding).
+    // Residual risk, stated honestly: flooring does NOT absorb a
+    // last-ulp ln() disagreement between libm and the JVM — it flips
+    // the term exactly when the scaled value straddles an integer
+    // boundary (P ≈ 1e-9 per term; negligible at this 28-pair grid,
+    // only statistically visible at tens of millions of log terms — a
+    // fully portable gate would need a shared rational log
+    // approximation). This closes the gap between q63's count mirror
+    // and the final coherence number.
     q("q74_umass_score",
       s"""$coherenceCountsCtes
          |SELECT ri, rj, wi, wj,

@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Histogram width target for [[scalableRowNumber]]'s auto-sized
+    * bucket divisor: small enough that the cumulative window over the
+    * bucket histogram is trivially single-task, large enough that rows
+    * spread across many buckets. */
+  val TargetRankBuckets: Long = 65536L
+
   // ---------------------------------------------------------------- filters
 
   /** P1: keep (or drop, `keep = false`) rows where `c` matches a Java
@@ -378,17 +384,30 @@ object Relational {
     * count) yields each bucket's cumulative predecessor count via one
     * tiny single-partition window, and a per-bucket `row_number`
     * finishes the rank: `r = cum_before(bucket) + rank_within(bucket)`.
-    * Shuffles: one on the bucket key (+ the histogram's). Skew note:
-    * a value distribution collapsed onto one bucket degrades to the
-    * naive shape — pick `bucketDiv` so buckets stay populated; ranks
-    * are IDENTICAL for any `bucketDiv` (property-tested vs the direct
-    * window). `orderCol` must be integral; `tieCol` must make the
-    * order total or tie order is partition luck. */
+    * Shuffles: one on the bucket key (+ the histogram's). Ranks are
+    * IDENTICAL for any `bucketDiv` (property-tested vs the direct
+    * window), so sizing only affects the plan: too-small buckets on a
+    * wide value domain push the whole histogram through the one
+    * single-partition window the operator exists to keep tiny, while
+    * one giant bucket degrades to the naive shape. `bucketDiv <= 0`
+    * (the default) therefore auto-sizes from the OBSERVED value range —
+    * `range / TargetBuckets` — at the cost of one min/max scan; pass an
+    * explicit divisor only when the score domain is known a priori.
+    * `orderCol` must be integral; `tieCol` must make the order total
+    * or tie order is partition luck. */
   def scalableRowNumber(df: DataFrame, orderCol: String, tieCol: String,
-                        bucketDiv: Long = 1000L,
+                        bucketDiv: Long = 0L,
                         rankName: String = "r"): DataFrame = {
+    val div =
+      if (bucketDiv > 0) bucketDiv
+      else {
+        val r = df.agg(min(col(orderCol)).cast("long"),
+          max(col(orderCol)).cast("long")).head()
+        if (r.isNullAt(0)) 1L
+        else math.max(1L, (r.getLong(1) - r.getLong(0)) / TargetRankBuckets + 1L)
+      }
     val b = df.withColumn("_rnk_bkt",
-      expr(s"$orderCol DIV ${bucketDiv}L"))
+      expr(s"$orderCol DIV ${div}L"))
     val hist = b.groupBy(col("_rnk_bkt")).agg(count(lit(1)).as("_c"))
     val wHist = Window.orderBy(col("_rnk_bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
