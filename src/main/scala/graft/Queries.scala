@@ -2395,6 +2395,54 @@ object Queries {
       }
     },
 
+    // REAL COMPRESSED image decode, oracle-backed end-to-end: per doc
+    // a genuine 8-bit PNG — deflate-compressed scanlines, multi-IDAT
+    // framing, an ancillary tEXt chunk, per-chunk CRC32 — is ENCODED
+    // from a closed-form pixel formula and DECODED by the pure-JVM
+    // PngCodec. The per-row filter cycles (doc_id + y) % 5, so across
+    // the 200 docs every scanline predictor (None/Sub/Up/Average/
+    // Paeth) is exercised in both RGB and RGBA (channels alternate by
+    // doc parity). The oracle computes the same raster statistics
+    // analytically — compression is transparent to it — so any defect
+    // in inflation, filter reconstruction, chunk walking, or channel
+    // order breaks the hash. This is the q75 pattern upgraded from an
+    // uncompressed container to a real compressed format.
+    q("q95_png_decode",
+      s"""WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 4 AS h,
+        |                  3 + doc_id % 2 AS ch
+        |           FROM documents WHERE doc_id < $ImgDecodeDocs),
+        |px AS (SELECT doc_id, w, h, ch,
+        |              unnest(generate_series(0, w*h - 1)) AS i FROM d)
+        |SELECT doc_id AS media_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(SUM((doc_id*11 + i*ch) % 256) AS BIGINT) AS c0_sum,
+        |       CAST(SUM((doc_id*11 + i*ch + 1) % 256) AS BIGINT) AS c1_sum,
+        |       CAST(SUM((doc_id*11 + i*ch + 2) % 256) AS BIGINT) AS c2_sum,
+        |       CAST(SUM(CASE WHEN ch = 4 THEN (doc_id*11 + i*ch + 3) % 256
+        |                     ELSE 0 END) AS BIGINT) AS a_sum,
+        |       CAST(SUM(((doc_id*11 + i*ch) % 256) * i) AS BIGINT) AS c0_moment
+        |FROM px GROUP BY doc_id, w, h, ch ORDER BY media_id""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (3 + id % 6).toInt
+            val h = (2 + id % 4).toInt
+            val ch = (3 + id % 2).toInt
+            M.MediaRow(id, "image/png",
+              graft.multimodal.PngCodec.encodePng(w, h, ch,
+                (x, y, c) => ((id * 11 + (y * w + x).toLong * ch + c) % 256).toInt,
+                rowFilter = y => ((id + y) % 5).toInt),
+              w, h)
+          }
+        M.decodePngFeatures(media).toDF().orderBy(col("media_id"))
+      }
+    },
+
     // REAL audio decode, oracle-backed end-to-end (q75's pattern for
     // the audio modality): per doc a genuine PCM16 WAV payload —
     // including a JUNK chunk between fmt and data, so only a decoder

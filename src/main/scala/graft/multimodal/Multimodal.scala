@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * each: [[decodeImageFeatures]] parses 24-bit BMP via [[ImageCodec]]
   * (q75), [[decodeAudioFeatures]] parses PCM16 WAV via [[AudioCodec]]
   * (q76), and [[sampleVideoFrameStats]] parses Y4M via [[VideoCodec]]
-  * (q79) — each oracle-backed end-to-end. COMPRESSED formats
-  * (libjpeg/ffmpeg-class work) are NOT available in this container —
-  * [[StubDecoder]] remains the clearly-marked deterministic fake for
-  * those. Everything Spark-side
+  * (q79) — each oracle-backed end-to-end. The image modality
+  * additionally decodes a real COMPRESSED format:
+  * [[decodePngFeatures]] parses 8-bit PNG via [[PngCodec]] (q95) —
+  * deflate, chunk CRCs, all five scanline filters, pure JVM. Other
+  * compressed formats (libjpeg/ffmpeg-class work) are NOT available
+  * in this container — [[StubDecoder]] remains the clearly-marked
+  * deterministic fake for those. Everything Spark-side
   * is real either way: the schema, the `mapPartitions` batch boundary
   * (one decoder init per partition, streaming rows through it — the
   * same shape a JNI/FFI decoder needs), partitioning, and the typed
@@ -134,6 +137,45 @@ object Multimodal {
         }
         ImageStats(row.media_id, img.width.toLong, img.height.toLong,
           r, g, b, mom)
+      }
+    }
+  }
+
+  /** Real decoded-raster statistics for COMPRESSED (PNG) images —
+    * q75's integer-stat shape extended with the channel count and an
+    * alpha sum (0 for RGB payloads), since PNG carries both truecolor
+    * variants. `c0_moment` weights channel-0 values by raster
+    * position: it catches filter-reconstruction and row-order defects
+    * the order-invariant sums cannot. */
+  final case class PngStats(media_id: Long, width: Long, height: Long,
+                            channels: Long, c0_sum: Long, c1_sum: Long,
+                            c2_sum: Long, a_sum: Long, c0_moment: Long)
+
+  /** REAL compressed-image decode: parse each payload as 8-bit PNG
+    * ([[PngCodec.decodePng]] — deflate, chunk CRCs, all five scanline
+    * filters) and reduce the raster to integer channel statistics.
+    * Same per-partition batch shape as the other decode operators;
+    * malformed payloads fail loudly. */
+  def decodePngFeatures(ds: Dataset[MediaRow]): Dataset[PngStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val img = PngCodec.decodePng(row.payload)
+        val ch = img.channels
+        var c0 = 0L; var c1 = 0L; var c2 = 0L; var a = 0L; var mom = 0L
+        val npx = img.width * img.height
+        var i = 0
+        while (i < npx) {
+          val base = ch * i
+          c0 += img.pixels(base)
+          c1 += img.pixels(base + 1)
+          c2 += img.pixels(base + 2)
+          if (ch == 4) a += img.pixels(base + 3)
+          mom += img.pixels(base).toLong * i
+          i += 1
+        }
+        PngStats(row.media_id, img.width.toLong, img.height.toLong,
+          ch.toLong, c0, c1, c2, a, mom)
       }
     }
   }
