@@ -3617,6 +3617,25 @@ object Queries {
         .orderBy(col("cluster"), col("pos"))
     },
 
+    // Annotation label-task export, oracle-backed (promotes x12's
+    // OPERATOR; x12 itself keeps the production form over the KMeans
+    // assignment, whose fit is not SQL-expressible): one row per
+    // source "cluster" with its space-joined lexicographically sorted
+    // member list plus the blank annotation columns, proved against
+    // DuckDB's string_agg(ORDER BY).
+    q("q97_annotation_label",
+      """SELECT source AS cluster,
+        |       string_agg(CAST(doc_id AS VARCHAR), ' '
+        |         ORDER BY CAST(doc_id AS VARCHAR)) AS members,
+        |       '' AS label, '' AS notes
+        |FROM documents GROUP BY source ORDER BY cluster""".stripMargin) {
+      (s, d) =>
+        graft.export.Annotation.labelTask(
+          T(s, d, "documents").select(col("doc_id").cast("string").as("member"),
+            col("source").as("cluster")),
+          "member", "cluster")
+    },
+
     // Full BPE merge TRAINING (Sennrich et al. 2016), oracle-backed
     // end-to-end: one corpus shuffle builds the distinct-word count
     // table, then 20 merge rounds run over the vocab-bounded words —
