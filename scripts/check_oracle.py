@@ -73,7 +73,7 @@ def selftest():
     return 1
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None, start_from=None):
     import duckdb
     con = duckdb.connect()
     for t in TABLES:
@@ -81,8 +81,13 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(oracle)
+    if only:
+        names = [n for n in names if n in only]
+    if start_from:
+        names = [n for n in names if n >= start_from]
     n_pass = n_fail = 0
-    for name in sorted(oracle):
+    for name in names:
         sql = oracle[name]
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
@@ -111,4 +116,18 @@ def main(sf_dir, out_dir):
 if __name__ == "__main__":
     if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
         sys.exit(selftest())
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional extras (long-gate resumability, e.g. the sf1 rehearsal):
+    #   --only a,b,c      gate just those names
+    #   --start-from NAME resume the sorted sweep at NAME
+    only = start_from = None
+    args = sys.argv[1:]
+    rest = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--only":
+            only = set(args[i + 1].split(",")); i += 2
+        elif args[i] == "--start-from":
+            start_from = args[i + 1]; i += 2
+        else:
+            rest.append(args[i]); i += 1
+    sys.exit(main(rest[0], rest[1], only=only, start_from=start_from))

@@ -2057,10 +2057,18 @@ object Queries {
     // window, replicate the left into adjacent bins (3×), equi-join on
     // the bin. The oracle states the O(n·m) semantic definition; the
     // Spark plan must produce it with one bin-shuffle per side.
+    // Oracle is phrased as lo <= t <= hi (precomputed window bounds)
+    // rather than ABS(ta-tb) <= w: identical semantics, but the raw
+    // two-sided inequality is IEJoin-able — with ABS() DuckDB falls
+    // back to a nested-loop join that goes quadratic at the sf1
+    // rehearsal scale (1M x 1M ABS evaluations; observed, not
+    // hypothetical).
     q("q44_range_join",
-      """SELECT a.event_id AS a, b.event_id AS b
-        |FROM events a JOIN events b ON a.event_id < b.event_id
-        |  AND ABS(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 300000
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS t FROM events),
+        |w AS (SELECT event_id, t - 300000 AS lo, t + 300000 AS hi FROM e)
+        |SELECT w.event_id AS a, e.event_id AS b
+        |FROM w JOIN e ON e.t >= w.lo AND e.t <= w.hi
+        |  AND w.event_id < e.event_id
         |ORDER BY a, b""".stripMargin) { (s, d) => {
       val ev = T(s, d, "events")
       val l = ev.select(col("event_id").as("a"), msEvent.as("_ta"))
