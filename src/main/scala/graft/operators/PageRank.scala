@@ -43,22 +43,27 @@ object PageRank {
             scaleTotal: Long = 1000000000000L,
             redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, s"ranks: iterations must be >= 1")
-    val n = nodes.count()
+    // callers pass LAZY plans (typically union/join + distinct): pin
+    // both, or the node set re-runs its distinct in EVERY round's
+    // left join and the edge plan twice in the setup below
+    val nd = nodes.persist()
+    val n = nd.count()
     require(n > 0, "ranks: empty node set")
+    val ed = edges.persist()
     val base = scaleTotal / n
     val teleport = base * 15 / 100
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist()
-    val e = edges.join(outdeg, Seq("src")).persist()
+    val e = ed.join(outdeg, Seq("src")).persist()
     e.count() // materialize once; reused every iteration
     // the dangling node SET is static across rounds — only its rank
     // sum changes — so compute it once
     val dangling =
       if (redistributeDangling)
-        Some(nodes.join(outdeg.select(col("src").as("node")),
+        Some(nd.join(outdeg.select(col("src").as("node")),
           Seq("node"), "left_anti").persist())
       else None
-    var r = nodes.select(col("node"), lit(base).as("rank"))
+    var r = nd.select(col("node"), lit(base).as("rank"))
     var i = 0
     while (i < iterations) {
       val share = dangling match {
@@ -72,7 +77,7 @@ object PageRank {
         .select(col("dst").as("node"),
           expr("((rank div outdeg) * 85) div 100").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
-      val next = nodes.select(col("node"))
+      val next = nd.select(col("node"))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport + share) + coalesce(col("contrib"), lit(0L))).as("rank"))
@@ -85,6 +90,8 @@ object PageRank {
       r = next
       i += 1
     }
+    nd.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
     outdeg.unpersist(blocking = false)
     e.unpersist(blocking = false)
     dangling.foreach(_.unpersist(blocking = false))
