@@ -2451,6 +2451,57 @@ object Queries {
       }
     },
 
+    // REAL compressed-image RESIZE, oracle-backed end-to-end: the q95
+    // payloads are decoded, nearest-neighbor resampled to a fixed 6x4
+    // raster (mixing up- AND down-scale across the varying source
+    // dims), RE-ENCODED as PNG (filters cycling again), decoded a
+    // second time, and reduced to raster stats — the full
+    // decode→transform→encode→decode loop of a thumbnailing stage.
+    // The NN source pixel is (x*srcW div 6, y*srcH div 4) — integer
+    // arithmetic the oracle replays analytically, so a mapping,
+    // re-encode, or second-decode defect breaks the hash. c0_moment
+    // weights by DESTINATION index: it catches a transposed or
+    // row-swapped resample the sums cannot.
+    q("q98_png_resize",
+      s"""WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 4 AS h,
+        |                  3 + doc_id % 2 AS ch
+        |           FROM documents WHERE doc_id < $ImgDecodeDocs),
+        |px AS (SELECT doc_id, w, h, ch,
+        |              unnest(generate_series(0, 23)) AS i FROM d),
+        |v AS (SELECT doc_id, ch, i,
+        |             (((i // 6) * h) // 4) * w + (((i % 6) * w) // 6) AS si
+        |      FROM px)
+        |SELECT doc_id AS media_id,
+        |       CAST(6 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(SUM((doc_id*11 + si*ch) % 256) AS BIGINT) AS c0_sum,
+        |       CAST(SUM((doc_id*11 + si*ch + 1) % 256) AS BIGINT) AS c1_sum,
+        |       CAST(SUM((doc_id*11 + si*ch + 2) % 256) AS BIGINT) AS c2_sum,
+        |       CAST(SUM(CASE WHEN ch = 4 THEN (doc_id*11 + si*ch + 3) % 256
+        |                     ELSE 0 END) AS BIGINT) AS a_sum,
+        |       CAST(SUM(((doc_id*11 + si*ch) % 256) * i) AS BIGINT) AS c0_moment
+        |FROM v GROUP BY doc_id, ch ORDER BY media_id""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (3 + id % 6).toInt
+            val h = (2 + id % 4).toInt
+            val ch = (3 + id % 2).toInt
+            M.MediaRow(id, "image/png",
+              graft.multimodal.PngCodec.encodePng(w, h, ch,
+                (x, y, c) => ((id * 11 + (y * w + x).toLong * ch + c) % 256).toInt,
+                rowFilter = y => ((id + y) % 5).toInt),
+              w, h)
+          }
+        M.decodePngFeatures(M.resizePng(media, 6, 4)).toDF()
+          .orderBy(col("media_id"))
+      }
+    },
+
     // REAL audio decode, oracle-backed end-to-end (q75's pattern for
     // the audio modality): per doc a genuine PCM16 WAV payload —
     // including a JUNK chunk between fmt and data, so only a decoder

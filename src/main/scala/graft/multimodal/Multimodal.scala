@@ -224,11 +224,40 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       lit(0).as("width"), lit(0).as("height"))
 
-  /** STUB resize — a real implementation decodes, scales and re-encodes
-    * (libvips/Pillow-SIMD class work); the stub derives a
-    * deterministic payload of size ∝ w·h so size accounting and the
-    * 1:1 `mapPartitions` shape (per-partition codec init, streamed
-    * rows, metadata rewritten alongside the payload) are real. */
+  /** REAL image resize for PNG payloads: decode
+    * ([[PngCodec.decodePng]]), nearest-neighbor sample to `w`×`h`
+    * (source pixel `(x*srcW div w, y*srcH div h)` — pure integer
+    * arithmetic, so an SQL oracle reproduces the mapping exactly), and
+    * RE-ENCODE as PNG with the per-row filter cycling — the full
+    * decode→transform→encode loop a thumbnailing/normalization stage
+    * runs, exercising the compressed codec in both directions
+    * (q98). Row-local; same `mapPartitions` shape as the decoders. */
+  def resizePng(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    require(w > 0 && h > 0, "resizePng: target dims must be positive")
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val src = PngCodec.decodePng(row.payload)
+        val ch = src.channels
+        val out = PngCodec.encodePng(w, h, ch,
+          (x, y, c) => {
+            val sx = x * src.width / w
+            val sy = y * src.height / h
+            src.pixels(ch * (sy * src.width + sx) + c)
+          },
+          rowFilter = y => y % 5)
+        row.copy(payload = out, width = w, height = h)
+      }
+    }
+  }
+
+  /** STUB resize for formats without a JVM codec — a real
+    * implementation decodes, scales and re-encodes (libvips/
+    * Pillow-SIMD class work; [[resizePng]] IS that implementation for
+    * PNG); the stub derives a deterministic payload of size ∝ w·h so
+    * size accounting and the 1:1 `mapPartitions` shape (per-partition
+    * codec init, streamed rows, metadata rewritten alongside the
+    * payload) are real. */
   def resize(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import ds.sparkSession.implicits._
     require(w > 0 && h > 0, "resize: target dims must be positive")

@@ -82,6 +82,27 @@ class PngCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("bit depth"))
   }
 
+  test("resizePng: nearest-neighbor up/downscale through the real codec") {
+    // 2x2 RGB checker upscaled 4x4: each source pixel becomes a 2x2
+    // block under (x*srcW div dstW); then a downscale back picks the
+    // block corners — recovering the original exactly
+    def checker(x: Int, y: Int, c: Int): Int =
+      if ((x + y) % 2 == 0) (c + 1) * 10 else 200 + c
+    val src = Seq(Multimodal.MediaRow(1L, "image/png",
+      PngCodec.encodePng(2, 2, 3, checker), 2, 2)).toDS()
+    val up = Multimodal.resizePng(src, 4, 4).collect().head
+    assert(up.width == 4 && up.height == 4)
+    val upImg = PngCodec.decodePng(up.payload)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      assert(upImg.pixels(3 * (y * 4 + x) + c) == checker(x * 2 / 4, y * 2 / 4, c),
+        s"up ($x,$y,$c)")
+    val back = Multimodal.resizePng(Seq(up).toDS(), 2, 2).collect().head
+    val backImg = PngCodec.decodePng(back.payload)
+    for (y <- 0 until 2; x <- 0 until 2; c <- 0 until 3)
+      assert(backImg.pixels(3 * (y * 2 + x) + c) == checker(x, y, c),
+        s"back ($x,$y,$c)")
+  }
+
   test("decodePngFeatures: distributed decode matches closed-form stats") {
     val rows = (0L until 20L).map { id =>
       val w = (3 + id % 6).toInt
