@@ -83,9 +83,18 @@ def main(sf_dir, out_dir, only=None, start_from=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(oracle)
     if only:
+        unknown = sorted(set(only) - set(oracle))
+        if unknown:
+            # fail loudly: a typo (or a rows-only query name) would
+            # otherwise yield a vacuous "0 pass / 0 fail" green exit
+            print(f"ERROR: --only names not in oracle_sql.json: {unknown}")
+            return 2
         names = [n for n in names if n in only]
     if start_from:
         names = [n for n in names if n >= start_from]
+        if not names:
+            print(f"ERROR: --start-from '{start_from}' matches no oracle entry")
+            return 2
     n_pass = n_fail = 0
     for name in names:
         sql = oracle[name]

@@ -39,7 +39,16 @@ object Annotation {
     *
     * `sqlMirroredHashes = true` swaps the xxhash64 pick/shuffle hashes
     * for the engine-portable 60-bit md5-prefix family (q39's
-    * convention), making the whole export DuckDB-mirrorable (q90). */
+    * convention), making the whole export DuckDB-mirrorable (q90).
+    *
+    * Scale note: the candidate-intruder join below is a non-equi band
+    * predicate, which Spark plans as a BROADCAST NESTED LOOP with the
+    * eligible-cluster aggregate (k rows, one per cluster) broadcast.
+    * That is O(k·n) work — fine while k is domain-bounded (annotation
+    * exports run over ≤~10³ clusters; the reference's is ≤250). If k
+    * ever grows unbounded, bucketize the band first (the q44
+    * `rangeJoinBucketed` shape: bin counts into σ-wide buckets and
+    * equi-join on bucket ± 1) before reusing this operator. */
   def intruderTask(assignments: DataFrame, keyCol: String, clusterCol: String,
                    countCol: String, topN: Int = 5, seed: Long = 8675309L,
                    sqlMirroredHashes: Boolean = false): DataFrame = {

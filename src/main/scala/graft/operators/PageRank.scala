@@ -45,11 +45,15 @@ object PageRank {
     require(iterations >= 1, s"ranks: iterations must be >= 1")
     // callers pass LAZY plans (typically union/join + distinct): pin
     // both, or the node set re-runs its distinct in EVERY round's
-    // left join and the edge plan twice in the setup below
-    val nd = nodes.persist()
+    // left join and the edge plan twice in the setup below. A frame
+    // the caller already persisted keeps its cache — only frames WE
+    // persist here are unpersisted on return.
+    val ndOwned = nodes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val nd = if (ndOwned) nodes.persist() else nodes
     val n = nd.count()
     require(n > 0, "ranks: empty node set")
-    val ed = edges.persist()
+    val edOwned = edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val ed = if (edOwned) edges.persist() else edges
     val base = scaleTotal / n
     val teleport = base * 15 / 100
     val outdeg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -90,8 +94,8 @@ object PageRank {
       r = next
       i += 1
     }
-    nd.unpersist(blocking = false)
-    ed.unpersist(blocking = false)
+    if (ndOwned) nd.unpersist(blocking = false)
+    if (edOwned) ed.unpersist(blocking = false)
     outdeg.unpersist(blocking = false)
     e.unpersist(blocking = false)
     dangling.foreach(_.unpersist(blocking = false))

@@ -400,4 +400,24 @@ class ScaleSpec extends SparkSpec {
     assert(joined.columns.contains("time_to_comment_in_seconds"))
     assert(joined.select("time_to_comment_in_seconds").as[Long].head() == 50L)
   }
+
+  test("intruder export: the k-row eligible aggregate broadcasts in the band join") {
+    // the candidate-intruder join is a non-equi ±1σ band predicate —
+    // acceptable ONLY because the eligible side is a k-row per-cluster
+    // aggregate that Spark broadcasts (O(k·n), k domain-bounded; see
+    // Annotation.intruderTask scaladoc). If this ever plans the big
+    // assignments side into the broadcast (or falls back to a
+    // cartesian), the export stops scaling.
+    val assignments = (1 to 400)
+      .map(i => (s"w$i", s"c${i % 8}", (i % 17 + 1).toLong))
+      .toDF("word", "cluster", "cnt")
+    val out = graft.export.Annotation.intruderTask(
+      assignments, "word", "cluster", "cnt", topN = 5)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "band join must plan as a broadcast nested loop:\n" + plan)
+    assert(plan.contains("BroadcastExchange"),
+      "eligible k-row aggregate must broadcast:\n" + plan)
+  }
 }
