@@ -72,15 +72,25 @@ object AsOfFilterPushdown
   import org.apache.spark.sql.catalyst.expressions.And
   import org.apache.spark.sql.catalyst.plans.logical.Filter
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, j: AsOfJoinNode) =>
-      val (pushable, kept) = splitConjunctivePredicates(cond).partition(c =>
-        c.deterministic && c.references.subsetOf(j.left.outputSet))
-      if (pushable.isEmpty) f
-      else {
-        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
-        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val moved = plan.transform {
+      case f @ Filter(cond, j: AsOfJoinNode) =>
+        val (pushable, kept) = splitConjunctivePredicates(cond).partition(c =>
+          c.deterministic && c.references.subsetOf(j.left.outputSet))
+        if (pushable.isEmpty) f
+        else {
+          val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+          kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        }
+    }
+    // This batch runs AFTER the optimizer's own PushDownPredicates
+    // fixpoint, so a filter we relocate below the join would stall
+    // above any Project between the join and the scan (e.g. the
+    // reader's ts normalization) and never reach PushedFilters. Re-run
+    // the stock rule on the changed plan so relocated conjuncts keep
+    // sinking; the rest of the plan is already at its fixpoint.
+    if (moved.fastEquals(plan)) plan
+    else org.apache.spark.sql.catalyst.optimizer.PushDownPredicates(moved)
   }
 }
 

@@ -86,7 +86,7 @@ object EventStream {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
     try {
-      val q = hourlyByType(stream).writeStream
+      val q = hourlyByType(graft.sources.Tables.tsNanosNormalized(stream)).writeStream
         .outputMode("complete")
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())

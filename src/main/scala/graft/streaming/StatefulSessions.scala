@@ -96,9 +96,9 @@ object StatefulSessions {
                     statePartitions: Option[Int] = Some(8)): Dataset[Session] = {
     import spark.implicits._
     val src = s"$dir/events.parquet"
-    val srcDf = spark.read.parquet(src)
-    val schema = srcDf.schema
-    val maxTsNanos = srcDf
+    val srcRaw = spark.read.parquet(src)
+    val schema = srcRaw.schema // RAW file schema — the replay dir readers need it
+    val maxTsNanos = graft.sources.Tables.tsNanosNormalized(srcRaw)
       .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
 
     val replay = java.nio.file.Files.createTempDirectory("graft_replay")
@@ -117,7 +117,18 @@ object StatefulSessions {
     // null under the explicit schema — only user_id/event_id/ts are used
     val sentinelTsNanos = maxTsNanos + (gapMs + 1L) * 1000000L
     val scratch = java.nio.file.Files.createTempDirectory("graft_sentinel")
-    Seq((-1L, -1L, sentinelTsNanos)).toDF("user_id", "event_id", "ts")
+    // the sentinel file must carry ts in the SAME physical type as the
+    // source files (the explicit reader schema covers both) — convert
+    // the canonical nanos value back when the source stores timestamps
+    val sentinelRaw = Seq((-1L, -1L, sentinelTsNanos)).toDF("user_id", "event_id", "ts")
+    val sentinelDf = schema("ts").dataType match {
+      case t @ (org.apache.spark.sql.types.TimestampType |
+                org.apache.spark.sql.types.TimestampNTZType) =>
+        sentinelRaw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)").cast(t))
+      case _ => sentinelRaw
+    }
+    sentinelDf
       .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
     val sentinelPart = java.nio.file.Files.list(scratch).iterator()
     val target = replay.resolve("zz_sentinel.parquet")
@@ -128,7 +139,7 @@ object StatefulSessions {
     val reader = spark.readStream.schema(schema)
       .option("pathGlobFilter", "*.parquet")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val evs = reader.parquet(replay.toString)
+    val evs = graft.sources.Tables.tsNanosNormalized(reader.parquet(replay.toString))
       .selectExpr("user_id", "event_id", "ts DIV 1000000 AS ts_ms",
         "timestamp_millis(ts DIV 1000000) AS ts_t")
       .withWatermark("ts_t", "0 milliseconds")

@@ -52,8 +52,9 @@ object StreamAsOf {
     val bHist = spark.sparkContext.broadcast(hist)
 
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = graft.sources.Tables.tsNanosNormalized(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
       .selectExpr("event_id", "user_id", "ts DIV 1000000 AS t")
       .as[(Long, Long, Long)]
 
@@ -96,8 +97,9 @@ object StreamAsOf {
         "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS ord_ms", "o_orderkey")
 
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = graft.sources.Tables.tsNanosNormalized(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
       .selectExpr("event_id", "user_id", "ts DIV 1000000 AS t")
 
     // per-batch results land in a driver buffer — bounded by the

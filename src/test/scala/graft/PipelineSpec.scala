@@ -93,7 +93,7 @@ class PipelineSpec extends SparkSpec {
     val streamed = graft.streaming.StreamAsOf
       .replayParquet(spark, d, queryName = "test_asof_stream")
       .as[(Long, Long, Long)].collect().toSet
-    val e = spark.read.parquet(s"$d/events.parquet")
+    val e = graft.sources.Tables.events(spark, d)
       .withColumn("_t", expr("ts DIV 1000000"))
     val o = spark.read.parquet(s"$d/orders.parquet")
       .withColumn("_ot", unix_millis(col("o_orderdate").cast("timestamp")))
@@ -119,7 +119,7 @@ class PipelineSpec extends SparkSpec {
     val streamed = EventStream.replayEnriched(spark, d, queryName = "test_enrich")
       .select("c_nationkey", "cnt", "sum_value_micro")
       .as[(Long, Long, Long)].collect().toSet
-    val ev = spark.read.parquet(s"$d/events.parquet")
+    val ev = graft.sources.Tables.events(spark, d)
     val batch = EventStream.enrichedTotalsByNation(
         ev, spark.read.parquet(s"$d/customer.parquet"))
       .select("c_nationkey", "cnt", "sum_value_micro")
@@ -212,7 +212,7 @@ class PipelineSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("multibatch")
     val evDir = tmp.resolve("events.parquet")
     java.nio.file.Files.createDirectory(evDir)
-    val ev = spark.read.parquet(s"$d/events.parquet")
+    val ev = graft.sources.Tables.events(spark, d)
     // cut at distinct ms values so no boundary event equals the watermark
     val cuts = ev.selectExpr("ts DIV 1000000 AS ms").distinct()
       .orderBy("ms").as[Long].collect()

@@ -38,7 +38,7 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("as-of exec ≡ compositional window form on events⋈orders") {
     val d = sf("sf0.001")
-    val e = spark.read.parquet(s"$d/events.parquet")
+    val e = graft.sources.Tables.events(spark, d)
       .withColumn("_t", expr("ts DIV 1000000"))
     val o = spark.read.parquet(s"$d/orders.parquet")
       .withColumn("_ot", unix_millis(col("o_orderdate").cast("timestamp")))
@@ -66,7 +66,7 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("AsOfFilterPushdown: left filters reach the scan, right filters stay") {
     val d = sf("sf0.001")
-    val e = spark.read.parquet(s"$d/events.parquet")
+    val e = graft.sources.Tables.events(spark, d)
       .withColumn("_t", expr("ts DIV 1000000"))
     val o = spark.read.parquet(s"$d/orders.parquet")
       .withColumn("_ot", unix_millis(col("o_orderdate").cast("timestamp")))
