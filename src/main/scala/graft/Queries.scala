@@ -2546,6 +2546,57 @@ object Queries {
       }
     },
 
+    // REAL COMPRESSED audio decode, oracle-backed end-to-end: per doc
+    // a genuine FLAC stream — Rice-coded residuals under fixed
+    // predictors, UTF-8 frame numbers, CRC-8 header + CRC-16 frame
+    // checks, STREAMINFO MD5 of the PCM, a PADDING metadata block the
+    // decoder must walk past, and mid/side stereo decorrelation on the
+    // stereo docs — is ENCODED from a closed-form waveform and DECODED
+    // by the pure-JVM FlacCodec. FLAC is LOSSLESS, so unlike a JPEG
+    // path the oracle verifies the full compress→decompress loop
+    // bit-exactly. Block sizes vary per doc (16/64/112) so every
+    // payload spans multiple FLAC frames; c0_moment catches
+    // frame-order or block-reassembly bugs the sums cannot. This is
+    // q95's compressed-format upgrade applied to the audio modality
+    // (q76 = uncompressed WAV baseline).
+    q("q99_flac_decode",
+      s"""WITH d AS (SELECT doc_id, 120 + doc_id % 64 AS nf,
+        |                  1 + doc_id % 2 AS nc,
+        |                  8000 + (doc_id % 3) * 4000 AS sr
+        |           FROM documents WHERE doc_id < $ImgDecodeDocs),
+        |fr AS (SELECT doc_id, nf, nc, sr,
+        |              unnest(generate_series(0, nf - 1)) AS f FROM d)
+        |SELECT doc_id AS media_id, CAST(sr AS BIGINT) AS sample_rate,
+        |       CAST(nc AS BIGINT) AS channels, CAST(nf AS BIGINT) AS frames,
+        |       CAST(SUM((doc_id*13 + f*11) % 4001 - 2000) AS BIGINT) AS c0_sum,
+        |       CAST(SUM(abs((doc_id*13 + f*11) % 4001 - 2000)
+        |                + CASE WHEN nc = 2
+        |                       THEN abs((doc_id*13 + f*11 + 7) % 4001 - 2000)
+        |                       ELSE 0 END) AS BIGINT) AS abs_sum,
+        |       CAST(SUM(((doc_id*13 + f*11) % 4001 - 2000) * f) AS BIGINT)
+        |         AS c0_moment
+        |FROM fr GROUP BY doc_id, sr, nc, nf ORDER BY media_id""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val nf = (120 + id % 64).toInt
+            val nc = (1 + id % 2).toInt
+            val sr = (8000 + (id % 3) * 4000).toInt
+            M.MediaRow(id, "audio/flac",
+              graft.multimodal.FlacCodec.encodeFlac(sr, nc, nf,
+                (f, c) => ((id * 13 + f * 11 + c * 7) % 4001).toInt - 2000,
+                blockSize = (16 + (id % 3) * 48).toInt,
+                midSide = nc == 2),
+              0, 0)
+          }
+        M.decodeFlacFeatures(media).toDF().orderBy(col("media_id"))
+      }
+    },
+
     // REAL video decode + frame sampling, oracle-backed end-to-end
     // (closes the modality triple: q75 image, q76 audio, q79 video).
     // Per doc a genuine Y4M stream — C420jpeg chroma subsampling, and

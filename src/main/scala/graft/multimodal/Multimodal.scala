@@ -217,6 +217,39 @@ object Multimodal {
     }
   }
 
+  /** REAL compressed-audio decode: parse each payload as FLAC
+    * ([[FlacCodec.decodeFlac]] — Rice coding, fixed predictors,
+    * CRC-8/CRC-16, STREAMINFO MD5 verification, mid/side stereo) and
+    * reduce samples to the same integer statistics as
+    * [[decodeAudioFeatures]] — FLAC is lossless, so the stats are
+    * bit-identical to the pre-encode waveform and a SQL oracle
+    * verifies the full encode→decode loop exactly (q99; the audio
+    * counterpart of q95's PNG upgrade over q75's BMP). Same
+    * per-partition batch shape; malformed payloads fail loudly. */
+  def decodeFlacFeatures(ds: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val a = FlacCodec.decodeFlac(row.payload)
+        var c0 = 0L; var l1 = 0L; var mom = 0L
+        var f = 0
+        while (f < a.frames) {
+          val v0 = a.samples(f * a.channels)
+          c0 += v0
+          mom += v0.toLong * f
+          var c = 0
+          while (c < a.channels) {
+            l1 += math.abs(a.samples(f * a.channels + c))
+            c += 1
+          }
+          f += 1
+        }
+        AudioStats(row.media_id, a.sampleRate.toLong, a.channels.toLong,
+          a.frames.toLong, c0, l1, mom)
+      }
+    }
+  }
+
   /** Wrap a text table as a media table (payload = UTF-8 bytes) — lets
     * the pipeline be exercised end-to-end without binary fixtures. */
   def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =

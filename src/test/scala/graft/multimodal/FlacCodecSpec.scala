@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Real FLAC encode + decode: Rice coding, fixed predictors, CRC-8/
+  * CRC-16, STREAMINFO MD5, stereo decorrelation — FLAC is lossless, so
+  * every round-trip must be BIT-exact. Plus loud rejection of damaged
+  * streams. */
+class FlacCodecSpec extends SparkSpec {
+
+  // a waveform rich enough to exercise several predictor orders: a
+  // ramp (order-2-friendly) + periodic detail + channel offsets
+  private def wave(f: Int, c: Int): Int = {
+    val v = f * 7 + (f % 13) * 40 - (f % 37) * 11 + c * 997
+    ((v % 30000) + 30000) % 30000 - 15000
+  }
+
+  test("bit-exact round-trip: mono/stereo × block sizes incl. multi-frame") {
+    for (ch <- Seq(1, 2); bsz <- Seq(16, 192, 256, 576, 100); frames <- Seq(50, 700)) {
+      val bytes = FlacCodec.encodeFlac(44100, ch, frames, wave, blockSize = bsz)
+      val d = FlacCodec.decodeFlac(bytes)
+      assert(d.sampleRate == 44100 && d.channels == ch && d.frames == frames,
+        s"header ch=$ch bsz=$bsz frames=$frames")
+      for (f <- 0 until frames; c <- 0 until ch)
+        assert(d.samples(f * ch + c) == wave(f, c),
+          s"sample ($f,$c) ch=$ch bsz=$bsz frames=$frames")
+    }
+  }
+
+  test("mid/side stereo decorrelation round-trips bit-exactly") {
+    val frames = 333
+    val bytes = FlacCodec.encodeFlac(8000, 2, frames, wave,
+      blockSize = 64, midSide = true)
+    val d = FlacCodec.decodeFlac(bytes)
+    assert(d.channels == 2 && d.frames == frames)
+    for (f <- 0 until frames; c <- 0 until 2)
+      assert(d.samples(f * 2 + c) == wave(f, c), s"mid/side sample ($f,$c)")
+  }
+
+  test("constant and extreme-value signals round-trip (CONSTANT/VERBATIM paths)") {
+    // flat signal → CONSTANT subframes
+    val flat = FlacCodec.decodeFlac(
+      FlacCodec.encodeFlac(8000, 1, 40, (_, _) => -1234, blockSize = 16))
+    assert(flat.samples.forall(_ == -1234))
+    // white-noise-ish full-range signal → rice cost near bps, VERBATIM competitive
+    def noise(f: Int, c: Int): Int =
+      (((f * 2654435761L + c) ^ (f << 7)) % 32768).toInt
+    val n = FlacCodec.decodeFlac(
+      FlacCodec.encodeFlac(8000, 1, 300, noise, blockSize = 64))
+    for (f <- 0 until 300) assert(n.samples(f) == noise(f, 0), s"noise $f")
+    // boundary samples survive
+    val ext = FlacCodec.decodeFlac(FlacCodec.encodeFlac(8000, 1, 20,
+      (f, _) => if (f % 2 == 0) -32768 else 32767, blockSize = 16))
+    assert(ext.samples(0) == -32768 && ext.samples(1) == 32767)
+  }
+
+  test("compression is real: ramp signal encodes well below raw PCM size") {
+    val frames = 4000
+    val bytes = FlacCodec.encodeFlac(44100, 1, frames, (f, _) => f % 8192, blockSize = 1024)
+    val rawPcm = frames * 2
+    assert(bytes.length < rawPcm / 2,
+      s"FLAC ${bytes.length}B should be < half of raw ${rawPcm}B for a ramp")
+  }
+
+  test("the stream really is framed FLAC: magic, metadata walk, sync codes") {
+    val bytes = FlacCodec.encodeFlac(22050, 2, 500, wave, blockSize = 128)
+    assert(new String(bytes, 0, 4, "US-ASCII") == "fLaC")
+    // STREAMINFO (type 0, not last) then PADDING (type 1, last)
+    assert((bytes(4) & 0xff) == 0x00)
+    val siLen = ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+    assert(siLen == 34)
+    val padPos = 8 + 34
+    assert((bytes(padPos) & 0xff) == 0x81, "PADDING block must be present and last")
+    val padLen = ((bytes(padPos + 1) & 0xff) << 16) |
+      ((bytes(padPos + 2) & 0xff) << 8) | (bytes(padPos + 3) & 0xff)
+    val firstFrame = padPos + 4 + padLen
+    // 14-bit sync 11111111111110 → bytes 0xFF 0xF8+
+    assert((bytes(firstFrame) & 0xff) == 0xff &&
+      (bytes(firstFrame + 1) & 0xfc) == 0xf8, "frame sync code")
+    // 500 frames / 128 block = 4 frames → at least 4 sync patterns
+  }
+
+  test("corrupted payloads are rejected loudly") {
+    val good = FlacCodec.encodeFlac(8000, 1, 100, wave, blockSize = 32)
+    intercept[IllegalArgumentException](FlacCodec.decodeFlac(null))
+    intercept[IllegalArgumentException](FlacCodec.decodeFlac("not flac at all, clearly not enough".getBytes))
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](FlacCodec.decodeFlac(badMagic))
+    // flip a bit inside the first frame's audio data → CRC-16 or MD5 must catch it
+    val badBody = good.clone(); badBody(good.length - 10) = (badBody(good.length - 10) ^ 0x10).toByte
+    intercept[Exception](FlacCodec.decodeFlac(badBody))
+    // damage the stored MD5 → decode must fail the PCM check
+    val badMd5 = good.clone(); badMd5(8 + 18) = (badMd5(8 + 18) ^ 0x01).toByte
+    intercept[IllegalArgumentException](FlacCodec.decodeFlac(badMd5))
+  }
+
+  test("truncated stream is rejected, not silently short") {
+    val good = FlacCodec.encodeFlac(8000, 1, 200, wave, blockSize = 64)
+    intercept[Exception](
+      FlacCodec.decodeFlac(java.util.Arrays.copyOf(good, good.length - 20)))
+  }
+}
