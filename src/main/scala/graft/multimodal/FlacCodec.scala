@@ -15,9 +15,10 @@ package graft.multimodal
   *    UTF-8-coded frame numbers, tail-coded block sizes (8/16-bit
   *    "blocksize-1" forms) plus the common 4-bit table codes, CRC-8
   *    (poly 0x07) header check, CRC-16 (poly 0x8005) frame check;
-  *  - subframes: CONSTANT, VERBATIM, and FIXED predictor orders 0–4
-  *    with Rice-coded residuals (4-bit and 5-bit parameter variants,
-  *    arbitrary partition orders, raw-bits escape code);
+  *  - subframes: CONSTANT, VERBATIM, FIXED predictor orders 0–4, and
+  *    (decode side) LPC orders 1–32 with quantized coefficients —
+  *    Rice-coded residuals in both 4-bit and 5-bit parameter variants,
+  *    arbitrary partition orders, raw-bits escape code;
   *  - channels: any count of independent channels, plus the stereo
   *    decorrelation modes LEFT/SIDE, RIGHT/SIDE, MID/SIDE (side channel
   *    carries bits-per-sample+1, per spec);
@@ -45,7 +46,7 @@ object FlacCodec {
   // ---------------------------------------------------------------
   // bit-level IO (MSB-first, as FLAC requires)
 
-  private final class BitWriter {
+  private[multimodal] final class BitWriter {
     private val buf = new java.io.ByteArrayOutputStream(1 << 12)
     private var acc = 0L
     private var nbits = 0
@@ -104,7 +105,7 @@ object FlacCodec {
   // ---------------------------------------------------------------
   // CRCs (FLAC frame-header CRC-8 poly 0x07, frame CRC-16 poly 0x8005)
 
-  private def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+  private[multimodal] def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
     var crc = 0
     var i = from
     while (i < until) {
@@ -119,7 +120,7 @@ object FlacCodec {
     crc
   }
 
-  private def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+  private[multimodal] def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
     var crc = 0
     var i = from
     while (i < until) {
@@ -138,7 +139,7 @@ object FlacCodec {
   /** MD5 of the unencoded audio as FLAC defines it: frames in order,
     * channels interleaved, each sample little-endian (2 bytes for
     * 16-bit). */
-  private def pcmMd5(samples: Array[Int]): Array[Byte] = {
+  private[multimodal] def pcmMd5(samples: Array[Int]): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val b = new Array[Byte](samples.length * 2)
     var i = 0
@@ -151,7 +152,7 @@ object FlacCodec {
   }
 
   /** FLAC's "UTF-8-style" variable-length code for frame numbers. */
-  private def writeUtf8Number(w: BitWriter, v: Long): Unit = {
+  private[multimodal] def writeUtf8Number(w: BitWriter, v: Long): Unit = {
     if (v < 0x80) w.writeBits(v, 8)
     else {
       // count payload bits -> number of continuation bytes
@@ -409,9 +410,10 @@ object FlacCodec {
   // ---------------------------------------------------------------
   // decode
 
-  /** Decode a FLAC stream (subset above; LPC subframes rejected
-    * loudly). Verifies metadata framing, every frame's CRC-8 and
-    * CRC-16, and the STREAMINFO MD5 of the decoded PCM. */
+  /** Decode a FLAC stream (subset above, including LPC subframes —
+    * what `flac` default settings emit). Verifies metadata framing,
+    * every frame's CRC-8 and CRC-16, and the STREAMINFO MD5 of the
+    * decoded PCM. */
   def decodeFlac(bytes: Array[Byte]): DecodedFlac = {
     require(bytes != null && bytes.length > 42,
       s"decodeFlac: ${if (bytes == null) "null" else s"${bytes.length}-byte"} " +
@@ -588,11 +590,31 @@ object FlacCodec {
         val x = new Array[Int](bs)
         var i = 0
         while (i < order) { x(i) = r.readSigned(ebps); i += 1 }
-        readResidual(r, x, order, bs)
+        readResidual(r, order, bs) { (idx, res) =>
+          x(idx) = (res + fixedPredict(x, idx, order)).toInt
+        }
         x
-      case lp if (lp & 0x20) != 0 =>
-        throw new IllegalArgumentException(
-          s"decodeFlac: LPC subframe (order ${(lp & 0x1f) + 1}) unsupported in this subset")
+      case lp if (lp & 0x20) != 0 => // LPC, order 1-32
+        val order = (lp & 0x1f) + 1
+        require(order <= bs, s"decodeFlac: LPC order $order exceeds block size $bs")
+        val x = new Array[Int](bs)
+        var i = 0
+        while (i < order) { x(i) = r.readSigned(ebps); i += 1 }
+        val precM1 = r.readBits(4).toInt
+        require(precM1 != 15, "decodeFlac: invalid QLP precision code")
+        val precision = precM1 + 1
+        val shift = r.readSigned(5)
+        require(shift >= 0, s"decodeFlac: negative QLP shift $shift unsupported (per spec)")
+        val coefs = new Array[Int](order)
+        i = 0
+        while (i < order) { coefs(i) = r.readSigned(precision); i += 1 }
+        readResidual(r, order, bs) { (idx, res) =>
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j).toLong * x(idx - 1 - j); j += 1 }
+          x(idx) = (res + (acc >> shift)).toInt
+        }
+        x
       case other =>
         throw new IllegalArgumentException(s"decodeFlac: reserved subframe type $other")
     }
@@ -603,10 +625,13 @@ object FlacCodec {
     x
   }
 
-  /** Rice-coded residual → reconstruct samples in place (x has warmup
-    * samples 0..order-1 already). Handles both 4- and 5-bit parameter
-    * variants, arbitrary partition orders, and the raw-bits escape. */
-  private def readResidual(r: BitReader, x: Array[Int], order: Int, bs: Int): Unit = {
+  /** Rice-coded residual: decodes each residual and hands `(index,
+    * residual)` to `emit` (which applies the subframe's predictor —
+    * fixed or LPC — and stores the sample). Handles both 4- and 5-bit
+    * parameter variants, arbitrary partition orders, and the raw-bits
+    * escape. */
+  private def readResidual(r: BitReader, order: Int, bs: Int)
+                          (emit: (Int, Long) => Unit): Unit = {
     val method = r.readBits(2).toInt
     require(method == 0 || method == 1, s"decodeFlac: reserved residual method $method")
     val paramBits = if (method == 0) 4 else 5
@@ -625,7 +650,7 @@ object FlacCodec {
         val rawBits = r.readBits(5).toInt
         while (i < count) {
           val res = if (rawBits == 0) 0 else r.readSigned(rawBits)
-          reconstruct(x, idx, order, res.toLong); idx += 1; i += 1
+          emit(idx, res.toLong); idx += 1; i += 1
         }
       } else {
         while (i < count) {
@@ -633,7 +658,7 @@ object FlacCodec {
           val rem = r.readBits(param)
           val z = (q.toLong << param) | rem
           val res = if ((z & 1) == 0) z >>> 1 else -((z + 1) >>> 1)
-          reconstruct(x, idx, order, res); idx += 1; i += 1
+          emit(idx, res); idx += 1; i += 1
         }
       }
       p += 1
@@ -641,14 +666,11 @@ object FlacCodec {
     require(idx == bs, "decodeFlac: residual count mismatch")
   }
 
-  private def reconstruct(x: Array[Int], i: Int, order: Int, res: Long): Unit = {
-    val v = order match {
-      case 0 => res
-      case 1 => res + x(i - 1)
-      case 2 => res + 2L * x(i - 1) - x(i - 2)
-      case 3 => res + 3L * x(i - 1) - 3L * x(i - 2) + x(i - 3)
-      case 4 => res + 4L * x(i - 1) - 6L * x(i - 2) + 4L * x(i - 3) - x(i - 4)
-    }
-    x(i) = v.toInt
+  private def fixedPredict(x: Array[Int], i: Int, order: Int): Long = order match {
+    case 0 => 0L
+    case 1 => x(i - 1).toLong
+    case 2 => 2L * x(i - 1) - x(i - 2)
+    case 3 => 3L * x(i - 1) - 3L * x(i - 2) + x(i - 3)
+    case 4 => 4L * x(i - 1) - 6L * x(i - 2) + 4L * x(i - 3) - x(i - 4)
   }
 }

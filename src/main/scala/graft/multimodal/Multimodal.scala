@@ -250,6 +250,38 @@ object Multimodal {
     }
   }
 
+  /** Decoded-JPEG raster statistics: q95's integer-stat shape for the
+    * transform-coded image format. `c0_moment` weights channel-0
+    * values by raster position — it catches MCU-order, restart-resync
+    * and upsampling defects the order-invariant sum cannot. */
+  final case class JpegStats(media_id: Long, width: Long, height: Long,
+                             channels: Long, c0_sum: Long, c0_moment: Long)
+
+  /** REAL transform-coded image decode: parse each payload as baseline
+    * JPEG ([[JpegCodec.decodeJpeg]] — Huffman entropy decode, dequant,
+    * IDCT, restart markers, chroma upsampling) and reduce the raster
+    * to integer statistics. Same per-partition batch shape as the
+    * other decoders; malformed payloads fail loudly. */
+  def decodeJpegFeatures(ds: Dataset[MediaRow]): Dataset[JpegStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val img = JpegCodec.decodeJpeg(row.payload)
+        val ch = img.channels
+        var c0 = 0L; var mom = 0L
+        val npx = img.width * img.height
+        var i = 0
+        while (i < npx) {
+          c0 += img.pixels(ch * i)
+          mom += img.pixels(ch * i).toLong * i
+          i += 1
+        }
+        JpegStats(row.media_id, img.width.toLong, img.height.toLong,
+          ch.toLong, c0, mom)
+      }
+    }
+  }
+
   /** Wrap a text table as a media table (payload = UTF-8 bytes) — lets
     * the pipeline be exercised end-to-end without binary fixtures. */
   def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -345,6 +377,44 @@ object Multimodal {
         }
         VideoFrameStats(row.media_id, fr.index.toLong,
           hdr.width.toLong, hdr.height.toLong, ySum, yMom, uvSum)
+      }
+    }
+  }
+
+  /** Per-sampled-frame statistics for COMPRESSED (MJPEG-AVI) video:
+    * q79's shape for a transform-coded container. `c0_sum`/`c0_moment`
+    * over the decoded channel-0 raster; the moment catches MCU-order,
+    * restart and frame-order defects. */
+  final case class MjpegFrameStats(media_id: Long, frame_idx: Long,
+                                   width: Long, height: Long,
+                                   c0_sum: Long, c0_moment: Long)
+
+  /** REAL compressed-video decode + frame sampling: parse each payload
+    * as MJPEG-AVI ([[AviCodec.frameIterator]] — RIFF chunk walk, idx1,
+    * per-frame baseline JPEG), keep every `everyN`-th frame, and
+    * reduce each kept frame to integer raster statistics. The frame
+    * iterator is LAZY and the fan-out a `flatMap`, so a whole video's
+    * frames are never materialized ([[sampleVideoFrameStats]]'s
+    * contract, now over a compressed container). */
+  def sampleMjpegFrameStats(ds: Dataset[MediaRow],
+                            everyN: Int): Dataset[MjpegFrameStats] = {
+    import ds.sparkSession.implicits._
+    require(everyN > 0, "sampleMjpegFrameStats: everyN must be positive")
+    ds.flatMap { row =>
+      val (hdr, frames) = AviCodec.frameIterator(row.payload)
+      frames.collect { case fr if fr.index % everyN == 0 =>
+        val img = fr.image
+        val ch = img.channels
+        var c0 = 0L; var mom = 0L
+        val npx = img.width * img.height
+        var i = 0
+        while (i < npx) {
+          c0 += img.pixels(ch * i)
+          mom += img.pixels(ch * i).toLong * i
+          i += 1
+        }
+        MjpegFrameStats(row.media_id, fr.index.toLong,
+          hdr.width.toLong, hdr.height.toLong, c0, mom)
       }
     }
   }

@@ -94,6 +94,65 @@ class FlacCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](FlacCodec.decodeFlac(badMd5))
   }
 
+  test("LPC subframes decode (hand-built stream — real-world FLAC is LPC-coded)") {
+    // x[i] = res[i] + ((c0*x[i-1] + c1*x[i-2]) >> shift): order-2 LPC,
+    // coefs (3, -2), shift 1, warmup (100, 110)
+    val bs = 16
+    val coefs = Array(3, -2)
+    val shift = 1
+    val res = Array(0, 0, 5, -3, 2, 0, -1, 4, -2, 1, 0, 3, -4, 2) // bs - order
+    val x = new Array[Int](bs)
+    x(0) = 100; x(1) = 110
+    for (i <- 2 until bs)
+      x(i) = res(i - 2) + ((coefs(0).toLong * x(i - 1) + coefs(1).toLong * x(i - 2)) >> shift).toInt
+
+    val out = new java.io.ByteArrayOutputStream
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    val si = new FlacCodec.BitWriter
+    si.writeBits(bs, 16); si.writeBits(bs, 16)
+    si.writeBits(0, 24); si.writeBits(0, 24)
+    si.writeBits(8000, 20); si.writeBits(0, 3); si.writeBits(15, 5)
+    si.writeBits(bs, 36)
+    out.write(0x80); out.write(0); out.write(0); out.write(34) // last, STREAMINFO
+    out.write(si.toBytes); out.write(FlacCodec.pcmMd5(x))
+
+    val w = new FlacCodec.BitWriter
+    w.writeBits(0x3ffe, 14); w.writeBits(0, 1); w.writeBits(0, 1)
+    w.writeBits(6, 4)  // block size: 8-bit tail
+    w.writeBits(0, 4)  // sample rate from STREAMINFO
+    w.writeBits(0, 4)  // 1 channel
+    w.writeBits(4, 3)  // 16-bit
+    w.writeBits(0, 1)
+    FlacCodec.writeUtf8Number(w, 0L)
+    w.writeBits(bs - 1, 8)
+    val header = w.toBytes
+    val body = new FlacCodec.BitWriter
+    body.writeBits(0, 1)       // subframe pad
+    body.writeBits(32 | (2 - 1), 6) // LPC order 2
+    body.writeBits(0, 1)       // no wasted bits
+    body.writeBits(x(0), 16); body.writeBits(x(1), 16) // warmup
+    body.writeBits(4 - 1, 4)   // precision 4
+    body.writeBits(shift, 5)
+    body.writeBits(coefs(0), 4); body.writeBits(coefs(1), 4)
+    body.writeBits(0, 2)       // rice, 4-bit params
+    body.writeBits(0, 4)       // partition order 0
+    body.writeBits(2, 4)       // rice parameter 2
+    for (r <- res) {
+      val z = if (r >= 0) r.toLong << 1 else (-r.toLong << 1) - 1
+      body.writeUnary((z >>> 2).toInt)
+      body.writeBits(z, 2)
+    }
+    body.alignToByte()
+    val frame = header ++ Array(FlacCodec.crc8(header, 0, header.length).toByte) ++
+      body.toBytes
+    val c16 = FlacCodec.crc16(frame, 0, frame.length)
+    out.write(frame); out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+
+    val d = FlacCodec.decodeFlac(out.toByteArray)
+    assert(d.frames == bs && d.channels == 1)
+    assert(d.samples.toSeq == x.toSeq, "LPC reconstruction must be bit-exact")
+  }
+
   test("truncated stream is rejected, not silently short") {
     val good = FlacCodec.encodeFlac(8000, 1, 200, wave, blockSize = 64)
     intercept[Exception](
