@@ -2856,6 +2856,117 @@ object Queries {
       }
     },
 
+    // REAL ISO-BMFF (MP4) VIDEO DECODE + frame sampling: q101's shape
+    // for the container real corpora are stored in. Per doc an
+    // MJPEG-in-MP4 file — box tree, 'jpeg' VisualSampleEntry, and a
+    // genuine multi-chunk sample table (2 samples/chunk with a
+    // trailing partial chunk on odd frame counts, so the decoder's
+    // stsc-run × stco × stsz join is exercised, not a flat list) — is
+    // encoded from block-constant JPEG frames with unit quant tables
+    // (the exactly-invertible corner), then decoded and SAMPLED every
+    // 3rd frame by the lazy sample-table iterator. The oracle replays
+    // the per-sampled-frame statistics analytically; a defect in the
+    // box walk, the sample-table expansion, or frame order breaks
+    // c0_moment even when sums agree.
+    q("q105_mp4_frames",
+      s"""WITH d AS (SELECT doc_id, 8*(1 + doc_id % 3) AS w,
+        |                  8*(1 + doc_id % 2) AS h, 4 + doc_id % 5 AS nf
+        |           FROM documents WHERE doc_id < $ImgDecodeDocs),
+        |sfr AS (SELECT doc_id, w, h, f
+        |        FROM (SELECT doc_id, w, h,
+        |                     unnest(generate_series(0, nf - 1)) AS f FROM d)
+        |        WHERE f % 3 = 0),
+        |px AS (SELECT doc_id, w, h, f,
+        |              unnest(generate_series(0, w*h - 1)) AS i FROM sfr)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(SUM((doc_id*7 + f*17 + ((i // w) // 8)*5
+        |                 + ((i % w) // 8)*9) % 256) AS BIGINT) AS c0_sum,
+        |       CAST(SUM(((doc_id*7 + f*17 + ((i // w) // 8)*5
+        |                  + ((i % w) // 8)*9) % 256) * i) AS BIGINT) AS c0_moment
+        |FROM px GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (8 * (1 + id % 3)).toInt
+            val h = (8 * (1 + id % 2)).toInt
+            val nf = (4 + id % 5).toInt
+            val ones = Array.fill(64)(1)
+            M.MediaRow(id, "video/mp4",
+              graft.multimodal.Mp4Codec.encodeMjpegMp4(w, h, fps = 12,
+                nFrames = nf,
+                jpegFrame = f => graft.multimodal.JpegCodec.encodeJpeg(w, h, 1,
+                  (x, y, _) =>
+                    ((id * 7 + f * 17 + (y / 8) * 5 + (x / 8) * 9) % 256).toInt,
+                  quantOverride = Some((ones, ones))),
+                samplesPerChunk = 2),
+              w, h)
+          }
+        M.sampleMp4FrameStats(media, everyN = 3).toDF()
+          .orderBy(col("media_id"), col("frame_idx"))
+      }
+    },
+
+    // CONTAINER REMUX (AVI → MP4): the container-normalization
+    // operation a mixed-format video corpus needs — demux the MJPEG
+    // AVI's compressed samples (RIFF chunk walk) and rewrap them
+    // byte-identically in an ISO-BMFF sample table, never touching
+    // the entropy-coded JPEG streams. Decoding the REMUXED file
+    // through the MP4 sample-table path must reproduce the original
+    // rasters bit-exactly (both containers lossless around the same
+    // samples), so the oracle is the analytic frame-statistics form;
+    // any defect in EITHER container walk breaks the hash.
+    q("q106_avi_mp4_remux",
+      s"""WITH d AS (SELECT doc_id, 8*(1 + doc_id % 2) AS w,
+        |                  8*(1 + doc_id % 3) AS h, 3 + doc_id % 4 AS nf
+        |           FROM documents WHERE doc_id < $ImgDecodeDocs),
+        |sfr AS (SELECT doc_id, w, h, f
+        |        FROM (SELECT doc_id, w, h,
+        |                     unnest(generate_series(0, nf - 1)) AS f FROM d)
+        |        WHERE f % 2 = 0),
+        |px AS (SELECT doc_id, w, h, f,
+        |              unnest(generate_series(0, w*h - 1)) AS i FROM sfr)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(SUM((doc_id*13 + f*7 + ((i // w) // 8)*3
+        |                 + ((i % w) // 8)*19) % 256) AS BIGINT) AS c0_sum,
+        |       CAST(SUM(((doc_id*13 + f*7 + ((i // w) // 8)*3
+        |                  + ((i % w) // 8)*19) % 256) * i) AS BIGINT) AS c0_moment
+        |FROM px GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (8 * (1 + id % 2)).toInt
+            val h = (8 * (1 + id % 3)).toInt
+            val nf = (3 + id % 4).toInt
+            val ones = Array.fill(64)(1)
+            val avi = graft.multimodal.AviCodec.encodeMjpegAvi(w, h, fps = 10,
+              nFrames = nf,
+              jpegFrame = f => graft.multimodal.JpegCodec.encodeJpeg(w, h, 1,
+                (x, y, _) =>
+                  ((id * 13 + f * 7 + (y / 8) * 3 + (x / 8) * 19) % 256).toInt,
+                quantOverride = Some((ones, ones))))
+            M.MediaRow(id, "video/x-mjpeg", avi, w, h)
+          }
+        val remuxed = media.mapPartitions { it =>
+          it.map { row =>
+            row.copy(kind = "video/mp4",
+              payload = graft.multimodal.Mp4Codec.remuxAviToMp4(row.payload))
+          }
+        }
+        M.sampleMp4FrameStats(remuxed, everyN = 2).toDF()
+          .orderBy(col("media_id"), col("frame_idx"))
+      }
+    },
+
     // REAL video decode + frame sampling, oracle-backed end-to-end
     // (closes the modality triple: q75 image, q76 audio, q79 video).
     // Per doc a genuine Y4M stream — C420jpeg chroma subsampling, and

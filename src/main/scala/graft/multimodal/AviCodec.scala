@@ -136,6 +136,23 @@ object AviCodec {
     * reaches it, and decoded frames are validated against the header
     * dimensions. Malformed payloads fail loudly. */
   def frameIterator(bytes: Array[Byte]): (AviHeader, Iterator[AviFrame]) = {
+    val (hdr, raw) = rawFrameIterator(bytes)
+    val it = raw.map { case (idx, jpeg) =>
+      val img = JpegCodec.decodeJpeg(jpeg)
+      require(img.width == hdr.width && img.height == hdr.height,
+        s"decodeAvi: frame $idx is ${img.width}x${img.height}, " +
+          s"header says ${hdr.width}x${hdr.height}")
+      AviFrame(idx, img)
+    }
+    (hdr, it)
+  }
+
+  /** Parse the container and return its header plus a LAZY iterator of
+    * the COMPRESSED per-frame sample bytes (index, jpegBytes) — the
+    * demux half of a remux: a container transcode (e.g. AVI→MP4)
+    * copies these bytes into the target container without touching
+    * the entropy-coded stream. */
+  def rawFrameIterator(bytes: Array[Byte]): (AviHeader, Iterator[(Int, Array[Byte])]) = {
     require(bytes != null && bytes.length >= 12,
       s"decodeAvi: ${if (bytes == null) "null" else s"${bytes.length}-byte"} " +
         "payload shorter than the RIFF header")
@@ -185,7 +202,7 @@ object AviCodec {
     require(moviStart >= 0, "decodeAvi: no movi list")
     val hdr = AviHeader(width, height, frames, usPerFrame)
 
-    val it = new Iterator[AviFrame] {
+    val it = new Iterator[(Int, Array[Byte])] {
       private var pos = moviStart
       private var idx = 0
       private var nextChunk: Int = -1
@@ -200,7 +217,7 @@ object AviCodec {
         }
       }
       override def hasNext: Boolean = { seek(); nextChunk >= 0 }
-      override def next(): AviFrame = {
+      override def next(): (Int, Array[Byte]) = {
         seek()
         require(nextChunk >= 0, "decodeAvi: no more frames")
         val size = getIntLe(bytes, nextChunk + 4)
@@ -208,11 +225,7 @@ object AviCodec {
           nextChunk + 8 + size)
         pos = nextChunk + 8 + size + (size & 1)
         nextChunk = -1
-        val img = JpegCodec.decodeJpeg(jpeg)
-        require(img.width == hdr.width && img.height == hdr.height,
-          s"decodeAvi: frame $idx is ${img.width}x${img.height}, " +
-            s"header says ${hdr.width}x${hdr.height}")
-        val f = AviFrame(idx, img)
+        val f = (idx, jpeg)
         idx += 1
         f
       }

@@ -419,6 +419,37 @@ object Multimodal {
     }
   }
 
+  /** REAL ISO-BMFF (MP4) decode + frame sampling: parse each payload
+    * as MJPEG-in-MP4 ([[Mp4Codec.frameIterator]] — box-tree walk and
+    * full `stsc`×`stco`×`stsz` sample-table reconstruction, per-frame
+    * baseline JPEG), keep every `everyN`-th frame, and reduce each
+    * kept frame to the same integer raster statistics as
+    * [[sampleMjpegFrameStats]]. The frame iterator is LAZY and the
+    * fan-out a `flatMap`, so a whole video's frames are never
+    * materialized. */
+  def sampleMp4FrameStats(ds: Dataset[MediaRow],
+                          everyN: Int): Dataset[MjpegFrameStats] = {
+    import ds.sparkSession.implicits._
+    require(everyN > 0, "sampleMp4FrameStats: everyN must be positive")
+    ds.flatMap { row =>
+      val (hdr, frames) = Mp4Codec.frameIterator(row.payload)
+      frames.collect { case fr if fr.index % everyN == 0 =>
+        val img = fr.image
+        val ch = img.channels
+        var c0 = 0L; var mom = 0L
+        val npx = img.width * img.height
+        var i = 0
+        while (i < npx) {
+          c0 += img.pixels(ch * i)
+          mom += img.pixels(ch * i).toLong * i
+          i += 1
+        }
+        MjpegFrameStats(row.media_id, fr.index.toLong,
+          hdr.width.toLong, hdr.height.toLong, c0, mom)
+      }
+    }
+  }
+
   /** STUB frame sampling — the 1:N batch shape for container formats
     * without a pure-JVM decoder (compressed video needs ffmpeg-class
     * work; `video/y4m` decodes FOR REAL via [[sampleVideoFrameStats]]):
