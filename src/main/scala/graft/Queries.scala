@@ -2967,6 +2967,112 @@ object Queries {
       }
     },
 
+    // REAL palette-indexed compressed-image decode (GIF): the third
+    // genuinely distinct image compression scheme (PNG predictive+
+    // deflate q95, JPEG transform q100, GIF variable-width LZW). Per
+    // doc a real GIF89a — 64-entry global color table, LZW-compressed
+    // index raster, and every third doc INTERLACED (four-pass row
+    // order), so only a decoder that runs the LZW dictionary AND
+    // de-interlaces correctly reproduces the raster. The oracle
+    // resolves palette colors analytically; c0_moment (red × raster
+    // position) is interlace-order-sensitive while the sums are not.
+    q("q107_gif_decode",
+      s"""WITH d AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+        |           FROM documents WHERE doc_id < $ImgDecodeDocs),
+        |px AS (SELECT doc_id, w, h,
+        |              unnest(generate_series(0, w*h - 1)) AS i FROM d),
+        |c AS (SELECT doc_id, w, h, i, (doc_id*7 + i) % 64 AS j FROM px)
+        |SELECT doc_id AS media_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(SUM((j*3+1) % 256) AS BIGINT) AS c0_sum,
+        |       CAST(SUM((j*5+2) % 256) AS BIGINT) AS c1_sum,
+        |       CAST(SUM((j*7+3) % 256) AS BIGINT) AS c2_sum,
+        |       CAST(0 AS BIGINT) AS a_sum,
+        |       CAST(SUM(((j*3+1) % 256) * i) AS BIGINT) AS c0_moment
+        |FROM c GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (5 + id % 9).toInt
+            val h = (4 + id % 7).toInt
+            val palette = Array.tabulate(64)(j =>
+              (((j * 3 + 1) % 256) << 16) | (((j * 5 + 2) % 256) << 8) |
+                ((j * 7 + 3) % 256))
+            val indices = Array.tabulate[Byte](w * h)(i =>
+              ((id * 7 + i) % 64).toByte)
+            M.MediaRow(id, "image/gif",
+              graft.multimodal.GifCodec.encodeGif(w, h, palette,
+                Vector(graft.multimodal.GifCodec.FrameSpec(indices,
+                  interlaced = id % 3 == 0))),
+              w, h)
+          }
+        M.decodeGifFeatures(media).toDF().orderBy(col("media_id"))
+      }
+    },
+
+    // ANIMATED-GIF frame sampling: the multi-frame IMAGE container
+    // under the same lazy 1:N flatMap contract as the video
+    // containers. Frame 0 resolves through the GLOBAL color table;
+    // every later frame carries a LOCAL color table that is the base
+    // palette ROTATED by the frame index (so resolved color j =
+    // base[(idx+f) % 64] uniformly — analytic for the oracle, but only
+    // if the decoder honors local-over-global precedence). A mix of
+    // interlaced frames keeps the row-order path hot; r_moment is the
+    // order-sensitive witness.
+    q("q108_gif_frames",
+      s"""WITH d AS (SELECT doc_id, 6 + doc_id % 5 AS w, 5 + doc_id % 4 AS h,
+        |                  3 + doc_id % 4 AS nf
+        |           FROM documents WHERE doc_id < $ImgDecodeDocs),
+        |sfr AS (SELECT doc_id, w, h, f
+        |        FROM (SELECT doc_id, w, h,
+        |                     unnest(generate_series(0, nf - 1)) AS f FROM d)
+        |        WHERE f % 2 = 0),
+        |px AS (SELECT doc_id, w, h, f,
+        |              unnest(generate_series(0, w*h - 1)) AS i FROM sfr),
+        |c AS (SELECT doc_id, w, h, f, i,
+        |             ((doc_id*11 + f*13 + i) % 64 + f) % 64 AS j FROM px)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(SUM((j*3+1) % 256) AS BIGINT) AS r_sum,
+        |       CAST(SUM((j*5+2) % 256) AS BIGINT) AS g_sum,
+        |       CAST(SUM((j*7+3) % 256) AS BIGINT) AS b_sum,
+        |       CAST(SUM(((j*3+1) % 256) * i) AS BIGINT) AS r_moment
+        |FROM c GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (6 + id % 5).toInt
+            val h = (5 + id % 4).toInt
+            val nf = (3 + id % 4).toInt
+            val base = Array.tabulate(64)(j =>
+              (((j * 3 + 1) % 256) << 16) | (((j * 5 + 2) % 256) << 8) |
+                ((j * 7 + 3) % 256))
+            val frames = Vector.tabulate(nf) { f =>
+              val indices = Array.tabulate[Byte](w * h)(i =>
+                ((id * 11 + f * 13 + i) % 64).toByte)
+              graft.multimodal.GifCodec.FrameSpec(indices,
+                localPalette =
+                  if (f == 0) None
+                  else Some(Array.tabulate(64)(j => base((j + f) % 64))),
+                interlaced = (id + f) % 3 == 0)
+            }
+            M.MediaRow(id, "image/gif",
+              graft.multimodal.GifCodec.encodeGif(w, h, base, frames), w, h)
+          }
+        M.sampleGifFrameStats(media, everyN = 2).toDF()
+          .orderBy(col("media_id"), col("frame_idx"))
+      }
+    },
+
     // REAL video decode + frame sampling, oracle-backed end-to-end
     // (closes the modality triple: q75 image, q76 audio, q79 video).
     // Per doc a genuine Y4M stream — C420jpeg chroma subsampling, and

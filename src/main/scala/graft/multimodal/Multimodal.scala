@@ -180,6 +180,73 @@ object Multimodal {
     }
   }
 
+  /** REAL palette-indexed compressed-image decode: parse each payload
+    * as GIF ([[GifCodec.decodeGif]] — variable-width LZW, global/local
+    * color tables, four-pass de-interlacing) and reduce the resolved
+    * RGB raster to integer channel statistics in [[PngStats]]' shape
+    * (channels = 3, a_sum = 0). `c0_moment` weights the red channel by
+    * raster position: it catches de-interlace row-order and LZW
+    * dictionary defects the order-invariant sums cannot. */
+  def decodeGifFeatures(ds: Dataset[MediaRow]): Dataset[PngStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val (hdr, rgb) = GifCodec.decodeGif(row.payload)
+        var c0 = 0L; var c1 = 0L; var c2 = 0L; var mom = 0L
+        val npx = hdr.width * hdr.height
+        var i = 0
+        while (i < npx) {
+          val r = rgb(3 * i) & 0xff
+          c0 += r
+          c1 += rgb(3 * i + 1) & 0xff
+          c2 += rgb(3 * i + 2) & 0xff
+          mom += r.toLong * i
+          i += 1
+        }
+        PngStats(row.media_id, hdr.width.toLong, hdr.height.toLong,
+          3L, c0, c1, c2, 0L, mom)
+      }
+    }
+  }
+
+  /** Per-sampled-frame statistics for ANIMATED GIFs: the multi-frame
+    * image container under the same lazy 1:N flatMap contract as the
+    * video containers. Each kept frame reduces to RGB sums + a
+    * position-weighted red moment. */
+  final case class GifFrameStats(media_id: Long, frame_idx: Long,
+                                 width: Long, height: Long,
+                                 r_sum: Long, g_sum: Long, b_sum: Long,
+                                 r_moment: Long)
+
+  /** REAL animated-GIF decode + frame sampling: parse each payload via
+    * [[GifCodec.frameIterator]] (LZW per frame, per-frame LOCAL color
+    * tables honored), keep every `everyN`-th frame, reduce each to
+    * integer statistics. The iterator is LAZY — a whole animation's
+    * frames are never materialized. */
+  def sampleGifFrameStats(ds: Dataset[MediaRow],
+                          everyN: Int): Dataset[GifFrameStats] = {
+    import ds.sparkSession.implicits._
+    require(everyN > 0, "sampleGifFrameStats: everyN must be positive")
+    ds.flatMap { row =>
+      val (hdr, frames) = GifCodec.frameIterator(row.payload)
+      frames.collect { case fr if fr.index % everyN == 0 =>
+        var r = 0L; var g = 0L; var b = 0L; var mom = 0L
+        val npx = hdr.width * hdr.height
+        var i = 0
+        while (i < npx) {
+          val rv = fr.rgb(3 * i) & 0xff
+          r += rv
+          g += fr.rgb(3 * i + 1) & 0xff
+          b += fr.rgb(3 * i + 2) & 0xff
+          mom += rv.toLong * i
+          i += 1
+        }
+        GifFrameStats(row.media_id, fr.index.toLong,
+          hdr.width.toLong, hdr.height.toLong, r, g, b, mom)
+      }
+    }
+  }
+
   /** Real decoded-audio statistics. Sums are exact integers; `moment`
     * weights channel-0 samples by frame index, so a decoder that
     * mis-walks chunks or mis-orders samples produces a different
