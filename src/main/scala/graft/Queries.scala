@@ -3073,6 +3073,56 @@ object Queries {
       }
     },
 
+    // IMAGE NEAR-DUPLICATE DETECTION via perceptual hash (dHash) —
+    // the multimodal member of the dedup family (MinHash q39, SimHash
+    // q46, embedding-cosine q35 for text): REAL PNG decode →
+    // integer NN-downsample to a 9×8 grayscale grid → 63-bit
+    // difference hash → ONE hash shuffle groups near-duplicates.
+    // Docs sharing a content key render the SAME underlying pattern
+    // at DIFFERENT scales (1×..3×) with different PNG row filters, so
+    // the payload bytes differ but the perceptual hash must agree —
+    // resize invariance, the property that makes dHash a dedup key,
+    // is what the oracle verifies (the analytic hash equals the
+    // decoded-and-downsampled one only if decode, NN geometry, gray
+    // conversion, and bit packing are all exact). Scale: row-local
+    // hashing + one groupBy — exact-dedup cost shape at 100 TB.
+    q("q109_image_dhash_dedup",
+      s"""WITH d AS (SELECT doc_id, doc_id % 40 AS c FROM documents
+        |           WHERE doc_id < $ImgDecodeDocs),
+        |k AS (SELECT unnest(generate_series(0, 62)) AS k),
+        |bits AS (SELECT d.doc_id, k.k,
+        |    CASE WHEN ((c*7 + ((k%8)+1)*13 + (k//8)*29) % 256)
+        |            > ((c*7 + (k%8)*13 + (k//8)*29) % 256)
+        |         THEN CAST(1 AS BIGINT) << k.k ELSE 0 END AS bv
+        |  FROM d, k),
+        |h AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS dhash63
+        |      FROM bits GROUP BY doc_id)
+        |SELECT dhash63, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       MIN(doc_id) AS rep
+        |FROM h GROUP BY dhash63 ORDER BY dhash63""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val c = (id % 40).toInt
+            val scale = (1 + id % 3).toInt
+            val w = 9 * scale; val h = 8 * scale
+            M.MediaRow(id, "image/png",
+              graft.multimodal.PngCodec.encodePng(w, h, 3,
+                (x, y, _) => (c * 7 + (x / scale) * 13 + (y / scale) * 29) % 256,
+                rowFilter = y => ((id + y) % 5).toInt),
+              w, h)
+          }
+        M.dhashPng(media).toDF()
+          .groupBy(col("dhash63"))
+          .agg(count(lit(1)).as("n_docs"), min(col("media_id")).as("rep"))
+          .orderBy(col("dhash63"))
+      }
+    },
+
     // REAL video decode + frame sampling, oracle-backed end-to-end
     // (closes the modality triple: q75 image, q76 audio, q79 video).
     // Per doc a genuine Y4M stream — C420jpeg chroma subsampling, and

@@ -8,17 +8,17 @@ import org.apache.spark.sql.functions._
   * partition-mapped feature-extraction operator with a real batch
   * shape.
   *
-  * All three modalities decode FOR REAL in one uncompressed format
-  * each: [[decodeImageFeatures]] parses 24-bit BMP via [[ImageCodec]]
-  * (q75), [[decodeAudioFeatures]] parses PCM16 WAV via [[AudioCodec]]
-  * (q76), and [[sampleVideoFrameStats]] parses Y4M via [[VideoCodec]]
-  * (q79) — each oracle-backed end-to-end. The image modality
-  * additionally decodes a real COMPRESSED format:
-  * [[decodePngFeatures]] parses 8-bit PNG via [[PngCodec]] (q95) —
-  * deflate, chunk CRCs, all five scanline filters, pure JVM. Other
-  * compressed formats (libjpeg/ffmpeg-class work) are NOT available
-  * in this container — [[StubDecoder]] remains the clearly-marked
-  * deterministic fake for those. Everything Spark-side
+  * All three modalities decode FOR REAL, uncompressed AND compressed:
+  * images as 24-bit BMP ([[ImageCodec]], q75), deflate-compressed PNG
+  * ([[PngCodec]], q95/q98/q102), transform-coded baseline JPEG
+  * ([[JpegCodec]], q100/q103), and LZW-compressed GIF incl. animation
+  * ([[GifCodec]], q107/q108); audio as PCM16 WAV ([[AudioCodec]],
+  * q76) and lossless FLAC ([[FlacCodec]], q99/q104); video as Y4M
+  * ([[VideoCodec]], q79) and MJPEG in both real containers — RIFF/AVI
+  * ([[AviCodec]], q101) and ISO-BMFF/MP4 ([[Mp4Codec]], q105/q106) —
+  * every path oracle-backed end-to-end. [[StubDecoder]] remains only
+  * as the clearly-marked deterministic fake for formats outside this
+  * set (ffmpeg-class inter-frame codecs). Everything Spark-side
   * is real either way: the schema, the `mapPartitions` batch boundary
   * (one decoder init per partition, streaming rows through it — the
   * same shape a JNI/FFI decoder needs), partitioning, and the typed
@@ -345,6 +345,60 @@ object Multimodal {
         }
         JpegStats(row.media_id, img.width.toLong, img.height.toLong,
           ch.toLong, c0, mom)
+      }
+    }
+  }
+
+  /** One perceptual hash per image: the dedup key. `dhash63` is the
+    * classic difference hash over a 9×8 NN-downsampled grayscale grid,
+    * restricted to its first 63 bits so the value stays in non-negative
+    * BIGINT range for engine-portable SQL comparison. */
+  final case class ImageHash(media_id: Long, width: Long, height: Long,
+                             dhash63: Long)
+
+  /** REAL image perceptual hash (dHash) for near-duplicate detection —
+    * the image-modality analog of the text near-dedup family (MinHash/
+    * SimHash/embedding-cosine): decode the PNG payload, nearest-
+    * neighbor downsample to a 9×8 grayscale grid (source pixel
+    * `(x·w div 9, y·h div 8)`, gray = `(299·r + 587·g + 114·b) div
+    * 1000` — all integer arithmetic, so an SQL oracle reproduces the
+    * hash bit-for-bit), then emit bit k = y·8+x (k < 63) as 1 iff
+    * `gray(x+1,y) > gray(x,y)`. Scaled/re-encoded variants of the same
+    * content map to the SAME hash (resize invariance is the point of a
+    * perceptual hash), so an exact `groupBy(dhash63)` downstream finds
+    * near-duplicate images with ONE hash shuffle — the same
+    * cost shape as exact text dedup, at any corpus scale. Row-local
+    * `mapPartitions`; no shuffle inside the operator. */
+  def dhashPng(ds: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val img = PngCodec.decodePng(row.payload)
+        val ch = img.channels
+        val g = new Array[Int](9 * 8) // 9 wide, 8 tall
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val sx = x * img.width / 9
+            val sy = y * img.height / 8
+            val base = ch * (sy * img.width + sx)
+            val r = img.pixels(base)
+            val gg = img.pixels(base + 1)
+            val b = img.pixels(base + 2)
+            g(y * 9 + x) = (299 * r + 587 * gg + 114 * b) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        var h = 0L
+        var k = 0
+        while (k < 63) {
+          val yy = k / 8; val xx = k % 8
+          if (g(yy * 9 + xx + 1) > g(yy * 9 + xx)) h |= 1L << k
+          k += 1
+        }
+        ImageHash(row.media_id, img.width.toLong, img.height.toLong, h)
       }
     }
   }
