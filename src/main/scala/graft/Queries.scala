@@ -3123,6 +3123,116 @@ object Queries {
       }
     },
 
+    // AUDIO NEAR-DUPLICATE DETECTION via acoustic fingerprint — the
+    // audio member of the multimodal dedup family (q109 images):
+    // REAL FLAC decode → 64 integer window energies → 63
+    // energy-difference bits → one hash-shuffle groupBy. Docs sharing
+    // a content key carry the same waveform at DIFFERENT amplitudes
+    // (1×..3× gain) and sample rates, so payload bytes and decoded
+    // samples all differ but the difference-coded fingerprint must
+    // agree — gain invariance is the dedup property the oracle
+    // verifies analytically. Scale: row-local decode+fingerprint, one
+    // groupBy — exact-dedup cost shape.
+    q("q110_audio_fp_dedup",
+      s"""WITH d AS (SELECT doc_id, doc_id % 30 AS c FROM documents
+        |           WHERE doc_id < $ImgDecodeDocs),
+        |wj AS (SELECT doc_id, c, w, j
+        |       FROM d, (SELECT unnest(generate_series(0, 63)) AS w),
+        |               (SELECT unnest(generate_series(0, 7)) AS j)),
+        |e AS (SELECT doc_id, w,
+        |             SUM(abs((c*13 + (w*8+j)*7) % 201 - 100)) AS en
+        |      FROM wj GROUP BY doc_id, w),
+        |bits AS (SELECT a.doc_id, a.w,
+        |    CASE WHEN b.en > a.en THEN CAST(1 AS BIGINT) << a.w
+        |         ELSE 0 END AS bv
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 63),
+        |h AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS fp63
+        |      FROM bits GROUP BY doc_id)
+        |SELECT fp63, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS rep
+        |FROM h GROUP BY fp63 ORDER BY fp63""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val c = (id % 30).toInt
+            val gain = (1 + id % 3).toInt
+            val sr = (8000 + (id % 3) * 4000).toInt
+            M.MediaRow(id, "audio/flac",
+              graft.multimodal.FlacCodec.encodeFlac(sr, 1, 512,
+                (f, _) => gain * (((c * 13 + f * 7) % 201) - 100),
+                blockSize = 32, midSide = false),
+              0, 0)
+          }
+        M.fingerprintFlac(media, windows = 64).toDF()
+          .groupBy(col("fp63"))
+          .agg(count(lit(1)).as("n_docs"), min(col("media_id")).as("rep"))
+          .orderBy(col("fp63"))
+      }
+    },
+
+    // VIDEO FRAME-LEVEL NEAR-DEDUP: dHash every decoded MJPEG frame
+    // and group across the corpus — finds frames repeated BETWEEN
+    // videos (title cards, static scenes, duplicated clips), the
+    // video member of the multimodal dedup family (q109 image, q110
+    // audio). Frame content keys overlap across videos by
+    // construction ((id*3+f) % 20), so cross-video groups exist and
+    // n_videos > 1 in the oracle output proves the hash is computed
+    // identically regardless of which container/payload a frame came
+    // from. Frames stay in JPEG's exactly-invertible corner; the
+    // 72×64 block geometry maps the 9×8 dHash grid one-to-one onto
+    // the 9×8 grid of 8px blocks (sx=8x, sy=8y) — analytic for the
+    // oracle, and rich enough that distinct contents get distinct
+    // hashes.
+    q("q111_video_frame_dedup",
+      s"""WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents
+        |           WHERE doc_id < $ImgDecodeDocs),
+        |fr AS (SELECT doc_id, f, (doc_id*3 + f) % 20 AS cc
+        |       FROM (SELECT doc_id,
+        |                    unnest(generate_series(0, nf - 1)) AS f FROM d)),
+        |bits AS (SELECT doc_id, f, k,
+        |    CASE WHEN ((cc*7 + ((k%8)+1)*13 + (k//8)*29) % 256)
+        |            > ((cc*7 + (k%8)*13 + (k//8)*29) % 256)
+        |         THEN CAST(1 AS BIGINT) << k ELSE 0 END AS bv
+        |  FROM fr, (SELECT unnest(generate_series(0, 62)) AS k)),
+        |h AS (SELECT doc_id, f, CAST(SUM(bv) AS BIGINT) AS dhash63
+        |      FROM bits GROUP BY doc_id, f)
+        |SELECT dhash63, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_videos,
+        |       MIN(doc_id) AS rep
+        |FROM h GROUP BY dhash63 ORDER BY dhash63""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val nf = (3 + id % 4).toInt
+            val ones = Array.fill(64)(1)
+            M.MediaRow(id, "video/x-mjpeg",
+              graft.multimodal.AviCodec.encodeMjpegAvi(72, 64, fps = 10,
+                nFrames = nf,
+                jpegFrame = f => {
+                  val cc = ((id * 3 + f) % 20).toInt
+                  graft.multimodal.JpegCodec.encodeJpeg(72, 64, 1,
+                    (x, y, _) => (cc * 7 + (x / 8) * 13 + (y / 8) * 29) % 256,
+                    quantOverride = Some((ones, ones)))
+                }),
+              72, 64)
+          }
+        M.dhashMjpegFrames(media).toDF()
+          .groupBy(col("dhash63"))
+          .agg(count(lit(1)).as("n_frames"),
+            countDistinct(col("media_id")).as("n_videos"),
+            min(col("media_id")).as("rep"))
+          .orderBy(col("dhash63"))
+      }
+    },
+
     // REAL video decode + frame sampling, oracle-backed end-to-end
     // (closes the modality triple: q75 image, q76 audio, q79 video).
     // Per doc a genuine Y4M stream — C420jpeg chroma subsampling, and

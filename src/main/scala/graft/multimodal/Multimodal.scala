@@ -317,6 +317,56 @@ object Multimodal {
     }
   }
 
+  /** One acoustic fingerprint per audio doc: the dedup key. */
+  final case class AudioFingerprint(media_id: Long, sample_rate: Long,
+                                    channels: Long, fp63: Long)
+
+  /** REAL audio fingerprint for near-duplicate detection — the audio
+    * analog of [[dhashPng]]: decode the FLAC payload, split channel-0
+    * into `windows` equal windows, take each window's integer L1
+    * energy, and emit bit k (k < 63) as 1 iff `E(k+1) > E(k)`. The
+    * energy-DIFFERENCE encoding makes the fingerprint invariant to
+    * positive amplitude scaling (a re-mastered/gain-adjusted copy of
+    * the same recording maps to the SAME key), so an exact
+    * `groupBy(fp63)` finds near-duplicate audio with one hash
+    * shuffle. All integer arithmetic — an SQL oracle reproduces the
+    * fingerprint bit-for-bit. Row-local `mapPartitions`. */
+  def fingerprintFlac(ds: Dataset[MediaRow],
+                      windows: Int = 64): Dataset[AudioFingerprint] = {
+    import ds.sparkSession.implicits._
+    require(windows >= 2 && windows <= 64, s"fingerprintFlac: windows=$windows")
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val a = FlacCodec.decodeFlac(row.payload)
+        require(a.frames % windows == 0,
+          s"fingerprintFlac: ${a.frames} frames not divisible by $windows windows")
+        val per = a.frames / windows
+        val e = new Array[Long](windows)
+        var w = 0
+        while (w < windows) {
+          var s = 0L
+          var f = w * per
+          val end = f + per
+          while (f < end) {
+            s += math.abs(a.samples(f * a.channels))
+            f += 1
+          }
+          e(w) = s
+          w += 1
+        }
+        var h = 0L
+        var k = 0
+        val kMax = math.min(63, windows - 1)
+        while (k < kMax) {
+          if (e(k + 1) > e(k)) h |= 1L << k
+          k += 1
+        }
+        AudioFingerprint(row.media_id, a.sampleRate.toLong,
+          a.channels.toLong, h)
+      }
+    }
+  }
+
   /** Decoded-JPEG raster statistics: q95's integer-stat shape for the
     * transform-coded image format. `c0_moment` weights channel-0
     * values by raster position — it catches MCU-order, restart-resync
@@ -374,31 +424,62 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { row =>
         val img = PngCodec.decodePng(row.payload)
-        val ch = img.channels
-        val g = new Array[Int](9 * 8) // 9 wide, 8 tall
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 9) {
-            val sx = x * img.width / 9
-            val sy = y * img.height / 8
-            val base = ch * (sy * img.width + sx)
-            val r = img.pixels(base)
-            val gg = img.pixels(base + 1)
-            val b = img.pixels(base + 2)
-            g(y * 9 + x) = (299 * r + 587 * gg + 114 * b) / 1000
-            x += 1
-          }
-          y += 1
-        }
-        var h = 0L
-        var k = 0
-        while (k < 63) {
-          val yy = k / 8; val xx = k % 8
-          if (g(yy * 9 + xx + 1) > g(yy * 9 + xx)) h |= 1L << k
-          k += 1
-        }
-        ImageHash(row.media_id, img.width.toLong, img.height.toLong, h)
+        ImageHash(row.media_id, img.width.toLong, img.height.toLong,
+          dhashRaster(img.pixels, img.width, img.height, img.channels))
+      }
+    }
+  }
+
+  /** The dHash core over any interleaved raster (1 gray or 3+ RGB
+    * channels): integer NN-downsample to 9×8, integer grayscale, 63
+    * difference bits. Shared by [[dhashPng]] and
+    * [[dhashMjpegFrames]]. */
+  private[multimodal] def dhashRaster(pixels: Array[Int], width: Int,
+                                      height: Int, channels: Int): Long = {
+    val g = new Array[Int](9 * 8) // 9 wide, 8 tall
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val sx = x * width / 9
+        val sy = y * height / 8
+        val base = channels * (sy * width + sx)
+        g(y * 9 + x) =
+          if (channels == 1) pixels(base)
+          else (299 * pixels(base) + 587 * pixels(base + 1) +
+            114 * pixels(base + 2)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < 63) {
+      val yy = k / 8; val xx = k % 8
+      if (g(yy * 9 + xx + 1) > g(yy * 9 + xx)) h |= 1L << k
+      k += 1
+    }
+    h
+  }
+
+  /** One perceptual hash per VIDEO FRAME: the frame-dedup key. */
+  final case class FrameHash(media_id: Long, frame_idx: Long, dhash63: Long)
+
+  /** REAL video-frame perceptual hashing for cross-video frame
+    * dedup: decode each MJPEG-AVI payload, dHash every decoded frame
+    * ([[dhashRaster]]), emit (video, frame, hash). Downstream a plain
+    * `groupBy(dhash63)` finds frames repeated across videos (title
+    * cards, static scenes, duplicated clips) with one hash shuffle —
+    * near-dup detection for the video modality at exact-dedup cost.
+    * Lazy frame iterator + flatMap: no video is ever materialized. */
+  def dhashMjpegFrames(ds: Dataset[MediaRow]): Dataset[FrameHash] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { row =>
+      val (_, frames) = AviCodec.frameIterator(row.payload)
+      frames.map { fr =>
+        FrameHash(row.media_id, fr.index.toLong,
+          dhashRaster(fr.image.pixels, fr.image.width, fr.image.height,
+            fr.image.channels))
       }
     }
   }

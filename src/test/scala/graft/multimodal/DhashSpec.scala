@@ -63,6 +63,33 @@ class DhashSpec extends AnyFunSuite {
     assert(dhash(base) != dhash(tweaked))
   }
 
+  /** Driver-side replica of [[Multimodal.fingerprintFlac]]'s per-row
+    * math (64 windows over channel 0). */
+  private def audioFp(flac: Array[Byte]): Long = {
+    val a = FlacCodec.decodeFlac(flac)
+    require(a.frames % 64 == 0)
+    val per = a.frames / 64
+    val e = Array.tabulate(64)(w =>
+      (w * per until (w + 1) * per).map(f =>
+        math.abs(a.samples(f * a.channels).toLong)).sum)
+    var h = 0L
+    for (k <- 0 until 63) if (e(k + 1) > e(k)) h |= 1L << k
+    h
+  }
+
+  private def contentFlac(c: Int, gain: Int, sr: Int): Array[Byte] =
+    FlacCodec.encodeFlac(sr, 1, 512,
+      (f, _) => gain * (((c * 13 + f * 7) % 201) - 100),
+      blockSize = 32, midSide = false)
+
+  test("audio fingerprint: gain- and sample-rate-invariant, content-sensitive") {
+    val base = audioFp(contentFlac(5, 1, 8000))
+    assert(audioFp(contentFlac(5, 2, 12000)) == base)
+    assert(audioFp(contentFlac(5, 3, 16000)) == base)
+    val others = (0 until 30).map(c => audioFp(contentFlac(c, 1, 8000)))
+    assert(others.distinct.size > 1, "all contents collided")
+  }
+
   test("hash is non-negative (63-bit) for adversarial extremes") {
     val black = PngCodec.encodePng(9, 8, 3, (_, _, _) => 0, rowFilter = _ => 0)
     val noise = PngCodec.encodePng(27, 24, 3,
