@@ -4129,6 +4129,74 @@ object Queries {
         .orderBy(col("doc_id"), col("copy"))
     },
 
+    // Seeded EPOCH SHUFFLE: the deterministic global corpus permutation
+    // applied before sequence packing — per epoch, every doc gets a
+    // reproducible read position independent of partition layout or
+    // cluster size, and neighbors round-robin onto shards. Rank comes
+    // from scalableRowNumber over the md5-60 key (one bucket shuffle +
+    // a 65536-row histogram window — never a corpus-wide
+    // single-partition ORDER BY), which the oracle mirrors with a plain
+    // window ORDER BY over the same portable hash: for fixed-length
+    // hex, lexicographic order == numeric order, so both engines
+    // produce the identical permutation.
+    q("q112_epoch_shuffle",
+      """WITH ep AS (SELECT unnest(generate_series(0, 1)) AS epoch),
+        |k AS (SELECT d.doc_id, ep.epoch,
+        |        CAST(('0x' || substr(md5('42:' || CAST(ep.epoch AS VARCHAR)
+        |             || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |             AS BIGINT) AS h
+        |      FROM documents d CROSS JOIN ep),
+        |r AS (SELECT doc_id, epoch,
+        |        row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+        |          AS pos
+        |      FROM k)
+        |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+        |       CAST(pos AS BIGINT) AS pos,
+        |       CAST((pos - 1) % 8 AS BIGINT) AS shard
+        |FROM r ORDER BY epoch, pos""".stripMargin) { (s, d) =>
+      R.epochShuffle(T(s, d, "documents").select(col("doc_id")),
+          "doc_id", epochs = 2, seed = 42L, shards = 8)
+        .orderBy(col("epoch"), col("pos"))
+    },
+
+    // SHUFFLED sequence packing — q112's permutation feeding q68's
+    // greedy bin assignment, i.e. the actual pretraining-batch
+    // construction order: docs are packed in shuffled position order
+    // within their round-robin shard, not in corpus/doc_id order (which
+    // would pack temporally-adjacent near-dups into the same batch).
+    // Same scale shape as both parents: one md5-bucket rank shuffle +
+    // one per-shard cumsum window; nothing corpus-wide ever sits in
+    // one partition.
+    q("q113_shuffled_pack",
+      s"""$mirrorToksCte,
+        |h AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |        CAST(('0x' || substr(md5('42:0:' ||
+        |             CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+        |      FROM toks),
+        |r AS (SELECT doc_id, n_tokens,
+        |        CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT)
+        |          AS pos
+        |      FROM h),
+        |sh AS (SELECT *, CAST((pos - 1) % 8 AS BIGINT) AS shard FROM r),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+        |                     ORDER BY pos) AS BIGINT) AS cum_tokens
+        |      FROM sh)
+        |SELECT doc_id, pos, shard, n_tokens, cum_tokens,
+        |       (cum_tokens - n_tokens) // $PackBudget AS bin_id
+        |FROM c ORDER BY pos""".stripMargin) { (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        size(TextFns.wordTokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      R.epochShuffle(docs, "doc_id", epochs = 1, seed = 42L, shards = 8)
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("bin_id",
+          expr(s"(cum_tokens - n_tokens) DIV $PackBudget"))
+        .drop("epoch")
+        .orderBy(col("pos"))
+    }},
+
     // Cross-DOCUMENT duplicate-substring removal (the "dedup the spans,
     // not the docs" curation op from Lee et al. 2022, §4 ExactSubstr:
     // boilerplate/license blocks repeat across millions of documents

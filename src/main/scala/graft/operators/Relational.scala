@@ -419,4 +419,38 @@ object Relational {
       .withColumn(rankName, col("_cum") + row_number().over(wIn))
       .drop("_rnk_bkt", "_cum")
   }
+
+  /** Deterministic seeded EPOCH SHUFFLE: the global corpus permutation
+    * every LLM training pipeline applies before sequence packing — each
+    * epoch reads the corpus in a different but reproducible order, and
+    * the order must not depend on partition layout, task scheduling, or
+    * cluster size. Keys rows by `md5(seed:epoch:id)` and ranks by the
+    * NUMERIC value of the first 15 hex chars (16^15 < 2^63; for
+    * fixed-length lowercase hex, string order == numeric order, so an
+    * engine sorting the hex prefix lexicographically produces the
+    * IDENTICAL permutation — that equivalence is what makes the op
+    * oracle-checkable), ties (a ~n²/2⁶⁰ event) broken by `idCol` in
+    * both engines. Ranks come from [[scalableRowNumber]] — one bucket
+    * shuffle + a 65536-row histogram window, never a corpus-wide
+    * single-partition sort — and md5 spreads keys uniformly over the
+    * bucket domain, so the auto-sized histogram is balanced by
+    * construction at any corpus size. `pos` is the 1-based read order
+    * within the epoch; `shard = (pos-1) % shards` round-robins
+    * neighbors onto different output shards (so one slow shard never
+    * holds a contiguous run). Epochs are independent pipelines unioned
+    * (epoch count is a small constant; each is one shuffle). */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int, seed: Long,
+                   shards: Int): DataFrame = {
+    require(epochs >= 1 && shards >= 1, s"epochs=$epochs shards=$shards")
+    val frames = (0 until epochs).map { e =>
+      val keyed = df.withColumn("_shuf_k",
+        graft.functions.HashFns.md5Hash60(
+          concat_ws(":", lit(seed), lit(e), col(idCol))))
+      scalableRowNumber(keyed, "_shuf_k", idCol, rankName = "pos")
+        .withColumn("epoch", lit(e.toLong))
+        .withColumn("shard", (col("pos") - 1) % shards)
+        .drop("_shuf_k")
+    }
+    frames.reduce(_ unionByName _)
+  }
 }

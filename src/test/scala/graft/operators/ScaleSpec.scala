@@ -213,6 +213,30 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("Window"), "expected per-bucket window")
   }
 
+  test("epochShuffle: per-epoch permutation, layout-independent, epochs differ") {
+    val n = 500
+    val df = (1 to n).map(_.toLong).toDF("id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.epochShuffle(d, "id", epochs = 2, seed = 7L, shards = 4)
+        .select(col("epoch"), col("id"), col("pos"), col("shard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val a = run(df)
+    // each epoch's pos is exactly a permutation of 1..n
+    for (e <- Seq(0L, 1L)) {
+      val ps = a.collect { case (`e`, _, p, _) => p }.sorted
+      assert(ps.toSeq == (1L to n.toLong), s"epoch $e not a permutation")
+    }
+    // shard is round-robin over pos
+    a.foreach { case (_, _, p, s) => assert(s == (p - 1) % 4) }
+    // the two epochs read the corpus in genuinely different orders
+    val o0 = a.collect { case (0L, id, p, _) => id -> p }.toMap
+    val o1 = a.collect { case (1L, id, p, _) => id -> p }.toMap
+    assert((1 to n).count(i => o0(i.toLong) != o1(i.toLong)) > n / 2)
+    // permutation must not depend on the input's partition layout
+    val b = run(df.repartition(13, col("id")))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     val s2 = spark
     val dir = java.nio.file.Files.createTempDirectory("dpp").toString
