@@ -727,6 +727,54 @@ object Queries {
     * the "benchmark/eval set" the stream is decontaminated against. */
   private val DecontamRefMax = 50L
 
+  /** Bloom width for q114 (bits). With k=2 salted md5-60 positions per
+    * gram the filter is deterministic, so its false positives are part
+    * of the op's SPECIFIED output and the oracle reproduces them
+    * bit-for-bit — the correctness check covers the probabilistic
+    * structure itself, not just the happy path. */
+  private val BloomBits = 65536L
+
+  /** DuckDB oracle for q114: the same salted-md5 position math —
+    * `p_i = md5_60(i ':' gram) % BloomBits` for i in {0,1} — with a
+    * gram counting as a bloom hit iff BOTH its positions land in the
+    * eval set's position set. Includes the filter's deterministic
+    * false positives by construction. */
+  private def bloomDecontamOracleSql: String =
+    s"""$mirrorToksCte,
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest([array_to_string(t[i:i+2], ' ')
+       |                 FOR i IN generate_series(1, len(t)-2)]) AS g
+       |  FROM toks WHERE len(t) >= 3),
+       |bpos AS (SELECT DISTINCT
+       |           CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g),
+       |                1, 15)) AS BIGINT) % $BloomBits AS p
+       |         FROM (SELECT g, unnest([0, 1]) AS i FROM
+       |               (SELECT DISTINCT g FROM sh
+       |                WHERE doc_id < $DecontamRefMax))),
+       |pr AS (SELECT doc_id, g,
+       |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g),
+       |              1, 15)) AS BIGINT) % $BloomBits AS p
+       |       FROM (SELECT doc_id, g, unnest([0, 1]) AS i FROM sh
+       |             WHERE doc_id >= $DecontamRefMax)),
+       |gh AS (SELECT doc_id FROM (
+       |         SELECT pr.doc_id, pr.g, COUNT(*) AS kh
+       |         FROM pr JOIN bpos USING (p) GROUP BY pr.doc_id, pr.g)
+       |       WHERE kh = 2),
+       |tr AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh
+       |       WHERE doc_id >= $DecontamRefMax GROUP BY doc_id),
+       |hb AS (SELECT doc_id, COUNT(*) AS n_bloom_hits FROM gh
+       |       GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(tr.n_grams, 0) AS BIGINT) AS n_grams,
+       |       CAST(COALESCE(hb.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+       |       (COALESCE(tr.n_grams, 0) > 0
+       |        AND COALESCE(hb.n_bloom_hits, 0) * 5
+       |            >= COALESCE(tr.n_grams, 0)) AS flagged
+       |FROM documents d LEFT JOIN tr USING (doc_id)
+       |     LEFT JOIN hb USING (doc_id)
+       |WHERE d.doc_id >= $DecontamRefMax ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB oracle for x23: candidate (doc, ref) pairs share a band
     * key, ref in the reference set, verified on true Jaccard — the
     * exact math the streaming broadcast-index lookup performs. */
@@ -3857,6 +3905,46 @@ object Queries {
         .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
         .withColumn("contaminated",
           col("n_grams") > 0 && col("n_overlap") * 5 >= col("n_grams"))
+        .orderBy(col("doc_id"))
+    }},
+
+    // BLOOM-FILTER decontamination — q67's semantics at the 100-TB
+    // broadcast budget: instead of shipping the eval set's full gram
+    // strings to every executor (multi-GB at real eval-suite sizes),
+    // ship only its BLOOM — the ≤ BloomBits-row distinct set of salted
+    // md5-60 bit positions, a fixed O(m) relation independent of data
+    // size (a broadcast hash join on ≤ 65536 ints IS the bitset,
+    // expressed relationally so Catalyst keeps codegen and no UDF
+    // enters the hot path). A train gram "hits" iff BOTH its k=2
+    // positions are present — two broadcast LEFT SEMI joins, zero
+    // extra shuffles beyond q67's per-doc count. The filter is
+    // deterministic, so its false positives are specified output and
+    // the oracle reproduces them exactly.
+    q("q114_bloom_decontam", bloomDecontamOracleSql) { (s, d) => {
+      val H = graft.functions.HashFns
+      def pos(i: Int, g: org.apache.spark.sql.Column) =
+        pmod(H.md5Hash60(concat_ws(":", lit(i), g)), lit(BloomBits))
+      val sh = T(s, d, "documents").select(col("doc_id"),
+        explode(H.wordShingles(TextFns.wordTokens(col("text")), 3)).as("g"))
+      val bloom = sh.where(col("doc_id") < DecontamRefMax)
+        .select(explode(array(pos(0, col("g")), pos(1, col("g")))).as("p"))
+        .distinct()
+      val train = sh.where(col("doc_id") >= DecontamRefMax)
+      val hits = train
+        .withColumn("p0", pos(0, col("g"))).withColumn("p1", pos(1, col("g")))
+        .join(broadcast(bloom.withColumnRenamed("p", "p0")), Seq("p0"), "left_semi")
+        .join(broadcast(bloom.withColumnRenamed("p", "p1")), Seq("p1"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom_hits"))
+      val nGrams = train.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      T(s, d, "documents").where(col("doc_id") >= DecontamRefMax)
+        .select(col("doc_id"))
+        .join(nGrams, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+        .withColumn("n_bloom_hits", coalesce(col("n_bloom_hits"), lit(0L)))
+        .withColumn("flagged",
+          col("n_grams") > 0 && col("n_bloom_hits") * 5 >= col("n_grams"))
         .orderBy(col("doc_id"))
     }},
 
