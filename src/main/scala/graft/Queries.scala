@@ -4792,6 +4792,232 @@ object Queries {
           tau = 0.40)
         .orderBy(col("vec_id"))
     },
+
+    // GOPHER quality ruleset (Rae et al. 2021 §A1.1 Table A1, the
+    // published repetition-free subset; repetition is q64): word-count
+    // band, mean-word-length band, symbol-to-word ratio, %-alpha-words,
+    // and the >=2-distinct-stopwords rule, composed into one gate. All
+    // metrics are exact integers and every threshold is a
+    // cross-multiplied integer comparison, so the oracle reproduces the
+    // booleans bit-for-bit. Row-local HOFs over the token array — zero
+    // shuffles, fully codegen'd; at 100 TB this is a pure map stage.
+    q("q115_gopher_rules",
+      s"""$mirrorToksCte,
+        |m AS (
+        |  SELECT d.doc_id,
+        |         CAST(len(t.t) AS BIGINT) AS n_words,
+        |         CAST(COALESCE(list_sum([CAST(length(x) AS BIGINT)
+        |                                 FOR x IN t.t]), 0) AS BIGINT)
+        |           AS n_word_chars,
+        |         CAST(length(d.text) - length(regexp_replace(d.text,
+        |              '[^\\p{L}\\p{N}\\s]', '', 'g')) AS BIGINT) AS n_sym,
+        |         CAST(len([x FOR x IN t.t
+        |                   IF regexp_matches(x, '\\p{L}')]) AS BIGINT)
+        |           AS n_alpha_words,
+        |         CAST(len(list_intersect(list_distinct(t.t),
+        |              ['the','be','to','of','and','that','have','with']))
+        |              AS BIGINT) AS n_stop
+        |  FROM documents d JOIN toks t USING (doc_id))
+        |SELECT doc_id, n_words, n_word_chars, n_sym, n_alpha_words, n_stop,
+        |       (n_words BETWEEN 50 AND 100000) AS r_wordcount,
+        |       (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words)
+        |         AS r_meanlen,
+        |       (n_sym * 10 <= n_words) AS r_symratio,
+        |       (n_alpha_words * 5 >= n_words * 4) AS r_alpha,
+        |       (n_stop >= 2) AS r_stop,
+        |       ((n_words BETWEEN 50 AND 100000)
+        |        AND n_word_chars >= 3 * n_words
+        |        AND n_word_chars <= 10 * n_words
+        |        AND n_sym * 10 <= n_words
+        |        AND n_alpha_words * 5 >= n_words * 4
+        |        AND n_stop >= 2) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          TextFns.wordTokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_words"),
+          TextFns.charSum(col("t")).cast("long").as("n_word_chars"),
+          TextFns.symbolCount(col("text")).as("n_sym"),
+          TextFns.alphaWordCount(col("t")).as("n_alpha_words"),
+          TextFns.stopwordDistinctCount(col("t")).as("n_stop"))
+        .withColumn("r_wordcount", col("n_words").between(50L, 100000L))
+        .withColumn("r_meanlen",
+          col("n_word_chars") >= col("n_words") * 3 &&
+            col("n_word_chars") <= col("n_words") * 10)
+        .withColumn("r_symratio", col("n_sym") * 10 <= col("n_words"))
+        .withColumn("r_alpha", col("n_alpha_words") * 5 >= col("n_words") * 4)
+        .withColumn("r_stop", col("n_stop") >= 2)
+        .withColumn("gopher_pass",
+          col("r_wordcount") && col("r_meanlen") && col("r_symratio") &&
+            col("r_alpha") && col("r_stop"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII REDACTION (the C4/Dolma-class masking pass): emails, NANP
+    // phone numbers, and dotted-quad IPv4s counted then replaced with
+    // typed placeholders. The corpus is synthetic and PII-free, so the
+    // payload under test INJECTS deterministic PII derived from doc_id
+    // (emails on doc_id%3=0, phones on %5=0, IPs on %7=0 — overlapping
+    // combinations included) — the same construction the oracle
+    // replays, making hits, misses, AND the untouched-text cases all
+    // specified output. Patterns live in the Java-regex ∩ RE2 common
+    // dialect (TextFns.EmailPattern et al.) so both engines run the
+    // identical automaton. Row-local regex — zero shuffles at any
+    // scale.
+    q("q116_pii_redact",
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+        |         || CAST(doc_id % 97 AS VARCHAR) || '@ex'
+        |         || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call '
+        |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |         || lpad(CAST(doc_id % 997 AS VARCHAR), 3, '0') || '-'
+        |         || lpad(CAST(doc_id % 9973 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' host '
+        |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |         || CAST(doc_id % 255 AS VARCHAR) || '.'
+        |         || CAST(doc_id % 254 AS VARCHAR) || '.'
+        |         || CAST(doc_id % 253 AS VARCHAR) ELSE '' END AS payload
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(payload,
+        |       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(payload,
+        |       '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(payload,
+        |       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(payload,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |    AS text_redacted
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, d) => {
+      val id = col("doc_id")
+      val email = concat(lit("user"), pmod(id, lit(97L)).cast("string"),
+        lit("@ex"), pmod(id, lit(7L)).cast("string"), lit(".com"))
+      val phone = concat_ws("-",
+        lpad(pmod(id, lit(1000L)).cast("string"), 3, "0"),
+        lpad(pmod(id, lit(997L)).cast("string"), 3, "0"),
+        lpad(pmod(id, lit(9973L)).cast("string"), 4, "0"))
+      val ip = concat_ws(".",
+        pmod(id, lit(256L)).cast("string"), pmod(id, lit(255L)).cast("string"),
+        pmod(id, lit(254L)).cast("string"), pmod(id, lit(253L)).cast("string"))
+      val payload = concat(col("text"),
+        when(pmod(id, lit(3L)) === 0, concat(lit(" contact "), email))
+          .otherwise(lit("")),
+        when(pmod(id, lit(5L)) === 0, concat(lit(" call "), phone))
+          .otherwise(lit("")),
+        when(pmod(id, lit(7L)) === 0, concat(lit(" host "), ip))
+          .otherwise(lit("")))
+      T(s, d, "documents")
+        .select(col("doc_id"), TextFns.piiRedact(payload).as("pii"))
+        .select(col("doc_id"), col("pii.n_emails").as("n_emails"),
+          col("pii.n_phones").as("n_phones"), col("pii.n_ips").as("n_ips"),
+          col("pii.redacted").as("text_redacted"))
+        .orderBy(col("doc_id"))
+    }},
+
+    // ZIP container round-trip — the archive-packaged corpus layout
+    // (many small members inside one archive, real DEFLATE via
+    // java.util.zip): each document is packed as a two-member archive
+    // (doc.txt + meta.json, fixed timestamps → deterministic bytes),
+    // then decoded back through the CRC-verifying read path, one output
+    // row per member. The oracle reconstructs every member's exact
+    // content independently (md5 + byte length), so an encode bug, a
+    // decode bug, or a member-ordering bug each break the hash; CRC
+    // validity is enforced inside the decoder (ZipInputStream throws on
+    // mismatch — a corrupt archive fails the query, not just a spec).
+    // Archives are row-local binary cells: encode+decode run inside the
+    // task holding the row — zero shuffles, scales as a map stage.
+    q("q117_zip_roundtrip",
+      """WITH j AS (
+        |  SELECT doc_id,
+        |         '{"id":' || CAST(doc_id AS VARCHAR) || ',"n":'
+        |           || CAST(n_chars AS VARCHAR) || '}' AS meta
+        |  FROM documents),
+        |m AS (
+        |  SELECT d.doc_id, 0 AS member_idx, 'doc.txt' AS member,
+        |         CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+        |         md5(d.text) AS content_md5
+        |  FROM documents d
+        |  UNION ALL
+        |  SELECT j.doc_id, 1, 'meta.json',
+        |         CAST(strlen(j.meta) AS BIGINT), md5(j.meta)
+        |  FROM j)
+        |SELECT doc_id, CAST(member_idx AS BIGINT) AS member_idx, member,
+        |       n_bytes, content_md5
+        |FROM m ORDER BY doc_id, member_idx""".stripMargin) { (s, d) => {
+      import s.implicits._
+      val Z = graft.sources.ZipContainer
+      T(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .as[(Long, String, Long)]
+        .flatMap { case (id, text, nc) =>
+          val meta = s"""{"id":$id,"n":$nc}"""
+          val zip = Z.build(Seq(
+            Z.Member("doc.txt", text.getBytes("UTF-8")),
+            Z.Member("meta.json", meta.getBytes("UTF-8"))))
+          Z.read(zip).zipWithIndex.map { case (mem, i) =>
+            (id, i.toLong, mem.name, mem.bytes.length.toLong,
+              new String(mem.bytes, "UTF-8"))
+          }
+        }
+        .toDF("doc_id", "member_idx", "member", "n_bytes", "content")
+        .select(col("doc_id"), col("member_idx"), col("member"),
+          col("n_bytes"), md5(col("content").cast("binary")).as("content_md5"))
+        .orderBy(col("doc_id"), col("member_idx"))
+    }},
+
+    // CURRICULUM ordering — the length-staged training schedule (short
+    // docs first, a la curriculum learning), seeded-shuffled WITHIN
+    // each stage: global read position = rank over (tier, md5(seed:id)).
+    // The composite key packs the 2-bit tier above the 60-bit md5 hash
+    // (tier*2^60 + h < 2^62), so ONE scalableRowNumber call — one
+    // bucket shuffle + the 65536-row histogram window, never a
+    // corpus-wide single-partition sort — yields the exact global
+    // position; the oracle mirrors it with a plain window over
+    // (tier, h, doc_id), identical by the hex-order equivalence q112
+    // established.
+    q("q118_curriculum_order",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(lower(trim(text)),
+        |              '[^\p{L}\p{N}]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ti AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(CASE WHEN n_tokens < 40 THEN 0
+        |                   WHEN n_tokens < 80 THEN 1
+        |                   WHEN n_tokens < 120 THEN 2 ELSE 3 END AS BIGINT)
+        |           AS tier
+        |  FROM t),
+        |k AS (
+        |  SELECT doc_id, n_tokens, tier,
+        |         CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) AS h
+        |  FROM ti)
+        |SELECT doc_id, n_tokens, tier,
+        |       CAST(row_number() OVER (ORDER BY tier, h, doc_id) AS BIGINT)
+        |         AS pos
+        |FROM k ORDER BY pos""".stripMargin) { (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        size(TextFns.wordTokens(col("text"))).cast("long").as("n_tokens"))
+      val tiered = docs.withColumn("tier",
+        when(col("n_tokens") < 40, lit(0L))
+          .when(col("n_tokens") < 80, lit(1L))
+          .when(col("n_tokens") < 120, lit(2L))
+          .otherwise(lit(3L)))
+      val keyed = tiered.withColumn("_ck",
+        col("tier") * lit(1L << 60) +
+          graft.functions.HashFns.md5Hash60(
+            concat_ws(":", lit(42L), col("doc_id"))))
+      R.scalableRowNumber(keyed, "_ck", "doc_id", rankName = "pos")
+        .drop("_ck")
+        .orderBy(col("pos"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

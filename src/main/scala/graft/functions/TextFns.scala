@@ -206,6 +206,62 @@ object TextFns {
   def fingerprintMirrored(text: Column): Column =
     fingerprintWith(text, HashFns.md5Hash)
 
+  /** Gopher-style quality-rule primitives (Rae et al. 2021 §A1.1,
+    * Table A1 — the published repetition-free subset of the ruleset;
+    * repetition itself is [[isRepetitive]]). Every metric is an exact
+    * integer so the rule thresholds compose as cross-multiplied integer
+    * comparisons an external SQL oracle reproduces bit-for-bit. All
+    * row-local — zero shuffles. */
+
+  /** The Gopher stopword list: a doc must contain >= 2 DISTINCT members
+    * to pass the stop-word rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Count of tokens containing at least one letter (the "80% of words
+    * must have an alphabetic character" rule's numerator). */
+  def alphaWordCount(tokens: Column): Column =
+    size(filter(tokens, t => t.rlike("\\p{L}"))).cast("long")
+
+  /** Count of symbol characters: anything that is not a letter, digit,
+    * or whitespace (the symbol-to-word-ratio rule's numerator). */
+  def symbolCount(text: Column): Column =
+    (length(text) -
+      length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", ""))).cast("long")
+
+  /** Count of DISTINCT Gopher stopwords present in the token array. */
+  def stopwordDistinctCount(tokens: Column): Column =
+    size(array_intersect(array_distinct(tokens),
+      array(GopherStopwords.map(lit): _*))).cast("long")
+
+  /** PII-redaction patterns (email / NANP phone / dotted-quad IPv4),
+    * written in the Java-regex ∩ RE2 common dialect (no lookaround, no
+    * backrefs) so a SQL oracle applies the identical automaton. Order
+    * of application matters and is fixed: email first (its local part
+    * can contain digits and dots), then phone, then IPv4. */
+  val EmailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact all three PII categories, returning a 4-field struct
+    * (n_emails, n_phones, n_ips counted on the ORIGINAL text, plus the
+    * fully redacted text). Row-local regex work, codegen'd. */
+  def piiRedact(text: Column): Column =
+    ExprUtils.bind(text) { t =>
+      struct(
+        size(regexp_extract_all(t, lit(EmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(t, lit(PhonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, "<EMAIL>"),
+            PhonePattern, "<PHONE>"),
+          Ipv4Pattern, "<IP>").as("redacted"))
+    }
+
   /** Overlapping token-window chunks — the context-window prep stage of
     * a training/RAG pipeline: chunk i covers tokens [i·stride,
     * i·stride + window); starts run while they fall inside the doc, so
