@@ -5018,6 +5018,142 @@ object Queries {
         .drop("_ck")
         .orderBy(col("pos"))
     }},
+
+    // PER-SOURCE QUOTA capping — down-sample over-represented sources
+    // to a fixed per-source document budget (the "cap the crawl dump so
+    // one domain doesn't dominate the mix" curation op; the keep-set is
+    // a seeded hash order, not doc_id order, so the survivors are an
+    // unbiased sample of the source). One window partitioned by source
+    // — the shuffle is keyed by source and bounded by the largest
+    // single source, the natural unit of this operation; the seeded
+    // md5 rank makes the result layout- and scale-independent.
+    q("q119_source_cap",
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |         CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY h, doc_id) AS BIGINT)
+        |           AS src_rank
+        |  FROM k)
+        |SELECT doc_id, source, src_rank
+        |FROM r WHERE src_rank <= 15 ORDER BY doc_id""".stripMargin) { (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyed = T(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("_h", graft.functions.HashFns.md5Hash60(
+          concat_ws(":", lit(42L), col("doc_id"))))
+      keyed.withColumn("src_rank",
+          row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("_h"), col("doc_id"))).cast("long"))
+        .where(col("src_rank") <= 15)
+        .drop("_h")
+        .orderBy(col("doc_id"))
+    }},
+
+    // TOKEN-BUDGET data selection — "take documents in priority order
+    // until the budget is spent": the q118 curriculum priority key
+    // (tier, seeded hash) drives an exact global PREFIX SUM of token
+    // counts via scalableCumSum — the scalableRowNumber scheme
+    // generalized from counting to summing — so the cutover document is
+    // exact WITHOUT a corpus-wide `SUM() OVER (ORDER BY ...)` window
+    // (which serializes 100 TB through one task). One bucket shuffle +
+    // a histogram-bounded prefix window, same scale posture as q112.
+    q("q120_token_budget_select",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(lower(trim(text)),
+        |              '[^\p{L}\p{N}]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ti AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(CASE WHEN n_tokens < 40 THEN 0
+        |                   WHEN n_tokens < 80 THEN 1
+        |                   WHEN n_tokens < 120 THEN 2 ELSE 3 END AS BIGINT)
+        |           AS tier
+        |  FROM t),
+        |k AS (
+        |  SELECT doc_id, n_tokens, tier,
+        |         CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) AS h
+        |  FROM ti),
+        |c AS (
+        |  SELECT doc_id, n_tokens, tier,
+        |         CAST(SUM(n_tokens) OVER (ORDER BY tier, h, doc_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |         CAST(row_number() OVER (ORDER BY tier, h, doc_id) AS BIGINT)
+        |           AS pos
+        |  FROM k)
+        |SELECT doc_id, n_tokens, tier, cum_tokens, pos
+        |FROM c WHERE cum_tokens <= 20000 ORDER BY pos""".stripMargin) {
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"),
+          size(TextFns.wordTokens(col("text"))).cast("long").as("n_tokens"))
+        val tiered = docs.withColumn("tier",
+          when(col("n_tokens") < 40, lit(0L))
+            .when(col("n_tokens") < 80, lit(1L))
+            .when(col("n_tokens") < 120, lit(2L))
+            .otherwise(lit(3L)))
+        val keyed = tiered.withColumn("_ck",
+          col("tier") * lit(1L << 60) +
+            graft.functions.HashFns.md5Hash60(
+              concat_ws(":", lit(42L), col("doc_id"))))
+        R.scalableCumSum(keyed, "_ck", "doc_id", "n_tokens",
+            cumName = "cum_tokens", rankName = "pos")
+          .where(col("cum_tokens") <= 20000L)
+          .drop("_ck")
+          .orderBy(col("pos"))
+      }
+    },
+
+    // TAR.GZ container round-trip — the second archive family next to
+    // q117's ZIP: a USTAR archive (512-byte blocks, octal fields,
+    // VERIFIED header checksums) wrapped in real gzip DEFLATE, decoded
+    // back through gunzip→untar, one row per member. Same oracle
+    // pattern as q117: every member's content is reconstructed
+    // independently (md5 + byte length), so header-layout, checksum,
+    // padding, and compression bugs each break the hash. Row-local
+    // binary cells — zero shuffles.
+    q("q121_targz_roundtrip",
+      """WITH j AS (
+        |  SELECT doc_id,
+        |         '{"id":' || CAST(doc_id AS VARCHAR) || ',"lang":"'
+        |           || lang || '"}' AS meta
+        |  FROM documents),
+        |m AS (
+        |  SELECT d.doc_id, 0 AS member_idx, 'doc.txt' AS member,
+        |         CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+        |         md5(d.text) AS content_md5
+        |  FROM documents d
+        |  UNION ALL
+        |  SELECT j.doc_id, 1, 'meta.json',
+        |         CAST(strlen(j.meta) AS BIGINT), md5(j.meta)
+        |  FROM j)
+        |SELECT doc_id, CAST(member_idx AS BIGINT) AS member_idx, member,
+        |       n_bytes, content_md5
+        |FROM m ORDER BY doc_id, member_idx""".stripMargin) { (s, d) => {
+      import s.implicits._
+      val Tc = graft.sources.TarContainer
+      T(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .as[(Long, String, String)]
+        .flatMap { case (id, text, lang) =>
+          val meta = s"""{"id":$id,"lang":"$lang"}"""
+          val gz = Tc.gzip(Tc.build(Seq(
+            Tc.Member("doc.txt", text.getBytes("UTF-8")),
+            Tc.Member("meta.json", meta.getBytes("UTF-8")))))
+          Tc.read(Tc.gunzip(gz)).zipWithIndex.map { case (mem, i) =>
+            (id, i.toLong, mem.name, mem.bytes.length.toLong,
+              new String(mem.bytes, "UTF-8"))
+          }
+        }
+        .toDF("doc_id", "member_idx", "member", "n_bytes", "content")
+        .select(col("doc_id"), col("member_idx"), col("member"),
+          col("n_bytes"), md5(col("content").cast("binary")).as("content_md5"))
+        .orderBy(col("doc_id"), col("member_idx"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

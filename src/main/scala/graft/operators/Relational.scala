@@ -453,4 +453,51 @@ object Relational {
     }
     frames.reduce(_ unionByName _)
   }
+
+  /** Exact global inclusive PREFIX SUM of `valueCol` in `(orderCol,
+    * tieCol)` order, plus the 1-based global rank — the
+    * [[scalableRowNumber]] scheme generalized from counting to summing
+    * (row number IS this operator with value ≡ 1). Same construction:
+    * rows bucket by `orderCol DIV div` (trunc-division is monotone), a
+    * value-range-bounded histogram of per-bucket SUMS feeds one tiny
+    * single-partition prefix window, and a per-bucket running-sum
+    * window finishes: `cum = sum_before(bucket) + running_in(bucket)`.
+    * The rank rides the same per-bucket window spec — no extra
+    * shuffle. This is the cumulative-cost primitive behind
+    * budget-bounded data selection ("take docs in priority order until
+    * N tokens"), quota accounting, and packing cutovers — all places a
+    * naive `SUM OVER (ORDER BY ...)` serializes the corpus through one
+    * task. `valueCol` must be integral (exact; no float accumulation
+    * order to disagree with an oracle). */
+  def scalableCumSum(df: DataFrame, orderCol: String, tieCol: String,
+                     valueCol: String, bucketDiv: Long = 0L,
+                     cumName: String = "cum", rankName: String = "r")
+      : DataFrame = {
+    val div =
+      if (bucketDiv > 0) bucketDiv
+      else {
+        val r = df.agg(min(col(orderCol)).cast("long"),
+          max(col(orderCol)).cast("long")).head()
+        if (r.isNullAt(0)) 1L
+        else math.max(1L, (r.getLong(1) - r.getLong(0)) / TargetRankBuckets + 1L)
+      }
+    val b = df.withColumn("_cs_bkt", expr(s"$orderCol DIV ${div}L"))
+    // one histogram carries BOTH per-bucket count and sum; one tiny
+    // single-partition window turns them into exclusive prefixes
+    val wHist = Window.orderBy(col("_cs_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = b.groupBy(col("_cs_bkt"))
+      .agg(count(lit(1)).as("_c"), sum(col(valueCol)).cast("long").as("_s"))
+      .select(col("_cs_bkt"),
+        coalesce(sum(col("_c")).over(wHist), lit(0L)).as("_cntBefore"),
+        coalesce(sum(col("_s")).over(wHist), lit(0L)).as("_sumBefore"))
+    val ord = Window.partitionBy(col("_cs_bkt"))
+      .orderBy(col(orderCol), col(tieCol))
+    val wIn = ord.rowsBetween(Window.unboundedPreceding, 0)
+    b.join(broadcast(hist), Seq("_cs_bkt"))
+      .withColumn(cumName,
+        col("_sumBefore") + sum(col(valueCol)).over(wIn).cast("long"))
+      .withColumn(rankName, col("_cntBefore") + row_number().over(ord))
+      .drop("_cs_bkt", "_sumBefore", "_cntBefore")
+  }
 }

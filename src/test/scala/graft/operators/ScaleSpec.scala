@@ -213,6 +213,31 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("Window"), "expected per-bucket window")
   }
 
+  test("scalableCumSum ≡ direct global running sum + rank for any bucketDiv") {
+    import org.apache.spark.sql.expressions.Window
+    // values include zeros and heavy order-key ties across bucket edges
+    val rows = (1 to 733).map(i =>
+      (i.toLong, ((i * 37) % 21 - 10) * 100L, (i * 13 % 7).toLong))
+    val df = rows.toDF("id", "v", "w")
+    val wDir = Window.orderBy(col("v"), col("id"))
+    val direct = df
+      .withColumn("cum", sum(col("w")).over(
+        wDir.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("r", row_number().over(wDir))
+      .select(col("id"), col("cum"), col("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2).toLong)))
+      .toMap
+    for (div <- Seq(1L, 7L, 1000L, 1000000L)) {
+      val scal = Relational.scalableCumSum(df, "v", "id", "w", bucketDiv = div)
+        .select(col("id"), col("cum"), col("r"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      rows.foreach { case (id, _, _) =>
+        assert(scal(id) == direct(id), s"id=$id bucketDiv=$div")
+      }
+    }
+  }
+
   test("epochShuffle: per-epoch permutation, layout-independent, epochs differ") {
     val n = 500
     val df = (1 to n).map(_.toLong).toDF("id")
