@@ -5154,6 +5154,64 @@ object Queries {
           col("n_bytes"), md5(col("content").cast("binary")).as("content_md5"))
         .orderBy(col("doc_id"), col("member_idx"))
     }},
+
+    // WARC/1.0 record round-trip (ISO 28500 — the Common Crawl
+    // container, i.e. the format LLM text corpora actually arrive in):
+    // each doc becomes a two-record stream (warcinfo + response),
+    // serialized with computed Content-Length framing and parsed back
+    // through the strict CRLF/terminator-checking reader, one row per
+    // record. Content-Length framing is the load-bearing part (WARC
+    // payloads can contain record-boundary look-alikes — spec-covered)
+    // and the oracle reconstructs every payload independently (md5 +
+    // byte length), so framing, header, or terminator bugs each break
+    // the hash. Row-local byte work — zero shuffles.
+    q("q122_warc_roundtrip",
+      """WITH info AS (
+        |  SELECT doc_id, 'source=' || source || chr(10) || 'lang='
+        |           || lang || chr(10) AS p
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+        |         'urn:graft:' || CAST(doc_id AS VARCHAR) || ':info'
+        |           AS record_id,
+        |         CAST(strlen(p) AS BIGINT) AS n_bytes, md5(p) AS payload_md5
+        |  FROM info
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'response',
+        |         'urn:graft:' || CAST(doc_id AS VARCHAR),
+        |         CAST(strlen(text) AS BIGINT), md5(text)
+        |  FROM documents)
+        |SELECT doc_id, CAST(rec_idx AS BIGINT) AS rec_idx, warc_type,
+        |       record_id, n_bytes, payload_md5
+        |FROM m ORDER BY doc_id, rec_idx""".stripMargin) { (s, d) => {
+      import s.implicits._
+      val W = graft.sources.WarcRecords
+      T(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .as[(Long, String, String, String)]
+        .flatMap { case (id, text, lang, source) =>
+          val info = s"source=$source\nlang=$lang\n"
+          val stream = W.build(Seq(
+            W.Record(Seq("WARC-Type" -> "warcinfo",
+              "WARC-Record-ID" -> s"urn:graft:$id:info"),
+              info.getBytes("UTF-8")),
+            W.Record(Seq("WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"urn:graft:$id",
+              "WARC-Target-URI" -> s"http://example.com/doc/$id"),
+              text.getBytes("UTF-8"))))
+          W.parse(stream).zipWithIndex.map { case (r, i) =>
+            (id, i.toLong, r.header("WARC-Type").getOrElse(""),
+              r.header("WARC-Record-ID").getOrElse(""),
+              r.payload.length.toLong, new String(r.payload, "UTF-8"))
+          }
+        }
+        .toDF("doc_id", "rec_idx", "warc_type", "record_id", "n_bytes",
+          "content")
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+          col("record_id"), col("n_bytes"),
+          md5(col("content").cast("binary")).as("payload_md5"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
