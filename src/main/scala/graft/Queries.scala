@@ -5212,6 +5212,45 @@ object Queries {
           md5(col("content").cast("binary")).as("payload_md5"))
         .orderBy(col("doc_id"), col("rec_idx"))
     }},
+
+    // TEMPERATURE source downsampling (the mT5/XLM-R "flatten the
+    // source distribution" mixing op): keep each doc of source s with
+    // probability min(1, K/sqrt(n_s)) — over-represented sources thin
+    // out ∝ 1/sqrt(size), small sources survive whole, and the keep
+    // decision is a deterministic seeded-hash threshold, NOT rand(),
+    // so it is layout-independent and oracle-exact. The sqrt never
+    // evaluates: u < K/sqrt(n) ⟺ u²·n < K² cross-multiplies to pure
+    // integers (h20 = 20 high bits of md5-60; decimal/hugeint product
+    // so 100-TB-scale n_s cannot overflow). Scale shape: one tiny
+    // per-source histogram broadcast back onto the corpus + row-local
+    // hash math — one agg shuffle total.
+    q("q123_temperature_sample",
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+        |  FROM documents GROUP BY source),
+        |k AS (
+        |  SELECT d.doc_id, d.source, c.n_src,
+        |         CAST(('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) // 1099511627776 AS h20
+        |  FROM documents d JOIN c USING (source))
+        |SELECT doc_id, source, n_src,
+        |       (CAST(h20 * h20 AS HUGEINT) * n_src
+        |        < 9 * CAST(1099511627776 AS HUGEINT)) AS kept
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("source"))
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+      docs.join(broadcast(counts), Seq("source"))
+        .withColumn("_h",
+          graft.functions.HashFns.md5Hash60(
+            concat_ws(":", lit(42L), col("doc_id"))))
+        .withColumn("_h20", expr("_h DIV 1099511627776")) // top 20 bits
+        .withColumn("kept",
+          (col("_h20") * col("_h20")).cast("decimal(38,0)") * col("n_src") <
+            lit(9L) * lit(1099511627776L))
+        .select(col("doc_id"), col("source"), col("n_src"), col("kept"))
+        .orderBy(col("doc_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
