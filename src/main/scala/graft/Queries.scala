@@ -5251,6 +5251,132 @@ object Queries {
         .select(col("doc_id"), col("source"), col("n_src"), col("kept"))
         .orderBy(col("doc_id"))
     }},
+
+    // APNG INTER-FRAME decode (PNG Third Edition frame-based
+    // animation): each doc encodes a three-frame animation — a full
+    // canvas, a SOURCE-blended sub-rectangle whose dispose op cycles
+    // NONE/BACKGROUND/PREVIOUS by doc, and an OVER-blended
+    // checkerboard-alpha sub-rectangle — and decodes back through the
+    // real compositor (sequence-verified fcTL/fdAT chunks, scanline
+    // predictors cycling per row, deflate per frame). The output rows
+    // are COMPOSED canvas states, so the oracle's CASE pyramid
+    // analytically replays blend-then-dispose ordering: a wrong
+    // dispose region, a swapped blend op, or an off-by-one frame
+    // offset each break the hash. Alphas are {0,255} by construction,
+    // keeping OVER exact in both engines (the codec's fractional-alpha
+    // rational path is spec-tested instead). Row-local byte work —
+    // zero shuffles.
+    q("q124_apng_frames",
+      s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < $ImgDecodeDocs),
+        |g AS (SELECT doc_id, unnest(generate_series(0, 47)) AS i FROM d),
+        |p AS (SELECT doc_id, i, i % 8 AS x, i // 8 AS y,
+        |        doc_id % 3 AS x1, doc_id % 2 AS y1,
+        |        2 + doc_id % 2 AS x2, (doc_id + 1) % 3 AS y2
+        |      FROM g),
+        |f0 AS (SELECT *,
+        |        (doc_id*7 + i*4 + 0) % 256 AS f0c0,
+        |        (doc_id*7 + i*4 + 1) % 256 AS f0c1,
+        |        (doc_id*7 + i*4 + 2) % 256 AS f0c2
+        |      FROM p),
+        |m AS (SELECT *,
+        |        (x >= x1 AND x < x1 + 4 AND y >= y1 AND y < y1 + 3) AS in1,
+        |        (x >= x2 AND x < x2 + 3 AND y >= y2 AND y < y2 + 2) AS in2
+        |      FROM f0),
+        |v1 AS (SELECT *,
+        |        CASE WHEN in1 THEN (doc_id*11 + ((y-y1)*4 + (x-x1))*4 + 0) % 256
+        |             ELSE f0c0 END AS v1c0,
+        |        CASE WHEN in1 THEN (doc_id*11 + ((y-y1)*4 + (x-x1))*4 + 1) % 256
+        |             ELSE f0c1 END AS v1c1,
+        |        CASE WHEN in1 THEN (doc_id*11 + ((y-y1)*4 + (x-x1))*4 + 2) % 256
+        |             ELSE f0c2 END AS v1c2
+        |      FROM m),
+        |b2 AS (SELECT *,
+        |        CASE WHEN doc_id % 3 = 0 THEN v1c0
+        |             WHEN doc_id % 3 = 1 THEN CASE WHEN in1 THEN 0 ELSE f0c0 END
+        |             ELSE f0c0 END AS b2c0,
+        |        CASE WHEN doc_id % 3 = 0 THEN v1c1
+        |             WHEN doc_id % 3 = 1 THEN CASE WHEN in1 THEN 0 ELSE f0c1 END
+        |             ELSE f0c1 END AS b2c1,
+        |        CASE WHEN doc_id % 3 = 0 THEN v1c2
+        |             WHEN doc_id % 3 = 1 THEN CASE WHEN in1 THEN 0 ELSE f0c2 END
+        |             ELSE f0c2 END AS b2c2,
+        |        CASE WHEN doc_id % 3 = 1 AND in1 THEN 0 ELSE 255 END AS b2a
+        |      FROM v1),
+        |v2 AS (SELECT *,
+        |        (in2 AND ((x-x2) + (y-y2) + doc_id) % 2 = 1) AS w2,
+        |        CASE WHEN in2 AND ((x-x2) + (y-y2) + doc_id) % 2 = 1
+        |             THEN (doc_id*13 + ((y-y2)*3 + (x-x2))*4 + 0) % 256
+        |             ELSE b2c0 END AS v2c0,
+        |        CASE WHEN in2 AND ((x-x2) + (y-y2) + doc_id) % 2 = 1
+        |             THEN (doc_id*13 + ((y-y2)*3 + (x-x2))*4 + 1) % 256
+        |             ELSE b2c1 END AS v2c1,
+        |        CASE WHEN in2 AND ((x-x2) + (y-y2) + doc_id) % 2 = 1
+        |             THEN (doc_id*13 + ((y-y2)*3 + (x-x2))*4 + 2) % 256
+        |             ELSE b2c2 END AS v2c2
+        |      FROM b2),
+        |sums AS (
+        |  SELECT doc_id AS media_id, 0 AS frame_idx,
+        |         SUM(f0c0) AS c0_sum, SUM(f0c1) AS c1_sum,
+        |         SUM(f0c2) AS c2_sum, SUM(255) AS a_sum,
+        |         SUM(f0c0 * i) AS c0_moment
+        |  FROM v2 GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT doc_id, 1, SUM(v1c0), SUM(v1c1), SUM(v1c2), SUM(255),
+        |         SUM(v1c0 * i)
+        |  FROM v2 GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT doc_id, 2, SUM(v2c0), SUM(v2c1), SUM(v2c2),
+        |         SUM(CASE WHEN w2 THEN 255 ELSE b2a END), SUM(v2c0 * i)
+        |  FROM v2 GROUP BY doc_id)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(c0_sum AS BIGINT) AS c0_sum,
+        |       CAST(c1_sum AS BIGINT) AS c1_sum,
+        |       CAST(c2_sum AS BIGINT) AS c2_sum,
+        |       CAST(a_sum AS BIGINT) AS a_sum,
+        |       CAST(c0_moment AS BIGINT) AS c0_moment
+        |FROM sums ORDER BY media_id, frame_idx""".stripMargin) { (s, d) => {
+      import s.implicits._
+      val A = graft.multimodal.ApngCodec
+      T(s, d, "documents").where(col("doc_id") < ImgDecodeDocs)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val W = 8; val H = 6
+          def f0(x: Int, y: Int, c: Int): Int =
+            if (c == 3) 255 else ((id * 7 + (y * W + x).toLong * 4 + c) % 256).toInt
+          val x1 = (id % 3).toInt; val y1 = (id % 2).toInt
+          def f1(x: Int, y: Int, c: Int): Int =
+            if (c == 3) 255 else ((id * 11 + (y * 4 + x).toLong * 4 + c) % 256).toInt
+          val x2 = 2 + (id % 2).toInt; val y2 = ((id + 1) % 3).toInt
+          def f2(x: Int, y: Int, c: Int): Int =
+            if (c == 3) (((x + y + id) % 2L) * 255L).toInt
+            else ((id * 13 + (y * 3 + x).toLong * 4 + c) % 256).toInt
+          val dispose1 = (id % 3).toInt match {
+            case 0 => A.DisposeNone
+            case 1 => A.DisposeBackground
+            case _ => A.DisposePrevious
+          }
+          val apng = A.encodeApng(W, H, Seq(
+            A.FrameSpec(W, H, 0, 0, A.DisposeNone, A.BlendSource, f0),
+            A.FrameSpec(4, 3, x1, y1, dispose1, A.BlendSource, f1),
+            A.FrameSpec(3, 2, x2, y2, A.DisposeNone, A.BlendOver, f2)),
+            rowFilter = y => ((id + y) % 5).toInt)
+          A.decodeApng(apng).frames.map { fr =>
+            var c0 = 0L; var c1 = 0L; var c2 = 0L; var aa = 0L; var mom = 0L
+            var i = 0
+            while (i < W * H) {
+              val b = i * 4
+              c0 += fr.pixels(b); c1 += fr.pixels(b + 1)
+              c2 += fr.pixels(b + 2); aa += fr.pixels(b + 3)
+              mom += fr.pixels(b).toLong * i
+              i += 1
+            }
+            (id, fr.idx.toLong, c0, c1, c2, aa, mom)
+          }
+        }
+        .toDF("media_id", "frame_idx", "c0_sum", "c1_sum", "c2_sum",
+          "a_sum", "c0_moment")
+        .orderBy(col("media_id"), col("frame_idx"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

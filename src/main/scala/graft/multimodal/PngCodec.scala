@@ -27,27 +27,27 @@ object PngCodec {
   final case class DecodedPng(width: Int, height: Int, channels: Int,
                               pixels: Array[Int])
 
-  private val Signature: Array[Byte] =
+  private[multimodal] val Signature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   // keep encoder IDAT chunks small so every real payload exercises the
   // decoder's multi-IDAT reassembly path
   private val EncodeIdatChunk = 32
 
-  private def putIntBe(b: Array[Byte], off: Int, v: Int): Unit = {
+  private[multimodal] def putIntBe(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = ((v >>> 24) & 0xff).toByte
     b(off + 1) = ((v >>> 16) & 0xff).toByte
     b(off + 2) = ((v >>> 8) & 0xff).toByte
     b(off + 3) = (v & 0xff).toByte
   }
 
-  private def getIntBe(b: Array[Byte], off: Int): Int =
+  private[multimodal] def getIntBe(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
   /** RFC 2083 Paeth predictor: closest of left/up/up-left to a+b-c,
     * ties resolved left, then up. */
-  private def paeth(a: Int, b: Int, c: Int): Int = {
+  private[multimodal] def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
     val pa = math.abs(p - a)
     val pb = math.abs(p - b)
@@ -55,7 +55,7 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  private def writeChunk(out: java.io.ByteArrayOutputStream,
+  private[multimodal] def writeChunk(out: java.io.ByteArrayOutputStream,
                          chunkType: String, data: Array[Byte]): Unit = {
     val len = new Array[Byte](4)
     putIntBe(len, 0, data.length)
@@ -71,22 +71,15 @@ object PngCodec {
     out.write(c)
   }
 
-  /** Encode an 8-bit PNG. `channels` is 3 (RGB) or 4 (RGBA);
-    * `pixel(x, y, c)` returns channel c of the top-down raster, masked
-    * to 0..255. `rowFilter(y)` picks the scanline filter (0..4) for
-    * row y — vary it to exercise every predictor in one payload. The
-    * stream is framed as real PNG: signature, IHDR, an ancillary tEXt
-    * chunk (so decoders must actually skip unknown chunks), the
-    * deflated image data split across multiple small IDAT chunks, and
-    * IEND — all CRC'd. */
-  def encodePng(width: Int, height: Int, channels: Int,
-                pixel: (Int, Int, Int) => Int,
-                rowFilter: Int => Int = _ => 0): Array[Byte] = {
-    require(width > 0 && height > 0, "encodePng: positive dims")
-    require(channels == 3 || channels == 4,
-      s"encodePng: $channels channels unsupported (3=RGB, 4=RGBA)")
+  /** Filtered scanline stream for a raster (one filter byte + filtered
+    * data per row) — the byte stream PNG deflates into IDAT and APNG
+    * deflates into fdAT (frame rasters use the identical per-row
+    * filtering, just frame-sized rows). Shared by [[encodePng]] and
+    * [[ApngCodec]]. */
+  private[multimodal] def filterRaster(width: Int, height: Int,
+      channels: Int, pixel: (Int, Int, Int) => Int,
+      rowFilter: Int => Int): Array[Byte] = {
     val rowBytes = width * channels
-    // raw scanline stream: each row is one filter byte + filtered data
     val raw = new Array[Byte]((1 + rowBytes) * height)
     val cur = new Array[Int](rowBytes)
     val prior = new Array[Int](rowBytes) // zeros above row 0, per spec
@@ -98,7 +91,7 @@ object PngCodec {
         i += 1
       }
       val f = rowFilter(y)
-      require(f >= 0 && f <= 4, s"encodePng: filter $f out of range")
+      require(f >= 0 && f <= 4, s"filterRaster: filter $f out of range")
       val base = y * (1 + rowBytes)
       raw(base) = f.toByte
       i = 0
@@ -119,7 +112,10 @@ object PngCodec {
       System.arraycopy(cur, 0, prior, 0, rowBytes)
       y += 1
     }
-    // deflate the filtered stream
+    raw
+  }
+
+  private[multimodal] def deflateBytes(raw: Array[Byte]): Array[Byte] = {
     val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
     deflater.setInput(raw)
     deflater.finish()
@@ -130,7 +126,80 @@ object PngCodec {
       zBuf.write(tmp, 0, n)
     }
     deflater.end()
-    val z = zBuf.toByteArray
+    zBuf.toByteArray
+  }
+
+  /** Inflate a deflate stream that must hold EXACTLY `expected` bytes —
+    * short, stalled, or over-long streams are malformed payloads. */
+  private[multimodal] def inflateExact(z: Array[Byte], expected: Int,
+                                       what: String): Array[Byte] = {
+    val raw = new Array[Byte](expected)
+    val inflater = new Inflater
+    inflater.setInput(z)
+    var got = 0
+    while (got < expected && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, expected - got)
+      require(n > 0 || inflater.finished(),
+        s"$what: deflate stream stalled (truncated data?)")
+      got += n
+    }
+    require(got == expected, s"$what: inflated $got bytes, expected $expected")
+    val extraProbe = new Array[Byte](1)
+    val extra = if (inflater.finished()) 0 else inflater.inflate(extraProbe)
+    inflater.end()
+    require(extra == 0, s"$what: deflate stream longer than the raster")
+    raw
+  }
+
+  /** Reverse the per-row filter of a scanline stream (the inverse of
+    * [[filterRaster]]); prior row is zeros, per spec. */
+  private[multimodal] def unfilterRaster(raw: Array[Byte], width: Int,
+      height: Int, channels: Int, what: String): Array[Int] = {
+    val rowBytes = width * channels
+    val pixels = new Array[Int](rowBytes * height)
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (1 + rowBytes)) & 0xff
+      require(f <= 4, s"$what: filter byte $f out of range on row $y")
+      val base = y * (1 + rowBytes) + 1
+      val out = y * rowBytes
+      val up = out - rowBytes
+      var k = 0
+      while (k < rowBytes) {
+        val x = raw(base + k) & 0xff
+        val a = if (k >= channels) pixels(out + k - channels) else 0
+        val b = if (y > 0) pixels(up + k) else 0
+        val c = if (y > 0 && k >= channels) pixels(up + k - channels) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 => paeth(a, b, c)
+        }
+        pixels(out + k) = (x + pred) & 0xff
+        k += 1
+      }
+      y += 1
+    }
+    pixels
+  }
+
+  /** Encode an 8-bit PNG. `channels` is 3 (RGB) or 4 (RGBA);
+    * `pixel(x, y, c)` returns channel c of the top-down raster, masked
+    * to 0..255. `rowFilter(y)` picks the scanline filter (0..4) for
+    * row y — vary it to exercise every predictor in one payload. The
+    * stream is framed as real PNG: signature, IHDR, an ancillary tEXt
+    * chunk (so decoders must actually skip unknown chunks), the
+    * deflated image data split across multiple small IDAT chunks, and
+    * IEND — all CRC'd. */
+  def encodePng(width: Int, height: Int, channels: Int,
+                pixel: (Int, Int, Int) => Int,
+                rowFilter: Int => Int = _ => 0): Array[Byte] = {
+    require(width > 0 && height > 0, "encodePng: positive dims")
+    require(channels == 3 || channels == 4,
+      s"encodePng: $channels channels unsupported (3=RGB, 4=RGBA)")
+    val z = deflateBytes(filterRaster(width, height, channels, pixel, rowFilter))
 
     val out = new java.io.ByteArrayOutputStream(z.length + 128)
     out.write(Signature)
@@ -225,53 +294,12 @@ object PngCodec {
     require(sawIhdr, "decodePng: missing IHDR")
     require(idat.size > 0, "decodePng: no IDAT data")
 
-    // inflate the filtered scanline stream to its exact expected size
+    // inflate the filtered scanline stream to its exact expected size,
+    // then reverse the per-row filter (prior row = zeros)
     val rowBytes = width * channels
-    val expected = (1 + rowBytes) * height
-    val raw = new Array[Byte](expected)
-    val inflater = new Inflater
-    inflater.setInput(idat.toByteArray)
-    var got = 0
-    while (got < expected && !inflater.finished()) {
-      val n = inflater.inflate(raw, got, expected - got)
-      require(n > 0 || inflater.finished(),
-        "decodePng: deflate stream stalled (truncated IDAT?)")
-      got += n
-    }
-    require(got == expected,
-      s"decodePng: inflated $got bytes, expected $expected")
-    val extraProbe = new Array[Byte](1)
-    val extra = if (inflater.finished()) 0 else inflater.inflate(extraProbe)
-    inflater.end()
-    require(extra == 0, "decodePng: deflate stream longer than the raster")
-
-    // reverse the per-row filter (recon in place, prior row = zeros)
-    val pixels = new Array[Int](rowBytes * height)
-    var y = 0
-    while (y < height) {
-      val f = raw(y * (1 + rowBytes)) & 0xff
-      require(f <= 4, s"decodePng: filter byte $f out of range on row $y")
-      val base = y * (1 + rowBytes) + 1
-      val out = y * rowBytes
-      val up = out - rowBytes
-      var k = 0
-      while (k < rowBytes) {
-        val x = raw(base + k) & 0xff
-        val a = if (k >= channels) pixels(out + k - channels) else 0
-        val b = if (y > 0) pixels(up + k) else 0
-        val c = if (y > 0 && k >= channels) pixels(up + k - channels) else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) >> 1
-          case 4 => paeth(a, b, c)
-        }
-        pixels(out + k) = (x + pred) & 0xff
-        k += 1
-      }
-      y += 1
-    }
+    val raw = inflateExact(idat.toByteArray, (1 + rowBytes) * height,
+      "decodePng")
+    val pixels = unfilterRaster(raw, width, height, channels, "decodePng")
     DecodedPng(width, height, channels, pixels)
   }
 }
