@@ -213,6 +213,21 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("Window"), "expected per-bucket window")
   }
 
+  test("per-group top-k rank filter plans as WindowGroupLimit (q119 shape)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i.toLong, s"s${i % 7}")).toDF("id", "src")
+      .withColumn("h", graft.functions.HashFns.md5Hash60(col("id").cast("string")))
+    val plan = df.withColumn("r", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("h"), col("id"))))
+      .where(col("r") <= 15)
+      .queryExecution.executedPlan.toString
+    // Spark 3.5+ pushes the rank<=k filter into WindowGroupLimit on BOTH
+    // sides of the exchange — partial group-limit before the shuffle is
+    // what keeps a giant source from shipping all its rows
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=k per group must plan as WindowGroupLimit:\n" + plan.take(1200))
+  }
+
   test("scalableCumSum ≡ direct global running sum + rank for any bucketDiv") {
     import org.apache.spark.sql.expressions.Window
     // values include zeros and heavy order-key ties across bucket edges
