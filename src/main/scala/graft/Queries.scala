@@ -5377,6 +5377,111 @@ object Queries {
           "a_sum", "c0_moment")
         .orderBy(col("media_id"), col("frame_idx"))
     }},
+
+    // CRAWL-DELTA classification — continuous-ingestion triage: every
+    // doc of the NEW snapshot is classified against the OLD snapshot
+    // as exact-dup (content md5 equality), near-dup (mirrored 60-bit
+    // simhash within hamming 3, candidates via the exact pigeonhole
+    // chunk join — the q46 family pointed ACROSS snapshots instead of
+    // at itself), or novel; match_id is the smallest matching old doc
+    // (deterministic), -1 for novel. The corpus has no natural exact
+    // dups, so RE-CRAWLS are modeled deterministically: new docs with
+    // doc_id % 50 = 0 fetch content identical to old doc (doc_id-250)
+    // — the construction both engines replay, so the exact arm fires
+    // on specified rows (5 at sf0.01), not never. Scale shape: the
+    // old snapshot is the reference side of both joins — one hash
+    // equi-join + one chunk-bucket join, never new×old all-pairs; the
+    // production twin (Dedup.simhash) additionally caps hot buckets.
+    q("q125_crawl_delta",
+      """WITH src AS (
+        |  SELECT d.doc_id, COALESCE(o.text, d.text) AS text
+        |  FROM documents d LEFT JOIN documents o
+        |    ON d.doc_id >= 250 AND d.doc_id % 50 = 0
+        |   AND o.doc_id = d.doc_id - 250),
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)),
+        |                     '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        |  FROM src),
+        |th AS (
+        |  SELECT doc_id,
+        |         [CAST(('0x' || substr(md5(t),1,15)) AS BIGINT) FOR t IN t] AS hs
+        |  FROM toks),
+        |tok AS (SELECT doc_id, unnest(hs) AS h FROM th),
+        |bits AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tok CROSS JOIN generate_series(0, 59) AS g(b)
+        |  GROUP BY doc_id, b),
+        |sk0 AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+        |                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sim
+        |  FROM bits GROUP BY doc_id),
+        |sk AS (SELECT t.doc_id, COALESCE(sk0.sim, 0) AS sim
+        |       FROM toks t LEFT JOIN sk0 USING (doc_id)),
+        |ex AS (SELECT doc_id, md5(text) AS exh FROM src),
+        |eh AS (SELECT n.doc_id, MIN(o.doc_id) AS exact_id
+        |       FROM ex n JOIN ex o ON n.exh = o.exh AND o.doc_id < 250
+        |       WHERE n.doc_id >= 250 GROUP BY n.doc_id),
+        |nh AS (SELECT n.doc_id, MIN(o.doc_id) AS near_id
+        |       FROM sk n JOIN sk o
+        |         ON o.doc_id < 250 AND bit_count(xor(n.sim, o.sim)) <= 3
+        |       WHERE n.doc_id >= 250 GROUP BY n.doc_id)
+        |SELECT d.doc_id,
+        |       CASE WHEN eh.exact_id IS NOT NULL THEN 'exact'
+        |            WHEN nh.near_id IS NOT NULL THEN 'near'
+        |            ELSE 'novel' END AS status,
+        |       CAST(COALESCE(eh.exact_id, nh.near_id, -1) AS BIGINT)
+        |         AS match_id
+        |FROM documents d LEFT JOIN eh USING (doc_id) LEFT JOIN nh USING (doc_id)
+        |WHERE d.doc_id >= 250 ORDER BY doc_id""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      graft.functions.NativeFns.register(s)
+      val SplitId = 250L
+      val base = T(s, d, "documents").select(col("doc_id"), col("text"))
+      // deterministic re-crawls: new docs at doc_id % 50 == 0 carry the
+      // old snapshot's content (fetched via a self-join on doc_id-250)
+      val recrawl = base
+        .where(col("doc_id") >= SplitId && pmod(col("doc_id"), lit(50L)) === 0)
+        .select(col("doc_id"), (col("doc_id") - SplitId).as("_src"))
+        .join(base.select(col("doc_id").as("_src"),
+          col("text").as("_oldText")), Seq("_src"))
+        .select(col("doc_id"), col("_oldText"))
+      val srcDocs = base.join(recrawl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_oldText"), col("text")).as("text"))
+      val withHash = srcDocs
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("exh"),
+          graft.functions.NativeFns.simhashFromHashes(
+            H.shingleHashesWith(TextFns.wordTokens(col("text")),
+              H.md5Hash60), 60).as("sim"))
+      // both snapshots consumed by two joins each — one tokenize+sketch
+      val hashed = graft.Caches.persist(withHash)
+      val old = hashed.where(col("doc_id") < SplitId)
+      val nw = hashed.where(col("doc_id") >= SplitId)
+      val exact = nw.join(
+          old.select(col("exh"), col("doc_id").as("old_id")), Seq("exh"))
+        .groupBy(col("doc_id")).agg(min(col("old_id")).as("exact_id"))
+      val chunks = 4
+      val lc = nw.select(col("doc_id"), col("sim"),
+        posexplode(H.bitChunks(col("sim"), chunks, 60)).as(Seq("_ci", "_ck")))
+      val rc = old.select(col("doc_id").as("old_id"), col("sim").as("sim_o"),
+        posexplode(H.bitChunks(col("sim"), chunks, 60)).as(Seq("_ci", "_ck")))
+      val near = lc.join(rc, Seq("_ci", "_ck"))
+        .where(H.hamming64(col("sim"), col("sim_o")) <= 3)
+        .groupBy(col("doc_id")).agg(min(col("old_id")).as("near_id"))
+      nw.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .withColumn("status",
+          when(col("exact_id").isNotNull, lit("exact"))
+            .when(col("near_id").isNotNull, lit("near"))
+            .otherwise(lit("novel")))
+        .withColumn("match_id",
+          coalesce(col("exact_id"), col("near_id"), lit(-1L)))
+        .select(col("doc_id"), col("status"), col("match_id"))
+        .orderBy(col("doc_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
