@@ -5482,6 +5482,66 @@ object Queries {
         .select(col("doc_id"), col("status"), col("match_id"))
         .orderBy(col("doc_id"))
     }},
+
+    // COUNT-MIN SKETCH heavy hitters — the frequency member of the
+    // sketch family (KMV q40 = distinct count, Bloom q114 = set
+    // membership, CMS = point frequency): d=3 salted-md5 hash rows ×
+    // w=16 counters (w DELIBERATELY tiny so the over-estimate path is
+    // exercised — with the corpus vocabulary, collisions are
+    // guaranteed and est_cnt > true_cnt on specified tokens),
+    // estimate = min over rows. Every count and position is exact
+    // integer md5 math, so the APPROXIMATION ITSELF is oracle-exact,
+    // the q40/q114 discipline. Scale shape: the sketch is a fixed
+    // d×w relation regardless of corpus size — one token-stream
+    // aggregation builds it; probes broadcast.
+    q("q126_cms_heavy_hitters",
+      s"""$mirrorToksCte,
+        |tok AS (SELECT unnest(t) AS tok FROM toks),
+        |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        |       FROM tok GROUP BY tok),
+        |top AS (SELECT tok, true_cnt FROM (
+        |          SELECT *, row_number() OVER (ORDER BY true_cnt DESC, tok)
+        |            AS rn FROM tc) WHERE rn <= 20),
+        |pos AS (SELECT tok, i,
+        |          CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok),
+        |               1, 15)) AS BIGINT) % 16 AS p
+        |        FROM tok CROSS JOIN generate_series(0, 2) AS g(i)),
+        |sk AS (SELECT i, p, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM pos GROUP BY i, p),
+        |pr AS (SELECT top.tok, top.true_cnt, g.i,
+        |          CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':'
+        |               || top.tok), 1, 15)) AS BIGINT) % 16 AS p
+        |       FROM top CROSS JOIN generate_series(0, 2) AS g(i)),
+        |est AS (SELECT pr.tok, pr.true_cnt, MIN(sk.c) AS est_cnt
+        |        FROM pr JOIN sk USING (i, p) GROUP BY pr.tok, pr.true_cnt)
+        |SELECT tok, true_cnt, CAST(est_cnt AS BIGINT) AS est_cnt
+        |FROM est ORDER BY true_cnt DESC, tok""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      def cmsPos(i: Int, tok: org.apache.spark.sql.Column) =
+        pmod(H.md5Hash60(concat_ws(":", lit(i), tok)), lit(16L))
+      val toks = T(s, d, "documents")
+        .select(explode(TextFns.wordTokens(col("text"))).as("tok"))
+      // token stream feeds both the sketch and the true counts
+      val toksP = graft.Caches.persist(toks)
+      val sketch = toksP
+        .select(explode(array((0 until 3).map(i =>
+          struct(lit(i).as("i"), cmsPos(i, col("tok")).as("p"))): _*)).as("ip"))
+        .groupBy(col("ip.i").as("i"), col("ip.p").as("p"))
+        .agg(count(lit(1)).as("c"))
+      val top = toksP.groupBy(col("tok"))
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok")).limit(20)
+      val probes = top
+        .select(col("tok"), col("true_cnt"),
+          explode(array((0 until 3).map(i =>
+            struct(lit(i).as("i"), cmsPos(i, col("tok")).as("p"))): _*)).as("ip"))
+        .select(col("tok"), col("true_cnt"),
+          col("ip.i").as("i"), col("ip.p").as("p"))
+      broadcast(probes).join(sketch, Seq("i", "p"))
+        .groupBy(col("tok"), col("true_cnt"))
+        .agg(min(col("c")).as("est_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
