@@ -5542,6 +5542,159 @@ object Queries {
         .agg(min(col("c")).as("est_cnt"))
         .orderBy(col("true_cnt").desc, col("tok"))
     }},
+
+    // FILL-IN-THE-MIDDLE transform (the FIM pretraining objective from
+    // the published infilling literature: split each doc at two seeded
+    // cut points into prefix/middle/suffix and emit the PSM
+    // reordering <PRE> prefix <SUF> suffix <MID> middle, so the model
+    // learns to infill). Cut points are md5-seeded — deterministic,
+    // layout-independent, oracle-exact: c1 = h1 % (n+1),
+    // c2 = c1 + h2 % (n - c1 + 1), so 0 <= c1 <= c2 <= n covers the
+    // empty-prefix/middle/suffix edges on specified docs. Row-local
+    // array slicing — zero shuffles.
+    q("q127_fim_transform",
+      s"""$mirrorToksCte,
+        |k AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |         CAST(('0x' || substr(md5('42:f1:' || CAST(doc_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5('42:f2:' || CAST(doc_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) AS h2
+        |  FROM toks),
+        |c AS (
+        |  SELECT doc_id, t, n, h1 % (n + 1) AS c1,
+        |         h1 % (n + 1) + h2 % (n - h1 % (n + 1) + 1) AS c2
+        |  FROM k)
+        |SELECT doc_id, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+        |       '<PRE> ' || COALESCE(array_to_string(t[1:c1], ' '), '')
+        |         || ' <SUF> ' || COALESCE(array_to_string(t[c2+1:n], ' '), '')
+        |         || ' <MID> ' || COALESCE(array_to_string(t[c1+1:c2], ' '), '')
+        |         AS fim_text
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      val t = TextFns.wordTokens(col("text"))
+      T(s, d, "documents")
+        .select(col("doc_id"), t.as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+        .withColumn("h1", H.md5Hash60(
+          concat_ws(":", lit(42L), lit("f1"), col("doc_id"))))
+        .withColumn("h2", H.md5Hash60(
+          concat_ws(":", lit(42L), lit("f2"), col("doc_id"))))
+        .withColumn("c1", pmod(col("h1"), col("n") + 1))
+        .withColumn("c2",
+          col("c1") + pmod(col("h2"), col("n") - col("c1") + 1))
+        .select(col("doc_id"), col("c1"), col("c2"),
+          concat(lit("<PRE> "),
+            array_join(slice(col("t"), lit(1), col("c1").cast("int")), " "),
+            lit(" <SUF> "),
+            array_join(expr("slice(t, cast(c2+1 as int), cast(n-c2 as int))"), " "),
+            lit(" <MID> "),
+            array_join(expr("slice(t, cast(c1+1 as int), cast(c2-c1 as int))"), " "))
+            .as("fim_text"))
+        .orderBy(col("doc_id"))
+    }},
+
+    // SPAN-CORRUPTION prep (the T5/UL2 masked-span objective): the
+    // token stream partitions into fixed 8-token blocks; a block is
+    // masked iff md5(seed:doc:block) % 4 = 0, and a masked block's
+    // first 3 tokens become one span — replaced by an <extra_id_k>
+    // sentinel (k = span ordinal) in the INPUT and emitted after the
+    // same sentinel in the TARGET, exactly the published
+    // input/target encoding. The fixed grid keeps span choice
+    // embarrassingly parallel (no sequential coverage state) while
+    // still exercising sentinel numbering, multi-span docs, and the
+    // no-span identity case on specified rows. Row-local
+    // comprehensions — zero shuffles.
+    q("q128_span_corruption",
+      s"""$mirrorToksCte,
+        |k AS (SELECT doc_id, t, len(t) AS n,
+        |        CAST(ceil(len(t) / 8.0) AS BIGINT) AS nb
+        |      FROM toks),
+        |b AS (
+        |  SELECT doc_id, t, n, nb,
+        |        [CAST(('0x' || substr(md5('42:sc:' || CAST(doc_id AS VARCHAR)
+        |             || ':' || CAST(bi AS VARCHAR)), 1, 15)) AS BIGINT) % 4 = 0
+        |         FOR bi IN generate_series(0, CAST(nb AS INTEGER) - 1)]
+        |          AS msk
+        |  FROM k),
+        |sp AS (
+        |  SELECT doc_id, t, n, msk,
+        |         [bi FOR bi IN generate_series(0, len(msk) - 1) IF msk[bi+1]]
+        |           AS mblocks
+        |  FROM b),
+        |enc AS (
+        |  SELECT doc_id,
+        |         CAST(len(mblocks) AS BIGINT) AS n_spans,
+        |         COALESCE(array_to_string(
+        |           [CASE WHEN list_contains(mblocks, (i-1)//8)
+        |                      AND (i-1) % 8 = 0
+        |                 THEN '<extra_id_' ||
+        |                      CAST(list_position(mblocks, (i-1)//8) - 1
+        |                           AS VARCHAR) || '>'
+        |                 ELSE t[i] END
+        |            FOR i IN generate_series(1, n)
+        |            IF NOT (list_contains(mblocks, (i-1)//8)
+        |                    AND (i-1) % 8 IN (1, 2))], ' '), '') AS input_text,
+        |         COALESCE(array_to_string(flatten(
+        |           [['<extra_id_' || CAST(si - 1 AS VARCHAR) || '>'] ||
+        |            t[mblocks[si]*8 + 1 :
+        |              LEAST(mblocks[si]*8 + 3, CAST(n AS INTEGER))]
+        |            FOR si IN generate_series(1, len(mblocks))]), ' '), '')
+        |           AS target_text
+        |  FROM sp)
+        |SELECT doc_id, n_spans, input_text, target_text
+        |FROM enc ORDER BY doc_id""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      val t = TextFns.wordTokens(col("text"))
+      val docs = T(s, d, "documents").select(col("doc_id"), t.as("t"))
+        .withColumn("n", size(col("t")))
+        .withColumn("nb", ceil(col("n") / lit(8.0)).cast("int"))
+      // per-block mask decisions, then the masked-block ordinal list
+      val withMask = docs.withColumn("msk",
+        transform(
+          when(col("nb") > 0, sequence(lit(0), col("nb") - 1))
+            .otherwise(array().cast("array<int>")),
+          bi => pmod(H.md5Hash60(concat_ws(":", lit(42L), lit("sc"),
+            col("doc_id"), bi)), lit(4L)) === 0))
+        .withColumn("mblocks",
+          filter(
+            when(col("nb") > 0, sequence(lit(0), col("nb") - 1))
+              .otherwise(array().cast("array<int>")),
+            bi => element_at(col("msk"), bi + 1)))
+      withMask.select(col("doc_id"),
+          size(col("mblocks")).cast("long").as("n_spans"),
+          array_join(
+            filter(
+              transform(
+                when(col("n") > 0, sequence(lit(1), col("n")))
+                  .otherwise(array().cast("array<int>")),
+                i => when(
+                  array_contains(col("mblocks"), ((i - 1) / 8).cast("int"))
+                    && pmod(i - 1, lit(8)) === 0,
+                  concat(lit("<extra_id_"),
+                    (array_position(col("mblocks"),
+                      ((i - 1) / 8).cast("int")) - 1).cast("string"),
+                    lit(">")))
+                  .when(
+                    array_contains(col("mblocks"), ((i - 1) / 8).cast("int"))
+                      && pmod(i - 1, lit(8)).isin(1, 2), lit(null))
+                  .otherwise(element_at(col("t"), i))),
+              x => x.isNotNull), " ").as("input_text"),
+          array_join(
+            flatten(transform(
+              when(size(col("mblocks")) > 0,
+                sequence(lit(1), size(col("mblocks"))))
+                .otherwise(array().cast("array<int>")),
+              si => concat(
+                array(concat(lit("<extra_id_"), (si - 1).cast("string"),
+                  lit(">"))),
+                slice(col("t"),
+                  element_at(col("mblocks"), si) * 8 + 1,
+                  least(lit(3),
+                    col("n") - element_at(col("mblocks"), si) * 8))))),
+            " ").as("target_text"))
+        .orderBy(col("doc_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
