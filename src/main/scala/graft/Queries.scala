@@ -5695,6 +5695,128 @@ object Queries {
             " ").as("target_text"))
         .orderBy(col("doc_id"))
     }},
+
+    // HYPERLOGLOG distinct sketch (Flajolet et al. 2007), exact-mirrored:
+    // 60-bit md5 item hash splits into bucket = h % 64 and the remaining
+    // 54-bit suffix w; the register is the max leading-zero rank
+    // rho = 55 - bitlength(w) (w = 0 -> 55). The harmonic-mean input
+    // Z = sum(2^-rho) is carried as an EXACT integer sum(2^(55-rho))
+    // (<= 64 * 2^55 < 2^62, BIGINT-safe — empty buckets contribute
+    // register 0 = 2^55), so the only float op is the final
+    // alpha*m^2/Z division: one deterministic IEEE expression evaluated
+    // identically by both engines. Raw estimator, no small/large-range
+    // correction (documented; E >> 2.5m here). At scale: one map-side
+    // partial max per bucket -> 64-row merge — constant memory,
+    // mergeable across partitions/days, vs a full distinct shuffle.
+    // Complements q40's KMV (order-statistics family) with the
+    // bit-pattern family.
+    q("q129_hll_distinct",
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5('hll:' || CAST(l_partkey AS VARCHAR)),
+        |       1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |b AS (SELECT h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (
+        |  SELECT bucket,
+        |         MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS rho
+        |  FROM b GROUP BY bucket),
+        |s AS (
+        |  SELECT CAST(SUM(CAST(1 AS BIGINT) << (55 - rho)) AS BIGINT)
+        |           AS present_sum,
+        |         COUNT(*) AS nb FROM r)
+        |SELECT CAST(64 AS BIGINT) AS m,
+        |       CAST(present_sum + (64 - nb) * (CAST(1 AS BIGINT) << 55)
+        |            AS BIGINT) AS sum_inv_int,
+        |       ((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE))
+        |         * CAST(36028797018963968 AS DOUBLE))
+        |         / CAST(present_sum + (64 - nb) * (CAST(1 AS BIGINT) << 55)
+        |                AS DOUBLE) AS hll_est,
+        |       (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+        |         AS true_distinct
+        |FROM s""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      val li = T(s, d, "lineitem")
+      val hashed = li.select(
+        H.md5Hash60(concat(lit("hll:"), col("l_partkey").cast("string")))
+          .as("h"))
+        .select(pmod(col("h"), lit(64L)).as("bucket"),
+          shiftright(col("h"), 6).as("w"))
+      val regs = hashed
+        .groupBy(col("bucket"))
+        .agg(max(when(col("w") === 0, lit(55))
+          .otherwise(lit(55) - length(bin(col("w"))))).as("rho"))
+      val sums = regs.agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - rho AS INT))"))
+          .cast("long").as("present_sum"),
+        count(lit(1)).as("nb"))
+      val trueD = li.agg(
+        countDistinct(col("l_partkey")).cast("long").as("true_distinct"))
+      val sumInv = col("present_sum") +
+        (lit(64L) - col("nb")) * lit(1L << 55)
+      sums.crossJoin(trueD).select(
+        lit(64L).as("m"),
+        sumInv.cast("long").as("sum_inv_int"),
+        ((lit(0.709) * lit(4096.0)) * lit(3.6028797018963968e16))
+          .divide(sumInv.cast("double")).as("hll_est"),
+        col("true_distinct"))
+    }},
+
+    // DISTINCT-N CORPUS DIVERSITY (the distinct-1/distinct-2 metrics of
+    // the text-generation diversity literature, per source): unique/total
+    // unigram and bigram ratios flag low-diversity (templated, boiler-
+    // plate, model-generated) sources for down-weighting before
+    // training. Counts are exact BIGINTs; the two ratios are one
+    // deterministic division each. Two hash aggs (token- and bigram-
+    // grouped, both map-side partial) joined on the bounded source key —
+    // no corpus-wide window, no collect.
+    q("q130_distinct_ngrams",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS uni_total,
+        |         CAST(COUNT(DISTINCT w) AS BIGINT) AS uni_distinct
+        |  FROM (SELECT source, unnest(t) AS w FROM toks) GROUP BY source),
+        |bi AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS bi_total,
+        |         CAST(COUNT(DISTINCT b) AS BIGINT) AS bi_distinct
+        |  FROM (SELECT source, unnest([t[i] || ' ' || t[i+1]
+        |                               FOR i IN generate_series(1, len(t)-1)]) AS b
+        |        FROM toks WHERE len(t) >= 2) GROUP BY source)
+        |SELECT source, uni_total, uni_distinct, bi_total, bi_distinct,
+        |       CAST(uni_distinct AS DOUBLE) / CAST(uni_total AS DOUBLE)
+        |         AS distinct1,
+        |       CAST(bi_distinct AS DOUBLE) / CAST(bi_total AS DOUBLE)
+        |         AS distinct2
+        |FROM uni JOIN bi USING (source) ORDER BY source""".stripMargin) {
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("source"), TextFns.wordTokens(col("text")).as("t"))
+        val toksP = graft.Caches.persist(toks)
+        val uni = toksP.select(col("source"), explode(col("t")).as("w"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("uni_total"),
+            countDistinct(col("w")).as("uni_distinct"))
+        val bi = toksP.where(size(col("t")) >= 2)
+          .select(col("source"), explode(
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => concat_ws(" ", element_at(col("t"), i),
+                element_at(col("t"), i + 1)))).as("b"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("bi_total"),
+            countDistinct(col("b")).as("bi_distinct"))
+        uni.join(bi, Seq("source"))
+          .select(col("source"), col("uni_total"), col("uni_distinct"),
+            col("bi_total"), col("bi_distinct"),
+            (col("uni_distinct").cast("double") /
+              col("uni_total").cast("double")).as("distinct1"),
+            (col("bi_distinct").cast("double") /
+              col("bi_total").cast("double")).as("distinct2"))
+          .orderBy(col("source"))
+      }
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
