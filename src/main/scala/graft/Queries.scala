@@ -5817,6 +5817,138 @@ object Queries {
           .orderBy(col("source"))
       }
     },
+
+    // INTERPOLATED KNESER-NEY bigram LM (Kneser & Ney 1995; the
+    // published absolute-discount formulation with d = 0.75):
+    //   P(w|h) = max(c(h,w)-d, 0)/c(h) + (d * N1+(h.)/c(h)) * N1+(.w)/D
+    // All four count tables are exact BIGINTs from one bigram-type agg;
+    // the discount c-0.75 is carried as the exact integer (4c-3)/4 and
+    // the probability is ONE fixed-shape IEEE expression — each +,-,*,/
+    // correctly rounded, so both engines produce bit-identical doubles
+    // with no float accumulation anywhere. Complements q80's add-k LM
+    // with the smoothing family real LM-data pipelines actually use
+    // (KenLM). Scale: the type table is vocab^2-bounded (not corpus-
+    // bounded); hist/cont aggs and joins run on it, the 1-row D
+    // denominator broadcasts.
+    q("q131_kneser_ney",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT b[1] AS w1, b[2] AS w2
+        |  FROM (SELECT unnest([[t[i], t[i+1]]
+        |                       FOR i IN generate_series(1, len(t)-1)]) AS b
+        |        FROM toks WHERE len(t) >= 2)),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS chw
+        |      FROM bg GROUP BY w1, w2),
+        |hist AS (SELECT w1, CAST(SUM(chw) AS BIGINT) AS ch,
+        |                CAST(COUNT(*) AS BIGINT) AS n1h FROM c GROUP BY w1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS contw
+        |         FROM c GROUP BY w2),
+        |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM c)
+        |SELECT c.w1, c.w2, c.chw, hist.ch, hist.n1h, cont.contw, dd.dd,
+        |       (CAST(greatest(4*c.chw - 3, 0) AS DOUBLE) / CAST(4 AS DOUBLE))
+        |         / CAST(hist.ch AS DOUBLE)
+        |       + ((CAST(0.75 AS DOUBLE) * CAST(hist.n1h AS DOUBLE))
+        |          / CAST(hist.ch AS DOUBLE))
+        |         * (CAST(cont.contw AS DOUBLE) / CAST(dd.dd AS DOUBLE)) AS p_kn
+        |FROM c JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN dd
+        |ORDER BY w1, w2""".stripMargin) { (s, d) => {
+      val toks = T(s, d, "documents")
+        .select(TextFns.wordTokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+      val bg = toks.select(explode(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val c = graft.Caches.persist(
+        bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("chw")))
+      val hist = c.groupBy(col("w1"))
+        .agg(sum(col("chw")).as("ch"), count(lit(1)).as("n1h"))
+      val cont = c.groupBy(col("w2")).agg(count(lit(1)).as("contw"))
+      val dd = c.agg(count(lit(1)).as("dd"))
+      c.join(hist, Seq("w1")).join(cont, Seq("w2")).crossJoin(broadcast(dd))
+        .select(col("w1"), col("w2"), col("chw"), col("ch"), col("n1h"),
+          col("contw"), col("dd"),
+          ((greatest(col("chw") * 4 - 3, lit(0L)).cast("double") / lit(4.0))
+            / col("ch").cast("double")
+            + ((lit(0.75) * col("n1h").cast("double"))
+                / col("ch").cast("double"))
+              * (col("contw").cast("double") / col("dd").cast("double")))
+            .as("p_kn"))
+        .orderBy(col("w1"), col("w2"))
+    }},
+
+    // PREFERENCE-PAIR construction (DPO/RLHF data prep): within each
+    // (source, lang) prompt group, pair the highest-scoring document
+    // (chosen) with the lowest-scoring one (rejected), with exact
+    // integer lexical-diversity scores (10000 * distinct-tokens div
+    // tokens) and deterministic doc_id tie-breaks on both ends.
+    // Degenerate single-document groups drop (chosen = rejected).
+    // Scale: score is row-local; the two rank-1 picks are per-group
+    // windows over hash-partitioned bounded-cardinality groups — a
+    // max_by/min_by agg shape, never a global sort.
+    q("q132_preference_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, source, lang,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source, lang,
+        |         (10000 * CAST(len(list_distinct(t)) AS BIGINT))
+        |           // CAST(len(t) AS BIGINT) AS score
+        |  FROM toks WHERE len(t) > 0),
+        |ranked AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY source, lang
+        |                            ORDER BY score DESC, doc_id) AS r_hi,
+        |         row_number() OVER (PARTITION BY source, lang
+        |                            ORDER BY score, doc_id DESC) AS r_lo
+        |  FROM sc),
+        |ch AS (SELECT source, lang, doc_id AS chosen_id, score AS chosen_score
+        |       FROM ranked WHERE r_hi = 1),
+        |rj AS (SELECT source, lang, doc_id AS rejected_id,
+        |              score AS rejected_score
+        |       FROM ranked WHERE r_lo = 1)
+        |SELECT source, lang, chosen_id, chosen_score, rejected_id,
+        |       rejected_score, chosen_score - rejected_score AS margin
+        |FROM ch JOIN rj USING (source, lang)
+        |WHERE chosen_id <> rejected_id
+        |ORDER BY source, lang""".stripMargin) { (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = TextFns.wordTokens(col("text"))
+      val sc = T(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), t.as("t"))
+        .where(size(col("t")) > 0)
+        .select(col("doc_id"), col("source"), col("lang"),
+          // `div`: exact BIGINT division — a double divide-then-cast
+          // could round up across an integer boundary before truncating
+          expr("(10000 * CAST(size(array_distinct(t)) AS BIGINT))" +
+            " div CAST(size(t) AS BIGINT)").as("score"))
+      val grp = Window.partitionBy(col("source"), col("lang"))
+      val ranked = sc
+        .withColumn("r_hi", row_number().over(
+          grp.orderBy(col("score").desc, col("doc_id"))))
+        .withColumn("r_lo", row_number().over(
+          grp.orderBy(col("score"), col("doc_id").desc)))
+      val rankedP = graft.Caches.persist(ranked)
+      val ch = rankedP.where(col("r_hi") === 1)
+        .select(col("source"), col("lang"), col("doc_id").as("chosen_id"),
+          col("score").as("chosen_score"))
+      val rj = rankedP.where(col("r_lo") === 1)
+        .select(col("source"), col("lang"), col("doc_id").as("rejected_id"),
+          col("score").as("rejected_score"))
+      ch.join(rj, Seq("source", "lang"))
+        .where(col("chosen_id") =!= col("rejected_id"))
+        .select(col("source"), col("lang"), col("chosen_id"),
+          col("chosen_score"), col("rejected_id"), col("rejected_score"),
+          (col("chosen_score") - col("rejected_score")).as("margin"))
+        .orderBy(col("source"), col("lang"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
