@@ -5949,6 +5949,166 @@ object Queries {
           (col("chosen_score") - col("rejected_score")).as("margin"))
         .orderBy(col("source"), col("lang"))
     }},
+
+    // CONTENT-DEFINED CHUNKING (the Gear rolling hash of the FastCDC
+    // literature, token-granular) + cross-doc chunk dedup. The
+    // sequential gear state h_i = (2*h_{i-1} + g(tok_i)) mod 2^48
+    // equals the windowed sum over the last 48 tokens of g_j * 2^(i-j)
+    // mod 2^48 (older terms carry a 2^48 factor and vanish), so both
+    // engines compute the identical hash with BOUNDED row-local integer
+    // math (g < 2^10, 48 terms < 2^58 — BIGINT/ANSI-safe, no sequential
+    // state needed). A boundary closes a chunk where h % 16 = 0 (target
+    // 16-token chunks) or at doc end; unlike fixed-grid chunking, an
+    // insertion shifts boundaries only locally, so shared regions
+    // across docs still align — the property blob-storage dedup relies
+    // on. Chunks then dedup by content hash with a deterministic
+    // (doc_id, chunk_ix) keeper. Scale: chunking is row-local (zero
+    // shuffles); the dedup is one hash agg + one equi-join on the
+    // chunk-hash key.
+    q("q133_cdc_chunks",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |         [CAST(('0x' || substr(md5('cdc:' || tok), 1, 15)) AS BIGINT)
+        |            % 1024 FOR tok IN t] AS gh
+        |  FROM toks WHERE len(t) > 0),
+        |h AS (
+        |  SELECT doc_id, t, n,
+        |         [list_sum([gh[j] * (CAST(1 AS BIGINT) << (i - j))
+        |                    FOR j IN generate_series(greatest(1, i - 47), i)])
+        |            % 281474976710656
+        |          FOR i IN generate_series(1, CAST(n AS INTEGER))] AS hs
+        |  FROM g),
+        |b AS (
+        |  SELECT doc_id, t, n,
+        |         [i FOR i IN generate_series(1, CAST(n AS INTEGER))
+        |          IF hs[i] % 16 = 0 OR i = n] AS bpos
+        |  FROM h),
+        |ex AS (
+        |  SELECT doc_id, t, bpos,
+        |         unnest(generate_series(1, len(bpos))) AS c FROM b),
+        |txt AS (
+        |  SELECT doc_id, CAST(c AS BIGINT) AS chunk_ix,
+        |         CAST(bpos[c] - (CASE WHEN c = 1 THEN 1 ELSE bpos[c-1] + 1 END)
+        |              + 1 AS BIGINT) AS chunk_len,
+        |         substr(md5(array_to_string(
+        |           t[(CASE WHEN c = 1 THEN 1 ELSE bpos[c-1] + 1 END):bpos[c]],
+        |           ' ')), 1, 16) AS chunk_hash
+        |  FROM ex),
+        |dup AS (
+        |  SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS dup_cnt,
+        |         MIN(doc_id * 100000 + chunk_ix) AS keeper
+        |  FROM txt GROUP BY chunk_hash)
+        |SELECT t2.doc_id, t2.chunk_ix, t2.chunk_len, t2.chunk_hash,
+        |       dup.dup_cnt,
+        |       (t2.doc_id * 100000 + t2.chunk_ix) = dup.keeper AS survivor
+        |FROM txt t2 JOIN dup USING (chunk_hash)
+        |ORDER BY doc_id, chunk_ix""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+        .where(size(col("t")) > 0)
+        .withColumn("n", size(col("t")))
+        .withColumn("gh", transform(col("t"),
+          tok => pmod(H.md5Hash60(concat(lit("cdc:"), tok)), lit(1024L))))
+        // windowed-sum gear hash (see scaladoc: ≡ the sequential fold)
+        .withColumn("hs", expr(
+          """transform(sequence(1, n), i ->
+            |  aggregate(sequence(greatest(1, i - 47), i), CAST(0 AS BIGINT),
+            |    (acc, j) -> acc + element_at(gh, j)
+            |                      * shiftleft(CAST(1 AS BIGINT), i - j))
+            |  % 281474976710656)""".stripMargin))
+        .withColumn("bpos", expr(
+          "filter(sequence(1, n), i -> element_at(hs, i) % 16 = 0 OR i = n)"))
+      val chunks = docs
+        .select(col("doc_id"), col("t"), col("bpos"),
+          explode(sequence(lit(1), size(col("bpos")))).as("c"))
+        .withColumn("st", when(col("c") === 1, lit(1))
+          .otherwise(element_at(col("bpos"), col("c") - 1) + 1))
+        .withColumn("en", element_at(col("bpos"), col("c")))
+        .select(col("doc_id"), col("c").cast("long").as("chunk_ix"),
+          (col("en") - col("st") + 1).cast("long").as("chunk_len"),
+          substring(md5(array_join(
+            slice(col("t"), col("st"), col("en") - col("st") + 1), " ")
+            .cast("binary")), 1, 16).as("chunk_hash"))
+      val chunksP = graft.Caches.persist(chunks)
+      val dup = chunksP.groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("dup_cnt"),
+          min(col("doc_id") * 100000 + col("chunk_ix")).as("keeper"))
+      chunksP.join(dup, Seq("chunk_hash"))
+        .select(col("doc_id"), col("chunk_ix"), col("chunk_len"),
+          col("chunk_hash"), col("dup_cnt"),
+          (col("doc_id") * 100000 + col("chunk_ix") === col("keeper"))
+            .as("survivor"))
+        .orderBy(col("doc_id"), col("chunk_ix"))
+    }},
+
+    // INT8 SYMMETRIC QUANTIZATION + quantized top-k retrieval (the
+    // standard int8 ADC serving shape: 4x smaller vectors, integer
+    // dot products). Per-vector scale = max|x|; q_i = floor(127*x/mx)
+    // — floor of one correctly-rounded IEEE division, deterministic in
+    // both engines; all-zero vectors quantize to zeros. Dot products
+    // are EXACT BIGINTs (|dot| <= 64*127^2), rank ties break on vec_id.
+    // Scale: the 10-query probe side broadcasts against the corpus
+    // (never corpus x corpus); per-query top-k is a bounded window.
+    q("q134_int8_quant_ann",
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |         CAST(list_max([abs(x) FOR x IN embedding]) AS DOUBLE) AS mx,
+        |         embedding
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |         CASE WHEN mx = 0 THEN [CAST(0 AS BIGINT) FOR x IN embedding]
+        |              ELSE [CAST(floor((CAST(x AS DOUBLE) * CAST(127 AS DOUBLE))
+        |                               / mx) AS BIGINT) FOR x IN embedding]
+        |         END AS qv
+        |  FROM qv),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |         list_sum([a.qv[i] * b.qv[i]
+        |                   FOR i IN generate_series(1, len(a.qv))]) AS dot
+        |  FROM qz a CROSS JOIN qz b
+        |  WHERE a.vec_id < 10),
+        |rk AS (
+        |  SELECT query_id, vec_id, CAST(dot AS BIGINT) AS dot,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY dot DESC, vec_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val qz = T(s, d, "embeddings")
+          .withColumn("mx",
+            array_max(transform(col("embedding"), x => abs(x)))
+              .cast("double"))
+          .select(col("vec_id"),
+            when(col("mx") === 0,
+              transform(col("embedding"), _ => lit(0L)))
+              .otherwise(transform(col("embedding"),
+                x => floor((x.cast("double") * lit(127.0)) / col("mx"))))
+              .as("qv"))
+        val qzP = graft.Caches.persist(qz)
+        val probes = qzP.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+        val pairs = broadcast(probes).crossJoin(qzP)
+          .select(col("query_id"), col("vec_id"),
+            aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
+              lit(0L), (acc, v) => acc + v).as("dot"))
+        pairs
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("dot").desc, col("vec_id"))).cast("long"))
+          .where(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id"), col("dot"))
+          .orderBy(col("query_id"), col("rank"))
+      }
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
