@@ -6109,6 +6109,25 @@ object Queries {
           .orderBy(col("query_id"), col("rank"))
       }
     },
+
+    // PRODUCT QUANTIZATION ADC serving shape (PqSpec holds the recall,
+    // determinism, and centroid-fixed-point witnesses; q134 is the
+    // int8 sibling with a full oracle). Codebooks train on an
+    // md5-ordered bounded sample; encode/search are row-local
+    // expressions over the broadcast-literal codebook — the corpus
+    // scan touches codes only. Float training math → rows-only.
+    rowsOnly("x35_pq_adc") { (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val model = graft.operators.Pq.fit(emb, "vec_id", "embedding",
+        graft.operators.Pq.Config(m = 16, k = 32, sampleN = 256, iters = 10))
+      val codes = graft.operators.Pq.encode(model, emb, "vec_id", "embedding")
+      val qs = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.operators.Pq.searchAdc(model, codes, qs,
+          "query_id", "vec_id", "embedding", k = 5)
+        .drop("adist") // float-derived; rank is the deterministic contract
+        .orderBy(col("query_id"), col("rank"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization: codebook determinism, the exact-reconstruction
+  * fixed point (a vector assembled from codebook centroids encodes to
+  * exactly those codes), compression contract (m codes per vector),
+  * and ADC recall against exact L2 top-k on the embeddings fixture. */
+class PqSpec extends SparkSpec {
+
+  private lazy val emb =
+    graft.sources.Tables.table(spark, sf("sf0.001"), "embeddings")
+
+  // m=16/k=32 on the 64-dim fixture: near-isotropic synthetic vectors
+  // are PQ's adversarial case (no subspace structure to exploit), so
+  // the spec uses finer codebooks than the 8x16 production default to
+  // keep the recall signal meaningful
+  private lazy val model = Pq.fit(emb, "vec_id", "embedding",
+    Pq.Config(m = 16, k = 32, sampleN = 256, iters = 10))
+
+  test("fit is deterministic and shapes match the config") {
+    val again = Pq.fit(emb, "vec_id", "embedding",
+      Pq.Config(m = 16, k = 32, sampleN = 256, iters = 10))
+    assert(model.m == 16 && model.subDim == 4)
+    assert(model.codebooks.length == 16)
+    assert(model.codebooks.forall(_.forall(_.length == 4)))
+    assert(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      again.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("encode: m codes per vector, all within [0, k)") {
+    val codes = Pq.encode(model, emb, "vec_id", "embedding")
+    val rows = codes.select(col("codes")).collect()
+      .map(_.getSeq[Int](0))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.length == 16))
+    assert(rows.forall(_.forall(c => c >= 0 && c < 32)))
+  }
+
+  test("a centroid-assembled vector encodes to its own codes") {
+    import spark.implicits._
+    // build a vector whose subspace s equals centroid (s mod k) of
+    // subspace s — its nearest centroid per subspace is itself (d=0)
+    val picks = (0 until model.m).map(s => s % model.codebooks(s).length)
+    val v = (0 until model.m).flatMap(s =>
+      model.codebooks(s)(picks(s)).map(_.toFloat))
+    val df = Seq((0L, v)).toDF("vec_id", "embedding")
+    val got = Pq.encode(model, df, "vec_id", "embedding")
+      .select(col("codes")).head().getSeq[Int](0)
+    // distance 0 to the assembled centroid; a tie (duplicate centroid)
+    // breaks to the lowest index, which must still have distance 0
+    picks.indices.foreach { s =>
+      val cGot = model.codebooks(s)(got(s))
+      val cWant = model.codebooks(s)(picks(s))
+      assert(cGot.toSeq == cWant.toSeq,
+        s"subspace $s: code ${got(s)} is not a zero-distance centroid")
+    }
+  }
+
+  test("ADC recall@10 vs exact L2 on the fixture is usable") {
+    val codes = Pq.encode(model, emb, "vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val pq = Pq.searchAdc(model, codes, queries,
+        "query_id", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // exact L2 top-10 per query, driver-side over the small fixture
+    val all = emb.select(col("vec_id"),
+        graft.functions.VectorFns.toDoubles(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val exact = all.filter(_._1 < 20).map { case (qid, qv) =>
+      qid -> all.map { case (id, v) => (l2(qv, v), id) }
+        .sortBy(identity).take(10).map(_._2).toSet
+    }.toMap
+
+    val recalls = exact.map { case (qid, want) =>
+      pq(qid).intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4,
+      f"mean ADC recall@10 $mean%.2f below 0.4 — codebooks degenerate?")
+    // self-hit: every query's own vector has ADC distance equal to its
+    // quantization error, which must rank it in the top-10
+    assert(exact.keys.forall(qid => pq(qid).contains(qid)))
+  }
+}
