@@ -6128,6 +6128,22 @@ object Queries {
         .drop("adist") // float-derived; rank is the deterministic contract
         .orderBy(col("query_id"), col("rank"))
     }},
+
+    // IVFPQ (IVFADC): KMeans cells + residual PQ codes + per-(query,
+    // probed-cell) LUT — the billion-vector serving composition; see
+    // Pq.ivfPqTopK scaladoc for the partition-pruned 100 TB story.
+    // PqSpec holds containment and recall witnesses.
+    rowsOnly("x36_ivfpq") { (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.operators.Pq.ivfPqTopK(emb, qs,
+          "query_id", "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3,
+          cfg = graft.operators.Pq.Config(m = 16, k = 32, sampleN = 256,
+            iters = 10))
+        .drop("adist")
+        .orderBy(col("query_id"), col("rank"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

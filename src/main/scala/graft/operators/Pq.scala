@@ -174,4 +174,91 @@ object Pq {
       .where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col("adist"))
   }
+
+  /** IVFPQ (the composition Jégou et al. publish as IVFADC, and the
+    * shape FAISS serves billion-vector corpora with): a KMeans coarse
+    * quantizer routes vectors to `nlist` cells, PQ encodes the RESIDUAL
+    * v − centroid(cell) (residuals concentrate near 0, so the same
+    * codebook budget quantizes them far better than raw vectors), and a
+    * query probes only its `nprobe` nearest cells with a per-(query,
+    * cell) LUT over (q − centroid).
+    *
+    * Scale shape: the probe side is |queries|·nprobe rows and
+    * broadcasts; the corpus side carries only (id, cell, m codes) and
+    * joins on the cell key — at 100 TB with a `partitionBy(_cell)`
+    * layout (see [[IvfIndex]]) that join is a partition-pruned scan of
+    * nprobe/nlist of the data, and each scanned row costs m lookups. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                qidCol: String, idCol: String, vecCol: String,
+                k: Int, nlist: Int = 8, nprobe: Int = 3,
+                cfg: Config = Config(), seed: Long = 11L,
+                cellIter: Int = 8): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusV = corpus
+      .select(col(idCol), graft.functions.VectorFns.toDoubles(col(vecCol)).as("_v"))
+      .withColumn("_features", array_to_vector(col("_v")))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(cellIter)
+      .setFeaturesCol("_features").setPredictionCol("_cell")
+    val router = km.fit(corpusV)
+
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = router.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("_cell", "_centroid")
+
+    // residual stream: v - centroid(cell), the quantity PQ encodes
+    val resid = router.transform(corpusV)
+      .join(broadcast(cents), Seq("_cell"))
+      .select(col(idCol), col("_cell"),
+        zip_with(col("_v"), col("_centroid"), (a, b) => a - b).as("_res"))
+    val residP = graft.Caches.persist(resid)
+
+    val model = fit(residP, idCol, "_res", cfg)
+    val codes = encode(model, residP, idCol, "_res")
+      .join(residP.select(col(idCol), col("_cell")), Seq(idCol))
+
+    // route queries to their nprobe nearest cells; residualize per probe
+    val qc = broadcast(queries
+      .select(col(qidCol), graft.functions.VectorFns.toDoubles(col(vecCol)).as("_qv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("_qdist", aggregate(
+        zip_with(col("_qv"), col("_centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v))
+    val probeW = Window.partitionBy(col(qidCol))
+      .orderBy(col("_qdist").asc, col("_cell").asc)
+    val probes = qc.withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nprobe)
+      .select(col(qidCol), col("_cell"),
+        zip_with(col("_qv"), col("_centroid"), (a, b) => a - b).as("_qres"))
+
+    // per-(query, cell) LUT over the query residual — row-local
+    val subDim = model.subDim
+    val withLut = probes
+      .withColumn("_cb", cbLit(model))
+      .withColumn("_lut", expr(
+        s"""transform(sequence(0, ${model.m - 1}), s ->
+           |  transform(sequence(1, size(element_at(_cb, s + 1))), c ->
+           |    aggregate(sequence(1, $subDim), CAST(0 AS DOUBLE),
+           |      (a, j) -> a + (element_at(_qres, s * $subDim + j)
+           |                      - element_at(element_at(element_at(_cb, s + 1), c), j))
+           |                   * (element_at(_qres, s * $subDim + j)
+           |                      - element_at(element_at(element_at(_cb, s + 1), c), j)))))"""
+          .stripMargin))
+      .select(col(qidCol), col("_cell"), col("_lut"))
+
+    val scored = broadcast(withLut).join(codes, Seq("_cell"))
+      .withColumn("adist", expr(
+        s"""aggregate(sequence(0, ${model.m - 1}), CAST(0 AS DOUBLE),
+           |  (a, s) -> a + element_at(element_at(_lut, s + 1),
+           |                           element_at(codes, s + 1) + 1))"""
+          .stripMargin))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("adist").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("adist"),
+        col("_cell").as("cell"))
+  }
 }

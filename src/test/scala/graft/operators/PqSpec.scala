@@ -91,4 +91,40 @@ class PqSpec extends SparkSpec {
     // quantization error, which must rank it in the top-10
     assert(exact.keys.forall(qid => pq(qid).contains(qid)))
   }
+
+  test("IVFPQ: k rows per query, probed-cell containment, usable recall") {
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val res = Pq.ivfPqTopK(emb, queries, "query_id", "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 4,
+      cfg = Pq.Config(m = 16, k = 32, sampleN = 256, iters = 10))
+    val rows = res.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 20 && byQ.values.forall(_.length == 10),
+      "every query must return exactly k rows")
+    // every returned neighbor must come from one of at most nprobe cells
+    assert(byQ.values.forall(_.map(_.getInt(4)).toSet.size <= 4))
+
+    // recall vs exact L2 — nprobe=4/8 cells scans half the corpus, so
+    // the bar sits below the full-scan ADC test's
+    val all = emb.select(col("vec_id"),
+        graft.functions.VectorFns.toDoubles(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val exact = all.filter(_._1 < 20).map { case (qid, qv) =>
+      qid -> all.map { case (id, v) => (l2(qv, v), id) }
+        .sortBy(identity).take(10).map(_._2).toSet
+    }.toMap
+    val got = byQ.view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val mean = exact.map { case (qid, want) =>
+      got(qid).intersect(want).size.toDouble / want.size
+    }.sum / exact.size
+    assert(mean >= 0.25,
+      f"mean IVFPQ recall@10 $mean%.2f below 0.25")
+    graft.Caches.release()
+  }
 }
