@@ -6144,6 +6144,148 @@ object Queries {
         .drop("adist")
         .orderBy(col("query_id"), col("rank"))
     }},
+
+    // VOCAB TRUNCATION BY CUMULATIVE COVERAGE (the standard tokenizer-
+    // vocab pruning rule: keep the smallest frequency-ranked prefix
+    // covering >= 99% of the token stream). Threshold is the exact
+    // integer ceil(99*total/100); a word is kept iff the cumulative
+    // count BEFORE it is still under the threshold, so the crossing
+    // word is included and the prefix is minimal. The rank/cumsum
+    // window runs over the VOCAB table (vocab-bounded, same regime as
+    // q82's vocab ranking), never the corpus; the corpus contributes
+    // one token hash-agg.
+    q("q135_vocab_coverage",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM wc),
+        |rk AS (
+        |  SELECT w, freq,
+        |         CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT)
+        |           AS rank,
+        |         CAST(COALESCE(SUM(freq) OVER (ORDER BY freq DESC, w
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              AS BIGINT) AS cum_before
+        |  FROM wc)
+        |SELECT rk.rank, rk.w, rk.freq,
+        |       CAST(rk.cum_before + rk.freq AS BIGINT) AS cum,
+        |       tot.total
+        |FROM rk CROSS JOIN tot
+        |WHERE rk.cum_before < (99 * tot.total + 99) // 100
+        |ORDER BY rk.rank""".stripMargin) { (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wc = T(s, d, "documents")
+        .select(explode(TextFns.wordTokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val wcP = graft.Caches.persist(wc)
+      val tot = wcP.agg(sum(col("freq")).cast("long").as("total"))
+      val ord = Window.orderBy(col("freq").desc, col("w"))
+      wcP
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("cum_before", coalesce(
+          sum(col("freq")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).cast("long"))
+        .crossJoin(broadcast(tot))
+        .where(col("cum_before") <
+          expr("(99 * total + 99) div 100"))
+        .select(col("rank"), col("w"), col("freq"),
+          (col("cum_before") + col("freq")).cast("long").as("cum"),
+          col("total"))
+        .orderBy(col("rank"))
+    }},
+
+    // RENDEZVOUS (highest-random-weight) SHARDING (Thaler & Ravishankar
+    // 1998): each doc goes to the shard with the max md5(shard:doc)
+    // weight — the consistent-placement primitive whose property is
+    // that adding/removing a shard remaps only 1/n of the keys (no
+    // global reshuffle), which is how a 100 TB corpus spreads over
+    // writer tasks or index shards without a coordinator. Argmax ties
+    // break to the FIRST max index via array_position; fully row-local,
+    // zero shuffles.
+    q("q136_hrw_shard",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         [CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || ':'
+        |               || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |          FOR s IN generate_series(0, 7)] AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(list_position(hs, list_max(hs)) - 1 AS BIGINT) AS shard
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          array((0 until 8).map(sh =>
+            H.md5Hash60(concat_ws(":", lit(sh), col("doc_id")))): _*)
+            .as("hs"))
+        .select(col("doc_id"),
+          (expr("array_position(hs, array_max(hs))") - 1)
+            .cast("long").as("shard"))
+        .orderBy(col("doc_id"))
+    }},
+
+    // MOJIBAKE REPAIR (the ftfy fix-encoding pass every public corpus
+    // pipeline runs): UTF-8 bytes mis-decoded as Latin-1 turn e.g.
+    // U+00E9 into the two-char sequence U+00C3 U+00A9. The fixture text
+    // is pure ASCII, so the query SYNTHESIZES ground truth in-query
+    // (the q95 pattern): deterministically accent three common words,
+    // corrupt via the UTF-8-as-Latin-1 mapping, then REPAIR with the
+    // inverse mapping — emitting the mojibake count and a repaired ==
+    // ground-truth witness per row, so an incomplete mapping or a
+    // wrong replacement order breaks the oracle. Row-local string
+    // rewriting, zero shuffles.
+    q("q137_mojibake_fix",
+      """WITH acc AS (
+        |  SELECT doc_id,
+        |         replace(replace(replace(text,
+        |           'key', 'kéy'), 'data', 'düta'),
+        |           'part', 'pañt') AS truth
+        |  FROM documents),
+        |cor AS (
+        |  SELECT doc_id, truth,
+        |         replace(replace(replace(truth,
+        |           'é', 'Ã©'), 'ü', 'Ã¼'),
+        |           'ñ', 'Ã±') AS corrupted
+        |  FROM acc),
+        |rep AS (
+        |  SELECT doc_id, truth, corrupted,
+        |         replace(replace(replace(corrupted,
+        |           'Ã©', 'é'), 'Ã¼', 'ü'),
+        |           'Ã±', 'ñ') AS repaired
+        |  FROM cor)
+        |SELECT doc_id,
+        |       CAST(length(corrupted) - length(replace(corrupted, 'Ã', ''))
+        |            AS BIGINT) AS n_moji,
+        |       repaired = truth AS repaired_ok,
+        |       substr(repaired, 1, 80) AS repaired_prefix
+        |FROM rep ORDER BY doc_id""".stripMargin) { (s, d) => {
+      def rep(c: org.apache.spark.sql.Column, from: String, to: String) =
+        regexp_replace(c, java.util.regex.Pattern.quote(from),
+          java.util.regex.Matcher.quoteReplacement(to))
+      val truth = rep(rep(rep(col("text"),
+        "key", "kéy"), "data", "düta"), "part", "pañt")
+      val corrupted = rep(rep(rep(col("truth"),
+        "é", "Ã©"), "ü", "Ã¼"),
+        "ñ", "Ã±")
+      val repaired = rep(rep(rep(col("corrupted"),
+        "Ã©", "é"), "Ã¼", "ü"),
+        "Ã±", "ñ")
+      T(s, d, "documents")
+        .select(col("doc_id"), truth.as("truth"))
+        .withColumn("corrupted", corrupted)
+        .withColumn("repaired", repaired)
+        .select(col("doc_id"),
+          (length(col("corrupted")) -
+            length(rep(col("corrupted"), "Ã", "")))
+            .cast("long").as("n_moji"),
+          (col("repaired") === col("truth")).as("repaired_ok"),
+          substring(col("repaired"), 1, 80).as("repaired_prefix"))
+        .orderBy(col("doc_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
