@@ -6286,6 +6286,62 @@ object Queries {
           substring(col("repaired"), 1, 80).as("repaired_prefix"))
         .orderBy(col("doc_id"))
     }},
+
+    // PER-SOURCE UNIGRAM KL DIVERGENCE from the corpus distribution —
+    // the domain-drift signal DoReMi-class mixture tuning consumes
+    // (a source whose token distribution diverges from the mixture is
+    // up/down-weighted). D_KL(P_s || P) = Σ_w p_sw · ln(p_sw/p_w),
+    // every p a ratio of exact BIGINT counts; each term is floor-
+    // 1e6-scaled to an integer BEFORE the per-source sum (q80/q83's
+    // float discipline — no cross-row float accumulation, summation
+    // order free). Scale: two token hash-aggs; the term table is
+    // |sources|×vocab-bounded; the 1-row corpus total broadcasts.
+    q("q138_domain_kl",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT source, unnest(t) AS w FROM toks),
+        |sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+        |       FROM tok GROUP BY source, w),
+        |st AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+        |       FROM sw GROUP BY source),
+        |cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w
+        |       FROM sw GROUP BY w),
+        |nn AS (SELECT CAST(SUM(c_sw) AS BIGINT) AS nn FROM sw),
+        |term AS (
+        |  SELECT sw.source, sw.w,
+        |         CAST(floor(CAST(1000000 AS DOUBLE)
+        |           * ((CAST(sw.c_sw AS DOUBLE) / CAST(st.n_s AS DOUBLE))
+        |              * ln((CAST(sw.c_sw AS DOUBLE) * CAST(nn.nn AS DOUBLE))
+        |                   / (CAST(st.n_s AS DOUBLE) * CAST(cw.c_w AS DOUBLE)))))
+        |           AS BIGINT) AS term_scaled
+        |  FROM sw JOIN st USING (source) JOIN cw USING (w) CROSS JOIN nn)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(term_scaled) AS BIGINT) AS kl_scaled
+        |FROM term GROUP BY source ORDER BY source""".stripMargin) { (s, d) => {
+      val sw = T(s, d, "documents")
+        .select(col("source"),
+          explode(TextFns.wordTokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      val swP = graft.Caches.persist(sw)
+      val st = swP.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+      val cw = swP.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+      val nn = swP.agg(sum(col("c_sw")).as("nn"))
+      swP.join(st, Seq("source")).join(cw, Seq("w"))
+        .crossJoin(broadcast(nn))
+        .select(col("source"),
+          floor(lit(1000000.0) *
+            ((col("c_sw").cast("double") / col("n_s").cast("double")) *
+              log((col("c_sw").cast("double") * col("nn").cast("double")) /
+                (col("n_s").cast("double") * col("c_w").cast("double")))))
+            .cast("long").as("term_scaled"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("term_scaled")).cast("long").as("kl_scaled"))
+        .orderBy(col("source"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
