@@ -5704,12 +5704,14 @@ object Queries {
     // (<= 64 * 2^55 < 2^62, BIGINT-safe — empty buckets contribute
     // register 0 = 2^55), so the only float op is the final
     // alpha*m^2/Z division: one deterministic IEEE expression evaluated
-    // identically by both engines. Raw estimator, no small/large-range
-    // correction (documented; E >> 2.5m here). At scale: one map-side
-    // partial max per bucket -> 64-row merge — constant memory,
-    // mergeable across partitions/days, vs a full distinct shuffle.
-    // Complements q40's KMV (order-statistics family) with the
-    // bit-pattern family.
+    // identically by both engines. est_milli carries the PUBLISHED
+    // estimator including the small-range linear-counting correction
+    // (floor-milli-scaled; the correction does not fire here — E >>
+    // 2.5m — but the branch is mirrored; x37 exercises the firing
+    // side). At scale: one map-side partial max per bucket -> 64-row
+    // merge — constant memory, mergeable across partitions/days, vs a
+    // full distinct shuffle. Complements q40's KMV (order-statistics
+    // family) with the bit-pattern family.
     q("q129_hll_distinct",
       """WITH h AS (
         |  SELECT CAST(('0x' || substr(md5('hll:' || CAST(l_partkey AS VARCHAR)),
@@ -5723,17 +5725,25 @@ object Queries {
         |s AS (
         |  SELECT CAST(SUM(CAST(1 AS BIGINT) << (55 - rho)) AS BIGINT)
         |           AS present_sum,
-        |         COUNT(*) AS nb FROM r)
-        |SELECT CAST(64 AS BIGINT) AS m,
-        |       CAST(present_sum + (64 - nb) * (CAST(1 AS BIGINT) << 55)
-        |            AS BIGINT) AS sum_inv_int,
-        |       ((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE))
-        |         * CAST(36028797018963968 AS DOUBLE))
-        |         / CAST(present_sum + (64 - nb) * (CAST(1 AS BIGINT) << 55)
-        |                AS DOUBLE) AS hll_est,
+        |         COUNT(*) AS nb FROM r),
+        |fin AS (
+        |  SELECT CAST(present_sum + (64 - nb) * (CAST(1 AS BIGINT) << 55)
+        |              AS BIGINT) AS sum_inv_int,
+        |         ((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE))
+        |           * CAST(36028797018963968 AS DOUBLE))
+        |           / CAST(present_sum + (64 - nb) * (CAST(1 AS BIGINT) << 55)
+        |                  AS DOUBLE) AS hll_est,
+        |         64 - nb AS v
+        |  FROM s)
+        |SELECT CAST(64 AS BIGINT) AS m, sum_inv_int, hll_est,
+        |       CAST(CASE WHEN hll_est <= CAST(160 AS DOUBLE) AND v > 0
+        |            THEN floor(CAST(1000 AS DOUBLE) * (CAST(64 AS DOUBLE)
+        |                 * ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE))))
+        |            ELSE floor(CAST(1000 AS DOUBLE) * hll_est) END
+        |            AS BIGINT) AS est_milli,
         |       (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
         |         AS true_distinct
-        |FROM s""".stripMargin) { (s, d) => {
+        |FROM fin""".stripMargin) { (s, d) => {
       val H = graft.functions.HashFns
       val li = T(s, d, "lineitem")
       val hashed = li.select(
@@ -5753,11 +5763,18 @@ object Queries {
         countDistinct(col("l_partkey")).cast("long").as("true_distinct"))
       val sumInv = col("present_sum") +
         (lit(64L) - col("nb")) * lit(1L << 55)
+      val raw = ((lit(0.709) * lit(4096.0)) * lit(3.6028797018963968e16))
+        .divide(sumInv.cast("double"))
+      val v = lit(64L) - col("nb")
+      val estMilli = when(raw <= lit(160.0) && v > 0,
+        floor(lit(1000.0) *
+          (lit(64.0) * log(lit(64.0).divide(v.cast("double"))))))
+        .otherwise(floor(lit(1000.0) * raw)).cast("long")
       sums.crossJoin(trueD).select(
         lit(64L).as("m"),
         sumInv.cast("long").as("sum_inv_int"),
-        ((lit(0.709) * lit(4096.0)) * lit(3.6028797018963968e16))
-          .divide(sumInv.cast("double")).as("hll_est"),
+        raw.as("hll_est"),
+        estMilli.as("est_milli"),
         col("true_distinct"))
     }},
 
@@ -6341,6 +6358,63 @@ object Queries {
         .agg(count(lit(1)).as("n_words"),
           sum(col("term_scaled")).cast("long").as("kl_scaled"))
         .orderBy(col("source"))
+    }},
+
+    // STREAMING HLL cardinality monitor — q129's sketch as a
+    // watermarked windowed aggregation (built-in streaming max, no
+    // custom state store: 64 longs per open hour, watermark-evicted).
+    // The replayed register table finalizes batch-side with the same
+    // integer-exact harmonic sum; exact per-hour distincts join in
+    // from the batch table as the accuracy witness. Stream ≡ batch is
+    // the correctness contract (the x15/x20 pattern).
+    q("x37_stream_hll",
+      """WITH h AS (
+        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms, user_id,
+        |         CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |b AS (SELECT bucket_ms, h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (
+        |  SELECT bucket_ms, bucket,
+        |         MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END)
+        |           AS rho
+        |  FROM b GROUP BY bucket_ms, bucket),
+        |s AS (
+        |  SELECT bucket_ms,
+        |         CAST(SUM(CAST(1 AS BIGINT) << (55 - rho)) AS BIGINT)
+        |           AS present_sum,
+        |         COUNT(*) AS nb FROM r GROUP BY bucket_ms),
+        |ex AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |              CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |                AS true_distinct
+        |       FROM events GROUP BY 1),
+        |fin AS (
+        |  SELECT bucket_ms,
+        |         CAST(present_sum + (64 - nb) * (CAST(1 AS BIGINT) << 55)
+        |              AS BIGINT) AS sum_inv_int,
+        |         ((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE))
+        |           * CAST(36028797018963968 AS DOUBLE))
+        |           / CAST(present_sum + (64 - nb) * (CAST(1 AS BIGINT) << 55)
+        |                  AS DOUBLE) AS hll_est,
+        |         64 - nb AS v
+        |  FROM s)
+        |SELECT fin.bucket_ms, fin.sum_inv_int, fin.hll_est,
+        |       CAST(CASE WHEN fin.hll_est <= CAST(160 AS DOUBLE) AND fin.v > 0
+        |            THEN floor(CAST(1000 AS DOUBLE) * (CAST(64 AS DOUBLE)
+        |                 * ln(CAST(64 AS DOUBLE) / CAST(fin.v AS DOUBLE))))
+        |            ELSE floor(CAST(1000 AS DOUBLE) * fin.hll_est) END
+        |            AS BIGINT) AS est_milli,
+        |       ex.true_distinct
+        |FROM fin JOIN ex USING (bucket_ms)
+        |ORDER BY bucket_ms""".stripMargin) { (s, d) => {
+      val est = graft.streaming.StreamHll.replayParquet(s, d,
+        queryName = "x37_hll")
+      val exact = T(s, d, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(expr("(unix_millis(event_time) div 3600000) * 3600000")
+          .as("bucket_ms"))
+        .agg(countDistinct(col("user_id")).cast("long").as("true_distinct"))
+      est.join(exact, Seq("bucket_ms")).orderBy(col("bucket_ms"))
     }},
   )
 
