@@ -6416,6 +6416,134 @@ object Queries {
         .agg(countDistinct(col("user_id")).cast("long").as("true_distinct"))
       est.join(exact, Seq("bucket_ms")).orderBy(col("bucket_ms"))
     }},
+
+    // MATRYOSHKA (MRL) truncated-dimension retrieval: score with only
+    // the first 16 of 64 dims — the 4x-cheaper first pass an MRL-
+    // trained embedding serves — and report each truncated top-5 hit's
+    // membership in the full-dim top-5 (the retrieval-quality audit a
+    // pipeline runs before committing to the cheap dims). The cosine
+    // is BIT-EXACT cross-engine: dots and norms are sequential
+    // left-to-right folds (identical order both engines) and +,*,/,
+    // sqrt are all IEEE-correctly-rounded — no scaling needed, the raw
+    // doubles hash-match. Scale: probe side broadcasts; both rankings
+    // come from ONE corpus scan (two windows over the same pair
+    // table); the truncated column is 4x less data to move.
+    q("q139_mrl_topk",
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+        |         [CAST(x AS DOUBLE) FOR x IN embedding[1:16]] AS vt
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, vt,
+        |         sqrt(list_reduce([x*x FOR x IN v], (a,b) -> a+b)) AS nf,
+        |         sqrt(list_reduce([x*x FOR x IN vt], (a,b) -> a+b)) AS nt
+        |  FROM e),
+        |pt AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |         list_reduce([a.vt[i]*b.vt[i] FOR i IN generate_series(1,16)],
+        |                     (x,y) -> x+y) / (a.nt * b.nt) AS cos_trunc,
+        |         list_reduce([a.v[i]*b.v[i] FOR i IN generate_series(1,len(a.v))],
+        |                     (x,y) -> x+y) / (a.nf * b.nf) AS cos_full
+        |  FROM n a CROSS JOIN n b WHERE a.vec_id < 10),
+        |rt AS (
+        |  SELECT query_id, vec_id, cos_trunc,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos_trunc DESC, vec_id) AS rank,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos_full DESC, vec_id) AS rank_full
+        |  FROM pt),
+        |full5 AS (SELECT query_id, vec_id FROM rt WHERE rank_full <= 5)
+        |SELECT rt.query_id, CAST(rt.rank AS BIGINT) AS rank, rt.vec_id,
+        |       rt.cos_trunc,
+        |       EXISTS (SELECT 1 FROM full5 f
+        |               WHERE f.query_id = rt.query_id
+        |                 AND f.vec_id = rt.vec_id) AS in_full_topk
+        |FROM rt WHERE rt.rank <= 5 ORDER BY query_id, rank""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def fold(a: org.apache.spark.sql.Column) =
+          aggregate(a, lit(0.0), (acc, x) => acc + x)
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"),
+            graft.functions.VectorFns.toDoubles(col("embedding")).as("v"),
+            graft.functions.VectorFns.toDoubles(
+              slice(col("embedding"), 1, 16)).as("vt"))
+          .withColumn("nf", sqrt(fold(transform(col("v"), x => x * x))))
+          .withColumn("nt", sqrt(fold(transform(col("vt"), x => x * x))))
+        val eP = graft.Caches.persist(e)
+        val probes = eP.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("vt").as("qvt"), col("nf").as("qnf"), col("nt").as("qnt"))
+        val pt = broadcast(probes).crossJoin(eP)
+          .select(col("query_id"), col("vec_id"),
+            (fold(zip_with(col("qvt"), col("vt"), (a, b) => a * b))
+              / (col("qnt") * col("nt"))).as("cos_trunc"),
+            (fold(zip_with(col("qv"), col("v"), (a, b) => a * b))
+              / (col("qnf") * col("nf"))).as("cos_full"))
+        val grp = Window.partitionBy(col("query_id"))
+        val rt = pt
+          .withColumn("rank", row_number().over(
+            grp.orderBy(col("cos_trunc").desc, col("vec_id"))).cast("long"))
+          .withColumn("rank_full", row_number().over(
+            grp.orderBy(col("cos_full").desc, col("vec_id"))))
+        val rtP = graft.Caches.persist(rt)
+        val full5 = rtP.where(col("rank_full") <= 5)
+          .select(col("query_id"), col("vec_id"), lit(true).as("_hit"))
+        rtP.where(col("rank") <= 5)
+          .join(full5, Seq("query_id", "vec_id"), "left")
+          .select(col("query_id"), col("rank"), col("vec_id"),
+            col("cos_trunc"),
+            coalesce(col("_hit"), lit(false)).as("in_full_topk"))
+          .orderBy(col("query_id"), col("rank"))
+      }
+    },
+
+    // MEMORIZATION-RISK scoring (the per-document n-gram novelty audit
+    // of the memorization literature: what fraction of a doc's 8-gram
+    // windows also occur in ANOTHER document?). Distinct from q87
+    // (which REMOVES corpus-frequent spans) and q67 (which gates
+    // against an eval set): this emits the per-doc risk score a
+    // curation pipeline thresholds or stratifies on. Exact integers
+    // end to end (milli-ratio via BIGINT div). Scale: one gram-hash
+    // agg over (gram → distinct-doc count grouped as count>1), one
+    // join back on the gram key, one per-doc agg — linear, never
+    // doc×doc.
+    q("q140_memorization_risk",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest([array_to_string(t[i:i+7], ' ')
+        |                 FOR i IN generate_series(1, len(t) - 7)]) AS gram
+        |  FROM toks WHERE len(t) >= 8),
+        |gd AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(COUNT(*) FILTER (WHERE gd.df > 1) AS BIGINT) AS n_shared,
+        |       (1000 * CAST(COUNT(*) FILTER (WHERE gd.df > 1) AS BIGINT))
+        |         // CAST(COUNT(*) AS BIGINT) AS risk_milli
+        |FROM g JOIN gd USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, d) => {
+      val toks = T(s, d, "documents")
+        .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+        .where(size(col("t")) >= 8)
+      val grams = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 7),
+          i => array_join(slice(col("t"), i, lit(8)), " "))).as("gram"))
+      val gramsP = graft.Caches.persist(grams)
+      val gd = gramsP.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      gramsP.join(gd, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("df") > 1, lit(1))).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          expr("(1000 * n_shared) div n_grams").as("risk_milli"))
+        .orderBy(col("doc_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
