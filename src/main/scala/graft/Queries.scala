@@ -6544,6 +6544,41 @@ object Queries {
           expr("(1000 * n_shared) div n_grams").as("risk_milli"))
         .orderBy(col("doc_id"))
     }},
+
+    // HITS hub/authority centrality (Kleinberg 1999) — the second
+    // link-analysis signal next to q86/q96's PageRank, on the same
+    // customer→supplier graph (bipartite, so hub = customer quality,
+    // authority = supplier quality). Integer fixed-point with
+    // max-normalization per half-round; the operator generates its own
+    // unrolled SQL mirror (one arithmetic definition, two engines),
+    // q86's pattern. 4 iterations, 1e6 scale.
+    q("q141_hits",
+      s"""WITH nodes AS (
+        |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+        |  UNION
+        |  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier),
+        |e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |${graft.operators.Hits.unrolledSqlCtes(4)}
+        |SELECT h4.node, h4.s AS hub, a4.s AS auth
+        |FROM h4 JOIN a4 USING (node) ORDER BY node""".stripMargin) {
+      (s, d) => {
+        val nodes = T(s, d, "customer")
+          .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+          .union(T(s, d, "supplier")
+            .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node")))
+          .distinct()
+        val edges = T(s, d, "orders")
+          .join(T(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        graft.operators.Hits.scores(nodes, edges, iterations = 4)
+          .orderBy(col("node"))
+      }
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
