@@ -6579,6 +6579,99 @@ object Queries {
           .orderBy(col("node"))
       }
     },
+
+    // LSH QUALITY AUDIT — the evaluation harness for the minhash dedup
+    // family: for every band-collision candidate pair, the EXACT
+    // shingle-set Jaccard next to the 8-slot SIGNATURE estimate, with
+    // both τ=1/2 decisions. This is the table an operator reads to
+    // tune bands/rows/τ before a 100-TB dedup run (estimator bias and
+    // the false-positive band collisions are visible per pair).
+    // Same mirrored md5 hash family as q39; candidates uncapped here
+    // for the same reason q39 is (an audit must see every collision;
+    // production keeps the cap). Scale: candidate-pair-bounded — the
+    // exact sets join back only onto candidates, never all pairs.
+    q("q142_lsh_audit",
+      s"""$mirrorBandCtes,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        |ex AS (
+        |  SELECT c.a, c.b,
+        |         CAST(len(list_intersect(x.g, y.g)) AS BIGINT) AS inter,
+        |         CAST(len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))
+        |              AS BIGINT) AS uni
+        |  FROM cand c JOIN sh x ON c.a = x.doc_id
+        |              JOIN sh y ON c.b = y.doc_id),
+        |sm AS (
+        |  SELECT c.a, c.b,
+        |         CAST(${(0 until MirrorBands * MirrorRows)
+                  .map(j => s"CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END")
+                  .mkString(" + ")} AS BIGINT) AS sig_match
+        |  FROM cand c JOIN sig x ON c.a = x.doc_id
+        |              JOIN sig y ON c.b = y.doc_id)
+        |SELECT ex.a, ex.b, ex.inter, ex.uni,
+        |       CASE WHEN ex.uni = 0 THEN 1000
+        |            ELSE (1000 * ex.inter) // ex.uni END AS jac_milli,
+        |       sm.sig_match,
+        |       (1000 * sm.sig_match) // ${MirrorBands * MirrorRows}
+        |         AS est_milli,
+        |       CASE WHEN ex.uni = 0 THEN TRUE
+        |            ELSE $MirrorTauDenom * ex.inter >= $MirrorTauNum * ex.uni
+        |            END AS dup_exact,
+        |       $MirrorTauDenom * sm.sig_match
+        |         >= $MirrorTauNum * ${MirrorBands * MirrorRows} AS dup_est
+        |FROM ex JOIN sm USING (a, b) ORDER BY a, b""".stripMargin) {
+      (s, d) => {
+        val H = graft.functions.HashFns
+        val slots = MirrorBands * MirrorRows
+        val params = H.hashParams(slots, MirrorSeed)
+        graft.functions.NativeFns.register(s)
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"),
+            H.wordShingles(TextFns.wordTokens(col("text")), 3).as("g"))
+        val docsP = graft.Caches.persist(docs)
+        val sig = graft.Caches.persist(docsP
+          .select(col("doc_id"), col("g"),
+            graft.functions.NativeFns.minhash(
+              H.shingleHashesWith(col("g"), H.md5Hash), params).as("sig")))
+        val bands = sig
+          .select(col("doc_id"),
+            explode(H.lshBandKeysPlain(col("sig"), MirrorBands, MirrorRows))
+              .as("bk"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+          .distinct()
+        val candP = graft.Caches.persist(cand)
+        val withSets = candP
+          .join(docsP.select(col("doc_id").as("a"), col("g").as("ga")), Seq("a"))
+          .join(docsP.select(col("doc_id").as("b"), col("g").as("gb")), Seq("b"))
+          .select(col("a"), col("b"),
+            size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"),
+            (size(col("ga")) + size(col("gb"))
+              - size(array_intersect(col("ga"), col("gb"))))
+              .cast("long").as("uni"))
+        val withSig = candP
+          .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), Seq("a"))
+          .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), Seq("b"))
+          .select(col("a"), col("b"),
+            aggregate(zip_with(col("sa"), col("sb"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v).as("sig_match"))
+        withSets.join(withSig, Seq("a", "b"))
+          .select(col("a"), col("b"), col("inter"), col("uni"),
+            when(col("uni") === 0, lit(1000L))
+              .otherwise(expr("(1000 * inter) div uni")).as("jac_milli"),
+            col("sig_match"),
+            expr(s"(1000 * sig_match) div $slots").as("est_milli"),
+            when(col("uni") === 0, lit(true))
+              .otherwise(lit(MirrorTauDenom) * col("inter")
+                >= lit(MirrorTauNum) * col("uni")).as("dup_exact"),
+            (lit(MirrorTauDenom) * col("sig_match")
+              >= lit(MirrorTauNum * slots)).as("dup_est"))
+          .orderBy(col("a"), col("b"))
+      }
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
