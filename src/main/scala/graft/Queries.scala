@@ -6672,6 +6672,48 @@ object Queries {
           .orderBy(col("a"), col("b"))
       }
     },
+
+    // PERSONALIZED PAGERANK (topic-sensitive, Haveliwala 2002) — the
+    // graph-expansion retrieval primitive: all teleport mass returns
+    // to a SEED set (here nation-1 customers), so rank measures
+    // proximity to the seeds and the top non-seed nodes are the
+    // related-supplier expansion. Same bit-exact integer arithmetic
+    // and generated-mirror pattern as q86/q96/q141; seed mask
+    // broadcast, dangling drops by documented contract.
+    q("q143_ppr",
+      s"""WITH nodes AS (
+        |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+        |  UNION
+        |  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier),
+        |ed AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                       's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst,
+        |             COUNT(*) OVER (PARTITION BY src) AS outdeg FROM ed),
+        |seeds AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+        |          FROM customer WHERE c_nationkey = 1),
+        |${graft.operators.PageRank.unrolledPersonalizedSqlCtes(5, 1000000000000L)}
+        |SELECT node, rank FROM r5 WHERE rank > 0 ORDER BY node""".stripMargin) {
+      (s, d) => {
+        val nodes = T(s, d, "customer")
+          .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+          .union(T(s, d, "supplier")
+            .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node")))
+          .distinct()
+        val edges = T(s, d, "orders")
+          .join(T(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val seeds = T(s, d, "customer").where(col("c_nationkey") === 1)
+          .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+        graft.operators.PageRank.personalizedRanks(nodes, edges, seeds,
+            iterations = 5)
+          .where(col("rank") > 0)
+          .orderBy(col("node"))
+      }
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -138,4 +138,91 @@ object PageRank {
            |        LEFT JOIN c$k ON n.node = c$k.node)""".stripMargin
       }).mkString(",\n")
   }
+
+  /** Personalized PageRank (topic-sensitive PageRank, Haveliwala 2002):
+    * identical integer arithmetic to [[ranks]] but ALL teleport mass
+    * returns to the SEED set — rank mass measures proximity to the
+    * seeds, the graph-expansion primitive behind related-item
+    * retrieval and seed-set growing. Initial mass sits entirely on the
+    * seeds (`scaleTotal div |seeds|` each); per round every seed
+    * receives `((scaleTotal * 15) div 100) div |seeds|` and edges carry
+    * the usual `((rank div outdeg) * 85) div 100`; dangling mass drops
+    * (the [[ranks]] default policy). Same per-round join+agg shape,
+    * persisted + lineage-truncated; the seed set broadcasts (it is
+    * query-sized by definition).
+    *
+    * `seeds`: one column `node` (must be ⊆ nodes; pre-deduped). */
+  def personalizedRanks(nodes: DataFrame, edges: DataFrame,
+                        seeds: DataFrame, iterations: Int,
+                        scaleTotal: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "personalizedRanks: iterations must be >= 1")
+    val ndOwned = nodes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val nd = if (ndOwned) nodes.persist() else nodes
+    val edOwned = edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val ed = if (edOwned) edges.persist() else edges
+    val sd = seeds.persist()
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "personalizedRanks: empty seed set")
+    val base = scaleTotal / nSeeds
+    val tp = scaleTotal * 15 / 100 / nSeeds
+    val outdeg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist()
+    val e = ed.join(outdeg, Seq("src")).persist()
+    e.count()
+    // (node, isSeed) once — reused as the teleport mask every round
+    val mask = nd.select(col("node"))
+      .join(broadcast(sd.select(col("node"), lit(true).as("_seed"))),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
+      .persist()
+    var r = mask.select(col("node"),
+      when(col("_seed"), lit(base)).otherwise(lit(0L)).as("rank"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst").as("node"),
+          expr("((rank div outdeg) * 85) div 100").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      val next = mask
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("_seed"), lit(tp)).otherwise(lit(0L))
+            + coalesce(col("contrib"), lit(0L))).as("rank"))
+        .persist()
+      next.count()
+      if (i > 0) r.unpersist(blocking = false)
+      r = next
+      i += 1
+    }
+    if (ndOwned) nd.unpersist(blocking = false)
+    if (edOwned) ed.unpersist(blocking = false)
+    sd.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    mask.unpersist(blocking = false)
+    graft.Caches.track(r)
+  }
+
+  /** SQL mirror of [[personalizedRanks]], unrolled over caller CTEs
+    * `nodes(node)`, `e(src, dst, outdeg)` and `seeds(node)`; derives
+    * `sn(n)` itself. Select from `r$iterations`. */
+  def unrolledPersonalizedSqlCtes(iterations: Int, scaleTotal: Long): String = {
+    val tp = s"((($scaleTotal * 15) // 100) // sn.n)"
+    ((s"sn AS MATERIALIZED (SELECT COUNT(*) AS n FROM seeds),\n" +
+      s"r0 AS MATERIALIZED (SELECT n.node, CAST(CASE WHEN s.node IS NOT NULL " +
+      s"THEN $scaleTotal // sn.n ELSE 0 END AS BIGINT) AS rank " +
+      "FROM nodes n CROSS JOIN sn LEFT JOIN seeds s ON n.node = s.node)") +:
+      (1 to iterations).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT e.dst AS node,
+           |        SUM(((r${k - 1}.rank // e.outdeg) * 85) // 100) AS contrib
+           |        FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+           |        GROUP BY e.dst),
+           |r$k AS MATERIALIZED (SELECT n.node,
+           |        CAST(CASE WHEN s.node IS NOT NULL THEN $tp ELSE 0 END
+           |             + COALESCE(c$k.contrib, 0) AS BIGINT) AS rank
+           |        FROM nodes n CROSS JOIN sn
+           |        LEFT JOIN seeds s ON n.node = s.node
+           |        LEFT JOIN c$k ON n.node = c$k.node)""".stripMargin
+      }).mkString(",\n")
+  }
 }

@@ -62,4 +62,21 @@ class PageRankSpec extends SparkSpec {
     assert(r1 == r2)
     assert(r1.values.toSet.size > 1, "hub nodes must separate from leaves")
   }
+
+  test("personalized ranks: mass stays in the seed neighborhood") {
+    // two disconnected components: a->b->c and x->y; seed = {a}
+    val nodes = Seq("a", "b", "c", "x", "y").toDF("node")
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r = PageRank.personalizedRanks(nodes, edges, seeds,
+        iterations = 3, scaleTotal = 1000L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("x") == 0L && r("y") == 0L,
+      "nodes unreachable from the seeds must hold zero mass")
+    assert(r("a") > 0L && r("b") > 0L && r("c") > 0L,
+      "the seed's forward neighborhood must hold positive mass")
+    assert(r("a") >= r("b") && r("b") >= r("c"),
+      "mass decays with distance from the seed on a chain")
+    graft.Caches.release()
+  }
 }
