@@ -54,17 +54,20 @@ object Hits {
     var a: DataFrame = null
     var i = 0
     while (i < iterations) {
+      // persist WITHOUT an eager count: the very next normalization
+      // scalar (the mx action inside normalized()) materializes the
+      // cache, so an explicit count would only add a job per
+      // half-round — 8 extra scheduler round-trips per run on a plan
+      // whose depth is already bounded by the fixed iteration count
       val aNext = normalized(
         ed.join(h, ed("src") === h("node"))
           .groupBy(col("dst")).agg(sum(col("s")).as("raw"))
           .withColumnRenamed("dst", "node")).persist()
-      aNext.count()
       val hNext = normalized(
         ed.join(aNext.withColumnRenamed("s", "_a"),
             ed("dst") === aNext("node"))
           .groupBy(col("src")).agg(sum(col("_a")).as("raw"))
           .withColumnRenamed("src", "node")).persist()
-      hNext.count()
       if (a != null) a.unpersist(blocking = false)
       h.unpersist(blocking = false)
       a = aNext; h = hNext
