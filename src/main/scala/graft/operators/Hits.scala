@@ -17,16 +17,21 @@ import org.apache.spark.sql.functions._
   * all BIGINT ops — bit-exact in any engine; [[unrolledSqlCtes]]
   * generates the mirror with `//`. Overflow bound: raw ≤ maxdeg·scale,
   * and raw·scale must stay under 2^63 — at scale=1e6 that admits
-  * degrees up to ~9·10⁶ (raise by lowering `scale`; the contract is
-  * checked nowhere at runtime because degree is data — document at the
-  * call site).
+  * degrees up to ~9·10⁶ (raise by lowering `scale`). The bound IS
+  * checked at runtime: the max(raw) scalar each half-round already
+  * fetches is exactly the quantity that must fit, so a free driver-side
+  * guard fails loudly instead of silently wrapping BIGINT.
   *
   * Scale design (PageRank's): per iteration, one edges⨝scores shuffle
-  * join + one agg per direction; the normalization max is a 1-row
-  * driver scalar per half-round (inlined as a literal — the SQL mirror
-  * cross-joins the same 1-row CTE); per-round frames persist +
-  * materialize so lineage stays constant-depth; loop-local persists
-  * drop on return and the result registers in [[graft.Caches]].
+  * join + one agg per direction; each half-round's raw aggregate is
+  * PERSISTED before the normalization scalar is taken, so the join+agg
+  * executes once — the scalar action materializes the cache and the
+  * returned plan reads it back (PageRank.scala's persist-then-scalar
+  * pattern; without it every half-round ran its subtree twice). The
+  * max is inlined as a literal — the SQL mirror cross-joins the same
+  * 1-row CTE; per-round frames persist + materialize so lineage stays
+  * constant-depth; loop-local persists drop on return and the result
+  * registers in [[graft.Caches]].
   */
 object Hits {
 
@@ -41,44 +46,68 @@ object Hits {
     val ed = if (edOwned) edges.persist() else edges
     require(ed.limit(1).count() > 0, "scores: empty edge set")
 
-    def normalized(raw: DataFrame): DataFrame = {
-      // 1-row scalar, inlined — the SQL mirror cross-joins its twin CTE
-      val mx = raw.agg(greatest(max(col("raw")), lit(1L))).first().getLong(0)
-      nd.select(col("node"))
-        .join(raw, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(expr(s"(raw * ${scale}L) div ${mx}L"), lit(0L)).as("s"))
+    val spark = nodes.sparkSession
+
+    // Materialize + lineage-truncate (Bpe.train's pattern): the eager
+    // count fills the cache, and the LogicalRDD rebuild hands back a
+    // CONSTANT-DEPTH plan over the cached RDD — downstream rounds never
+    // embed the nested InMemoryRelation trees whose per-action
+    // plan-string rendering blows up with iteration depth. Returns the
+    // persisted handle so the caller can release it once superseded.
+    def matFlat(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist()
+      p.count()
+      (spark.createDataFrame(p.rdd, p.schema), p)
     }
 
-    var h = nd.select(col("node"), lit(scale).as("s")).persist()
+    // Persist raw BEFORE the mx scalar: the action materializes the
+    // cache, so the edges⨝scores join+agg executes exactly once per
+    // half-round — the score frame below reads the cache back instead
+    // of re-running the unpersisted subtree when IT materializes
+    // (round-10 verdict: the old shape ran every half-round twice, 16
+    // executions where 8 suffice).
+    def normalized(rawPlan: DataFrame): (DataFrame, DataFrame) = {
+      val raw = rawPlan.persist()
+      // 1-row scalar, inlined — the SQL mirror cross-joins its twin CTE
+      val mx = raw.agg(greatest(max(col("raw")), lit(1L))).first().getLong(0)
+      // overflow guard (free: mx is already on the driver): every raw
+      // ≤ mx, so mx·scale < 2^63 ⇒ no product below can wrap
+      require(mx <= Long.MaxValue / scale,
+        s"scores: max(raw)=$mx overflows BIGINT at scale=$scale — " +
+          s"lower `scale` (degree bound ~${Long.MaxValue / scale / scale})")
+      val res = matFlat(nd.select(col("node"))
+        .join(raw, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(expr(s"(raw * ${scale}L) div ${mx}L"), lit(0L)).as("s")))
+      raw.unpersist(blocking = false) // score frame is cached; raw done
+      res
+    }
+
+    var (h, hP) = matFlat(nd.select(col("node"), lit(scale).as("s")))
     var a: DataFrame = null
+    var aP: DataFrame = null
     var i = 0
     while (i < iterations) {
-      // persist WITHOUT an eager count: the very next normalization
-      // scalar (the mx action inside normalized()) materializes the
-      // cache, so an explicit count would only add a job per
-      // half-round — 8 extra scheduler round-trips per run on a plan
-      // whose depth is already bounded by the fixed iteration count
-      val aNext = normalized(
+      val (aNext, aNextP) = normalized(
         ed.join(h, ed("src") === h("node"))
           .groupBy(col("dst")).agg(sum(col("s")).as("raw"))
-          .withColumnRenamed("dst", "node")).persist()
-      val hNext = normalized(
+          .withColumnRenamed("dst", "node"))
+      val (hNext, hNextP) = normalized(
         ed.join(aNext.withColumnRenamed("s", "_a"),
             ed("dst") === aNext("node"))
           .groupBy(col("src")).agg(sum(col("_a")).as("raw"))
-          .withColumnRenamed("src", "node")).persist()
-      if (a != null) a.unpersist(blocking = false)
-      h.unpersist(blocking = false)
-      a = aNext; h = hNext
+          .withColumnRenamed("src", "node"))
+      if (aP != null) aP.unpersist(blocking = false)
+      hP.unpersist(blocking = false)
+      a = aNext; aP = aNextP; h = hNext; hP = hNextP
       i += 1
     }
     val out = h.select(col("node"), col("s").as("hub"))
       .join(a.select(col("node"), col("s").as("auth")), Seq("node"))
     val pinned = graft.Caches.persist(out)
     pinned.count()
-    h.unpersist(blocking = false)
-    a.unpersist(blocking = false)
+    hP.unpersist(blocking = false)
+    aP.unpersist(blocking = false)
     if (ndOwned) nd.unpersist(blocking = false)
     if (edOwned) ed.unpersist(blocking = false)
     pinned

@@ -160,7 +160,10 @@ object PageRank {
     val nd = if (ndOwned) nodes.persist() else nodes
     val edOwned = edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val ed = if (edOwned) edges.persist() else edges
-    val sd = seeds.persist()
+    // same cache-ownership rule as nodes/edges: only unpersist a
+    // persist WE created — a caller-cached seeds frame keeps its cache
+    val sdOwned = seeds.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val sd = if (sdOwned) seeds.persist() else seeds
     val nSeeds = sd.count()
     require(nSeeds > 0, "personalizedRanks: empty seed set")
     val base = scaleTotal / nSeeds
@@ -196,7 +199,7 @@ object PageRank {
     }
     if (ndOwned) nd.unpersist(blocking = false)
     if (edOwned) ed.unpersist(blocking = false)
-    sd.unpersist(blocking = false)
+    if (sdOwned) sd.unpersist(blocking = false)
     outdeg.unpersist(blocking = false)
     e.unpersist(blocking = false)
     mask.unpersist(blocking = false)

@@ -121,22 +121,21 @@ object Pq {
         graft.functions.VectorFns.toDoubles(col(vecCol)).as("_v"))
       .withColumn("_cb", cbLit(model))
       .withColumn("codes", expr(
+        // the single-element transform is SQL's lambda-let: it binds
+        // the m×k×subDim distance array to `d` ONCE per subspace, so
+        // both the array_position haystack and the array_min argument
+        // read the bound value instead of re-evaluating the dominant
+        // per-row cost (the old shape computed it twice)
         s"""transform(sequence(0, ${model.m - 1}), s ->
-           |  CAST(array_position(
+           |  element_at(transform(array(
            |    transform(sequence(1, size(element_at(_cb, s + 1))), c ->
            |      aggregate(sequence(1, $subDim), CAST(0 AS DOUBLE),
            |        (a, j) -> a + (element_at(_v, s * $subDim + j)
            |                        - element_at(element_at(element_at(_cb, s + 1), c), j))
            |                     * (element_at(_v, s * $subDim + j)
-           |                        - element_at(element_at(element_at(_cb, s + 1), c), j)))),
-           |    array_min(
-           |    transform(sequence(1, size(element_at(_cb, s + 1))), c ->
-           |      aggregate(sequence(1, $subDim), CAST(0 AS DOUBLE),
-           |        (a, j) -> a + (element_at(_v, s * $subDim + j)
-           |                        - element_at(element_at(element_at(_cb, s + 1), c), j))
-           |                     * (element_at(_v, s * $subDim + j)
-           |                        - element_at(element_at(element_at(_cb, s + 1), c), j)))))
-           |  ) - 1 AS INT))""".stripMargin))
+           |                        - element_at(element_at(element_at(_cb, s + 1), c), j))))),
+           |    d -> CAST(array_position(d, array_min(d)) - 1 AS INT)), 1))"""
+          .stripMargin))
       .select(col(idCol), col("codes"))
   }
 

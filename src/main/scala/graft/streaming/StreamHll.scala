@@ -19,6 +19,15 @@ import org.apache.spark.sql.streaming.Trigger
   * also MERGEABLE after the fact: union register streams from many
   * pipelines and re-max — the estimate finalizer is a plain batch agg
   * over whatever register set you hand it.
+  *
+  * MODE CAVEAT: watermark eviction (the bounded-state contract above)
+  * holds in `update`/`append` output modes — the production choice for
+  * a long-running stream (registers land per window as it updates or
+  * closes; downstream re-max merges them). In `complete` mode Spark
+  * retains ALL windows' state and the memory sink all rows; that is
+  * what [[replayParquet]] deliberately uses for its ONE-SHOT
+  * AvailableNow replay, where "all windows" is the finite replay
+  * output and append would withhold the last watermark-open hours.
   */
 object StreamHll {
 
@@ -72,7 +81,12 @@ object StreamHll {
   }
 
   /** Replay the events parquet through the streaming register plan,
-    * then finalize estimates batch-side. */
+    * then finalize estimates batch-side. `complete` mode is the
+    * REPLAY-ONLY choice (see class doc): it keeps every window so the
+    * finalizer sees the whole horizon, at the cost of unbounded state
+    * — fine for a finite AvailableNow replay, wrong for a long-running
+    * stream, which should run [[hourlyRegisters]] in update/append
+    * mode against a real sink. */
   def replayParquet(spark: SparkSession, dir: String,
                     queryName: String = "stream_hll",
                     statePartitions: Option[Int] = Some(8)): DataFrame = {
