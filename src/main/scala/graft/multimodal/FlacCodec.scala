@@ -24,11 +24,16 @@ package graft.multimodal
   *    carries bits-per-sample+1, per spec);
   *  - "wasted bits" subframe flag (decode side).
   *
-  * The encoder picks the cheapest fixed predictor order by residual
-  * magnitude and the cheapest Rice parameter by exact bit count, and
-  * can apply mid/side decorrelation to stereo input — i.e. the real
-  * decision structure of a FLAC encoder, minus LPC (FIXED-only streams
-  * are fully spec-conformant; `flac --fast` emits the same family).
+  * The encoder picks the cheapest subframe by EXACT bit count among
+  * CONSTANT, VERBATIM, FIXED orders 0–4, and quantized-coefficient LPC
+  * orders 1–8 (autocorrelation → Levinson–Durbin recursion →
+  * error-feedback coefficient quantization at 15-bit precision, the
+  * published FLAC-format algorithm), the cheapest Rice parameter per
+  * candidate, and optional mid/side decorrelation on stereo input —
+  * the real decision structure of a full `flac` encode, not just the
+  * `--fast` FIXED family. LPC is lossless by construction: residuals
+  * are computed with the QUANTIZED integer coefficients and the same
+  * `acc >> shift` arithmetic the decoder applies.
   *
   * Scale stance: identical to [[PngCodec]] — encode/decode are
   * row-local byte work inside `mapPartitions`; no shuffle, no driver
@@ -224,6 +229,110 @@ object FlacCodec {
   }
 
   // ---------------------------------------------------------------
+  // LPC analysis (encode side) — autocorrelation + Levinson–Durbin,
+  // then error-feedback quantization; the residual is computed with
+  // the QUANTIZED coefficients and the decoder's exact `acc >> shift`
+  // integer arithmetic, so any coefficient estimate yields a lossless
+  // subframe (a poor estimate only costs bits, never correctness).
+
+  private val LpcPrecision = 15 // qlp coefficient bits (precM1=14 ≠ escape 15)
+  private val MaxLpcOrder = 8
+
+  /** Quantize one order's double coefficients: pick the largest
+    * non-negative shift (≤ 15, the common encoder bound well inside
+    * the 5-bit signed field) keeping every rounded coefficient in the
+    * precision's two's-complement range, then round with error
+    * feedback (each coefficient absorbs the accumulated rounding error
+    * of its predecessors — the published FLAC-format scheme). */
+  private def quantizeLpc(a: Array[Double], order: Int): Option[(Array[Int], Int)] = {
+    var cmax = 0.0
+    var j = 0
+    while (j < order) {
+      val m = math.abs(a(j))
+      if (m > cmax) cmax = m
+      j += 1
+    }
+    if (cmax <= 0.0 || !java.lang.Double.isFinite(cmax)) return None
+    val qmax = (1 << (LpcPrecision - 1)) - 1
+    val qmin = -(1 << (LpcPrecision - 1))
+    var shift = 15
+    while (shift > 0 && cmax * (1L << shift).toDouble > qmax) shift -= 1
+    val q = new Array[Int](order)
+    var errFb = 0.0
+    j = 0
+    while (j < order) {
+      val v = a(j) * (1L << shift).toDouble + errFb
+      val r = math.round(v)
+      val clamped = math.max(qmin.toLong, math.min(qmax.toLong, r)).toInt
+      errFb = v - clamped
+      q(j) = clamped
+      j += 1
+    }
+    var allZero = true
+    j = 0
+    while (allZero && j < order) { allZero = q(j) == 0; j += 1 }
+    if (allZero) None else Some((q, shift))
+  }
+
+  /** Residual under quantized LPC — the decoder's arithmetic inverted:
+    * r[i] = x[i] − ((Σ q[j]·x[i−1−j]) >> shift). Overflow-safe: |q| <
+    * 2^14, |x| ≤ 2^17 (side channel), order ≤ 8 → |acc| < 2^34. */
+  private def lpcResidual(x: Array[Int], q: Array[Int], shift: Int): Array[Long] = {
+    val order = q.length
+    val r = new Array[Long](x.length - order)
+    var i = order
+    while (i < x.length) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += q(j).toLong * x(i - 1 - j); j += 1 }
+      r(i - order) = x(i).toLong - (acc >> shift)
+      i += 1
+    }
+    r
+  }
+
+  /** All quantizable LPC candidates for one subframe: (order, quantized
+    * coefs, shift, residual) for each order 1..min(8, n−1) the
+    * Levinson–Durbin recursion reaches with positive finite prediction
+    * error. Rectangular window (no windowing) — affects only the
+    * coefficient ESTIMATE, never losslessness. */
+  private def lpcCandidates(x: Array[Int]): List[(Int, Array[Int], Int, Array[Long])] = {
+    val n = x.length
+    val mo = math.min(MaxLpcOrder, n - 1)
+    if (mo < 1) return Nil
+    val autoc = new Array[Double](mo + 1)
+    var lag = 0
+    while (lag <= mo) {
+      var s = 0.0
+      var i = lag
+      while (i < n) { s += x(i).toDouble * x(i - lag).toDouble; i += 1 }
+      autoc(lag) = s
+      lag += 1
+    }
+    if (autoc(0) == 0.0) return Nil // silent block (CONSTANT wins anyway)
+    val out = List.newBuilder[(Int, Array[Int], Int, Array[Long])]
+    var err = autoc(0)
+    val a = new Array[Double](mo) // a(j) predicts with x[i-1-j]
+    var m = 1
+    while (m <= mo && err > 0.0 && java.lang.Double.isFinite(err)) {
+      var k = autoc(m)
+      var j = 1
+      while (j < m) { k -= a(j - 1) * autoc(m - j); j += 1 }
+      k /= err
+      val prev = java.util.Arrays.copyOf(a, math.max(0, m - 1))
+      a(m - 1) = k
+      j = 0
+      while (j < m - 1) { a(j) = prev(j) - k * prev(m - 2 - j); j += 1 }
+      err *= (1.0 - k * k)
+      quantizeLpc(a, m).foreach { case (q, shift) =>
+        out += ((m, q, shift, lpcResidual(x, q, shift)))
+      }
+      m += 1
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------
   // encode
 
   private val EncodePadding = 16 // bytes of PADDING metadata (decoders must skip it)
@@ -354,8 +463,10 @@ object FlacCodec {
     out.toByteArray
   }
 
-  /** One subframe: CONSTANT if flat, else cheapest of FIXED orders 0-4
-    * (exact Rice bit cost, single partition) vs VERBATIM. */
+  /** One subframe: CONSTANT if flat, else the exact-bit-count cheapest
+    * of FIXED orders 0–4, LPC orders 1–8 (quantized coefficients, each
+    * charged its 4+5+order·precision side info), and VERBATIM —
+    * cheapest Rice parameter per candidate, single partition. */
   private def writeSubframe(w: BitWriter, x: Array[Int], bps: Int): Unit = {
     var allSame = true
     var i = 1
@@ -383,11 +494,51 @@ object FlacCodec {
       }
       order += 1
     }
+    // LPC candidates, charged their coefficient side info (4-bit
+    // precision code + 5-bit shift + order·precision coefficient bits)
+    // so the comparison against FIXED stays exact; the residual header
+    // (2+4+4 bits) is identical across FIXED/LPC and cancels
+    var bestLpc: (Int, Array[Int], Int, Array[Long]) = null
+    var bestLpcParam = 0
+    lpcCandidates(x).foreach { case cand @ (ord, _, _, res) =>
+      var p = 0
+      while (p <= 14) {
+        val bits = ord.toLong * bps + 4 + 5 + ord.toLong * LpcPrecision +
+          riceCost(res, p)
+        if (bits < bestBits) {
+          bestBits = bits; bestLpc = cand; bestLpcParam = p
+        }
+        p += 1
+      }
+    }
     val verbatimBits = x.length.toLong * bps
     if (verbatimBits < bestBits) {
       w.writeBits(0L, 1); w.writeBits(1L, 6); w.writeBits(0L, 1) // VERBATIM
       var k = 0
       while (k < x.length) { w.writeBits(x(k).toLong, bps); k += 1 }
+      return
+    }
+    if (bestLpc != null) {
+      val (ord, q, shift, res) = bestLpc
+      w.writeBits(0L, 1)
+      w.writeBits((0x20 | (ord - 1)).toLong, 6) // LPC, order-1 in low bits
+      w.writeBits(0L, 1)                        // no wasted bits
+      var k = 0
+      while (k < ord) { w.writeBits(x(k).toLong, bps); k += 1 }
+      w.writeBits((LpcPrecision - 1).toLong, 4)
+      w.writeBits(shift.toLong, 5)              // non-negative, fits signed field
+      k = 0
+      while (k < ord) { w.writeBits(q(k).toLong, LpcPrecision); k += 1 }
+      w.writeBits(0L, 2)                        // residual method: RICE (4-bit)
+      w.writeBits(0L, 4)                        // partition order 0
+      w.writeBits(bestLpcParam.toLong, 4)
+      k = 0
+      while (k < res.length) {
+        val z = zigzag(res(k))
+        w.writeUnary((z >>> bestLpcParam).toInt)
+        w.writeBits(z, bestLpcParam)
+        k += 1
+      }
       return
     }
     w.writeBits(0L, 1)
@@ -414,7 +565,14 @@ object FlacCodec {
     * what `flac` default settings emit). Verifies metadata framing,
     * every frame's CRC-8 and CRC-16, and the STREAMINFO MD5 of the
     * decoded PCM. */
-  def decodeFlac(bytes: Array[Byte]): DecodedFlac = {
+  def decodeFlac(bytes: Array[Byte]): DecodedFlac = decodeFlac(bytes, _ => ())
+
+  /** Decode with a per-subframe callback receiving the raw 6-bit
+    * subframe type code (0 CONSTANT, 1 VERBATIM, 8+o FIXED, 0x20|(o−1)
+    * LPC) — the test hook that proves the encoder actually EMITS a
+    * given subframe family, not just that decode round-trips. */
+  private[multimodal] def decodeFlac(bytes: Array[Byte],
+                                     onSubframe: Int => Unit): DecodedFlac = {
     require(bytes != null && bytes.length > 42,
       s"decodeFlac: ${if (bytes == null) "null" else s"${bytes.length}-byte"} " +
         "payload shorter than magic + STREAMINFO")
@@ -516,7 +674,7 @@ object FlacCodec {
           case 10 if ci == 1 => bps + 1 // mid/side
           case _ => bps
         }
-        chanData(ci) = readSubframe(r, bs, sbps)
+        chanData(ci) = readSubframe(r, bs, sbps, onSubframe)
         ci += 1
       }
       r.alignToByte()
@@ -573,9 +731,11 @@ object FlacCodec {
     DecodedFlac(sampleRate, channels, bps, totalSamples.toInt, out)
   }
 
-  private def readSubframe(r: BitReader, bs: Int, bps: Int): Array[Int] = {
+  private def readSubframe(r: BitReader, bs: Int, bps: Int,
+                           onSubframe: Int => Unit): Array[Int] = {
     require(r.readBit() == 0, "decodeFlac: subframe pad bit set")
     val t = r.readBits(6).toInt
+    onSubframe(t)
     val wastedFlag = r.readBit()
     val wasted = if (wastedFlag == 1) r.readUnary() + 1 else 0
     val ebps = bps - wasted

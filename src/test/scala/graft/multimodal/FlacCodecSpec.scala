@@ -153,6 +153,44 @@ class FlacCodecSpec extends SparkSpec {
     assert(d.samples.toSeq == x.toSeq, "LPC reconstruction must be bit-exact")
   }
 
+  test("encoder EMITS LPC subframes on a sinusoid and they round-trip bit-exactly") {
+    // a HIGH-frequency sine: FIXED order k scales the amplitude by
+    // (2·sin(ω/2))^k, which AMPLIFIES for ω > π/3 (at ω=2 the 4th
+    // difference is ~8× the input), while LPC order 2 with coefficient
+    // 2·cos(ω) predicts it almost perfectly — so the exact-bit-count
+    // selection must pick LPC (a slow sine would legitimately go FIXED)
+    val frames = 2048
+    def sine(f: Int, c: Int): Int =
+      (12000.0 * math.sin(2.0 * f + c)).toInt
+    val bytes = FlacCodec.encodeFlac(16000, 1, frames, sine, blockSize = 256)
+    val types = scala.collection.mutable.ArrayBuffer[Int]()
+    val d = FlacCodec.decodeFlac(bytes, types += _)
+    for (f <- 0 until frames)
+      assert(d.samples(f) == sine(f, 0), s"LPC-coded sample $f")
+    assert(types.exists(t => (t & 0x20) != 0),
+      s"expected at least one LPC subframe, got types ${types.distinct.sorted}")
+    // and LPC must beat what FIXED can do here: the int-truncated sine
+    // leaves ~50-magnitude LPC residuals (~7.5 bits/sample ≈ 2.2 KB)
+    // where FIXED-4's 8×-amplified residuals need 17 bits/sample —
+    // i.e. FIXED would be FORCED to verbatim-sized output (≥ 4 KB)
+    assert(bytes.length < frames * 2 * 2 / 3,
+      s"sine FLAC ${bytes.length}B should be well under raw ${frames * 2}B")
+  }
+
+  test("LPC-emitting encode survives the full verification decode (CRCs + MD5), stereo mid/side too") {
+    def sig(f: Int, c: Int): Int =
+      (9000.0 * math.sin(1.9 * f) + 4000.0 * math.sin(2.6 * f + 1.3) + c * 500).toInt
+    for ((ch, ms) <- Seq((1, false), (2, false), (2, true))) {
+      val bytes = FlacCodec.encodeFlac(22050, ch, 1500, sig, blockSize = 192,
+        midSide = ms)
+      val types = scala.collection.mutable.ArrayBuffer[Int]()
+      val d = FlacCodec.decodeFlac(bytes, types += _) // verifies CRC-8/16 + MD5
+      for (f <- 0 until 1500; c <- 0 until ch)
+        assert(d.samples(f * ch + c) == sig(f, c), s"ch=$ch ms=$ms sample ($f,$c)")
+      assert(types.exists(t => (t & 0x20) != 0), s"ch=$ch ms=$ms emitted no LPC")
+    }
+  }
+
   test("truncated stream is rejected, not silently short") {
     val good = FlacCodec.encodeFlac(8000, 1, 200, wave, blockSize = 64)
     intercept[Exception](
