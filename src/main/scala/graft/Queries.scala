@@ -412,7 +412,7 @@ object Queries {
     * to a comma string. NULL text NULL-propagates (hex(NULL) → NULL
     * falls through every CASE); EMPTY text checksums to 0 and still
     * gets an embedding — both exactly what
-    * [[graft.multimodal.Multimodal.PortableStubDecoder]] computes. */
+    * [[graft.multimodal.Multimodal.PortablePseudoDecoder]] computes. */
   private def multimodalMirrorOracleSql: String = {
     val p = graft.functions.HashFns.MersennePrime
     val embExprs = MmParams
@@ -2390,7 +2390,7 @@ object Queries {
         .as[graft.multimodal.Multimodal.MediaRow]
       // the raw array<float> embedding is not hashable by the driver's
       // rows-only recorder — project it to a deterministic string form
-      graft.multimodal.Multimodal.extractFeatures(media).toDF()
+      graft.multimodal.Multimodal.pseudoFeatures(media).toDF()
         .withColumn("embedding",
           array_join(transform(col("embedding"),
             x => format_number(x.cast("double"), 6)), ","))
@@ -2407,7 +2407,7 @@ object Queries {
       val media = graft.multimodal.Multimodal
         .fromText(T(s, d, "documents"), "doc_id", "text")
         .as[graft.multimodal.Multimodal.MediaRow]
-      graft.multimodal.Multimodal.extractFeaturesPortable(media, MmParams)
+      graft.multimodal.Multimodal.pseudoFeaturesPortable(media, MmParams)
         .toDF().orderBy(col("media_id"))
     },
 
@@ -6721,6 +6721,153 @@ object Queries {
             iterations = 5)
           .where(col("rank") > 0)
           .orderBy(col("node"))
+      }
+    },
+
+    // IVF RECALL AUDIT — q142's exact-vs-estimate tuning table, for
+    // the IVF probe knob (x05/x26's recall assertion, promoted to an
+    // oracle-visible surface): per query, exact top-10 by L2² against
+    // the probed top-10 at nprobe ∈ {1,2,4}, recall@10 in integer
+    // milli-units. Engine-portable by construction: the coarse
+    // quantizer is DETERMINISTIC (seed centroids = the 8 corpus
+    // vectors first in md5 order — the Pq.fit md5-ordered-sample
+    // regime, no KMeans float fit), distances are float→double casts
+    // folded left-to-right with a prepended 0.0 accumulator (the q61
+    // list_reduce parity family), ties break (d2 asc, id asc). Scale:
+    // seed pick is a TakeOrdered top-8; cell assignment is a row-local
+    // broadcast argmin over 8 centroids; the exact side is
+    // |queries|×corpus — audit-bounded by the query set, the same
+    // deliberate-exact regime as q142's uncapped collisions (the
+    // production path stays IvfIndex's partition-pruned probe scan).
+    q("q144_ivf_recall_audit",
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS ve
+        |  FROM embeddings),
+        |sd0 AS (
+        |  SELECT vec_id, ve,
+        |         row_number() OVER (
+        |           ORDER BY CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT),
+        |                    vec_id) AS rn
+        |  FROM v),
+        |seeds AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, ve AS se
+        |          FROM sd0 WHERE rn <= 8),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               [(v.ve[i] - s.se[i]) * (v.ve[i] - s.se[i])
+        |                FOR i IN generate_series(1, len(v.ve))]), (a,b) -> a+b) ASC,
+        |             s.cell ASC) AS rn
+        |    FROM v CROSS JOIN seeds s)
+        |  WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 10),
+        |exd AS (
+        |  SELECT q.query_id, v.vec_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           [(q.qe[i] - v.ve[i]) * (q.qe[i] - v.ve[i])
+        |            FOR i IN generate_series(1, len(q.qe))]), (a,b) -> a+b) AS d2
+        |  FROM qs q CROSS JOIN v WHERE v.vec_id <> q.query_id),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY d2 ASC, vec_id ASC) AS rk
+        |    FROM exd)
+        |  WHERE rk <= 10),
+        |pr AS (
+        |  SELECT q.query_id, s.cell,
+        |         row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             [(q.qe[i] - s.se[i]) * (q.qe[i] - s.se[i])
+        |              FOR i IN generate_series(1, len(q.qe))]), (a,b) -> a+b) ASC,
+        |           s.cell ASC) AS prk
+        |  FROM qs q CROSS JOIN seeds s),
+        |np(n) AS (VALUES (1), (2), (4)),
+        |ap AS (
+        |  SELECT query_id, vec_id, n FROM (
+        |    SELECT c.query_id, c.vec_id, n.n,
+        |           row_number() OVER (PARTITION BY c.query_id, n.n
+        |                              ORDER BY c.d2 ASC, c.vec_id ASC) AS rk
+        |    FROM exd c
+        |    JOIN asg ON c.vec_id = asg.vec_id
+        |    JOIN pr ON pr.query_id = c.query_id AND pr.cell = asg.cell
+        |    JOIN np n ON pr.prk <= n.n)
+        |  WHERE rk <= 10),
+        |h AS (
+        |  SELECT a.query_id, a.n, COUNT(e.vec_id) AS hits
+        |  FROM ap a LEFT JOIN exact e
+        |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |  GROUP BY a.query_id, a.n)
+        |SELECT q.query_id, CAST(n.n AS BIGINT) AS nprobe,
+        |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |       (1000 * CAST(COALESCE(h.hits, 0) AS BIGINT)) // 10 AS recall_milli
+        |FROM qs q CROSS JOIN np n
+        |LEFT JOIN h ON h.query_id = q.query_id AND h.n = n.n
+        |ORDER BY q.query_id, nprobe""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val H = graft.functions.HashFns
+        def d2(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, e) => acc + e)
+        val v = T(s, d, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("ve"))
+        val vP = graft.Caches.persist(v)
+        // seed pick: distributed TakeOrdered top-8 by md5, then the
+        // cell index from an 8-row window — never a corpus-wide window
+        val sd0 = vP.withColumn("_h", H.md5Hash60(
+            concat(lit("ivf:"), col("vec_id").cast("string"))))
+          .orderBy(col("_h"), col("vec_id")).limit(8)
+        val seeds = sd0.withColumn("cell",
+            (row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
+              .cast("long"))
+          .select(col("cell"), col("ve").as("se"))
+        val asg = vP.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("cell"), d2(col("ve"), col("se")).as("_d2"))
+          .withColumn("_rn", row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(col("_d2").asc, col("cell").asc)))
+          .where(col("_rn") === 1)
+          .select(col("vec_id"), col("cell"))
+        val qs = vP.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("ve").as("qe"))
+        val exd = broadcast(qs).crossJoin(vP)
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), d2(col("qe"), col("ve")).as("d2"))
+        val exdP = graft.Caches.persist(exd)
+        val exact = exdP.withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("d2").asc, col("vec_id").asc)))
+          .where(col("rk") <= 10)
+          .select(col("query_id"), col("vec_id"), lit(1L).as("_ex"))
+        val pr = broadcast(qs).crossJoin(broadcast(seeds))
+          .select(col("query_id"), col("cell"), d2(col("qe"), col("se")).as("_qd"))
+          .withColumn("prk", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("_qd").asc, col("cell").asc)))
+          .select(col("query_id"), col("cell"), col("prk"))
+        val npDf = Seq(1, 2, 4).toDF("n")
+        val ap = exdP.join(asg, Seq("vec_id"))
+          .join(broadcast(pr), Seq("query_id", "cell"))
+          .crossJoin(broadcast(npDf))
+          .where(col("prk") <= col("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id"), col("n"))
+              .orderBy(col("d2").asc, col("vec_id").asc)))
+          .where(col("rk") <= 10)
+          .select(col("query_id"), col("vec_id"), col("n"))
+        val hits = ap.join(exact, Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"), col("n"))
+          .agg(count(col("_ex")).as("_hits"))
+        broadcast(qs.select(col("query_id"))).crossJoin(broadcast(npDf))
+          .join(hits, Seq("query_id", "n"), "left")
+          .select(col("query_id"), col("n").cast("long").as("nprobe"),
+            coalesce(col("_hits"), lit(0L)).as("hits"),
+            expr("(1000 * coalesce(_hits, 0L)) div 10").as("recall_milli"))
+          .orderBy(col("query_id"), col("nprobe"))
       }
     },
   )

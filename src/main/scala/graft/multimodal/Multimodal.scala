@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   * q76) and lossless FLAC ([[FlacCodec]], q99/q104); video as Y4M
   * ([[VideoCodec]], q79) and MJPEG in both real containers — RIFF/AVI
   * ([[AviCodec]], q101) and ISO-BMFF/MP4 ([[Mp4Codec]], q105/q106) —
-  * every path oracle-backed end-to-end. [[StubDecoder]] remains only
-  * as the clearly-marked deterministic fake for formats outside this
-  * set (ffmpeg-class inter-frame codecs). Everything Spark-side
-  * is real either way: the schema, the `mapPartitions` batch boundary
-  * (one decoder init per partition, streaming rows through it — the
-  * same shape a JNI/FFI decoder needs), partitioning, and the typed
-  * output contract.
+  * every path oracle-backed end-to-end. The `pseudo*` family
+  * ([[PseudoFeatureDecoder]], [[pseudoFeatures]], [[pseudoResize]],
+  * [[pseudoSampleFrames]]) is the explicitly named deterministic
+  * NON-codec path — the q60/x16 mirror shape over payloads with no
+  * pure-JVM codec (ffmpeg-class inter-frame video, or plain text) —
+  * and it REFUSES payload kinds the real codecs handle, so a real
+  * format can never silently take the pseudo path. Everything
+  * Spark-side is real either way: the schema, the `mapPartitions`
+  * batch boundary (one decoder init per partition, streaming rows
+  * through it — the same shape a JNI/FFI decoder needs), partitioning,
+  * and the typed output contract.
   */
 object Multimodal {
 
@@ -34,12 +38,26 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                                  checksum: Long, embedding: Array[Float])
 
-  /** STUB — deterministic fake decoder. A real implementation would
-    * decode the payload (libjpeg/ffmpeg/...) and run a feature
-    * extractor; this derives a deterministic pseudo-embedding from the
-    * bytes so tests exercise the full pipeline shape. Expensive
-    * per-partition init is modeled by the constructor. */
-  final class StubDecoder(dim: Int = 8) {
+  /** Payload kinds with a REAL pure-JVM codec in this library. The
+    * pseudo paths refuse these: anything listed here must go through
+    * its real decode operator, never the deterministic fake. */
+  private[multimodal] val RealCodecKinds: Set[String] = Set(
+    "image/bmp", "image/png", "image/jpeg", "image/gif",
+    "audio/wav", "audio/flac",
+    "video/y4m", "video/x-mjpeg", "video/mp4")
+
+  private def requireNoRealCodec(row: MediaRow, op: String): Unit =
+    require(!RealCodecKinds.contains(row.kind),
+      s"$op: kind '${row.kind}' has a real codec — use the real decode " +
+        "operator; the pseudo path is only for codec-less payloads")
+
+  /** PSEUDO-FEATURES decoder — the explicitly named deterministic
+    * NON-codec: derives a pseudo-embedding from a byte fold, standing
+    * in for formats with no pure-JVM codec while keeping the full
+    * pipeline shape (per-partition init modeled by the constructor)
+    * testable. Refused for [[RealCodecKinds]] payloads at the operator
+    * level. */
+  final class PseudoFeatureDecoder(dim: Int = 8) {
     def features(row: MediaRow): MediaFeatures = {
       var h = 1125899906842597L // deterministic FNV-ish fold of payload
       row.payload.foreach(b => h = h * 31 + (b & 0xff))
@@ -51,14 +69,17 @@ object Multimodal {
     }
   }
 
-  /** The feature-extraction operator: decoder initialized once per
-    * partition, rows streamed through — never materializes a partition
-    * in memory. Repartition upstream to bound decode batch sizes. */
-  def extractFeatures(ds: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+  /** The pseudo-feature operator (x16's registered shape): decoder
+    * initialized once per partition, rows streamed through — never
+    * materializes a partition in memory. Refuses real-codec kinds. */
+  def pseudoFeatures(ds: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      val decoder = new StubDecoder(dim) // per-partition init (real: load model/codec)
-      it.map(decoder.features)
+      val decoder = new PseudoFeatureDecoder(dim) // per-partition init
+      it.map { row =>
+        requireNoRealCodec(row, "pseudoFeatures")
+        decoder.features(row)
+      }
     }
   }
 
@@ -70,7 +91,7 @@ object Multimodal {
                                          checksum: Option[Long],
                                          embedding: Option[String])
 
-  /** Engine-portable twin of [[StubDecoder]]: identical per-partition
+  /** Engine-portable twin of [[PseudoFeatureDecoder]]: identical per-partition
     * init + streamed-rows execution shape, but every derived value is
     * modular integer math in the 2^31-1 Mersenne domain
     * ([[graft.functions.HashFns.MersennePrime]]) instead of wrapping
@@ -79,7 +100,7 @@ object Multimodal {
     * [[graft.Queries]]). The pseudo-embedding is the checksum pushed
     * through a splitmix64-derived universal-hash family `(a·h+b) mod p`,
     * emitted as a comma-joined string (hashable by the driver). */
-  final class PortableStubDecoder(params: Seq[(Long, Long)]) {
+  final class PortablePseudoDecoder(params: Seq[(Long, Long)]) {
     private val p = graft.functions.HashFns.MersennePrime
     def features(row: MediaRow): PortableMediaFeatures =
       if (row.payload == null)
@@ -93,15 +114,15 @@ object Multimodal {
       }
   }
 
-  /** [[extractFeatures]] with the portable decoder — the oracle-backed
-    * mirror of the stub pipeline. `params` must be derived on the
+  /** [[pseudoFeatures]] with the portable decoder — the oracle-backed
+    * mirror of the pseudo pipeline. `params` must be derived on the
     * driver ([[graft.functions.HashFns.hashParams]]) so the SQL oracle
     * can interpolate the same family. */
-  def extractFeaturesPortable(ds: Dataset[MediaRow],
+  def pseudoFeaturesPortable(ds: Dataset[MediaRow],
                               params: Seq[(Long, Long)]): Dataset[PortableMediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      val decoder = new PortableStubDecoder(params) // per-partition init
+      val decoder = new PortablePseudoDecoder(params) // per-partition init
       it.map(decoder.features)
     }
   }
@@ -117,7 +138,7 @@ object Multimodal {
 
   /** REAL image decode: parse each payload as 24-bit BMP
     * ([[ImageCodec.decodeBmp24]]) and reduce the raster to integer
-    * channel statistics. Same per-partition batch shape as the stub
+    * channel statistics. Same per-partition batch shape as the pseudo
     * operators; malformed payloads fail loudly (a curation pipeline
     * filters by `kind` first). */
   def decodeImageFeatures(ds: Dataset[MediaRow]): Dataset[ImageStats] = {
@@ -518,19 +539,21 @@ object Multimodal {
     }
   }
 
-  /** STUB resize for formats without a JVM codec — a real
+  /** PSEUDO resize for formats without a JVM codec — a real
     * implementation decodes, scales and re-encodes (libvips/
     * Pillow-SIMD class work; [[resizePng]] IS that implementation for
-    * PNG); the stub derives a deterministic payload of size ∝ w·h so
-    * size accounting and the 1:1 `mapPartitions` shape (per-partition
-    * codec init, streamed rows, metadata rewritten alongside the
-    * payload) are real. */
-  def resize(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    * PNG, and this operator REFUSES any [[RealCodecKinds]] payload so
+    * PNG can never take the fake path); the pseudo path derives a
+    * deterministic payload of size ∝ w·h so size accounting and the
+    * 1:1 `mapPartitions` shape (per-partition codec init, streamed
+    * rows, metadata rewritten alongside the payload) are real. */
+  def pseudoResize(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import ds.sparkSession.implicits._
-    require(w > 0 && h > 0, "resize: target dims must be positive")
+    require(w > 0 && h > 0, "pseudoResize: target dims must be positive")
     ds.mapPartitions { it =>
-      val decoder = new StubDecoder() // real: codec/scaler init, once per partition
+      val decoder = new PseudoFeatureDecoder() // per-partition init
       it.map { row =>
+        requireNoRealCodec(row, "pseudoResize")
         val seed = decoder.features(row).checksum
         val out = Array.tabulate(math.max(1, w * h / 64))(i =>
           ((seed ^ (0x9e3779b97f4a7c15L * (i + 1))) & 0xff).toByte)
@@ -652,20 +675,22 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling — the 1:N batch shape for container formats
-    * without a pure-JVM decoder (compressed video needs ffmpeg-class
-    * work; `video/y4m` decodes FOR REAL via [[sampleVideoFrameStats]]):
-    * each media row fans out to ceil(payloadLen / frameBytes) frames,
-    * keep every `everyN`-th. A real implementation seeks keyframes via
-    * the container index instead of slicing bytes; the flatMap contract
-    * (streamed, never materializing a whole video's frames) is the
-    * Spark-side point. */
+  /** PSEUDO frame sampling — the 1:N batch shape for container formats
+    * without a pure-JVM decoder (ffmpeg-class inter-frame codecs; the
+    * containers this library DOES decode — Y4M, MJPEG-AVI, MP4,
+    * animated GIF — are refused here and go through their real lazy
+    * frame iterators): each media row fans out to
+    * ceil(payloadLen / frameBytes) frames, keep every `everyN`-th. A
+    * real implementation seeks keyframes via the container index
+    * instead of slicing bytes; the flatMap contract (streamed, never
+    * materializing a whole video's frames) is the Spark-side point. */
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
-  def sampleFrames(ds: Dataset[MediaRow], frameBytes: Int,
-                   everyN: Int): Dataset[Frame] = {
+  def pseudoSampleFrames(ds: Dataset[MediaRow], frameBytes: Int,
+                         everyN: Int): Dataset[Frame] = {
     import ds.sparkSession.implicits._
-    require(frameBytes > 0 && everyN > 0, "sampleFrames: positive params")
+    require(frameBytes > 0 && everyN > 0, "pseudoSampleFrames: positive params")
     ds.flatMap { row =>
+      requireNoRealCodec(row, "pseudoSampleFrames")
       row.payload.grouped(frameBytes).zipWithIndex
         .collect { case (bytes, i) if i % everyN == 0 =>
           Frame(row.media_id, i, bytes)

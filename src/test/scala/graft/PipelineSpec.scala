@@ -280,18 +280,18 @@ class PipelineSpec extends SparkSpec {
     val media = Multimodal.fromText(docs, "doc_id", "text")
       .repartition(4) // exercise the per-partition decoder init
       .as[Multimodal.MediaRow]
-    val feats1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
-    val feats2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val feats1 = Multimodal.pseudoFeatures(media).collect().sortBy(_.media_id)
+    val feats2 = Multimodal.pseudoFeatures(media).collect().sortBy(_.media_id)
     assert(feats1.length == 50)
     assert(feats1.map(_.checksum).toSeq == feats2.map(_.checksum).toSeq)
     assert(feats1.forall(_.embedding.length == 8))
     assert(feats1.forall(f => f.n_bytes > 0))
     // resize: 1:1 shape, metadata rewritten with the payload
-    val resized = Multimodal.resize(media, 64, 32).collect()
+    val resized = Multimodal.pseudoResize(media, 64, 32).collect()
     assert(resized.length == 50 &&
       resized.forall(r => r.width == 64 && r.height == 32 && r.payload.length == 32))
     // frame sampling: 1:N fan-out, every 2nd 16-byte frame survives
-    val frames = Multimodal.sampleFrames(media, frameBytes = 16, everyN = 2)
+    val frames = Multimodal.pseudoSampleFrames(media, frameBytes = 16, everyN = 2)
       .collect().groupBy(_.media_id)
     val byId = media.collect().map(r => r.media_id -> r.payload.length).toMap
     frames.foreach { case (id, fs) =>
@@ -309,7 +309,7 @@ class PipelineSpec extends SparkSpec {
       Multimodal.MediaRow(1L, "text/plain", "ab".getBytes("UTF-8"), 0, 0),
       Multimodal.MediaRow(2L, "text/plain", Array.empty[Byte], 0, 0),
       Multimodal.MediaRow(3L, "text/plain", null, 0, 0))
-    val out = Multimodal.extractFeaturesPortable(spark.createDataset(rows), params)
+    val out = Multimodal.pseudoFeaturesPortable(spark.createDataset(rows), params)
       .collect().sortBy(_.media_id)
     // "ab" = bytes 97, 98 → ((0*31+97)*31+98) mod p = 3105
     val expect = ((97L * 31) + 98) % p
