@@ -6870,6 +6870,108 @@ object Queries {
           .orderBy(col("query_id"), col("nprobe"))
       }
     },
+
+    // FLAC as a STORED parquet binary column — q102's write→columnar-
+    // scan→decode shape for the AUDIO modality (round-10 advice #8):
+    // real FLAC payloads (LPC-coded since the encoder gained LPC) are
+    // written to a parquet table with an opaque binary column + typed
+    // metadata, scanned back, and decoded with full CRC-8/CRC-16 +
+    // STREAMINFO-MD5 verification. The parquet round-trip must be
+    // byte-transparent AND the encode→store→scan→decode loop lossless
+    // for the analytic oracle's hash to match.
+    q("q145_flac_column_scan",
+      s"""WITH d AS (SELECT doc_id, 40 + doc_id % 32 AS nf,
+        |                  1 + doc_id % 2 AS nc,
+        |                  16000 + (doc_id % 2) * 8000 AS sr
+        |           FROM documents WHERE doc_id < $ImgDecodeDocs),
+        |fr AS (SELECT doc_id, nf, nc, sr,
+        |              unnest(generate_series(0, nf - 1)) AS f FROM d)
+        |SELECT doc_id AS media_id, CAST(sr AS BIGINT) AS sample_rate,
+        |       CAST(nc AS BIGINT) AS channels, CAST(nf AS BIGINT) AS frames,
+        |       CAST(SUM((doc_id*23 + f*13) % 4001 - 2000) AS BIGINT) AS c0_sum,
+        |       CAST(SUM(abs((doc_id*23 + f*13) % 4001 - 2000)
+        |                + CASE WHEN nc = 2
+        |                       THEN abs((doc_id*23 + f*13 + 5) % 4001 - 2000)
+        |                       ELSE 0 END) AS BIGINT) AS abs_sum,
+        |       CAST(SUM(((doc_id*23 + f*13) % 4001 - 2000) * f) AS BIGINT)
+        |         AS c0_moment
+        |FROM fr GROUP BY doc_id, sr, nc, nf ORDER BY media_id""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val nf = (40 + id % 32).toInt
+            val nc = (1 + id % 2).toInt
+            val sr = (16000 + (id % 2) * 8000).toInt
+            M.MediaRow(id, "audio/flac",
+              graft.multimodal.FlacCodec.encodeFlac(sr, nc, nf,
+                (f, c) => ((id * 23 + f * 13 + c * 5) % 4001).toInt - 2000,
+                blockSize = 16, midSide = nc == 2),
+              0, 0)
+          }
+        val stage = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_media_stage_flac").getPath
+        media.toDF().write.mode("overwrite").parquet(stage)
+        val scanned = s.read.parquet(stage).as[M.MediaRow]
+        M.decodeFlacFeatures(scanned).toDF().orderBy(col("media_id"))
+      }
+    },
+
+    // MP4 as a STORED parquet binary column — the same stored-column
+    // proof for the VIDEO modality: real MJPEG-in-MP4 payloads (box
+    // tree + multi-chunk sample table, q105's encode) written to a
+    // parquet binary column, scanned back, and frame-sampled through
+    // the lazy sample-table iterator. Closes the q102 image / q145
+    // audio / q146 video stored-column triangle.
+    q("q146_mp4_column_scan",
+      s"""WITH d AS (SELECT doc_id, 8*(1 + doc_id % 2) AS w,
+        |                  8*(1 + doc_id % 3) AS h, 4 + doc_id % 4 AS nf
+        |           FROM documents WHERE doc_id < $ImgDecodeDocs),
+        |sfr AS (SELECT doc_id, w, h, f
+        |        FROM (SELECT doc_id, w, h,
+        |                     unnest(generate_series(0, nf - 1)) AS f FROM d)
+        |        WHERE f % 2 = 0),
+        |px AS (SELECT doc_id, w, h, f,
+        |              unnest(generate_series(0, w*h - 1)) AS i FROM sfr)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(SUM((doc_id*11 + f*23 + ((i // w) // 8)*7
+        |                 + ((i % w) // 8)*13) % 256) AS BIGINT) AS c0_sum,
+        |       CAST(SUM(((doc_id*11 + f*23 + ((i // w) // 8)*7
+        |                  + ((i % w) // 8)*13) % 256) * i) AS BIGINT) AS c0_moment
+        |FROM px GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val M = graft.multimodal.Multimodal
+        val media = T(s, d, "documents")
+          .where(col("doc_id") < ImgDecodeDocs)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (8 * (1 + id % 2)).toInt
+            val h = (8 * (1 + id % 3)).toInt
+            val nf = (4 + id % 4).toInt
+            val ones = Array.fill(64)(1)
+            M.MediaRow(id, "video/mp4",
+              graft.multimodal.Mp4Codec.encodeMjpegMp4(w, h, fps = 10,
+                nFrames = nf,
+                jpegFrame = f => graft.multimodal.JpegCodec.encodeJpeg(w, h, 1,
+                  (x, y, _) =>
+                    ((id * 11 + f * 23 + (y / 8) * 7 + (x / 8) * 13) % 256).toInt,
+                  quantOverride = Some((ones, ones))),
+                samplesPerChunk = 2),
+              w, h)
+          }
+        val stage = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_media_stage_mp4").getPath
+        media.toDF().write.mode("overwrite").parquet(stage)
+        val scanned = s.read.parquet(stage).as[M.MediaRow]
+        M.sampleMp4FrameStats(scanned, everyN = 2).toDF()
+          .orderBy(col("media_id"), col("frame_idx"))
+      }
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
