@@ -53,6 +53,24 @@ def copy_k(t: pa.Table, name: str, k: int) -> pa.Table:
         field = out.schema.field(i)
         shifted = pc.add(out.column(i), pa.scalar(k * OFFSET)).cast(field.type)
         out = out.set_column(i, field, shifted)
+    if name == "events":
+        # spread each replica over its OWN disjoint time span (source
+        # span + 1h gap per copy): otherwise K copies pile onto the same
+        # month and time-window self-joins (q44's 5-minute pairs) scale
+        # ~K^2 in OUTPUT volume — a generator artifact, not a plan
+        # property. With disjoint spans, window-pair density scales ~K
+        # like a real corpus that grows by covering more time.
+        i = out.schema.get_field_index("ts")
+        field = out.schema.field(i)
+        ts = out.column(i)
+        lo, hi = pc.min(ts).cast(pa.int64()), pc.max(ts).cast(pa.int64())
+        unit = field.type.unit
+        hour = {"s": 3600, "ms": 3600_000, "us": 3600_000_000,
+                "ns": 3600_000_000_000}[unit]
+        span = (hi.as_py() - lo.as_py()) + hour
+        shifted = pc.add(ts.cast(pa.int64()),
+                         pa.scalar(k * span)).cast(field.type)
+        out = out.set_column(i, field, shifted)
     if name == "documents":
         i = out.schema.get_field_index("text")
         field = out.schema.field(i)
