@@ -6972,6 +6972,83 @@ object Queries {
           .orderBy(col("media_id"), col("frame_idx"))
       }
     },
+
+    // SAMPLED-QUANTILE AUDIT — the quantile member of the sketch-audit
+    // family (q142 LSH, q144 IVF): exact corpus percentiles next to
+    // the estimate a deterministic md5 bottom-k sample (k=1024, the
+    // KMV sampling regime) produces, error in integer milli-units.
+    // This is the table that tells an operator whether the cheap
+    // sample path is good enough before running exact order statistics
+    // over 100 TB. Scale shape: the exact side uses scalableCumSum's
+    // bucketed-histogram global rank (NO corpus-wide window — q88's
+    // regime); the sample side is a distributed TakeOrdered bottom-k
+    // plus a 1024-row window; targets broadcast. All integer: values
+    // are floor-scaled cents, ranks are ceil(pct·n/100), and the value
+    // AT a rank is tie-order-independent because the sort leads with
+    // the value itself.
+    q("q147_quantile_sample_audit",
+      """WITH v AS (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |         CAST(('0x' || substr(md5('qsk:' || CAST(l_orderkey AS VARCHAR) || ':'
+        |               || CAST(l_linenumber AS VARCHAR)),1,15)) AS BIGINT) AS h,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |pcts(pct) AS (VALUES (10), (25), (50), (75), (90), (99)),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v, l_orderkey, l_linenumber) AS r
+        |       FROM v),
+        |ex AS (SELECT p.pct, rk.v AS exact_v
+        |       FROM pcts p CROSS JOIN n
+        |       JOIN rk ON rk.r = (p.pct * n.n + 99) // 100),
+        |smp AS (SELECT v, h, l_orderkey, l_linenumber FROM v
+        |        ORDER BY h, l_orderkey, l_linenumber LIMIT 1024),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM smp),
+        |srk AS (SELECT v, row_number() OVER (ORDER BY v, l_orderkey, l_linenumber) AS r
+        |        FROM smp),
+        |est AS (SELECT p.pct, srk.v AS est_v
+        |        FROM pcts p CROSS JOIN m
+        |        JOIN srk ON srk.r = (p.pct * m.m + 99) // 100)
+        |SELECT CAST(ex.pct AS BIGINT) AS pct, ex.exact_v, est.est_v,
+        |       (1000 * abs(est.est_v - ex.exact_v))
+        |         // greatest(abs(ex.exact_v), 1) AS err_milli
+        |FROM ex JOIN est USING (pct) ORDER BY pct""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val H = graft.functions.HashFns
+        val v = T(s, d, "lineitem").select(
+          floor(col("l_extendedprice") * 100).cast("long").as("v"),
+          H.md5Hash60(concat(lit("qsk:"), col("l_orderkey").cast("string"),
+            lit(":"), col("l_linenumber").cast("string"))).as("h"),
+          col("l_orderkey"), col("l_linenumber"))
+        val vP = graft.Caches.persist(v)
+        val pcts = Seq(10L, 25L, 50L, 75L, 90L, 99L).toDF("pct")
+        val nDf = vP.agg(count(lit(1)).as("n"))
+        // exact global rank by value WITHOUT a corpus-wide window
+        val ranked = R.scalableCumSum(vP.withColumn("_one", lit(1L)),
+          "v", "l_orderkey", "_one", rankName = "r")
+        val exact = broadcast(pcts.crossJoin(nDf)
+            .select(col("pct"), expr("(pct * n + 99) div 100").as("_tr")))
+          .join(ranked, col("_tr") === col("r"))
+          .select(col("pct"), col("v").as("exact_v"))
+        // deterministic bottom-k sample: distributed TakeOrdered
+        val smpP = graft.Caches.persist(
+          vP.orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+            .limit(1024))
+        val mDf = smpP.agg(count(lit(1)).as("m"))
+        val srk = smpP.withColumn("r", row_number().over(
+          Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+        val est = broadcast(pcts.crossJoin(mDf)
+            .select(col("pct"), expr("(pct * m + 99) div 100").as("_tr")))
+          .join(srk, col("_tr") === col("r"))
+          .select(col("pct"), col("v").as("est_v"))
+        exact.join(est, Seq("pct"))
+          .select(col("pct"), col("exact_v"), col("est_v"),
+            expr("(1000 * abs(est_v - exact_v)) div greatest(abs(exact_v), 1L)")
+              .as("err_milli"))
+          .orderBy(col("pct"))
+      }
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
