@@ -226,6 +226,8 @@ object NativeFns {
   val BottomKName = "graft_bottomk"
   val BottomKDistinctName = "graft_bottomk_distinct"
   val RepStatsName = "graft_rep_stats"
+  val PqEncodeName = "graft_pq_encode"
+  val PqAdcName = "graft_pq_adc"
 
   /** All native function (name, builder) pairs — one registry shared by
     * [[register]] (live session) and `plans.GraftExtensions`
@@ -243,6 +245,8 @@ object NativeFns {
       BottomKByHash(exprs.head, exprs(1),
         literalK(BottomKDistinctName, exprs(2)), dedup = true)),
     RepStatsName -> (exprs => RepetitionStats(exprs.head)),
+    PqEncodeName -> (exprs => PqEncodeCodes(exprs.head, exprs(1))),
+    PqAdcName -> (exprs => PqAdcSum(exprs.head, exprs(1))),
   )
 
   /** k must be constant-foldable: eval(null) on e.g. an attribute
@@ -265,6 +269,17 @@ object NativeFns {
 
   /** Native dot product — caller must have [[register]]ed the session. */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Native PQ encode: m nearest-centroid codes per vector
+    * (bit-identical to the HOF twin in [[graft.operators.Pq]]) —
+    * caller must have [[register]]ed. */
+  def pqEncode(vec: Column, codebooks: Column): Column =
+    call_function(PqEncodeName, vec, codebooks)
+
+  /** Native ADC sum: Σ_s lut[s][codes[s]] (bit-identical to the HOF
+    * aggregate fold) — caller must have [[register]]ed. */
+  def pqAdc(lut: Column, codes: Column): Column =
+    call_function(PqAdcName, lut, codes)
 
   /** Native top-element occurrence count (≡
     * [[TextFns.topElementCount]]) — caller must have [[register]]ed. */

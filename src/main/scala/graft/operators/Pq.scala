@@ -112,20 +112,33 @@ object Pq {
     typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** Encode every corpus vector to its m nearest-centroid codes —
-    * row-local, zero shuffles. Output: (idCol, codes array<int>). */
+    * row-local, zero shuffles, via the native `graft_pq_encode`
+    * expression (one JIT loop per row; the HOF twin below is the
+    * parity reference). Output: (idCol, codes array<int>). */
   def encode(model: Model, corpus: DataFrame,
              idCol: String, vecCol: String): DataFrame = {
+    graft.functions.NativeFns.register(corpus.sparkSession)
+    corpus
+      .select(col(idCol),
+        graft.functions.NativeFns.pqEncode(
+          graft.functions.VectorFns.toDoubles(col(vecCol)),
+          cbLit(model)).as("codes"))
+  }
+
+  /** The HOF twin of [[encode]] — interpreted `transform`/`aggregate`
+    * over the same arithmetic in the same fold order (the
+    * single-element transform is SQL's lambda-let, binding the
+    * m×k×subDim distance array once per subspace). Kept as the
+    * bit-parity reference for the native expression (PqSpec), the
+    * NativeFns convention. */
+  private[graft] def encodeHof(model: Model, corpus: DataFrame,
+                               idCol: String, vecCol: String): DataFrame = {
     val subDim = model.subDim
     corpus
       .select(col(idCol),
         graft.functions.VectorFns.toDoubles(col(vecCol)).as("_v"))
       .withColumn("_cb", cbLit(model))
       .withColumn("codes", expr(
-        // the single-element transform is SQL's lambda-let: it binds
-        // the m×k×subDim distance array to `d` ONCE per subspace, so
-        // both the array_position haystack and the array_min argument
-        // read the bound value instead of re-evaluating the dominant
-        // per-row cost (the old shape computed it twice)
         s"""transform(sequence(0, ${model.m - 1}), s ->
            |  element_at(transform(array(
            |    transform(sequence(1, size(element_at(_cb, s + 1))), c ->
@@ -161,12 +174,10 @@ object Pq {
            |                      - element_at(element_at(element_at(_cb, s + 1), c), j)))))"""
           .stripMargin))
       .select(col(qidCol), col("_lut"))
+    graft.functions.NativeFns.register(codes.sparkSession)
     val scored = broadcast(withLut).crossJoin(codes)
-      .withColumn("adist", expr(
-        s"""aggregate(sequence(0, ${model.m - 1}), CAST(0 AS DOUBLE),
-           |  (a, s) -> a + element_at(element_at(_lut, s + 1),
-           |                           element_at(codes, s + 1) + 1))"""
-          .stripMargin))
+      .withColumn("adist",
+        graft.functions.NativeFns.pqAdc(col("_lut"), col("codes")))
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("adist").asc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -248,11 +259,8 @@ object Pq {
       .select(col(qidCol), col("_cell"), col("_lut"))
 
     val scored = broadcast(withLut).join(codes, Seq("_cell"))
-      .withColumn("adist", expr(
-        s"""aggregate(sequence(0, ${model.m - 1}), CAST(0 AS DOUBLE),
-           |  (a, s) -> a + element_at(element_at(_lut, s + 1),
-           |                           element_at(codes, s + 1) + 1))"""
-          .stripMargin))
+      .withColumn("adist",
+        graft.functions.NativeFns.pqAdc(col("_lut"), col("codes")))
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("adist").asc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))

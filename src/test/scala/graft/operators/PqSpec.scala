@@ -29,6 +29,35 @@ class PqSpec extends SparkSpec {
       again.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("native graft_pq_encode is bit-identical to the HOF twin") {
+    val native = Pq.encode(model, emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = Pq.encodeHof(model, emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native.keySet == hof.keySet)
+    native.foreach { case (id, codes) =>
+      assert(codes == hof(id), s"vec $id: native $codes vs hof ${hof(id)}")
+    }
+  }
+
+  test("native graft_pq_adc matches a driver-side lookup sum exactly") {
+    graft.functions.NativeFns.register(spark)
+    import spark.implicits._
+    val lut = Seq.tabulate(4, 8)((s, c) => 0.25 * s + 0.125 * c - 1.0)
+    val codes = Seq(Seq(0, 3, 7, 1), Seq(2, 2, 2, 2), Seq(7, 0, 5, 6))
+    val df = codes.toDF("codes")
+      .select(org.apache.spark.sql.functions.typedLit(lut).as("_lut"),
+        col("codes"))
+      .select(graft.functions.NativeFns.pqAdc(col("_lut"), col("codes"))
+        .as("adist"))
+    val got = df.collect().map(_.getDouble(0)).toSeq
+    val want = codes.map { cs =>
+      // same left-to-right fold as the expression
+      cs.zipWithIndex.foldLeft(0.0) { case (a, (c, s)) => a + lut(s)(c) }
+    }
+    assert(got == want)
+  }
+
   test("encode: m codes per vector, all within [0, k)") {
     val codes = Pq.encode(model, emb, "vec_id", "embedding")
     val rows = codes.select(col("codes")).collect()
