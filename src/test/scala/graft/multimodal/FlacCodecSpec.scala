@@ -191,6 +191,41 @@ class FlacCodecSpec extends SparkSpec {
     }
   }
 
+  test("seeded-random stress: 40 mixed waveforms round-trip bit-exactly with LPC in play") {
+    val rnd = new scala.util.Random(1711)
+    var sawLpc = false
+    for (trial <- 0 until 40) {
+      val ch = 1 + rnd.nextInt(2)
+      val frames = 64 + rnd.nextInt(400)
+      val bsz = Seq(16, 32, 64, 192)(rnd.nextInt(4))
+      val ms = ch == 2 && rnd.nextBoolean()
+      // mixed regime: two sinusoids at random frequencies + uniform
+      // noise + occasional full-range clip — exercises LPC, FIXED and
+      // VERBATIM selection across blocks of one stream
+      val w1 = rnd.nextDouble() * 3.0
+      val w2 = rnd.nextDouble() * 3.0
+      val a1 = rnd.nextInt(12000)
+      val a2 = rnd.nextInt(6000)
+      val noise = rnd.nextInt(2000)
+      val sig = Array.tabulate(frames, ch) { (f, c) =>
+        val base = a1 * math.sin(w1 * f + c) + a2 * math.sin(w2 * f) +
+          (new scala.util.Random(trial * 100003 + f * ch + c).nextInt(2 * noise + 1) - noise)
+        val v = base.toInt
+        if (f % 97 == 13) (if (v < 0) -32768 else 32767) else
+          math.max(-32768, math.min(32767, v))
+      }
+      val bytes = FlacCodec.encodeFlac(8000 + rnd.nextInt(40000), ch, frames,
+        (f, c) => sig(f)(c), blockSize = bsz, midSide = ms)
+      val types = scala.collection.mutable.ArrayBuffer[Int]()
+      val d = FlacCodec.decodeFlac(bytes, types += _) // CRCs + MD5 verified
+      for (f <- 0 until frames; c <- 0 until ch)
+        assert(d.samples(f * ch + c) == sig(f)(c),
+          s"trial $trial ch=$ch bsz=$bsz ms=$ms sample ($f,$c)")
+      sawLpc ||= types.exists(t => (t & 0x20) != 0)
+    }
+    assert(sawLpc, "40 mixed random waveforms should emit at least one LPC subframe")
+  }
+
   test("truncated stream is rejected, not silently short") {
     val good = FlacCodec.encodeFlac(8000, 1, 200, wave, blockSize = 64)
     intercept[Exception](
