@@ -7049,6 +7049,63 @@ object Queries {
           .orderBy(col("pct"))
       }
     },
+
+    // STREAMING CMS point-frequency monitor — q126's count-min sketch
+    // as a watermarked windowed aggregation (CMS counters are
+    // ADDITIVE, so the built-in streaming sum IS the state store: d×w
+    // = 48 longs per open hour, watermark-evicted — the StreamHll/x37
+    // pattern for the frequency sketch). The replayed counter table
+    // estimates batch-side with the q126 min-over-rows math; exact
+    // per-hour per-user counts join in as the accuracy witness, and
+    // the tiny w guarantees visible collision over-estimates (2.7k of
+    // 14.4k rows at sf0.01) that the oracle reproduces exactly.
+    q("x38_stream_cms",
+      """WITH h AS (
+        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms, user_id
+        |  FROM events),
+        |pos AS (
+        |  SELECT bucket_ms, user_id, g.i,
+        |         CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':'
+        |              || CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 16 AS p
+        |  FROM h CROSS JOIN generate_series(0, 2) AS g(i)),
+        |sk AS (SELECT bucket_ms, i, p, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM pos GROUP BY bucket_ms, i, p),
+        |probes AS (SELECT DISTINCT user_id FROM h WHERE user_id < 20),
+        |pp AS (
+        |  SELECT pr.user_id, g.i,
+        |         CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':'
+        |              || CAST(pr.user_id AS VARCHAR)),1,15)) AS BIGINT) % 16 AS p
+        |  FROM probes pr CROSS JOIN generate_series(0, 2) AS g(i)),
+        |wins AS (SELECT DISTINCT bucket_ms FROM h),
+        |est AS (
+        |  SELECT w.bucket_ms, pp.user_id,
+        |         MIN(COALESCE(sk.c, 0)) AS est_cnt
+        |  FROM wins w CROSS JOIN pp
+        |  LEFT JOIN sk ON sk.bucket_ms = w.bucket_ms AND sk.i = pp.i AND sk.p = pp.p
+        |  GROUP BY w.bucket_ms, pp.user_id),
+        |ex AS (SELECT bucket_ms, user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        |       FROM h WHERE user_id < 20 GROUP BY bucket_ms, user_id)
+        |SELECT est.bucket_ms, est.user_id, CAST(est.est_cnt AS BIGINT) AS est_cnt,
+        |       CAST(COALESCE(ex.true_cnt, 0) AS BIGINT) AS true_cnt
+        |FROM est LEFT JOIN ex ON ex.bucket_ms = est.bucket_ms
+        |                     AND ex.user_id = est.user_id
+        |ORDER BY est.bucket_ms, est.user_id""".stripMargin) { (s, d) => {
+      val counters = graft.streaming.StreamCms.replayParquet(s, d,
+        queryName = "x38_cms")
+      val ev = T(s, d, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      val probes = ev.select(col("user_id"))
+        .where(col("user_id") < 20).distinct()
+      val est = graft.streaming.StreamCms.estimates(counters, probes)
+      val exact = ev.where(col("user_id") < 20)
+        .groupBy(expr("(unix_millis(event_time) div 3600000) * 3600000")
+          .as("bucket_ms"), col("user_id"))
+        .agg(count(lit(1)).cast("long").as("true_cnt"))
+      est.join(exact, Seq("bucket_ms", "user_id"), "left")
+        .select(col("bucket_ms"), col("user_id"), col("est_cnt"),
+          coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
+        .orderBy(col("bucket_ms"), col("user_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
