@@ -7106,6 +7106,90 @@ object Queries {
           coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
         .orderBy(col("bucket_ms"), col("user_id"))
     }},
+
+    // URL CANONICALIZATION for crawl-frontier dedup — the
+    // normalization a crawler applies before grouping its frontier
+    // (RFC 3986 §6 + the sorted-query convention): five deterministic
+    // messy variants per site (case-mangled scheme/host, default
+    // ports, fragments, unsorted query params, /./ and ../ dot
+    // segments) must collapse to ONE canonical URL, so every output
+    // group has exactly n_raw = 5. Row-local regexp/array built-ins
+    // (TextFns.canonicalizeUrl) with every step spelled identically in
+    // the oracle — the q125 crawl-delta family's missing upstream
+    // stage. Leftmost-nonoverlapping global-replace semantics match
+    // across engines, so the unrolled dot-segment passes are exact.
+    q("q148_url_canonicalize",
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 5
+        |           WHEN 0 THEN 'https://site' || CAST(doc_id // 5 AS VARCHAR) || '.example/path/a?a=1&b=2'
+        |           WHEN 1 THEN 'HTTPS://SITE' || CAST(doc_id // 5 AS VARCHAR) || '.EXAMPLE:443/path/a?a=1&b=2'
+        |           WHEN 2 THEN 'https://site' || CAST(doc_id // 5 AS VARCHAR) || '.example/path/a?b=2&a=1#frag'
+        |           WHEN 3 THEN 'https://site' || CAST(doc_id // 5 AS VARCHAR) || '.example/path/./a?a=1&b=2'
+        |           ELSE 'HtTpS://site' || CAST(doc_id // 5 AS VARCHAR) || '.EXAMPLE:443/x/../path/./a?b=2&a=1#sec'
+        |         END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |         regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://', '') AS rest
+        |  FROM raw),
+        |auth AS (
+        |  SELECT doc_id, scheme, rest,
+        |         lower(regexp_extract(rest, '^([^/?#]+)', 1)) AS host0,
+        |         substr(rest, length(regexp_extract(rest, '^([^/?#]+)', 1)) + 1) AS pathq
+        |  FROM parts),
+        |hostn AS (
+        |  SELECT doc_id, scheme, pathq,
+        |         CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        |              WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+        |              ELSE host0 END AS host
+        |  FROM auth),
+        |pq AS (
+        |  SELECT doc_id, scheme, host,
+        |         regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+        |         CASE WHEN strpos(pathq, '?') > 0
+        |              THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
+        |  FROM hostn),
+        |dots AS (
+        |  SELECT doc_id, scheme, host, query,
+        |         regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(regexp_replace(regexp_replace(
+        |             CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+        |             '/\.(/)', '/', 'g'), '/\.(/)', '/', 'g'), '/\.$', '/', 'g'),
+        |           '/[^/]+/\.\.(/)', '/', 'g'), '/[^/]+/\.\.(/)', '/', 'g'),
+        |           '/[^/]+/\.\.$', '/', 'g') AS path
+        |  FROM pq),
+        |canon AS (
+        |  SELECT doc_id, scheme || '://' || host || path ||
+        |         CASE WHEN query <> ''
+        |              THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+        |              ELSE '' END AS canonical_url
+        |  FROM dots)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_raw,
+        |       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin) {
+      (s, d) => {
+        val site = (col("doc_id") / 5).cast("long").cast("string")
+        val url = when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("https://site"), site, lit(".example/path/a?a=1&b=2")))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("HTTPS://SITE"), site, lit(".EXAMPLE:443/path/a?a=1&b=2")))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit("https://site"), site, lit(".example/path/a?b=2&a=1#frag")))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            concat(lit("https://site"), site, lit(".example/path/./a?a=1&b=2")))
+          .otherwise(
+            concat(lit("HtTpS://site"), site,
+              lit(".EXAMPLE:443/x/../path/./a?b=2&a=1#sec")))
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            TextFns.canonicalizeUrl(url).as("canonical_url"))
+          .groupBy(col("canonical_url"))
+          .agg(count(lit(1)).as("n_raw"), min(col("doc_id")).as("min_doc"))
+          .orderBy(col("canonical_url"))
+      }
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -285,4 +285,43 @@ object TextFns {
           .as("chunk"))
     })
   }
+
+  /** URL canonicalization (RFC 3986 §6 syntax-based normalization +
+    * the crawl-frontier conventions) — the dedup key a crawl pipeline
+    * groups its frontier and its fetched pages by: lowercase scheme
+    * and host, strip the scheme's default port (:80 http / :443
+    * https), drop the fragment, resolve `/./` and `segment/../` dot
+    * segments (three unrolled leftmost-nonoverlapping passes — exact
+    * for nesting depth ≤ 3; crawl URLs beyond that are rejected
+    * upstream), empty path → `/`, and sort query parameters (the
+    * aggressive-normalization convention that makes `?b=2&a=1` and
+    * `?a=1&b=2` one frontier entry). Pure built-ins (regexp + array
+    * ops), row-local, zero shuffles — and every step has an identical
+    * SQL spelling, so the q148 oracle replays it exactly. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z]+://", "")
+    val auth0 = regexp_extract(rest, "^([^/?#]+)", 1)
+    val host0 = lower(auth0)
+    val host = when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .otherwise(host0)
+    val pathq = rest.substr(length(auth0) + lit(1), length(rest))
+    val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    // everything after the FIRST '?' (instr is 1-based, 0 when absent)
+    val query = when(instr(pathq, "?") > 0,
+      pathq.substr(instr(pathq, "?") + lit(1), length(pathq))).otherwise(lit(""))
+    val slashPath = when(path0 === "", lit("/")).otherwise(path0)
+    // three unrolled passes per dot form: leftmost-nonoverlapping
+    // global replace semantics are identical in Spark and DuckDB, so
+    // pass-for-pass results match
+    val dotsOnce = (p: Column) => regexp_replace(p, "/\\.(/)", "/")
+    val upOnce = (p: Column) => regexp_replace(p, "/[^/]+/\\.\\.(/)", "/")
+    val p1 = regexp_replace(dotsOnce(dotsOnce(slashPath)), "/\\.$", "/")
+    val path = regexp_replace(upOnce(upOnce(p1)), "/[^/]+/\\.\\.$", "/")
+    val sortedQ = array_join(array_sort(split(query, "&")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(query =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
 }

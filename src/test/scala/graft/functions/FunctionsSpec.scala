@@ -354,4 +354,26 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Seq(Seq("a")).toDF("t").select(TextFns.tokenChunks(col("t"), 3, 4)))
   }
+
+  test("canonicalizeUrl: normalization rules and the things that must NOT change") {
+    def canon(url: String): String =
+      Seq(url).toDF("u").select(TextFns.canonicalizeUrl(col("u")))
+        .collect().head.getString(0)
+    // case + default port + fragment + dot segments + query sort
+    assert(canon("HtTpS://WWW.Ex.COM:443/a/./b/../c?z=9&a=1#frag")
+      == "https://www.ex.com/a/c?a=1&z=9")
+    assert(canon("HTTP://EX.COM:80/x") == "http://ex.com/x")
+    // idempotent: canonicalizing a canonical URL is the identity
+    val once = canon("https://ex.com/a/b?a=1&b=2")
+    assert(canon(once) == once)
+    // NOT stripped: non-default ports, https' :80, real path segments
+    assert(canon("https://ex.com:80/a") == "https://ex.com:80/a")
+    assert(canon("http://ex.com:8080/a") == "http://ex.com:8080/a")
+    // empty path -> '/', queryless URLs gain no '?'
+    assert(canon("https://ex.com") == "https://ex.com/")
+    assert(canon("https://ex.com/a") == "https://ex.com/a")
+    // trailing /. and /segment/.. collapse
+    assert(canon("https://ex.com/a/b/..") == "https://ex.com/a/")
+    assert(canon("https://ex.com/a/.") == "https://ex.com/a/")
+  }
 }
