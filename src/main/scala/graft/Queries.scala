@@ -31,6 +31,33 @@ object Queries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Per-run staging dirs for the write→scan-back queries (q102/q145/
+    * q146 stored-media columns, x26 persisted IVF): suffixed with the
+    * Spark application id, so concurrent sessions on one host (e.g. a
+    * Verify and a Bench running side by side) can never read each
+    * other's half-overwritten stage. Recursively deleted by a JVM
+    * shutdown hook — the staged bytes are query-transient, not an
+    * output contract. */
+  private object Staging {
+    private val registered =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private lazy val hookInstalled: Unit =
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        registered.forEach(p => delete(new java.io.File(p)))))
+    private def delete(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(delete)
+      f.delete(); ()
+    }
+    def dir(s: SparkSession, name: String): String = {
+      hookInstalled
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"${name}_${s.sparkContext.applicationId}").getPath
+      registered.add(p)
+      p
+    }
+  }
+
   /** Shared fitted KMeans per sf-dir: the four cluster-analytics queries
     * analyze ONE model (fit → sizes → metrics → comparison → export),
     * mirroring the reference lifecycle where a single model feeds all
@@ -1785,7 +1812,7 @@ object Queries {
     // PartitionFilters plan shape and result-equivalence with ivfTopK).
     rowsOnly("x26_knn_ivf_index") { (s, d) => {
       val emb = T(s, d, "embeddings")
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${math.abs(d.hashCode)}"
+      val dir = Staging.dir(s, s"graft_ivf_${math.abs(d.hashCode)}")
       val built = graft.operators.IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
       built.save(dir)
       val loaded = graft.operators.IvfIndex.load(s, dir, "vec_id")
@@ -2896,8 +2923,7 @@ object Queries {
           }
         // write the media table with its opaque binary column, then scan
         // it back — the parquet binary round-trip IS the point here
-        val stage = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_media_stage").getPath
+        val stage = Staging.dir(s, "graft_media_stage")
         media.toDF().write.mode("overwrite").parquet(stage)
         val scanned = s.read.parquet(stage).as[M.MediaRow]
         M.decodePngFeatures(scanned).toDF().orderBy(col("media_id"))
@@ -6912,8 +6938,7 @@ object Queries {
                 blockSize = 16, midSide = nc == 2),
               0, 0)
           }
-        val stage = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_media_stage_flac").getPath
+        val stage = Staging.dir(s, "graft_media_stage_flac")
         media.toDF().write.mode("overwrite").parquet(stage)
         val scanned = s.read.parquet(stage).as[M.MediaRow]
         M.decodeFlacFeatures(scanned).toDF().orderBy(col("media_id"))
@@ -6964,8 +6989,7 @@ object Queries {
                 samplesPerChunk = 2),
               w, h)
           }
-        val stage = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_media_stage_mp4").getPath
+        val stage = Staging.dir(s, "graft_media_stage_mp4")
         media.toDF().write.mode("overwrite").parquet(stage)
         val scanned = s.read.parquet(stage).as[M.MediaRow]
         M.sampleMp4FrameStats(scanned, everyN = 2).toDF()
@@ -7112,8 +7136,8 @@ object Queries {
     // (RFC 3986 §6 + the sorted-query convention): five deterministic
     // messy variants per site (case-mangled scheme/host, default
     // ports, fragments, unsorted query params, /./ and ../ dot
-    // segments) must collapse to ONE canonical URL, so every output
-    // group has exactly n_raw = 5. Row-local regexp/array built-ins
+    // segments, incl. a root-stranded over-pop '..') must collapse to
+    // ONE canonical URL, so every output group has exactly n_raw = 5. Row-local regexp/array built-ins
     // (TextFns.canonicalizeUrl) with every step spelled identically in
     // the oracle — the q125 crawl-delta family's missing upstream
     // stage. Leftmost-nonoverlapping global-replace semantics match
@@ -7126,7 +7150,7 @@ object Queries {
         |           WHEN 1 THEN 'HTTPS://SITE' || CAST(doc_id // 5 AS VARCHAR) || '.EXAMPLE:443/path/a?a=1&b=2'
         |           WHEN 2 THEN 'https://site' || CAST(doc_id // 5 AS VARCHAR) || '.example/path/a?b=2&a=1#frag'
         |           WHEN 3 THEN 'https://site' || CAST(doc_id // 5 AS VARCHAR) || '.example/path/./a?a=1&b=2'
-        |           ELSE 'HtTpS://site' || CAST(doc_id // 5 AS VARCHAR) || '.EXAMPLE:443/x/../path/./a?b=2&a=1#sec'
+        |           ELSE 'HtTpS://site' || CAST(doc_id // 5 AS VARCHAR) || '.EXAMPLE:443/x/../../path/./a?b=2&a=1#sec'
         |         END AS url
         |  FROM documents),
         |parts AS (
@@ -7154,11 +7178,13 @@ object Queries {
         |dots AS (
         |  SELECT doc_id, scheme, host, query,
         |         regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(
         |           regexp_replace(regexp_replace(regexp_replace(
         |             CASE WHEN path0 = '' THEN '/' ELSE path0 END,
         |             '/\.(/)', '/', 'g'), '/\.(/)', '/', 'g'), '/\.$', '/', 'g'),
         |           '/[^/]+/\.\.(/)', '/', 'g'), '/[^/]+/\.\.(/)', '/', 'g'),
-        |           '/[^/]+/\.\.$', '/', 'g') AS path
+        |           '/[^/]+/\.\.$', '/', 'g'),
+        |           '^(/\.\.)+(/|$)', '/', 'g') AS path
         |  FROM pq),
         |canon AS (
         |  SELECT doc_id, scheme || '://' || host || path ||
@@ -7181,7 +7207,7 @@ object Queries {
             concat(lit("https://site"), site, lit(".example/path/./a?a=1&b=2")))
           .otherwise(
             concat(lit("HtTpS://site"), site,
-              lit(".EXAMPLE:443/x/../path/./a?b=2&a=1#sec")))
+              lit(".EXAMPLE:443/x/../../path/./a?b=2&a=1#sec")))
         T(s, d, "documents")
           .select(col("doc_id"),
             TextFns.canonicalizeUrl(url).as("canonical_url"))

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -15,13 +15,18 @@ import org.apache.spark.sql.types._
   * allocates an intermediate array and interprets two lambdas per
   * element, ~10× the cost of a tight loop over the ArrayData. This
   * BinaryExpression evaluates the dot product in one pass with no
-  * allocation (CodegenFallback: a single eval call per row — the loop
-  * itself is JIT-compiled Scala).
+  * allocation; `doGenCode` emits a single call into the JIT-compiled
+  * [[compute]] loop so whole-stage fusion survives the expression.
+  * Explicitly `nullable`: mismatched lengths / null elements yield
+  * NULL from non-null children.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL on length mismatch / null element even with non-null children
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -45,9 +50,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   @transient private lazy val getL = elemGetter(left.dataType)
   @transient private lazy val getR = elemGetter(right.dataType)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  /** Codegen + interpreted entry point; null = HOF-dot parity NULL. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     // HOF-dot parity (zip_with + aggregate): mismatched lengths or a
     // null element yield NULL, not a partial sum — downstream `>= tau`
     // predicates must drop such pairs, never merge on a prefix dot.
@@ -60,7 +64,22 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       s += getL(a, i) * getR(b, i)
       i += 1
     }
-    s
+    java.lang.Double.valueOf(s)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dot", this)
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("dot")
+      s"""
+         |java.lang.Double $tmp = $ref.compute($l, $r);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -82,10 +101,12 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * n-gram size per row.
   */
 case class TopRunCount(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  // NULL on a null array element even when the array itself is non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -96,10 +117,10 @@ case class TopRunCount(child: Expression)
           s"graft_top_count expects array<string>, got $other")
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  /** Codegen + interpreted entry point; null = null element present. */
+  def compute(a: ArrayData): java.lang.Long = {
     val n = a.numElements()
-    if (n == 0) return 0L
+    if (n == 0) return java.lang.Long.valueOf(0L)
     val arr = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     var i = 0
     while (i < n) {
@@ -118,7 +139,21 @@ case class TopRunCount(child: Expression)
       } else run = 1
       i += 1
     }
-    best
+    java.lang.Long.valueOf(best)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topRun", this)
+    nullSafeCodeGen(ctx, ev, v => {
+      val tmp = ctx.freshName("topRun")
+      s"""
+         |java.lang.Long $tmp = $ref.compute($v);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -142,8 +177,10 @@ case class TopRunCount(child: Expression)
   * never building the n-gram strings at all.
   */
 case class RepetitionStats(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  // NULL struct on a null token element even with a non-null array
+  override def nullable: Boolean = true
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_bigrams", LongType, nullable = false),
@@ -194,8 +231,8 @@ case class RepetitionStats(child: Expression)
     best
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  /** Codegen + interpreted entry point; null = null element present. */
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val n = a.numElements()
     val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     var i = 0
@@ -208,6 +245,17 @@ case class RepetitionStats(child: Expression)
     val nTri = math.max(n - 2, 0).toLong
     org.apache.spark.sql.catalyst.InternalRow(
       nBi, topKgram(toks, 2), nTri, topKgram(toks, 3))
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repStats", this)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |${ev.value} = $ref.compute($v);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

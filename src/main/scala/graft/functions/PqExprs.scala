@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -15,6 +15,17 @@ import org.apache.spark.sql.types._
   * BIT-identical to its HOF twin (same left-to-right fold order, same
   * first-minimum tie-break — parity-tested in PqSpec) but runs as one
   * JIT-compiled loop over the ArrayData with no intermediate arrays.
+  *
+  * Codegen: `doGenCode` emits a single call into the expression's own
+  * `compute` loop (referenced via `addReferenceObj`, the stock Spark
+  * pattern for stateful built-ins) — whole-stage fusion survives the
+  * expression instead of falling back to an interpreted island, and
+  * the loop body is the same JIT-compiled Scala either way.
+  *
+  * Both expressions are explicitly `nullable`: they return NULL on
+  * malformed non-null input (length mismatch, out-of-range code, null
+  * vector element), so the optimizer must never assume non-null output
+  * from non-null children.
   */
 
 /** `graft_pq_encode(vec, codebooks)`: per subspace s of the m-way
@@ -23,12 +34,17 @@ import org.apache.spark.sql.types._
   * - 1` over distances computed as the `aggregate` left fold
   * `acc + (x−y)·(x−y)` in element order. `codebooks` is the m×k×subDim
   * literal; subDim is derived from it, and `vec` must have m·subDim
-  * elements (NULL otherwise, matching HOF NULL propagation on
-  * malformed input). Output: array<int> of m codes. */
+  * non-null elements (NULL otherwise — a null element would
+  * null-propagate through the HOF `aggregate` twin, so the native form
+  * refuses it rather than silently reading 0.0). Output: array<int> of
+  * m codes. */
 case class PqEncodeCodes(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // NULL on malformed input even when both children are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _),
@@ -38,15 +54,20 @@ case class PqEncodeCodes(left: Expression, right: Expression)
       s"graft_pq_encode expects (array<double>, array<array<array<double>>>), got $l / $r")
   }
 
-  override def nullSafeEval(v: Any, cb: Any): Any = {
-    val vec = v.asInstanceOf[ArrayData]
-    val books = cb.asInstanceOf[ArrayData]
+  /** Codegen + interpreted entry point; null = malformed input. */
+  def compute(vec: ArrayData, books: ArrayData): ArrayData = {
     val m = books.numElements()
     if (m == 0) return new GenericArrayData(Array.empty[Int])
     val sub0 = books.getArray(0)
     if (sub0.numElements() == 0) return null
     val subDim = sub0.getArray(0).numElements()
-    if (vec.numElements() != m * subDim) return null
+    val n = vec.numElements()
+    if (n != m * subDim) return null
+    var i = 0
+    while (i < n) { // HOF parity: a null element poisons the whole fold
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -76,6 +97,18 @@ case class PqEncodeCodes(left: Expression, right: Expression)
     new GenericArrayData(codes)
   }
 
+  override def nullSafeEval(v: Any, cb: Any): Any =
+    compute(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this)
+    nullSafeCodeGen(ctx, ev, (v, cb) =>
+      s"""
+         |${ev.value} = $ref.compute($v, $cb);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -91,9 +124,12 @@ case class PqEncodeCodes(left: Expression, right: Expression)
   * one — a NULL here surfaces the corruption to the caller's
   * null-checks instead). Output: double. */
 case class PqAdcSum(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL on malformed input even when both children are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(IntegerType, _)) =>
@@ -102,9 +138,8 @@ case class PqAdcSum(left: Expression, right: Expression)
       s"graft_pq_adc expects (array<array<double>>, array<int>), got $l / $r")
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val lut = l.asInstanceOf[ArrayData]
-    val codes = r.asInstanceOf[ArrayData]
+  /** Codegen + interpreted entry point; null = malformed input. */
+  def compute(lut: ArrayData, codes: ArrayData): java.lang.Double = {
     val m = lut.numElements()
     if (codes.numElements() != m) return null
     var acc = 0.0
@@ -117,7 +152,22 @@ case class PqAdcSum(left: Expression, right: Expression)
       acc += row.getDouble(c)
       s += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = compute(
+    l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this)
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("adc")
+      s"""
+         |java.lang.Double $tmp = $ref.compute($l, $r);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,

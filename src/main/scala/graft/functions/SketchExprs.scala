@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -13,9 +13,11 @@ import org.apache.spark.sql.types._
   * MinHash signature evaluates numHashes × numShingles lambda calls per
   * row, a SimHash folds 64 × numTokens lambda calls — measured as the
   * dominant cost of the dedup benchmark queries. These expressions
-  * compute the identical values in one `eval` per row with a tight
-  * JIT-compiled loop and no intermediate array allocation
-  * (CodegenFallback: the single call per row is not worth codegen).
+  * compute the identical values in one call per row with a tight
+  * JIT-compiled loop and no intermediate array allocation; `doGenCode`
+  * emits a single call into each expression's `compute` loop (via
+  * `addReferenceObj`, the stock pattern for stateful built-ins) so
+  * whole-stage fusion survives the expression.
   *
   * Parity with the HOF forms is asserted by ScalaTest (DedupSpec) —
   * they must stay bit-identical, including empty-input sentinels and
@@ -34,7 +36,7 @@ import org.apache.spark.sql.types._
   * All inputs are < p, so a*h + b < 2^62 + 2^31 — ANSI-overflow-safe.
   */
 case class MinHashSignature(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   private val P = HashFns.MersennePrime
 
@@ -61,8 +63,8 @@ case class MinHashSignature(first: Expression, second: Expression, third: Expres
   @transient private lazy val bs: Array[Long] =
     third.eval(null).asInstanceOf[ArrayData].toLongArray()
 
-  override def nullSafeEval(h: Any, a2: Any, a3: Any): Any = {
-    val hs = h.asInstanceOf[ArrayData]
+  /** Codegen + interpreted entry point (never null on non-null input). */
+  def compute(hs: ArrayData): ArrayData = {
     val n = hs.numElements()
     val k = as.length
     val out = new Array[Long](k)
@@ -84,6 +86,14 @@ case class MinHashSignature(first: Expression, second: Expression, third: Expres
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(h: Any, a2: Any, a3: Any): Any =
+    compute(h.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this)
+    nullSafeCodeGen(ctx, ev, (h, _, _) => s"${ev.value} = $ref.compute($h);")
+  }
+
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
@@ -100,8 +110,7 @@ case class MinHashSignature(first: Expression, second: Expression, third: Expres
   * Children: (tokens: array<string>, words: array<string> literal).
   */
 case class TokensInSet(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -124,8 +133,8 @@ case class TokensInSet(left: Expression, right: Expression)
     s
   }
 
-  override def nullSafeEval(t: Any, w: Any): Any = {
-    val toks = t.asInstanceOf[ArrayData]
+  /** Codegen + interpreted entry point (never null on non-null input). */
+  def compute(toks: ArrayData): Long = {
     val n = toks.numElements()
     var c = 0L
     var i = 0
@@ -134,6 +143,14 @@ case class TokensInSet(left: Expression, right: Expression)
       i += 1
     }
     c
+  }
+
+  override def nullSafeEval(t: Any, w: Any): Any =
+    compute(t.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokensInSet", this)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = $ref.compute($t);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -150,7 +167,7 @@ case class TokensInSet(left: Expression, right: Expression)
   * `xxhash64(NULL)`. Mirrors [[HashFns.simhash64]] bit-for-bit.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -160,8 +177,8 @@ case class SimHash64(child: Expression)
       s"graft_simhash expects array<string>, got $other")
   }
 
-  override def nullSafeEval(t: Any): Any = {
-    val toks = t.asInstanceOf[ArrayData]
+  /** Codegen + interpreted entry point (never null on non-null input). */
+  def compute(toks: ArrayData): Long = {
     val n = toks.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -185,6 +202,13 @@ case class SimHash64(child: Expression)
     out
   }
 
+  override def nullSafeEval(t: Any): Any = compute(t.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.compute($t);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
@@ -202,8 +226,7 @@ case class SimHash64(child: Expression)
   * Children: (hashes: array<bigint>, bits: int literal in [1, 64]).
   */
 case class SimHashFromHashes(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -220,8 +243,8 @@ case class SimHashFromHashes(left: Expression, right: Expression)
 
   @transient private lazy val bits: Int = right.eval(null).asInstanceOf[Int]
 
-  override def nullSafeEval(h: Any, b: Any): Any = {
-    val hs = h.asInstanceOf[ArrayData]
+  /** Codegen + interpreted entry point (never null on non-null input). */
+  def compute(hs: ArrayData): Long = {
     val n = hs.numElements()
     val counts = new Array[Int](bits)
     var i = 0
@@ -243,6 +266,14 @@ case class SimHashFromHashes(left: Expression, right: Expression)
       j += 1
     }
     out
+  }
+
+  override def nullSafeEval(h: Any, b: Any): Any =
+    compute(h.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashHs", this)
+    nullSafeCodeGen(ctx, ev, (h, _) => s"${ev.value} = $ref.compute($h);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,

@@ -293,7 +293,9 @@ object TextFns {
     * https), drop the fragment, resolve `/./` and `segment/../` dot
     * segments (three unrolled leftmost-nonoverlapping passes — exact
     * for nesting depth ≤ 3; crawl URLs beyond that are rejected
-    * upstream), empty path → `/`, and sort query parameters (the
+    * upstream) including the RFC 3986 over-pop rule (`..` segments
+    * left at the root, e.g. `/a/../../b`, are removed → `/b`), empty
+    * path → `/`, and sort query parameters (the
     * aggressive-normalization convention that makes `?b=2&a=1` and
     * `?a=1&b=2` one frontier entry). Pure built-ins (regexp + array
     * ops), row-local, zero shuffles — and every step has an identical
@@ -319,7 +321,11 @@ object TextFns {
     val dotsOnce = (p: Column) => regexp_replace(p, "/\\.(/)", "/")
     val upOnce = (p: Column) => regexp_replace(p, "/[^/]+/\\.\\.(/)", "/")
     val p1 = regexp_replace(dotsOnce(dotsOnce(slashPath)), "/\\.$", "/")
-    val path = regexp_replace(upOnce(upOnce(p1)), "/[^/]+/\\.\\.$", "/")
+    val p2 = regexp_replace(upOnce(upOnce(p1)), "/[^/]+/\\.\\.$", "/")
+    // RFC 3986 §5.2.4 over-pop: '..' segments stranded at the root
+    // (more '..' than parents — '/a/../../b' pops to '/../b') are
+    // removed, never kept as literal path segments
+    val path = regexp_replace(p2, "^(/\\.\\.)+(/|$)", "/")
     val sortedQ = array_join(array_sort(split(query, "&")), "&")
     concat(scheme, lit("://"), host, path,
       when(query =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))

@@ -375,5 +375,11 @@ class FunctionsSpec extends SparkSpec {
     // trailing /. and /segment/.. collapse
     assert(canon("https://ex.com/a/b/..") == "https://ex.com/a/")
     assert(canon("https://ex.com/a/.") == "https://ex.com/a/")
+    // RFC 3986 §5.2.4 over-pop: '..' stranded at the root is removed
+    assert(canon("https://ex.com/a/../../b") == "https://ex.com/b")
+    assert(canon("https://ex.com/a/../..") == "https://ex.com/")
+    assert(canon("https://ex.com/a/b/../../../c") == "https://ex.com/c")
+    // '..x' is a REAL segment name, not a dot segment
+    assert(canon("https://ex.com/..x/y") == "https://ex.com/..x/y")
   }
 }
