@@ -7216,6 +7216,464 @@ object Queries {
           .orderBy(col("canonical_url"))
       }
     },
+    // IVFPQ (IVFADC) RECALL AUDIT — q144's exact-vs-probed table
+    // extended to the x36 composition: coarse md5-seed quantizer (8
+    // cells), RESIDUAL product codebooks (m=8 subspaces x k=16 codes,
+    // each centroid the residual subvector of an md5-bottom-k row — the
+    // same deterministic quantizer trick that lets DuckDB replay the
+    // whole pipeline), ADC ranking at nprobe in {1,2,4}, and recall@10
+    // against the exact top-10 in milli-units. Unlike q144 (exact d2
+    // within probed cells -> monotone recall), ADC ranks by the
+    // QUANTIZED distance, so more probes can displace true hits — the
+    // non-monotone rows are the audit's point, and the untrained
+    // codebooks make these numbers a lower bound for the k-means-
+    // trained x36 path (whose recall witnesses live in PqSpec). Scale
+    // shape: seed pick and codebook pick are TakeOrdered / bottom-k
+    // AGGREGATES (never a corpus window), assignment and encode are
+    // broadcast-argmin over 8/128-row literals with per-row bounded
+    // window frames, and the ADC side is bounded by the 10-query probe
+    // set -- audit regime; the production path stays Pq.ivfPqTopK's
+    // partition-pruned probe scan. Every double is a fixed-shape IEEE
+    // expression tree or a sequential left fold, so ranks match DuckDB
+    // bit-for-bit.
+    q("q149_ivfpq_recall_audit",
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS ve
+        |  FROM embeddings),
+        |sd0 AS (
+        |  SELECT vec_id, ve,
+        |         row_number() OVER (
+        |           ORDER BY CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT),
+        |                    vec_id) AS rn
+        |  FROM v),
+        |seeds AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, ve AS se
+        |          FROM sd0 WHERE rn <= 8),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               [(v.ve[i] - s.se[i]) * (v.ve[i] - s.se[i])
+        |                FOR i IN generate_series(1, len(v.ve))]), (a,b) -> a+b) ASC,
+        |             s.cell ASC) AS rn
+        |    FROM v CROSS JOIN seeds s)
+        |  WHERE rn = 1),
+        |res AS (
+        |  SELECT v.vec_id, a.cell,
+        |         [v.ve[i] - s.se[i] FOR i IN generate_series(1, len(v.ve))] AS re
+        |  FROM v JOIN asg a ON v.vec_id = a.vec_id
+        |         JOIN seeds s ON a.cell = s.cell),
+        |sub(s) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+        |cb0 AS (
+        |  SELECT sub.s, r.vec_id,
+        |         row_number() OVER (PARTITION BY sub.s ORDER BY
+        |           CAST(('0x' || substr(md5('pq:' || CAST(sub.s AS VARCHAR) || ':' || CAST(r.vec_id AS VARCHAR)),1,15)) AS BIGINT),
+        |           r.vec_id) AS rn
+        |  FROM res r CROSS JOIN sub),
+        |cb AS (
+        |  SELECT c.s, CAST(c.rn - 1 AS INT) AS code,
+        |         [r.re[c.s*8 + i] FOR i IN generate_series(1, 8)] AS ce
+        |  FROM cb0 c JOIN res r ON c.vec_id = r.vec_id
+        |  WHERE c.rn <= 16),
+        |enc AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT r.vec_id, c.s, c.code,
+        |           row_number() OVER (PARTITION BY r.vec_id, c.s ORDER BY
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               [(r.re[c.s*8 + i] - c.ce[i]) * (r.re[c.s*8 + i] - c.ce[i])
+        |                FOR i IN generate_series(1, 8)]), (a,b) -> a+b) ASC,
+        |             c.code ASC) AS rn
+        |    FROM res r CROSS JOIN cb c)
+        |  WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 10),
+        |exd AS (
+        |  SELECT q.query_id, v.vec_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           [(q.qe[i] - v.ve[i]) * (q.qe[i] - v.ve[i])
+        |            FOR i IN generate_series(1, len(q.qe))]), (a,b) -> a+b) AS d2
+        |  FROM qs q CROSS JOIN v WHERE v.vec_id <> q.query_id),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY d2 ASC, vec_id ASC) AS rk
+        |    FROM exd)
+        |  WHERE rk <= 10),
+        |pr AS (
+        |  SELECT q.query_id, s.cell,
+        |         row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             [(q.qe[i] - s.se[i]) * (q.qe[i] - s.se[i])
+        |              FOR i IN generate_series(1, len(q.qe))]), (a,b) -> a+b) ASC,
+        |           s.cell ASC) AS prk
+        |  FROM qs q CROSS JOIN seeds s),
+        |term AS (
+        |  SELECT q.query_id, e.vec_id, a.cell, e.s,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           [((q.qe[e.s*8 + i] - sd.se[e.s*8 + i]) - c.ce[i])
+        |            * ((q.qe[e.s*8 + i] - sd.se[e.s*8 + i]) - c.ce[i])
+        |            FOR i IN generate_series(1, 8)]), (a,b) -> a+b) AS t
+        |  FROM enc e
+        |  JOIN asg a ON e.vec_id = a.vec_id
+        |  JOIN seeds sd ON a.cell = sd.cell
+        |  JOIN cb c ON c.s = e.s AND c.code = e.code
+        |  JOIN pr ON pr.cell = a.cell AND pr.prk <= 4
+        |  JOIN qs q ON q.query_id = pr.query_id
+        |  WHERE e.vec_id <> q.query_id),
+        |adist AS (
+        |  SELECT query_id, vec_id, cell,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(t ORDER BY s)),
+        |                     (a,b) -> a+b) AS ad
+        |  FROM term GROUP BY query_id, vec_id, cell),
+        |np(n) AS (VALUES (1), (2), (4)),
+        |ap AS (
+        |  SELECT query_id, vec_id, n FROM (
+        |    SELECT ad.query_id, ad.vec_id, n.n,
+        |           row_number() OVER (PARTITION BY ad.query_id, n.n
+        |                              ORDER BY ad.ad ASC, ad.vec_id ASC) AS rk
+        |    FROM adist ad
+        |    JOIN pr ON pr.query_id = ad.query_id AND pr.cell = ad.cell
+        |    JOIN np n ON pr.prk <= n.n)
+        |  WHERE rk <= 10),
+        |h AS (
+        |  SELECT a.query_id, a.n, COUNT(e.vec_id) AS hits
+        |  FROM ap a LEFT JOIN exact e
+        |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |  GROUP BY a.query_id, a.n)
+        |SELECT q.query_id, CAST(n.n AS BIGINT) AS nprobe,
+        |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |       (1000 * CAST(COALESCE(h.hits, 0) AS BIGINT)) // 10 AS recall_milli
+        |FROM qs q CROSS JOIN np n
+        |LEFT JOIN h ON h.query_id = q.query_id AND h.n = n.n
+        |ORDER BY q.query_id, nprobe""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val H = graft.functions.HashFns
+        graft.functions.NativeFns.register(s)
+        val SubDim = 8
+        val NSub = 8
+        val CbK = 16
+        def d2(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, e) => acc + e)
+        def sub(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          slice(arr, col("s") * SubDim + lit(1), lit(SubDim))
+        val v = T(s, d, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("ve"))
+        val vP = graft.Caches.persist(v)
+        // coarse quantizer: distributed TakeOrdered top-8 by md5, cell
+        // index from an 8-row window — never a corpus-wide window
+        val sd0 = vP.withColumn("_h", H.md5Hash60(
+            concat(lit("ivf:"), col("vec_id").cast("string"))))
+          .orderBy(col("_h"), col("vec_id")).limit(8)
+        val seeds = sd0.withColumn("cell",
+            (row_number().over(Window.orderBy(col("_h"), col("vec_id"))) - 1)
+              .cast("long"))
+          .select(col("cell"), col("ve").as("se"))
+        val asg = vP.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("cell"), d2(col("ve"), col("se")).as("_d2"))
+          .withColumn("_rn", row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(col("_d2").asc, col("cell").asc)))
+          .where(col("_rn") === 1)
+          .select(col("vec_id"), col("cell"))
+        val res = vP.join(asg, Seq("vec_id")).join(broadcast(seeds), Seq("cell"))
+          .select(col("vec_id"), col("cell"),
+            zip_with(col("ve"), col("se"), (a, b) => a - b).as("re"))
+        val resP = graft.Caches.persist(res)
+        // residual codebooks: per subspace the md5-bottom-16 rows'
+        // subvectors, picked by the mergeable bottom-k AGGREGATE (8
+        // groups) — the code index is the (hash, vec_id) ascending
+        // position, exactly the oracle's row_number
+        val picks = resP.crossJoin(broadcast((0 until NSub).toDF("s")))
+          .withColumn("_h", H.md5Hash60(concat(lit("pq:"),
+            col("s").cast("string"), lit(":"), col("vec_id").cast("string"))))
+          .groupBy(col("s"))
+          .agg(graft.functions.NativeFns.bottomK(col("vec_id"), col("_h"), CbK)
+            .as("_picked"))
+          .select(col("s"), posexplode(col("_picked")).as(Seq("code", "vec_id")))
+        val cb = broadcast(picks
+          .join(resP.select(col("vec_id"), col("re")), Seq("vec_id"))
+          .select(col("s"), col("code").cast("int").as("code"), sub(col("re")).as("ce")))
+        val enc = resP.crossJoin(cb)
+          .select(col("vec_id"), col("cell"), col("s"), col("code"),
+            d2(sub(col("re")), col("ce")).as("_ed"))
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col("vec_id"), col("s"))
+              .orderBy(col("_ed").asc, col("code").asc)))
+          .where(col("_rn") === 1)
+          .select(col("vec_id"), col("cell"), col("s"), col("code"))
+        val qs = vP.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("ve").as("qe"))
+        val exact = broadcast(qs).crossJoin(vP)
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), d2(col("qe"), col("ve")).as("_xd"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("_xd").asc, col("vec_id").asc)))
+          .where(col("rk") <= 10)
+          .select(col("query_id"), col("vec_id"), lit(1L).as("_ex"))
+        val pr = broadcast(qs).crossJoin(broadcast(seeds))
+          .select(col("query_id"), col("cell"), d2(col("qe"), col("se")).as("_qd"))
+          .withColumn("prk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("_qd").asc, col("cell").asc)))
+          .select(col("query_id"), col("cell"), col("prk"))
+        // per-(query, candidate, subspace) ADC term: d2 of the QUERY
+        // residual against the candidate's centroid, probed cells only
+        val term = enc
+          .join(broadcast(seeds), Seq("cell"))
+          .join(cb, Seq("s", "code"))
+          .join(broadcast(pr.where(col("prk") <= 4)), Seq("cell"))
+          .join(broadcast(qs), Seq("query_id"))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), col("cell"), col("s"),
+            d2(zip_with(sub(col("qe")), sub(col("se")), (a, b) => a - b),
+              col("ce")).as("t"))
+        // ADC sum folded in ascending-s order (s unique per group), so
+        // the double tree matches the oracle's list(t ORDER BY s) fold
+        val adist = term.groupBy(col("query_id"), col("vec_id"), col("cell"))
+          .agg(aggregate(
+            transform(sort_array(collect_list(struct(col("s"), col("t")))),
+              x => x.getField("t")),
+            lit(0.0), (a, b) => a + b).as("ad"))
+        val npDf = Seq(1, 2, 4).toDF("n")
+        val ap = adist.join(broadcast(pr), Seq("query_id", "cell"))
+          .crossJoin(broadcast(npDf))
+          .where(col("prk") <= col("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("query_id"), col("n"))
+              .orderBy(col("ad").asc, col("vec_id").asc)))
+          .where(col("rk") <= 10)
+          .select(col("query_id"), col("vec_id"), col("n"))
+        val hits = ap.join(exact, Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"), col("n"))
+          .agg(count(col("_ex")).as("_hits"))
+        broadcast(qs.select(col("query_id"))).crossJoin(broadcast(npDf))
+          .join(hits, Seq("query_id", "n"), "left")
+          .select(col("query_id"), col("n").cast("long").as("nprobe"),
+            coalesce(col("_hits"), lit(0L)).as("hits"),
+            expr("(1000 * coalesce(_hits, 0L)) div 10").as("recall_milli"))
+          .orderBy(col("query_id"), col("nprobe"))
+      }
+    },
+    // STREAMING SAMPLED-QUANTILE MONITOR — q147's estimator as a
+    // watermarked streaming aggregation: the bottom-k (KMV) sample is
+    // MERGEABLE, so the graft_bottomk typed aggregate IS the state
+    // store (<= k (hash, value) pairs per open day window, watermark-
+    // evicted; StreamQuantile scaladoc has the 100 TB story), and each
+    // closed window's percentile estimate is a plain rank over <= 128
+    // sampled rows. The exact per-window percentiles join in as the
+    // accuracy witness, computed with a per-window bucketed-histogram
+    // rank (the scalableCumSum scheme partitioned by window — value-
+    // bucket frames, never a whole-window sort in one task). SampleK
+    // = 128 < events/day, so the audit rows carry REAL sampling error
+    // (mean ~8% at sf0.01) that the oracle reproduces exactly — all
+    // integer cents, rank picks tie-order-independent.
+    q("x39_stream_quantile",
+      """WITH e AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms,
+        |         CAST(floor(value * 100) AS BIGINT) AS v,
+        |         CAST(('0x' || substr(md5('qsm:' || CAST(event_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+        |  FROM events),
+        |smp AS (
+        |  SELECT bucket_ms, v FROM (
+        |    SELECT bucket_ms, v,
+        |           row_number() OVER (PARTITION BY bucket_ms ORDER BY h, v) AS rn
+        |    FROM e) WHERE rn <= 128),
+        |m AS (SELECT bucket_ms, CAST(COUNT(*) AS BIGINT) AS m FROM smp GROUP BY bucket_ms),
+        |srk AS (SELECT bucket_ms, v,
+        |               row_number() OVER (PARTITION BY bucket_ms ORDER BY v) AS r
+        |        FROM smp),
+        |pcts(pct) AS (VALUES (50), (90), (99)),
+        |est AS (
+        |  SELECT m.bucket_ms, p.pct, srk.v AS est_v
+        |  FROM m CROSS JOIN pcts p
+        |  JOIN srk ON srk.bucket_ms = m.bucket_ms AND srk.r = (p.pct * m.m + 99) // 100),
+        |xn AS (SELECT bucket_ms, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY bucket_ms),
+        |xrk AS (SELECT bucket_ms, v,
+        |               row_number() OVER (PARTITION BY bucket_ms ORDER BY v, h) AS r
+        |        FROM e),
+        |ex AS (
+        |  SELECT xn.bucket_ms, p.pct, xrk.v AS exact_v
+        |  FROM xn CROSS JOIN pcts p
+        |  JOIN xrk ON xrk.bucket_ms = xn.bucket_ms AND xrk.r = (p.pct * xn.n + 99) // 100)
+        |SELECT est.bucket_ms, CAST(est.pct AS BIGINT) AS pct, est.est_v, ex.exact_v,
+        |       (1000 * abs(est.est_v - ex.exact_v)) // greatest(abs(ex.exact_v), 1) AS err_milli
+        |FROM est JOIN ex ON ex.bucket_ms = est.bucket_ms AND ex.pct = est.pct
+        |ORDER BY est.bucket_ms, pct""".stripMargin) { (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val H = graft.functions.HashFns
+      val samples = graft.streaming.StreamQuantile.replayParquet(s, d,
+        queryName = "x39_qsm")
+      val est = graft.streaming.StreamQuantile.estimates(samples)
+      val pcts = graft.streaming.StreamQuantile.Percentiles.toDF("pct")
+      val e = T(s, d, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        .select(
+          expr("(unix_millis(event_time) div 86400000) * 86400000")
+            .as("bucket_ms"),
+          floor(col("value") * 100).cast("long").as("v"),
+          H.md5Hash60(concat(lit("qsm:"), col("event_id").cast("string")))
+            .as("h"))
+        .withColumn("_vb", expr("v DIV 1000L"))
+      val eP = graft.Caches.persist(e)
+      // exact per-window rank, scalableCumSum-style: value-bucket
+      // histogram + one per-window cumulative over the BUCKETS, then a
+      // per-(window, value-bucket) running rank — every window frame
+      // is value-range- or bucket-bounded
+      val wH = Window.partitionBy(col("bucket_ms")).orderBy(col("_vb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hist = eP.groupBy(col("bucket_ms"), col("_vb"))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_cntBefore", coalesce(sum(col("_c")).over(wH), lit(0L)))
+        .select(col("bucket_ms"), col("_vb"), col("_cntBefore"))
+      val wIn = Window.partitionBy(col("bucket_ms"), col("_vb"))
+        .orderBy(col("v"), col("h"))
+      val ranked = eP.join(hist, Seq("bucket_ms", "_vb"))
+        .withColumn("r", col("_cntBefore") + row_number().over(wIn))
+      val xn = eP.groupBy(col("bucket_ms")).agg(count(lit(1)).as("n"))
+      val xtg = xn.crossJoin(broadcast(pcts))
+        .select(col("bucket_ms").as("_xb"), col("pct").as("_xp"),
+          expr("(pct * n + 99) div 100").as("_xr"))
+      val exact = xtg.join(
+          ranked.select(col("bucket_ms").as("_rb"), col("v"), col("r")),
+          col("_xb") === col("_rb") && col("_xr") === col("r"))
+        .select(col("_xb").as("bucket_ms"), col("_xp").as("pct"),
+          col("v").as("exact_v"))
+      est.join(exact, Seq("bucket_ms", "pct"))
+        .select(col("bucket_ms"), col("pct").cast("long").as("pct"),
+          col("est_v"), col("exact_v"),
+          expr("(1000 * abs(est_v - exact_v)) div greatest(abs(exact_v), 1L)")
+            .as("err_milli"))
+        .orderBy(col("bucket_ms"), col("pct"))
+    }},
+    // CROSS-MODAL PAIR PREP — the alignment stage a contrastive
+    // (text, image) training corpus needs, composed from the two
+    // near-dedup filters this engine already proves: the IMAGE side is
+    // q109's REAL PNG decode -> dHash family grouped by perceptual
+    // hash (rep = NEWEST capture, max id — crawl refresh policy), the
+    // TEXT side is q46's full mirrored SimHash keeper map (hamming<=3,
+    // pigeonhole candidates, md5 token hashes), and each surviving
+    // media rep pairs with its page's KEPT caption — when the page
+    // text was deduped away, the pair carries the keeper (two such
+    // swaps at sf0.01: 178->152, 185->61), which is the point of
+    // running text dedup BEFORE pairing. Quality gates ride along as
+    // 0/1 flags: img_ok from the REAL decoded dimensions (>= 2x
+    // scale), txt_ok from the kept caption's token count, pair_ok the
+    // conjunction. Scale shape: one dHash shuffle + the q46 sketch
+    // pipeline + three hash-shuffle equi-joins (dhash group -> rep
+    // dims, keeper map, group sizes) — no window, no cross join; at
+    // 100 TB each stage is the cost of the dedup family it reuses.
+    q("q150_crossmodal_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |tn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+        |th AS (
+        |  SELECT doc_id,
+        |         [CAST(('0x' || substr(md5(t),1,15)) AS BIGINT) FOR t IN t] AS hs
+        |  FROM toks),
+        |tok AS (SELECT doc_id, unnest(hs) AS h FROM th),
+        |bits AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tok CROSS JOIN generate_series(0, 59) AS g(b)
+        |  GROUP BY doc_id, b),
+        |sk0 AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+        |                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sim
+        |  FROM bits GROUP BY doc_id),
+        |sk AS (SELECT toks.doc_id,
+        |              CASE WHEN toks.t IS NULL THEN NULL
+        |                   ELSE COALESCE(sk0.sim, 0) END AS sim
+        |       FROM toks LEFT JOIN sk0 USING (doc_id)),
+        |ver AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM sk x JOIN sk y ON x.doc_id < y.doc_id
+        |  WHERE x.sim IS NOT NULL AND y.sim IS NOT NULL
+        |    AND bit_count(xor(x.sim, y.sim)) <= 3),
+        |kp AS (SELECT b AS doc_id, MIN(a) AS keep FROM ver GROUP BY b),
+        |tk AS (SELECT d.doc_id, COALESCE(kp.keep, d.doc_id) AS keep_id
+        |       FROM documents d LEFT JOIN kp USING (doc_id)),
+        |tgs AS (SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS text_dups
+        |        FROM tk GROUP BY keep_id),
+        |md AS (SELECT doc_id, doc_id % 40 AS c FROM documents WHERE doc_id < 200),
+        |mk AS (SELECT unnest(generate_series(0, 62)) AS k),
+        |mbits AS (SELECT md.doc_id, mk.k,
+        |    CASE WHEN ((c*7 + ((k%8)+1)*13 + (k//8)*29) % 256)
+        |            > ((c*7 + (k%8)*13 + (k//8)*29) % 256)
+        |         THEN CAST(1 AS BIGINT) << mk.k ELSE 0 END AS bv
+        |  FROM md, mk),
+        |mh AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS dhash63
+        |       FROM mbits GROUP BY doc_id),
+        |mg AS (SELECT dhash63, MAX(doc_id) AS media_id,
+        |              CAST(COUNT(*) AS BIGINT) AS media_dups
+        |       FROM mh GROUP BY dhash63),
+        |pair AS (
+        |  SELECT mg.media_id, tk.keep_id AS text_id, mg.dhash63, mg.media_dups,
+        |         tgs.text_dups,
+        |         72 * (1 + mg.media_id % 3) * (1 + mg.media_id % 3) AS px
+        |  FROM mg JOIN tk ON tk.doc_id = mg.media_id
+        |          JOIN tgs ON tgs.keep_id = tk.keep_id)
+        |SELECT p.media_id, p.text_id, p.dhash63, p.media_dups, p.text_dups,
+        |       tkn.n_tokens,
+        |       CAST(CASE WHEN p.px >= 288 THEN 1 ELSE 0 END AS BIGINT) AS img_ok,
+        |       CAST(CASE WHEN tkn.n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END AS BIGINT) AS txt_ok,
+        |       CAST(CASE WHEN p.px >= 288 AND tkn.n_tokens BETWEEN 5 AND 5000
+        |            THEN 1 ELSE 0 END AS BIGINT) AS pair_ok
+        |FROM pair p JOIN tn tkn ON tkn.doc_id = p.text_id
+        |ORDER BY p.media_id""".stripMargin) { (s, d) => {
+      import s.implicits._
+      val M = graft.multimodal.Multimodal
+      val media = T(s, d, "documents")
+        .where(col("doc_id") < ImgDecodeDocs)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val c = (id % 40).toInt
+          val scale = (1 + id % 3).toInt
+          val w = 9 * scale; val h = 8 * scale
+          M.MediaRow(id, "image/png",
+            graft.multimodal.PngCodec.encodePng(w, h, 3,
+              (x, y, _) => (c * 7 + (x / scale) * 13 + (y / scale) * 29) % 256,
+              rowFilter = y => ((id + y) % 5).toInt),
+            w, h)
+        }
+      val mh = graft.Caches.persist(M.dhashPng(media).toDF())
+      val mg = mh.groupBy(col("dhash63"))
+        .agg(max(col("media_id")).as("media_id"),
+          count(lit(1)).as("media_dups"))
+      // the rep's REAL decoded dimensions gate the image side
+      val mrep = mg.join(
+        mh.select(col("media_id"), col("width"), col("height")),
+        Seq("media_id"))
+      val docs = T(s, d, "documents")
+      val tk = graft.Caches.persist(
+        Dedup.simhash(docs, "doc_id", "text",
+          maxHamming = SimMirrorHamming, maxBucket = Int.MaxValue,
+          sqlMirroredHashes = true))
+      val tgs = tk.groupBy(col("keep_id")).agg(count(lit(1)).as("text_dups"))
+      val tn = docs.select(col("doc_id"),
+        size(TextFns.wordTokens(col("text"))).cast("long").as("n_tokens"))
+      mrep
+        .join(tk.withColumnRenamed("doc_id", "media_id"), Seq("media_id"))
+        .join(tgs, Seq("keep_id"))
+        .join(tn.select(col("doc_id").as("keep_id"), col("n_tokens")),
+          Seq("keep_id"))
+        .select(col("media_id"), col("keep_id").as("text_id"),
+          col("dhash63"), col("media_dups"), col("text_dups"),
+          col("n_tokens"),
+          when(col("width") * col("height") >= 288, 1L).otherwise(0L)
+            .as("img_ok"),
+          when(col("n_tokens").between(5, 5000), 1L).otherwise(0L)
+            .as("txt_ok"),
+          when(col("width") * col("height") >= 288 &&
+            col("n_tokens").between(5, 5000), 1L).otherwise(0L)
+            .as("pair_ok"))
+        .orderBy(col("media_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
