@@ -98,6 +98,32 @@ class NativeCodegenSpec extends SparkSpec {
     }
   }
 
+  test("native expressions join whole-stage codegen (no interpreted island)") {
+    registered
+    import spark.implicits._
+    import org.apache.spark.sql.execution.debug._
+    val conf = spark.conf
+    val oldAqe = conf.getOption("spark.sql.adaptive.enabled")
+    // AQE wraps the plan in AdaptiveSparkPlanExec, which hides the
+    // codegen stages from pre-execution inspection — disable for the
+    // structural check only
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Seq((1L, Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("id", "a", "b")
+        .repartition(1)
+        .select(NativeFns.dot($"a", $"b").as("d"))
+      val segs = df.queryExecution.debug.codegenToSeq()
+      assert(segs.nonEmpty,
+        "the projection over graft_dot must sit INSIDE a WholeStageCodegen " +
+          "stage — a CodegenFallback would exclude it")
+      assert(segs.exists(_._2.contains(".compute(")),
+        "generated code must call the native compute loop directly")
+    } finally {
+      oldAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+        conf.set("spark.sql.adaptive.enabled", _))
+    }
+  }
+
   test("graft_pq_encode / graft_pq_adc codegen: value and null-out") {
     registered
     import spark.implicits._

@@ -162,6 +162,23 @@ class ScaleSpec extends SparkSpec {
       "composite dedup must map-side combine before its shuffle:\n" + q69)
     assert(q69.contains("windowspecdefinition(shard"),
       "composite packing must window per shard:\n" + q69)
+    // q149 IVFPQ audit: the seed pick must stay a distributed
+    // TakeOrdered, the codebook pick a map-side-combined bottom-k
+    // aggregate, and nothing may degenerate to an unbounded cartesian
+    // (crossJoins in the audit are all broadcast-literal-bounded)
+    val q149 = formatted("q149_ivfpq_recall_audit")
+    assert(q149.contains("TakeOrderedAndProject"),
+      "q149 seed pick must be a TakeOrdered, not a global sort:\n")
+    assert(q149.contains("partial_graft_bottomk"),
+      "q149 codebook pick must partial-aggregate before the shuffle:\n")
+    assert(!q149.contains("CartesianProduct"),
+      "q149 must never plan an unbroadcast cartesian:\n" + q149)
+    // q150 cross-modal pair prep: hash-shuffle equi-joins ONLY — no
+    // cartesian, no nested-loop join anywhere in the plan
+    val q150 = formatted("q150_crossmodal_pairs")
+    assert(!q150.contains("CartesianProduct") &&
+      !q150.contains("BroadcastNestedLoopJoin"),
+      "q150 must compose from equi-joins only:\n" + q150)
   }
 
   test("text-op plan shapes: chunking is shuffle-free; BM25 broadcasts and filters before tf") {
