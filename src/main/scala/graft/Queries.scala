@@ -7674,6 +7674,116 @@ object Queries {
             .as("pair_ok"))
         .orderBy(col("media_id"))
     }},
+    // CRAWL-FRONTIER POLITENESS SCHEDULING — the stage between q148
+    // (canonicalize) and the fetch fleet: the DISTINCT canonical
+    // frontier (here q148's URL family widened to 5 pages per host, so
+    // the per-host rank carries signal) is sharded so one host NEVER
+    // spans two workers (worker = md5(host) mod 8 — the politeness
+    // invariant that lets each worker rate-limit locally with no
+    // coordination), and within a host fetches are ordered by a
+    // deterministic md5 priority into ticks 0..n-1 (one fetch per host
+    // per tick). Scale shape: one DISTINCT hash shuffle on the
+    // canonical URL, one hash shuffle on host + a per-host rank window
+    // (frame = that host's frontier, the quantity a polite crawler
+    // must serialize ANYWAY — fetch order within a host is sequential
+    // by definition); worker assignment is row-local.
+    q("q151_frontier_schedule",
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 5
+        |           WHEN 0 THEN 'https://site' || CAST(doc_id // 25 AS VARCHAR) || '.example/path/p' || CAST((doc_id // 5) % 5 AS VARCHAR) || '?a=1&b=2'
+        |           WHEN 1 THEN 'HTTPS://SITE' || CAST(doc_id // 25 AS VARCHAR) || '.EXAMPLE:443/path/p' || CAST((doc_id // 5) % 5 AS VARCHAR) || '?a=1&b=2'
+        |           WHEN 2 THEN 'https://site' || CAST(doc_id // 25 AS VARCHAR) || '.example/path/p' || CAST((doc_id // 5) % 5 AS VARCHAR) || '?b=2&a=1#frag'
+        |           WHEN 3 THEN 'https://site' || CAST(doc_id // 25 AS VARCHAR) || '.example/path/./p' || CAST((doc_id // 5) % 5 AS VARCHAR) || '?a=1&b=2'
+        |           ELSE 'HtTpS://site' || CAST(doc_id // 25 AS VARCHAR) || '.EXAMPLE:443/x/../../path/./p' || CAST((doc_id // 5) % 5 AS VARCHAR) || '?b=2&a=1#sec'
+        |         END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |         regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://', '') AS rest
+        |  FROM raw),
+        |auth AS (
+        |  SELECT doc_id, scheme, rest,
+        |         lower(regexp_extract(rest, '^([^/?#]+)', 1)) AS host0,
+        |         substr(rest, length(regexp_extract(rest, '^([^/?#]+)', 1)) + 1) AS pathq
+        |  FROM parts),
+        |hostn AS (
+        |  SELECT doc_id, scheme, pathq,
+        |         CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        |              WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+        |              ELSE host0 END AS host
+        |  FROM auth),
+        |pq AS (
+        |  SELECT doc_id, scheme, host,
+        |         regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+        |         CASE WHEN strpos(pathq, '?') > 0
+        |              THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
+        |  FROM hostn),
+        |dots AS (
+        |  SELECT doc_id, scheme, host, query,
+        |         regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(regexp_replace(regexp_replace(
+        |             CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+        |             '/\.(/)', '/', 'g'), '/\.(/)', '/', 'g'), '/\.$', '/', 'g'),
+        |           '/[^/]+/\.\.(/)', '/', 'g'), '/[^/]+/\.\.(/)', '/', 'g'),
+        |           '/[^/]+/\.\.$', '/', 'g'),
+        |           '^(/\.\.)+(/|$)', '/', 'g') AS path
+        |  FROM pq),
+        |canon AS (
+        |  SELECT DISTINCT scheme || '://' || host || path ||
+        |         CASE WHEN query <> ''
+        |              THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+        |              ELSE '' END AS canonical_url
+        |  FROM dots),
+        |f AS (
+        |  SELECT canonical_url,
+        |         regexp_extract(canonical_url, '^[a-z]+://([^/]+)', 1) AS host,
+        |         CAST(('0x' || substr(md5('pri:' || canonical_url),1,15)) AS BIGINT) AS pri
+        |  FROM canon),
+        |sched AS (
+        |  SELECT canonical_url, host,
+        |         CAST(('0x' || substr(md5('host:' || host),1,15)) AS BIGINT) % 8 AS worker,
+        |         row_number() OVER (PARTITION BY host ORDER BY pri, canonical_url) - 1 AS tick
+        |  FROM f)
+        |SELECT canonical_url, host, CAST(worker AS BIGINT) AS worker,
+        |       CAST(tick AS BIGINT) AS tick
+        |FROM sched ORDER BY canonical_url""".stripMargin) { (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val H = graft.functions.HashFns
+      val site = (col("doc_id") / 25).cast("long").cast("string")
+      val page = pmod(expr("doc_id div 5"), lit(5L)).cast("string")
+      val url = when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("https://site"), site, lit(".example/path/p"), page,
+            lit("?a=1&b=2")))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(lit("HTTPS://SITE"), site, lit(".EXAMPLE:443/path/p"), page,
+            lit("?a=1&b=2")))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          concat(lit("https://site"), site, lit(".example/path/p"), page,
+            lit("?b=2&a=1#frag")))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          concat(lit("https://site"), site, lit(".example/path/./p"), page,
+            lit("?a=1&b=2")))
+        .otherwise(
+          concat(lit("HtTpS://site"), site,
+            lit(".EXAMPLE:443/x/../../path/./p"), page, lit("?b=2&a=1#sec")))
+      val canon = T(s, d, "documents")
+        .select(TextFns.canonicalizeUrl(url).as("canonical_url"))
+        .distinct()
+      canon
+        .withColumn("host",
+          regexp_extract(col("canonical_url"), "^[a-z]+://([^/]+)", 1))
+        .withColumn("_pri", H.md5Hash60(concat(lit("pri:"), col("canonical_url"))))
+        .select(col("canonical_url"), col("host"),
+          pmod(H.md5Hash60(concat(lit("host:"), col("host"))), lit(8L))
+            .cast("long").as("worker"),
+          (row_number().over(Window.partitionBy(col("host"))
+            .orderBy(col("_pri"), col("canonical_url"))) - 1)
+            .cast("long").as("tick"))
+        .orderBy(col("canonical_url"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
