@@ -7784,6 +7784,87 @@ object Queries {
             .cast("long").as("tick"))
         .orderBy(col("canonical_url"))
     }},
+    // HTML → TEXT EXTRACTION with boilerplate-block removal
+    // (TextFns.extractHtmlText) — the stage every web corpus passes
+    // through BEFORE any quality/dedup operator sees it: strip
+    // comments/script/style, split into blocks at closing block tags,
+    // drop blocks that are short or mostly anchor text (the jusText /
+    // readability link-density heuristic, integer per-mille so the
+    // oracle replays it exactly), decode entities. Each doc is wrapped
+    // in a deterministic page template (head + styled/scripted chrome,
+    // a link-heavy nav, the doc text as body prose with one inline
+    // anchor, an entity paragraph, a doc_id-length-varied div — so the
+    // keep decision varies per row — and a link-only footer). Scale
+    // shape: pure built-ins + HOFs inside the scan projection —
+    // row-local, zero shuffles, nothing on the wire.
+    q("q152_html_extract",
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+        |    || '<style>.m{margin:0}</style><script>var a=1;</script></head><body>'
+        |    || '<!-- synthetic page ' || CAST(doc_id AS VARCHAR) || ' -->'
+        |    || '<nav><a href="/h">home</a> <a href="/t">tags</a> <a href="/u">users</a></nav>'
+        |    || '<p>' || text || ' see <a href="/more">more</a></p>'
+        |    || '<p>Q&amp;A &lt;b&gt; it&#39;s fine</p>'
+        |    || '<div>' || substr(text, 1, 20 + doc_id % 30) || '</div>'
+        |    || '<footer><a href="/about">about</a> <a href="/privacy">privacy</a></footer>'
+        |    || '</body></html>' AS html
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<!--.*?-->', '', 'g'),
+        |      '<script[^>]*>.*?</script>', '', 'g'),
+        |      '<style[^>]*>.*?</style>', '', 'g') AS h
+        |  FROM raw),
+        |blocks AS (
+        |  SELECT doc_id, string_split_regex(h, '</(p|div|nav|footer)>') AS bs
+        |  FROM cleaned),
+        |info AS (
+        |  SELECT doc_id,
+        |    [struct_pack(
+        |       txt := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
+        |       link := COALESCE(list_sum([length(x) FOR x IN regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1)]), 0))
+        |     FOR b IN bs] AS inf
+        |  FROM blocks),
+        |kept AS (
+        |  SELECT doc_id, inf,
+        |    [i.txt FOR i IN inf IF length(i.txt) >= 25 AND i.link * 1000 <= length(i.txt) * 300] AS keep
+        |  FROM info)
+        |SELECT doc_id,
+        |  CAST(len(inf) AS BIGINT) AS n_blocks,
+        |  CAST(len(keep) AS BIGINT) AS n_kept,
+        |  replace(replace(replace(replace(replace(
+        |    array_to_string(keep, chr(10)),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS extracted,
+        |  CAST((1000 * (COALESCE(list_sum([length(i.txt) FOR i IN inf]), 0)
+        |        - COALESCE(list_sum([length(t) FOR t IN keep]), 0)))
+        |       // greatest(COALESCE(list_sum([length(i.txt) FOR i IN inf]), 0), 1) AS BIGINT) AS boiler_permille
+        |FROM kept ORDER BY doc_id""".stripMargin) { (s, d) => {
+      val idStr = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>doc "), idStr, lit("</title>"),
+        lit("<style>.m{margin:0}</style><script>var a=1;</script></head><body>"),
+        lit("<!-- synthetic page "), idStr, lit(" -->"),
+        lit("<nav><a href=\"/h\">home</a> <a href=\"/t\">tags</a> <a href=\"/u\">users</a></nav>"),
+        lit("<p>"), col("text"), lit(" see <a href=\"/more\">more</a></p>"),
+        lit("<p>Q&amp;A &lt;b&gt; it&#39;s fine</p>"),
+        lit("<div>"),
+        col("text").substr(lit(1),
+          (lit(20) + pmod(col("doc_id"), lit(30L))).cast("int")),
+        lit("</div>"),
+        lit("<footer><a href=\"/about\">about</a> <a href=\"/privacy\">privacy</a></footer>"),
+        lit("</body></html>"))
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          TextFns.extractHtmlText(html).as("_e"))
+        .select(col("doc_id"),
+          col("_e.n_blocks").as("n_blocks"),
+          col("_e.n_kept").as("n_kept"),
+          col("_e.extracted").as("extracted"),
+          col("_e.boiler_permille").as("boiler_permille"))
+        .orderBy(col("doc_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

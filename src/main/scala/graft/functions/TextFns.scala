@@ -330,4 +330,62 @@ object TextFns {
     concat(scheme, lit("://"), host, path,
       when(query =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
   }
+
+  /** Decode the five HTML entities a text-extraction pass must handle
+    * (`&lt; &gt; &quot; &#39; &amp;`); `&amp;` is decoded LAST so
+    * `&amp;lt;` yields the literal `&lt;` rather than double-decoding
+    * to `<`. Literal `replace` chains — identical SQL spelling. */
+  def decodeHtmlEntities(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+
+  /** HTML → text extraction with boilerplate-block removal — the first
+    * stage of web-corpus curation (the jusText/readability family's
+    * core heuristic, integer-only so an oracle can replay it):
+    *
+    *  1. strip comments, `<script>` and `<style>` blocks (non-greedy
+    *     leftmost matches — identical in Java regex and RE2);
+    *  2. split the page into blocks at closing block-level tags
+    *     (`</p> </div> </nav> </footer>`);
+    *  3. per block, measure the tag-stripped text length and the
+    *     characters inside `<a>` anchors; KEEP a block iff its text is
+    *     ≥ `minLen` chars AND anchor chars ≤ `maxLinkPerMille`/1000 of
+    *     it (link-density rule: navigation chrome and footers are
+    *     mostly anchor text, body prose is not);
+    *  4. join kept blocks with newlines and decode entities.
+    *
+    * Returns struct(n_blocks, n_kept, extracted, boiler_permille) —
+    * `boiler_permille` = dropped chars as a per-mille of all block
+    * text (integer division, no floats). Pure built-ins + HOFs,
+    * row-local, zero shuffles: at 100 TB this runs inside the scan
+    * projection with nothing on the wire. */
+  def extractHtmlText(html: Column, minLen: Int = 25,
+      maxLinkPerMille: Int = 300): Column = {
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(html,
+      "<!--.*?-->", ""),
+      "<script[^>]*>.*?</script>", ""),
+      "<style[^>]*>.*?</style>", "")
+    val blocks = split(cleaned, "</(p|div|nav|footer)>")
+    val info = transform(blocks, b => struct(
+      trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "), " +", " "))
+        .as("txt"),
+      aggregate(regexp_extract_all(b, lit("<a[^>]*>([^<]*)</a>"), lit(1)),
+        lit(0), (acc, x) => acc + length(x)).as("link")))
+    val kept = filter(info, i =>
+      length(i.getField("txt")) >= minLen &&
+        i.getField("link") * lit(1000) <=
+          length(i.getField("txt")) * lit(maxLinkPerMille))
+    val keptTxt = transform(kept, i => i.getField("txt"))
+    val tot = aggregate(info, lit(0L),
+      (acc, i) => acc + length(i.getField("txt")))
+    val keptChars = aggregate(keptTxt, lit(0L), (acc, t) => acc + length(t))
+    struct(
+      size(info).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"),
+      decodeHtmlEntities(array_join(keptTxt, "\n")).as("extracted"),
+      call_function("div", lit(1000L) * (tot - keptChars),
+        greatest(tot, lit(1L))).cast("long").as("boiler_permille"))
+  }
 }

@@ -382,4 +382,50 @@ class FunctionsSpec extends SparkSpec {
     // '..x' is a REAL segment name, not a dot segment
     assert(canon("https://ex.com/..x/y") == "https://ex.com/..x/y")
   }
+
+  test("decodeHtmlEntities: five entities, &amp; decoded last") {
+    def dec(s: String): String =
+      Seq(s).toDF("t").select(TextFns.decodeHtmlEntities(col("t")))
+        .collect().head.getString(0)
+    assert(dec("Q&amp;A &lt;b&gt; it&#39;s &quot;ok&quot;")
+      == "Q&A <b> it's \"ok\"")
+    // double-encoded &amp;lt; must yield the literal entity, not '<'
+    assert(dec("&amp;lt;") == "&lt;")
+    assert(dec("plain text") == "plain text")
+  }
+
+  test("extractHtmlText: boilerplate blocks dropped, prose kept, entities decoded") {
+    def ext(html: String): (Long, Long, String, Long) = {
+      val r = Seq(html).toDF("h")
+        .select(TextFns.extractHtmlText(col("h")).as("e"))
+        .select(col("e.n_blocks"), col("e.n_kept"), col("e.extracted"),
+          col("e.boiler_permille"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))
+    }
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    val html =
+      "<html><head><title>t</title><style>.x{}</style>" +
+        "<script>var a=1;</script></head><body>" +
+        "<!-- comment stripped -->" +
+        "<nav><a href=\"/a\">home</a> <a href=\"/b\">about</a></nav>" +
+        s"<p>$prose see <a href=\"/m\">more</a></p>" +
+        "<p>Q&amp;A &lt;b&gt; done properly here today</p>" +
+        "<footer><a href=\"/t\">terms</a> <a href=\"/p\">privacy</a></footer>" +
+        "</body></html>"
+    val (nb, nk, extracted, bp) = ext(html)
+    assert(nb == 5L) // nav, p, p, footer + trailing </body></html> residue
+    assert(nk == 2L) // the two prose paragraphs
+    assert(extracted == s"$prose see more\nQ&A <b> done properly here today")
+    assert(bp > 0L && bp < 1000L)
+    // a link-only block is dropped even when long (link density rule)
+    val linky = "<div>" + (1 to 10).map(i =>
+      s"<a href=\"/$i\">item number $i</a>").mkString(" ") + "</div>"
+    assert(ext(s"<html><body>$linky</body></html>")._2 == 0L)
+    // a short prose block (< 25 chars) is dropped by min length
+    assert(ext("<html><body><p>too short</p></body></html>")._2 == 0L)
+    // script/style/comment content never leaks into extracted text
+    assert(!ext(html)._3.contains("var a=1"))
+    assert(!ext(html)._3.contains("comment stripped"))
+  }
 }
