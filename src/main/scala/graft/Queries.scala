@@ -7865,6 +7865,136 @@ object Queries {
           col("_e.boiler_permille").as("boiler_permille"))
         .orderBy(col("doc_id"))
     }},
+    // CROSS-DOC LINE-LEVEL DEDUP (the RefinedWeb/CCNet line filter):
+    // a "line" that recurs across >= 2 DISTINCT documents is template
+    // chrome (cookie banners, nav text, newsletter plugs), not prose —
+    // remove it from EVERY doc while keeping each doc's unique lines
+    // in order. Lines here = one per-source banner (the planted
+    // boilerplate every real pipeline sees: ~100 docs share each
+    // source's banner at sf0.01) + the doc's 8-token segments (near-dup
+    // replicas share segments and get them stripped; organic segments
+    // are unique and survive). Scale shape: explode is linear; the
+    // df>=2 computation and the membership join are hash shuffles on
+    // the line key (a hot banner line is a pass-through join key — AQE
+    // skew-split handles it; NEVER collect_list per line, which would
+    // put one source's whole corpus in a single group); reassembly is
+    // one doc_id shuffle with sort_array for deterministic line order.
+    q("q153_line_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    list_prepend('subscribe to the ' || source || ' newsletter for daily updates',
+        |      CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+        |           ELSE [array_to_string(t[(i-1)*8+1 : (i-1)*8+8], ' ')
+        |                 FOR i IN generate_series(1, CAST(ceil(len(t)/8.0) AS INT))]
+        |      END) AS ls
+        |  FROM toks),
+        |ex AS (
+        |  SELECT doc_id, UNNEST(ls) AS line,
+        |         UNNEST(generate_series(1, len(ls))) AS idx
+        |  FROM lines),
+        |freq AS (
+        |  SELECT line FROM ex
+        |  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT e.doc_id, e.idx, e.line, f.line IS NULL AS keep
+        |  FROM ex e LEFT JOIN freq f ON e.line = f.line)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  COALESCE(array_to_string(array_agg(line ORDER BY idx) FILTER (WHERE keep), chr(10)), '') AS text_clean
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) => {
+      val lines = T(s, d, "documents")
+        .select(col("doc_id"),
+          concat(
+            array(concat(lit("subscribe to the "), col("source"),
+              lit(" newsletter for daily updates"))),
+            transform(
+              TextFns.tokenChunks(TextFns.wordTokens(col("text")), 8, 8),
+              c => c.getField("chunk"))).as("ls"))
+      val ex = lines
+        .select(col("doc_id"), posexplode(col("ls")))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
+      val freq = ex.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("line"), lit(1).as("_dup"))
+      ex.join(freq, Seq("line"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_lines"),
+          sum(when(col("_dup").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_kept"),
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("_dup").isNull,
+                struct(col("idx").as("i"), col("line").as("l"))))),
+              e => e.getField("l")),
+            "\n").as("text_clean"))
+        .orderBy(col("doc_id"))
+    }},
+    // BLOCK-PARTITIONED INVERTED-INDEX BUILD with delta-gap varint
+    // costing — the serving structure the q84 BM25 / q93 hybrid
+    // retrieval scores would be answered from at 100 TB. Postings are
+    // built per (term, block) where block = doc_id div 256 — the
+    // Lucene-segment shape: NO reducer ever materializes a full
+    // corpus-wide posting list for a hot term (a stopword's postings
+    // at 100 TB are billions of ids); every window frame and agg group
+    // is hard-capped at 256 entries. Gaps are block-relative
+    // (first = doc_id - block*256, then successive deltas — all
+    // < 256, so ≤ 2 varint bytes) and the varint byte cost
+    // (1/2/3/4-byte thresholds at 2^7/2^14/2^21) is exact integer
+    // arithmetic the oracle replays. Scale shape: explode linear, one
+    // distinct shuffle on (doc,term), then ONE shuffle on
+    // (term, block) that the lag window and the final agg both reuse.
+    q("q154_postings_index",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |td AS (SELECT DISTINCT doc_id, UNNEST(t) AS term FROM toks),
+        |g AS (
+        |  SELECT term, doc_id // 256 AS block, doc_id,
+        |         doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY term, doc_id // 256 ORDER BY doc_id),
+        |                           (doc_id // 256) * 256) AS gap
+        |  FROM td)
+        |SELECT term, CAST(block AS BIGINT) AS block,
+        |  CAST(COUNT(*) AS BIGINT) AS df_block,
+        |  array_to_string(array_agg(CAST(gap AS VARCHAR) ORDER BY doc_id), ',') AS gap_str,
+        |  CAST(SUM(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+        |                WHEN gap < 2097152 THEN 3 ELSE 4 END) AS BIGINT) AS varint_bytes
+        |FROM g GROUP BY term, block
+        |ORDER BY term, block""".stripMargin) { (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val td = T(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextFns.wordTokens(col("text"))).as("term"))
+        .distinct()
+        .withColumn("block", expr("doc_id div 256"))
+      val w = Window.partitionBy(col("term"), col("block"))
+        .orderBy(col("doc_id"))
+      td.withColumn("gap",
+          col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w),
+            col("block") * 256))
+        .groupBy(col("term"), col("block"))
+        .agg(
+          count(lit(1)).cast("long").as("df_block"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("doc_id").as("d"),
+                col("gap").cast("string").as("g")))),
+              e => e.getField("g")),
+            ",").as("gap_str"),
+          sum(when(col("gap") < 128, 1).when(col("gap") < 16384, 2)
+            .when(col("gap") < 2097152, 3).otherwise(4))
+            .cast("long").as("varint_bytes"))
+        .orderBy(col("term"), col("block"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
