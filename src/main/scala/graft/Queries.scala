@@ -7995,6 +7995,160 @@ object Queries {
             .cast("long").as("varint_bytes"))
         .orderBy(col("term"), col("block"))
     }},
+    // EXACT-K WEIGHTED SAMPLE WITHOUT REPLACEMENT (Efraimidis–
+    // Spirakis A-ES) — the corpus-mixing primitive q123's Bernoulli
+    // temperature sampling can't provide: select EXACTLY k documents
+    // with probability proportional to an integer quality weight.
+    // A-ES ranks by u^(1/w); u^(1/w) is distributed as the MAX of w
+    // i.i.d. uniforms, so for integer weights the key is
+    // max(md5(doc,1) … md5(doc,w)) — pure integer hashing, no
+    // logarithms, bit-exact in any engine. Weight = 1 + n_chars/120
+    // capped at 4 ("w tickets per doc, play the best ticket"); the
+    // selected-set weight histogram (49/30/19/2 for w=4/3/2/1 at
+    // sf0.01 vs population 183/129/130/58) is the proportionality
+    // witness. Scale shape: ticket generation is row-local (bounded
+    // ≤4 hashes/row), selection is a distributed top-k
+    // (TakeOrderedAndProject) — no shuffle, no full sort, no window.
+    q("q155_weighted_sample",
+      """WITH w AS (
+        |  SELECT doc_id, source, least(4, 1 + n_chars // 120) AS wt
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, source, wt,
+        |    list_max([CAST(('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+        |              FOR j IN generate_series(1, CAST(wt AS INT))]) AS ticket
+        |  FROM w)
+        |SELECT doc_id, source, CAST(wt AS BIGINT) AS wt, ticket
+        |FROM t ORDER BY ticket DESC, doc_id LIMIT 100""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      T(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          least(lit(4L), lit(1L) + expr("n_chars div 120")).as("wt"))
+        .withColumn("ticket",
+          array_max(transform(sequence(lit(1), col("wt").cast("int")),
+            j => H.md5Hash60(concat_ws(":", lit("es"), col("doc_id"), j)))))
+        .select(col("doc_id"), col("source"), col("wt").cast("long").as("wt"),
+          col("ticket"))
+        .orderBy(col("ticket").desc, col("doc_id"))
+        .limit(100)
+    }},
+    // SHARD-MANIFEST PLANNER — the write-planning stage between
+    // curation and the sink: greedy-pack documents (in stable doc_id
+    // order) into fixed-budget output shards of 4000 chars, emitting
+    // the manifest a 1000-executor writer job would be driven by
+    // (shard → doc range, doc count, actual bytes). A doc is assigned
+    // to the shard where its EXCLUSIVE prefix sum lands — the greedy
+    // packing rule, so shards overshoot by at most one doc and the
+    // assignment is a pure function of the prefix sum. Scale shape:
+    // the prefix sum is R.scalableCumSum (bucketed histogram + one
+    // tiny broadcast prefix — NO corpus-wide window; a naive
+    // SUM OVER (ORDER BY) serializes 100 TB through one task); the
+    // manifest agg is one hash shuffle on shard. Pairs with q136 HRW
+    // sharding (key→node affinity) — this is byte-budget layout.
+    q("q156_shard_manifest",
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |         SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, n_chars, cum, (cum - n_chars) // 4000 AS shard
+        |  FROM c)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) => {
+      val cum = R.scalableCumSum(
+        T(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        orderCol = "doc_id", tieCol = "doc_id", valueCol = "n_chars")
+      cum
+        .withColumn("shard", expr("(cum - n_chars) div 4000"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("shard_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"))
+    }},
+    // ROBOTS-EXCLUSION FRONTIER GATE (RFC 9309 longest-match): the
+    // politeness decision between q151's schedule and the fetch — per
+    // URL, the longest-prefix rule wins and Allow beats Disallow on
+    // equal length. Engine-parity trick: winner = MAX over matching
+    // rules of score = 2·len(prefix) + is_allow, so the max's PARITY
+    // is the decision (length dominates, allow wins ties) and
+    // max_by(rule, score) names the winning rule — one integer max,
+    // no per-group sort. Rule fixtures per host family: deny-all
+    // (h%4=0), single-page deny (1), Allow-override of a broader deny
+    // (2 — the case naive "any disallow matches" logic gets wrong),
+    // no rules → default allow (3). Scale shape: rules ∝ hosts ≪
+    // frontier, host-hash equi-join with a prefix predicate, one
+    // URL-key agg shuffle; everything else row-local.
+    q("q157_robots_gate",
+      """WITH hosts AS (SELECT DISTINCT doc_id // 25 AS h FROM documents),
+        |rules AS (
+        |  SELECT h, 'disallow' AS typ, '/path' AS pfx FROM hosts WHERE h % 4 = 0
+        |  UNION ALL SELECT h, 'disallow', '/path/p3' FROM hosts WHERE h % 4 = 1
+        |  UNION ALL SELECT h, 'allow', '/path/p1' FROM hosts WHERE h % 4 = 2
+        |  UNION ALL SELECT h, 'disallow', '/path' FROM hosts WHERE h % 4 = 2),
+        |f AS (SELECT DISTINCT doc_id // 25 AS h, (doc_id // 5) % 5 AS p FROM documents),
+        |urls AS (
+        |  SELECT h, 'https://site' || CAST(h AS VARCHAR) || '.example/path/p' || CAST(p AS VARCHAR) AS url,
+        |         '/path/p' || CAST(p AS VARCHAR) AS path
+        |  FROM f),
+        |m AS (
+        |  SELECT u.url, u.h,
+        |         CASE WHEN r.pfx IS NULL THEN NULL
+        |              ELSE 2 * length(r.pfx) + CASE WHEN r.typ = 'allow' THEN 1 ELSE 0 END END AS score,
+        |         CASE WHEN r.pfx IS NULL THEN NULL ELSE r.typ || ':' || r.pfx END AS rule
+        |  FROM urls u LEFT JOIN rules r ON u.h = r.h AND starts_with(u.path, r.pfx))
+        |SELECT url, CAST(h AS BIGINT) AS host_id,
+        |  COALESCE(MAX(score) % 2 = 1, TRUE) AS allowed,
+        |  COALESCE(arg_max(rule, score), '') AS winner_rule
+        |FROM m GROUP BY url, h ORDER BY url""".stripMargin) { (s, d) => {
+      val docs = T(s, d, "documents")
+      val hosts = docs.select(expr("doc_id div 25").as("h")).distinct()
+      val hm = pmod(col("h"), lit(4L))
+      def rule(typ: String, pfx: String) =
+        struct(lit(typ).as("typ"), lit(pfx).as("pfx"))
+      val rules = hosts
+        .select(col("h"), explode(
+          when(hm === 0, array(rule("disallow", "/path")))
+            .when(hm === 1, array(rule("disallow", "/path/p3")))
+            .when(hm === 2, array(rule("allow", "/path/p1"),
+              rule("disallow", "/path")))
+            .otherwise(array().cast("array<struct<typ:string,pfx:string>>")))
+          .as("r"))
+        .select(col("h").as("rh"), col("r.typ").as("typ"),
+          col("r.pfx").as("pfx"))
+      val urls = docs
+        .select(expr("doc_id div 25").as("h"),
+          expr("(doc_id div 5) % 5").as("p"))
+        .distinct()
+        .select(col("h"),
+          concat(lit("https://site"), col("h").cast("string"),
+            lit(".example/path/p"), col("p").cast("string")).as("url"),
+          concat(lit("/path/p"), col("p").cast("string")).as("path"))
+      urls
+        .join(rules,
+          col("h") === col("rh") && col("path").startsWith(col("pfx")),
+          "left")
+        .select(col("url"), col("h"),
+          when(col("pfx").isNotNull,
+            lit(2) * length(col("pfx")) +
+              when(col("typ") === "allow", 1).otherwise(0)).as("score"),
+          when(col("pfx").isNotNull,
+            concat(col("typ"), lit(":"), col("pfx"))).as("rule"))
+        .groupBy(col("url"), col("h"))
+        .agg(
+          coalesce(pmod(max(col("score")), lit(2)) === 1, lit(true))
+            .as("allowed"),
+          coalesce(max_by(col("rule"), col("score")), lit(""))
+            .as("winner_rule"))
+        .select(col("url"), col("h").cast("long").as("host_id"),
+          col("allowed"), col("winner_rule"))
+        .orderBy(col("url"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
