@@ -8149,6 +8149,40 @@ object Queries {
           col("allowed"), col("winner_rule"))
         .orderBy(col("url"))
     }},
+    // STREAMING WEIGHTED SAMPLE (A-ES weighted reservoir) — q155's
+    // exact-k Efraimidis–Spirakis selection as a watermarked streaming
+    // aggregation: per day window keep the 32 events with the LARGEST
+    // max-of-w-md5-tickets. Top-k-by-ticket is a mergeable min-k
+    // sketch on the negated ticket, so the graft_bottomk typed
+    // aggregate IS the state store (≤ 32 (hash,id) pairs per open
+    // window, map-side partials, watermark-evicted) — the
+    // weighted-reservoir member of the streaming-sketch family next
+    // to x37 HLL / x38 CMS / x39 quantile. Weight and ticket are pure
+    // functions of the event id, so the post-close audit recomputes
+    // them row-locally with no join back to the stream, and the
+    // oracle replays the identical selection with a per-window rank.
+    q("x40_stream_weighted_sample",
+      """WITH e AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms, event_id,
+        |         1 + event_id % 4 AS wt
+        |  FROM events),
+        |t AS (
+        |  SELECT bucket_ms, event_id, wt,
+        |    list_max([CAST(('0x' || substr(md5('wes:' || CAST(event_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+        |              FOR j IN generate_series(1, CAST(wt AS INT))]) AS ticket
+        |  FROM e),
+        |r AS (
+        |  SELECT bucket_ms, event_id, wt, ticket,
+        |         row_number() OVER (PARTITION BY bucket_ms ORDER BY ticket DESC, event_id) AS rk
+        |  FROM t)
+        |SELECT bucket_ms, event_id, CAST(wt AS BIGINT) AS wt, ticket
+        |FROM r WHERE rk <= 32
+        |ORDER BY bucket_ms, ticket DESC, event_id""".stripMargin) { (s, d) => {
+      val samples = graft.streaming.StreamWeightedSample.replayParquet(s, d,
+        queryName = "x40_wes")
+      graft.streaming.StreamWeightedSample.audit(samples)
+        .orderBy(col("bucket_ms"), col("ticket").desc, col("event_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
