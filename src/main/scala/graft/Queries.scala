@@ -8183,6 +8183,86 @@ object Queries {
       graft.streaming.StreamWeightedSample.audit(samples)
         .orderBy(col("bucket_ms"), col("ticket").desc, col("event_id"))
     }},
+    // TRIANGLE COUNTING with degree-ordered orientation — the
+    // clustering-structure member of the graph family (q86/q96
+    // PageRank, q141 HITS, q143 PPR are all walk/flow scores; triangle
+    // participation is the cohesion score). Graph: customers linked by
+    // co-purchasing the same part in the same ship week, with the
+    // bipartite→unipartite projection CAPPED per (part, week) cell
+    // (2..10 customers) so a hot part can never go quadratic — the
+    // same capped-cell discipline as the near-dup posting joins. The
+    // algorithm is the distributed standard: orient every edge toward
+    // the higher-(degree, id) endpoint — out-degree is then bounded by
+    // O(sqrt E) (arboricity bound; max out-deg 5 vs max raw deg 13 at
+    // sf0.01) — and count wedges (a.s→a.t, a.t→b.t) closed by a third
+    // oriented edge. Scale shape: three hash-join shuffles over
+    // edge-shaped relations, no windows, no iteration; every triangle
+    // found exactly once (orientation is a total order).
+    q("q158_triangle_count",
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |         epoch_ms(l_shipdate) // 604800000 AS wk
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cell AS (SELECT pk, wk FROM cp GROUP BY pk, wk HAVING COUNT(*) BETWEEN 2 AND 10),
+        |e0 AS (
+        |  SELECT DISTINCT a.ck AS u, b.ck AS v
+        |  FROM cp a JOIN cell USING (pk, wk) JOIN cp b USING (pk, wk)
+        |  WHERE a.ck < b.ck),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS dg FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node),
+        |o AS (
+        |  SELECT CASE WHEN (du.dg, u) < (dv.dg, v) THEN u ELSE v END AS s,
+        |         CASE WHEN (du.dg, u) < (dv.dg, v) THEN v ELSE u END AS t
+        |  FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v),
+        |tri AS (
+        |  SELECT a.s AS x, a.t AS y, b.t AS z
+        |  FROM o a JOIN o b ON b.s = a.t JOIN o c ON c.s = a.s AND c.t = b.t)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY node ORDER BY n_tri DESC, node""".stripMargin) { (s, d) => {
+      val cp = T(s, d, "orders")
+        .join(T(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
+          (msTs(col("l_shipdate")) / 604800000L).cast("long").as("wk"))
+        .distinct()
+      val cell = cp.groupBy(col("pk"), col("wk"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n").between(2, 10))
+        .select(col("pk"), col("wk"))
+      val inCell = cp.join(cell, Seq("pk", "wk"))
+      val ca = inCell.select(col("pk"), col("wk"), col("ck").as("cka"))
+      val cb = inCell.select(col("pk"), col("wk"), col("ck").as("ckb"))
+      val e0 = ca.join(cb, Seq("pk", "wk"))
+        .filter(col("cka") < col("ckb"))
+        .select(col("cka").as("u"), col("ckb").as("v"))
+        .distinct()
+      val deg = e0.select(col("u").as("node"))
+        .unionAll(e0.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val du = deg.select(col("node").as("_un"), col("dg").as("_ud"))
+      val dv = deg.select(col("node").as("_vn"), col("dg").as("_vd"))
+      val flip = struct(col("_ud"), col("u")) < struct(col("_vd"), col("v"))
+      val o = e0
+        .join(du, col("_un") === col("u"))
+        .join(dv, col("_vn") === col("v"))
+        .select(when(flip, col("u")).otherwise(col("v")).as("s"),
+          when(flip, col("v")).otherwise(col("u")).as("t"))
+      val oa = o.select(col("s").as("as_"), col("t").as("at_"))
+      val ob = o.select(col("s").as("bs"), col("t").as("bt"))
+      val oc = o.select(col("s").as("cs"), col("t").as("ct"))
+      val tri = oa
+        .join(ob, col("bs") === col("at_"))
+        .join(oc, col("cs") === col("as_") && col("ct") === col("bt"))
+      tri.select(col("as_").as("node"))
+        .unionAll(tri.select(col("at_").as("node")))
+        .unionAll(tri.select(col("bt").as("node")))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).cast("long").as("n_tri"))
+        .orderBy(col("n_tri").desc, col("node"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
