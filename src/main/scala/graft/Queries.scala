@@ -8197,16 +8197,23 @@ object Queries {
     // sf0.01) — and count wedges (a.s→a.t, a.t→b.t) closed by a third
     // oriented edge. Scale shape: three hash-join shuffles over
     // edge-shaped relations, no windows, no iteration; every triangle
-    // found exactly once (orientation is a total order).
+    // found exactly once (orientation is a total order). The oracle's
+    // capped projection is AS MATERIALIZED: inlined, DuckDB's join
+    // reorder can pair cp×cp BEFORE the cell cap and blow up on hot
+    // (part, week) cells (observed: temp-spill to disk-full at sf1);
+    // Spark's plan is immune because `cell` is an aggregate barrier
+    // joined before the self-join.
     q("q158_triangle_count",
       """WITH cp AS (
         |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
         |         epoch_ms(l_shipdate) // 604800000 AS wk
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |cell AS (SELECT pk, wk FROM cp GROUP BY pk, wk HAVING COUNT(*) BETWEEN 2 AND 10),
+        |inc AS MATERIALIZED (
+        |  SELECT ck, pk, wk FROM cp JOIN cell USING (pk, wk)),
         |e0 AS (
         |  SELECT DISTINCT a.ck AS u, b.ck AS v
-        |  FROM cp a JOIN cell USING (pk, wk) JOIN cp b USING (pk, wk)
+        |  FROM inc a JOIN inc b USING (pk, wk)
         |  WHERE a.ck < b.ck),
         |deg AS (
         |  SELECT node, COUNT(*) AS dg FROM (
