@@ -181,6 +181,55 @@ class ScaleSpec extends SparkSpec {
       "q150 must compose from equi-joins only:\n" + q150)
   }
 
+  test("round-12 plan shapes: row-local extraction, shuffle reuse, top-k, oriented joins") {
+    val d = sf("sf0.001")
+    def formatted(name: String): String = {
+      val df = graft.Queries.all(name).fn(spark, d)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // q152 HTML extraction: one corpus scan, zero hash shuffles — the
+    // whole operator lives in the scan projection (only the final
+    // ORDER BY range-exchanges)
+    val q152 = formatted("q152_html_extract")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(q152).size == 1,
+      "q152 must make exactly one pass over the corpus:\n" + q152)
+    assert(!q152.contains("Exchange hashpartitioning"),
+      "q152 must be row-local — no hash shuffle:\n" + q152)
+    // q154 postings: the (term, block) exchange is REUSED by the lag
+    // window and the final agg — exactly 3 exchanges total (distinct,
+    // term-block, final sort), with the window sandwiched shuffle-free
+    val q154 = formatted("q154_postings_index")
+    assert("""\(\d+\) Exchange""".r.findAllIn(q154).size == 3,
+      "q154 must reuse the (term,block) exchange for window AND agg:\n" + q154)
+    assert(q154.contains("windowspecdefinition(term"),
+      "q154 gap window must partition on (term, block):\n" + q154)
+    // q155 A-ES sample: a single distributed top-k — no exchange of
+    // any kind, no window, no aggregate
+    val q155 = formatted("q155_weighted_sample")
+    assert(q155.contains("TakeOrderedAndProject"),
+      "q155 selection must be a TakeOrdered:\n" + q155)
+    assert(!q155.contains("Exchange"),
+      "q155 must plan with zero exchanges:\n" + q155)
+    // q156 shard manifest: the histogram prefix must broadcast and the
+    // running-sum window must partition per bucket — never global
+    val q156 = formatted("q156_shard_manifest")
+    assert(q156.contains("BroadcastExchange"),
+      "q156 histogram prefix must broadcast:\n" + q156)
+    assert(q156.contains("windowspecdefinition(_cs_bkt"),
+      "q156 running sum must window per bucket, never globally:\n" + q156)
+    // q153 / q157 / q158: equi-joins only — a cartesian anywhere in
+    // the line-dedup membership join, the robots rule match, or the
+    // wedge-closing joins would be a scale killer
+    for (name <- Seq("q153_line_dedup", "q157_robots_gate",
+        "q158_triangle_count")) {
+      val p = formatted(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must compose from equi-joins only:\n" + p)
+    }
+  }
+
   test("text-op plan shapes: chunking is shuffle-free; BM25 broadcasts and filters before tf") {
     val docs = (1 to 200).map(i => (i.toLong,
       Seq.fill(5)(s"w${i % 7}") ++ Seq("hash", "join"))).toDF("doc_id", "t")
