@@ -7855,9 +7855,13 @@ object Queries {
         lit("</div>"),
         lit("<footer><a href=\"/about\">about</a> <a href=\"/privacy\">privacy</a></footer>"),
         lit("</body></html>"))
+      // two-stage: materialize the regex-heavy block-info array, THEN
+      // summarize — inlined as one column the summary's ~6 references
+      // would each re-run the whole regex cascade (see htmlBlockInfo)
       T(s, d, "documents")
+        .select(col("doc_id"), TextFns.htmlBlockInfo(html).as("_info"))
         .select(col("doc_id"),
-          TextFns.extractHtmlText(html).as("_e"))
+          TextFns.extractHtmlFromInfo(col("_info")).as("_e"))
         .select(col("doc_id"),
           col("_e.n_blocks").as("n_blocks"),
           col("_e.n_kept").as("n_kept"),
@@ -7908,14 +7912,28 @@ object Queries {
         |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
         |  COALESCE(array_to_string(array_agg(line ORDER BY idx) FILTER (WHERE keep), chr(10)), '') AS text_clean
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) => {
+      // materialize the token array through a projection: inlined,
+      // every reference site inside the chunking would re-evaluate the
+      // regexp tokenization (~20 splits/doc — measured 3 s of the
+      // query's cost at sf0.1). CollapseProject keeps the projection
+      // because the alias is multiply referenced and non-cheap. The
+      // segments use the direct q77-style transform (string per
+      // element) rather than tokenChunks' struct form — HOFs run
+      // interpreted, so the struct build + getField re-extraction pass
+      // would double the per-chunk cost.
       val lines = T(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFns.wordTokens(col("text")).as("t"))
         .select(col("doc_id"),
           concat(
             array(concat(lit("subscribe to the "), col("source"),
               lit(" newsletter for daily updates"))),
-            transform(
-              TextFns.tokenChunks(TextFns.wordTokens(col("text")), 8, 8),
-              c => c.getField("chunk"))).as("ls"))
+            when(size(col("t")) === 0, array().cast("array<string>"))
+              .otherwise(transform(
+                sequence(lit(0),
+                  ceil(size(col("t")) / lit(8.0)).cast("int") - 1),
+                i => array_join(slice(col("t"), i * 8 + 1, lit(8)), " "))))
+            .as("ls"))
       val ex = lines
         .select(col("doc_id"), posexplode(col("ls")))
         .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
@@ -8239,13 +8257,24 @@ object Queries {
         .agg(count(lit(1)).as("_n"))
         .filter(col("_n").between(2, 10))
         .select(col("pk"), col("wk"))
-      val inCell = cp.join(cell, Seq("pk", "wk"))
-      val ca = inCell.select(col("pk"), col("wk"), col("ck").as("cka"))
-      val cb = inCell.select(col("pk"), col("wk"), col("ck").as("ckb"))
-      val e0 = ca.join(cb, Seq("pk", "wk"))
-        .filter(col("cka") < col("ckb"))
-        .select(col("cka").as("u"), col("ckb").as("v"))
+      // pairs by row-local expansion of the per-cell member set —
+      // collected AFTER the cap join, so every group is ≤ 10 members
+      // (bounded state; the sorted set makes u < v automatic). A
+      // cp⋈cp self-join says the same thing but re-executes the
+      // expensive cp distinct per branch.
+      val e0 = cp.join(cell, Seq("pk", "wk"))
+        .groupBy(col("pk"), col("wk"))
+        .agg(sort_array(collect_set(col("ck"))).as("cs"))
+        .select(explode(flatten(transform(col("cs"), (a, i) =>
+          transform(slice(col("cs"), i + lit(2), lit(10)), b =>
+            struct(a.as("u"), b.as("v")))))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
         .distinct()
+        // the edge list is the SMALL derived artifact (≪ input) and
+        // every downstream branch fans out from it (deg twice, the
+        // orientation, three wedge-join sides) — persist it or the
+        // scan→join→distinct chain re-executes per branch
+        .persist()
       val deg = e0.select(col("u").as("node"))
         .unionAll(e0.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("dg"))
@@ -8257,6 +8286,9 @@ object Queries {
         .join(dv, col("_vn") === col("v"))
         .select(when(flip, col("u")).otherwise(col("v")).as("s"),
           when(flip, col("v")).otherwise(col("u")).as("t"))
+        // same reasoning: three wedge-join sides read the oriented
+        // edges; persisted, each side is a cache scan, not a replay
+        .persist()
       val oa = o.select(col("s").as("as_"), col("t").as("at_"))
       val ob = o.select(col("s").as("bs"), col("t").as("bt"))
       val oc = o.select(col("s").as("cs"), col("t").as("ct"))

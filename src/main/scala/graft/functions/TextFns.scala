@@ -362,17 +362,38 @@ object TextFns {
     * row-local, zero shuffles: at 100 TB this runs inside the scan
     * projection with nothing on the wire. */
   def extractHtmlText(html: Column, minLen: Int = 25,
-      maxLinkPerMille: Int = 300): Column = {
+      maxLinkPerMille: Int = 300): Column =
+    extractHtmlFromInfo(htmlBlockInfo(html), minLen, maxLinkPerMille)
+
+  /** Stage 1 of [[extractHtmlText]]: the regex-heavy part — strip
+    * comments/script/style, split into blocks, measure per-block text
+    * and anchor chars. Returns array<struct<txt, link>>. The
+    * expression is LINEAR (each sub-result referenced once), so its
+    * cost is one regex cascade per row. In a query, materialize this
+    * through its own projection (`.select(htmlBlockInfo(h).as("_i"))`)
+    * before summarizing — stage 2 references its input many times, and
+    * inlined those references would each re-run the cascade
+    * (CollapseProject keeps the projection because the alias is
+    * multiply referenced and non-cheap). */
+  def htmlBlockInfo(html: Column): Column = {
     val cleaned = regexp_replace(regexp_replace(regexp_replace(html,
       "<!--.*?-->", ""),
       "<script[^>]*>.*?</script>", ""),
       "<style[^>]*>.*?</style>", "")
     val blocks = split(cleaned, "</(p|div|nav|footer)>")
-    val info = transform(blocks, b => struct(
+    transform(blocks, b => struct(
       trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "), " +", " "))
         .as("txt"),
       aggregate(regexp_extract_all(b, lit("<a[^>]*>([^<]*)</a>"), lit(1)),
         lit(0), (acc, x) => acc + length(x)).as("link")))
+  }
+
+  /** Stage 2 of [[extractHtmlText]]: keep/drop + summarize over a
+    * block-info ARRAY (ideally an attribute from a
+    * [[htmlBlockInfo]] projection — references here are then cheap
+    * array scans, no regex). */
+  def extractHtmlFromInfo(info: Column, minLen: Int = 25,
+      maxLinkPerMille: Int = 300): Column = {
     val kept = filter(info, i =>
       length(i.getField("txt")) >= minLen &&
         i.getField("link") * lit(1000) <=
