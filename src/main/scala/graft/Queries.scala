@@ -8302,6 +8302,162 @@ object Queries {
         .agg(count(lit(1)).cast("long").as("n_tri"))
         .orderBy(col("n_tri").desc, col("node"))
     }},
+
+    // ------------------------------------------------------------------
+    // q159: blocked edit-distance record linkage (FuzzyJoin) — the
+    // quadratic runs over the DISTINCT-VALUE dictionary (vocabulary-
+    // bounded, 64 names here regardless of sf), blocked by first token;
+    // the corpus contributes only the one dictionary-building hash agg.
+    q("q159_fuzzy_join",
+      """WITH reps AS (
+        |  SELECT p_name, MIN(p_partkey) AS rep_id,
+        |         CAST(COUNT(*) AS BIGINT) AS members
+        |  FROM part GROUP BY p_name),
+        |blk AS (SELECT *, split_part(p_name, ' ', 1) AS b FROM reps)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       a.rep_id AS id_a, b.rep_id AS id_b,
+        |       a.members AS members_a, b.members AS members_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM blk a JOIN blk b ON a.b = b.b AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      graft.operators.FuzzyJoin.dictionaryFuzzyPairs(
+          T(s, d, "part"), "p_partkey", "p_name", maxDist = 3)
+        .orderBy(col("name_a"), col("name_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // q160: character-entropy quality signal — Shannon entropy of the
+    // per-doc character distribution (first 512 chars) in milli-nats,
+    // the classic repetitive-junk detector next to q25/q64/q115. Float
+    // discipline: ln only behind floor-scaled integers (the q80/q83
+    // convention) — each char class contributes the exact long
+    // floor(1e6·ln(n/c))·c, longs sum associatively, one integer
+    // division lands in milli-nats. Scale: explode → (doc_id, char)
+    // hash agg with map-side combine (≤ alphabet rows per doc reach the
+    // shuffle), then doc-keyed joins; no window, no driver state.
+    q("q160_char_entropy",
+      """WITH d AS (SELECT doc_id, substr(text, 1, 512) AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d),
+        |ch AS (SELECT doc_id, substr(t, i, 1) AS c FROM pos),
+        |cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cc FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(cc) AS n,
+        |               CAST(COUNT(*) AS BIGINT) AS n_distinct FROM cnt GROUP BY 1),
+        |terms AS (
+        |  SELECT cnt.doc_id,
+        |         CAST(floor(1e6 * ln(CAST(tot.n AS DOUBLE) / CAST(cnt.cc AS DOUBLE)))
+        |              AS BIGINT) * cnt.cc AS term
+        |  FROM cnt JOIN tot USING (doc_id)),
+        |ent AS (SELECT doc_id, SUM(term) AS micro_sum FROM terms GROUP BY 1)
+        |SELECT tot.doc_id, CAST(tot.n AS BIGINT) AS n_chars_counted, tot.n_distinct,
+        |       CAST(ent.micro_sum // (tot.n * 1000) AS BIGINT) AS ent_milli,
+        |       CAST(CASE WHEN ent.micro_sum // (tot.n * 1000) >= 2800
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM tot JOIN ent USING (doc_id)
+        |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), expr("substring(text, 1, 512)").as("t"))
+      val ch = docs
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), length(col("t")))).as("i"))
+        .select(col("doc_id"), expr("substring(t, i, 1)").as("c"))
+      val cnt = ch.groupBy(col("doc_id"), col("c"))
+        .agg(count(lit(1)).cast("long").as("cc"))
+      val tot = cnt.groupBy(col("doc_id"))
+        .agg(sum(col("cc")).as("n"), count(lit(1)).cast("long").as("n_distinct"))
+      val terms = cnt.join(tot, "doc_id")
+        .select(col("doc_id"),
+          (floor(lit(1e6) * log(col("n").cast("double") / col("cc").cast("double")))
+            .cast("long") * col("cc")).as("term"))
+      val ent = terms.groupBy(col("doc_id")).agg(sum(col("term")).as("micro_sum"))
+      tot.join(ent, "doc_id")
+        .withColumn("ent_milli", expr("micro_sum DIV (n * 1000)").cast("long"))
+        .select(col("doc_id"), col("n").cast("long").as("n_chars_counted"),
+          col("n_distinct"), col("ent_milli"),
+          (col("ent_milli") >= 2800).cast("long").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q161: k-anonymity audit (Privacy) over customer quasi-identifiers
+    // (nation × market segment × account-balance thousand-bucket) —
+    // one hash agg on the QI tuple, k = 5.
+    q("q161_k_anonymity",
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS grp_n,
+        |       CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS risky
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment, bal_bucket
+        |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin) { (s, d) =>
+      graft.operators.Privacy.kAnonymityAudit(
+          T(s, d, "customer")
+            .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("long")),
+          Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+    },
+
+    // ------------------------------------------------------------------
+    // q162: inter-annotator agreement (Annotation.cohensKappaMilli) —
+    // Cohen's κ between two deterministic labelers of document length
+    // (char-threshold annotator vs token-threshold annotator). The
+    // contingency and both κ operands are exact longs; κ itself is one
+    // double division floored to milli-units (bit-identical cross-engine).
+    q("q162_annotator_kappa",
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars < 300 THEN 'short'
+        |         WHEN n_chars < 900 THEN 'medium' ELSE 'long' END AS a,
+        |    CASE WHEN len(t) < 55 THEN 'short'
+        |         WHEN len(t) < 165 THEN 'medium' ELSE 'long' END AS b
+        |  FROM toks),
+        |ct AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY 1, 2),
+        |m AS (SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+        |             CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS n_agree
+        |      FROM ct),
+        |marg AS (
+        |  SELECT CAST(SUM(ra.rn * cb.cn) AS BIGINT) AS sum_rowcol FROM
+        |    (SELECT a, SUM(n) AS rn FROM ct GROUP BY a) ra
+        |    JOIN (SELECT b, SUM(n) AS cn FROM ct GROUP BY b) cb ON ra.a = cb.b)
+        |SELECT ct.a, ct.b, ct.n, m.n_items, m.n_agree, marg.sum_rowcol,
+        |       CAST(floor(CAST(1000 * (m.n_items * m.n_agree - marg.sum_rowcol) AS DOUBLE)
+        |            / CAST(m.n_items * m.n_items - marg.sum_rowcol AS DOUBLE))
+        |            AS BIGINT) AS kappa_milli
+        |FROM ct, m, marg
+        |ORDER BY ct.a, ct.b""".stripMargin) { (s, d) =>
+      val labeled = T(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("n_chars") < 300, "short")
+            .when(col("n_chars") < 900, "medium").otherwise("long").as("a"),
+          when(size(TextFns.wordTokens(col("text"))) < 55, "short")
+            .when(size(TextFns.wordTokens(col("text"))) < 165, "medium")
+            .otherwise("long").as("b"))
+      graft.export.Annotation.cohensKappaMilli(labeled, "a", "b")
+    },
+
+    // ------------------------------------------------------------------
+    // x41: stream-STREAM interval join (StreamJoin) — purchase←click
+    // attribution, both sides unbounded watermarked streams; the inner
+    // join's emitted pair set equals the batch join regardless of
+    // micro-batch boundaries, which is exactly what the oracle replays.
+    q("x41_stream_stream_join",
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS ct
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS pu, ts AS pt
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id, c.user_id,
+        |       CAST((epoch_us(p.pt) - epoch_us(c.ct)) // 1000000 AS BIGINT) AS delta_s
+        |FROM c JOIN p ON c.user_id = p.pu
+        |             AND p.pt >= c.ct AND p.pt <= c.ct + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      graft.streaming.StreamJoin.replayParquet(s, d, queryName = "x41_ssj")
+        .orderBy(col("click_id"), col("purchase_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -95,4 +95,39 @@ object Annotation {
       .orderBy(col(clusterCol), col("pos"))
       .drop("_shuffle")
   }
+
+  /** (c) Inter-annotator agreement: Cohen's κ between two label columns
+    * over the same items — the audit a labeling campaign runs before
+    * trusting its annotations (closes the export→collect→audit loop
+    * around (a)/(b)). Output: the full contingency table (one row per
+    * (a, b) label pair with its count) with the global summary repeated
+    * on every row — n_items, n_agree, sum_rowcol (Σ rowᵢ·colᵢ, the
+    * chance-agreement numerator) and kappa_milli.
+    *
+    * Exactness: the contingency and both κ operands are pure long
+    * arithmetic; κ = (n·d − Σrc) / (n² − Σrc) is evaluated as ONE
+    * double division of two exactly-representable longs (< 2⁵³ for any
+    * n ≤ 3·10⁷ items) then floored to milli-units, so an SQL oracle
+    * reproduces it bit-for-bit.
+    *
+    * Scale: one hash aggregation on (a, b); everything after runs on
+    * the k×k contingency (label-vocabulary-bounded), broadcast back
+    * onto it. */
+  def cohensKappaMilli(labels: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ct = labels.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val totals = ct.agg(sum(col("n")).as("n_items"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(lit(0L))).as("n_agree"))
+    val rowcol = ct.groupBy(col("a")).agg(sum(col("n")).as("_rn"))
+      .join(ct.groupBy(col("b")).agg(sum(col("n")).as("_cn")),
+        col("a") === col("b"))
+      .agg(sum(col("_rn") * col("_cn")).as("sum_rowcol"))
+    val summary = totals.crossJoin(rowcol)
+      .withColumn("kappa_milli",
+        floor((lit(1000L) * (col("n_items") * col("n_agree") - col("sum_rowcol")))
+          .cast("double")
+          / (col("n_items") * col("n_items") - col("sum_rowcol")).cast("double"))
+          .cast("long"))
+    ct.crossJoin(broadcast(summary)).orderBy(col("a"), col("b"))
+  }
 }
