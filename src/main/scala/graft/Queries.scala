@@ -8458,6 +8458,103 @@ object Queries {
       graft.streaming.StreamJoin.replayParquet(s, d, queryName = "x41_ssj")
         .orderBy(col("click_id"), col("purchase_id"))
     },
+
+    // ------------------------------------------------------------------
+    // q163: retention cohort analysis — users cohorted by first-purchase
+    // day, per-(cohort, day-offset) distinct active users and the
+    // integer per-mille retention rate. Two user-keyed hash aggs + one
+    // (cohort, offset) agg; cohort sizes join back on the cohort key.
+    q("q163_retention_cohorts",
+      """WITH p AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS dy
+        |           FROM events WHERE event_type = 'purchase'),
+        |fw AS (SELECT user_id, MIN(dy) AS cohort_day FROM p GROUP BY user_id),
+        |ret AS (
+        |  SELECT f.cohort_day, a.dy - f.cohort_day AS day_offset,
+        |         CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM p a JOIN fw f USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n
+        |       FROM fw GROUP BY 1)
+        |SELECT r.cohort_day, r.day_offset, r.n_active, s.cohort_n,
+        |       CAST(r.n_active * 1000 // s.cohort_n AS BIGINT) AS retention_milli
+        |FROM ret r JOIN sz s USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+      val act = T(s, d, "events").where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("(ts DIV 1000000) DIV 86400000").as("dy"))
+        .distinct()
+      val fw = act.groupBy(col("user_id")).agg(min(col("dy")).as("cohort_day"))
+      val ret = act.join(fw, "user_id")
+        .groupBy(col("cohort_day"), (col("dy") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).cast("long").as("n_active"))
+      val sz = fw.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).cast("long").as("cohort_n"))
+      ret.join(sz, "cohort_day")
+        .withColumn("retention_milli",
+          expr("n_active * 1000 DIV cohort_n").cast("long"))
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("cohort_n"), col("retention_milli"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    // ------------------------------------------------------------------
+    // q164: HOPPING (sliding) event-time windows — 1 h length, 15 min
+    // slide, so every event lands in exactly 4 overlapping windows; the
+    // suite's tumbling twin is q28/x15. The same `window()` expression
+    // serves batch and stream; the oracle expands the 4 hops explicitly.
+    q("q164_hopping_window",
+      """WITH h AS (
+        |  SELECT ((epoch_ms(ts) // 900000) - g.k) * 900000 AS win_start_ms,
+        |         event_type, value
+        |  FROM events CROSS JOIN generate_series(0, 3) AS g(k))
+        |SELECT win_start_ms, event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_micro
+        |FROM h GROUP BY win_start_ms, event_type
+        |ORDER BY win_start_ms, event_type""".stripMargin) { (s, d) =>
+      T(s, d, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("event_time"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(floor(col("value") * 1000000)).cast("long").as("sum_value_micro"))
+        .select(unix_millis(col("window.start")).as("win_start_ms"),
+          col("event_type"), col("cnt"), col("sum_value_micro"))
+        .orderBy(col("win_start_ms"), col("event_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // x42: LEFT-OUTER stream-stream interval join — the watermark-
+    // eviction semantics x41's inner form doesn't exercise: an
+    // unmatched click is null-emitted (−1 sentinels here) exactly when
+    // the final watermark W = min(max click, max purchase) − 2 h proves
+    // no purchase can ever join it (click + 1 h < W); younger unmatched
+    // clicks are still buffered at end-of-stream and appear not at all.
+    // The oracle replays both the pair set AND that cutoff.
+    q("x42_stream_outer_join",
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS ct
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS pu, ts AS pt
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.click_id, c.user_id, p.purchase_id,
+        |             CAST((epoch_us(p.pt) - epoch_us(c.ct)) // 1000000 AS BIGINT)
+        |               AS delta_s,
+        |             CAST(1 AS BIGINT) AS matched
+        |      FROM c JOIN p ON c.user_id = p.pu
+        |                   AND p.pt >= c.ct AND p.pt <= c.ct + INTERVAL 1 HOUR),
+        |wm AS (SELECT LEAST((SELECT MAX(ct) FROM c), (SELECT MAX(pt) FROM p))
+        |              - INTERVAL 2 HOUR AS w),
+        |unm AS (SELECT c.click_id, c.user_id, CAST(-1 AS BIGINT) AS purchase_id,
+        |               CAST(-1 AS BIGINT) AS delta_s, CAST(0 AS BIGINT) AS matched
+        |        FROM c, wm
+        |        WHERE c.ct + INTERVAL 1 HOUR < wm.w
+        |          AND c.click_id NOT IN (SELECT click_id FROM m))
+        |SELECT click_id, user_id, purchase_id, delta_s, matched FROM m
+        |UNION ALL
+        |SELECT click_id, user_id, purchase_id, delta_s, matched FROM unm
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      graft.streaming.StreamJoin.replayParquetOuter(s, d, queryName = "x42_ssoj")
+        .orderBy(col("click_id"), col("purchase_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

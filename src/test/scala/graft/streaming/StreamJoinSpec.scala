@@ -33,4 +33,42 @@ class StreamJoinSpec extends SparkSpec {
     assert(got == want, "stream-stream inner join ≡ batch join")
     assert(got.forall { case (_, _, _, d) => d >= 0 && d <= 3600 })
   }
+
+  test("left-outer replay: matched set ≡ inner join; unmatched set obeys the watermark cutoff") {
+    val dir = sf("sf0.001")
+    val out = StreamJoin.replayParquetOuter(spark, dir, queryName = "ssjo_spec").collect()
+    val (matched, unmatched) = out.partition(_.getAs[Long]("matched") == 1L)
+
+    val ev = graft.sources.Tables.table(spark, dir, "events")
+      .withColumn("t_us", expr("ts DIV 1000"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("t_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    // matched rows = the batch inner interval join
+    val wantPairs = clicks.flatMap { case (cid, u, ct) =>
+      purchases.collect { case (pu, pt)
+        if pu == u && pt >= ct && pt <= ct + 3600000000L => (cid, pt) }
+    }
+    assert(matched.length == wantPairs.length)
+
+    // unmatched rows: exactly the matchless clicks older than the
+    // final watermark (min of the two sides' max event time − 2 h),
+    // with −1 sentinels; younger matchless clicks must be absent
+    val w = math.min(clicks.map(_._3).max, purchases.map(_._2).max) - 7200000000L
+    val matchlessOld = clicks.filter { case (cid, _, ct) =>
+      !wantPairs.exists(_._1 == cid) && ct + 3600000000L < w
+    }.map(_._1).toSet
+    assert(unmatched.map(_.getAs[Long]("click_id")).toSet == matchlessOld)
+    assert(unmatched.forall(r => r.getAs[Long]("purchase_id") == -1L &&
+      r.getAs[Long]("delta_s") == -1L))
+    val emitted = out.map(_.getAs[Long]("click_id")).toSet
+    val young = clicks.filter { case (cid, _, ct) =>
+      !wantPairs.exists(_._1 == cid) && ct + 3600000000L >= w }.map(_._1)
+    assert(young.forall(!emitted.contains(_)),
+      "clicks still inside the watermark horizon must not be emitted")
+  }
 }
