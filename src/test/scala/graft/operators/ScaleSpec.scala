@@ -550,4 +550,57 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"),
       "eligible k-row aggregate must broadcast:\n" + plan)
   }
+
+  test("round-12b plan shapes: dictionary linkage, QI agg, hop expansion, cohort joins") {
+    val d = sf("sf0.001")
+    def formatted(name: String): String = {
+      val df = graft.Queries.all(name).fn(spark, d)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // q159 fuzzy linkage: the in-block self-join must be an equi-join
+    // on the blocking key — a cartesian over even the dictionary is
+    // the failure mode blocking exists to prevent
+    val q159 = formatted("q159_fuzzy_join")
+    assert(!q159.contains("CartesianProduct") &&
+      !q159.contains("BroadcastNestedLoopJoin"),
+      "q159 must equi-join on the blocking key:\n" + q159)
+    // q160 char entropy: aggregation trees joined on doc_id — no
+    // window over the corpus, no non-equi join
+    val q160 = formatted("q160_char_entropy")
+    assert(!q160.contains("windowspecdefinition"),
+      "q160 must not window over the corpus:\n" + q160)
+    assert(!q160.contains("CartesianProduct") &&
+      !q160.contains("BroadcastNestedLoopJoin"),
+      "q160 joins must stay equi on doc_id:\n" + q160)
+    // q161 k-anonymity: ONE hash shuffle (the QI-tuple aggregation);
+    // the audit is a single aggregation, nothing else may exchange
+    // besides the final ORDER BY range partition
+    val q161 = formatted("q161_k_anonymity")
+    assert("""\(\d+\) Exchange""".r.findAllIn(q161).size == 2,
+      "q161 must exchange exactly twice — the QI-tuple hash agg and the " +
+        "final ORDER BY range partition:\n" + q161)
+    assert(!q161.contains("windowspecdefinition"),
+      "q161 must not use a window:\n" + q161)
+    // q162 kappa: the k×k summary must BROADCAST back onto the
+    // contingency (its cross join is 1-row — bounded by construction)
+    val q162 = formatted("q162_annotator_kappa")
+    assert(q162.contains("BroadcastExchange"),
+      "q162 summary must broadcast onto the contingency:\n" + q162)
+    // q163 cohorts: user-keyed and cohort-keyed equi-joins only
+    val q163 = formatted("q163_retention_cohorts")
+    assert(!q163.contains("CartesianProduct") &&
+      !q163.contains("BroadcastNestedLoopJoin"),
+      "q163 must compose from equi-joins only:\n" + q163)
+    assert(!q163.contains("windowspecdefinition"),
+      "q163 must not window over the corpus:\n" + q163)
+    // q164 hopping windows: the slide expansion is row-local; exactly
+    // one hash shuffle (the (window, type) aggregation) may appear
+    val q164 = formatted("q164_hopping_window")
+    assert("""\(\d+\) Exchange""".r.findAllIn(q164).size == 2,
+      "q164 must exchange exactly twice — the (window,type) hash agg and " +
+        "the final ORDER BY range partition:\n" + q164)
+    assert(q164.contains("Expand"),
+      "q164's hop expansion must be the row-local Expand operator:\n" + q164)
+  }
 }
