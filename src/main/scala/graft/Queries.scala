@@ -8555,6 +8555,320 @@ object Queries {
       graft.streaming.StreamJoin.replayParquetOuter(s, d, queryName = "x42_ssoj")
         .orderBy(col("click_id"), col("purchase_id"))
     },
+
+    // ------------------------------------------------------------------
+    // q165: ordered funnel analysis (Funnel.existsChain) — view → click
+    // → purchase with per-step horizons (2 h, 6 h), exists-chain
+    // semantics: any qualifying chain counts. Each step is one
+    // user-keyed interval join (x41's bounded-state shape); measured
+    // decay at sf0.01: 150 → 64 → 5 users.
+    q("q165_funnel",
+      """WITH v AS (SELECT DISTINCT user_id, ts FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT DISTINCT e.user_id, e.ts
+        |      FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') e
+        |      JOIN v ON e.user_id = v.user_id
+        |       AND v.ts < e.ts AND e.ts <= v.ts + INTERVAL 2 HOUR),
+        |p AS (SELECT DISTINCT e.user_id, e.ts
+        |      FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') e
+        |      JOIN c ON e.user_id = c.user_id
+        |       AND c.ts < e.ts AND e.ts <= c.ts + INTERVAL 6 HOUR),
+        |s1 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_step1 FROM v GROUP BY 1),
+        |s2 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_step2 FROM c GROUP BY 1),
+        |s3 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_step3, MIN(ts) AS f3
+        |       FROM p GROUP BY 1)
+        |SELECT s1.user_id, s1.n_step1,
+        |       CAST(COALESCE(s2.n_step2, 0) AS BIGINT) AS n_step2,
+        |       CAST(COALESCE(s3.n_step3, 0) AS BIGINT) AS n_step3,
+        |       CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+        |              + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |         AS depth,
+        |       CAST(COALESCE(epoch_us(s3.f3) // 1000000, -1) AS BIGINT)
+        |         AS first_conv_s
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.operators.Funnel.existsChain(T(s, d, "events"),
+          Seq("view", "click", "purchase"),
+          Seq(2L * 3600 * 1000000000L, 6L * 3600 * 1000000000L))
+        .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q166: market-basket association rules (AssocRules.pairRules) —
+    // 2-itemset support/confidence/lift over order baskets; all metrics
+    // exact integers via cross-multiplied floor division. Pair fanout is
+    // C(basket, 2) ≤ 21 per order, never corpus-quadratic.
+    q("q166_assoc_rules",
+      """WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |               FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets FROM items),
+        |icnt AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1),
+        |pairs AS (SELECT a.it AS item_a, b.it AS item_b,
+        |                 CAST(COUNT(*) AS BIGINT) AS pair_n
+        |          FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+        |          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.pair_n, ca.c AS cnt_a, cb.c AS cnt_b,
+        |       CAST(p.pair_n * 1000 // ca.c AS BIGINT) AS conf_ab_milli,
+        |       CAST(p.pair_n * 1000 // cb.c AS BIGINT) AS conf_ba_milli,
+        |       CAST(p.pair_n * n.n_baskets * 1000000 // (ca.c * cb.c) AS BIGINT)
+        |         AS lift_micro
+        |FROM pairs p JOIN icnt ca ON p.item_a = ca.it
+        |             JOIN icnt cb ON p.item_b = cb.it CROSS JOIN n
+        |ORDER BY item_a, item_b""".stripMargin) { (s, d) =>
+      graft.operators.AssocRules.pairRules(
+          T(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy(col("item_a"), col("item_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // q167: ROLLUP subtotal aggregation — the grouping-sets surface
+    // (Spark `rollup`): per (returnflag, linestatus) sums plus per-flag
+    // subtotals plus the grand total, grouping nulls labeled 'ALL'
+    // (source columns are never null, so the label is unambiguous).
+    // One Expand + one hash agg; sums are floor-scaled cents.
+    q("q167_rollup",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |         AS qty_c,
+        |       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS price_c
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin) { (s, d) =>
+      T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(floor(col("l_quantity") * 100).cast("long")).cast("long").as("qty_c"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).cast("long")
+            .as("price_c"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("qty_c"), col("price_c"))
+        .orderBy(col("flag"), col("status"))
+    },
+
+    // ------------------------------------------------------------------
+    // q168: CDC merge (CdcMerge.latestWins) — apply a deterministic
+    // change log (upserts + deletes, seq-ordered, sentinel payloads on
+    // deletes so max_by never sees nulls) onto a snapshot, latest
+    // change wins per key; MERGE INTO semantics as one max_by hash agg
+    // + one full-outer join. Key overlap (%3/%5/%7) exercises
+    // update-then-delete, delete-then-reinsert, and plain passthrough.
+    q("q168_cdc_merge",
+      """WITH base AS (SELECT o_orderkey AS k,
+        |                     CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+        |                     o_orderstatus AS status FROM orders),
+        |snap AS (SELECT * FROM base WHERE k % 3 <> 0),
+        |chg AS (
+        |  SELECT k, CAST(1 AS BIGINT) AS seq, 'U' AS op,
+        |         price_c + 1000 AS price_c, 'U1' AS status
+        |  FROM base WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, CAST(2 AS BIGINT), 'D', CAST(-1 AS BIGINT), 'D'
+        |  FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, CAST(3 AS BIGINT), 'I', price_c + 5000, 'I3'
+        |  FROM base WHERE k % 3 = 0),
+        |last AS (SELECT k, max_by(op, seq) AS op, max_by(price_c, seq) AS cp,
+        |                max_by(status, seq) AS cs FROM chg GROUP BY k)
+        |SELECT COALESCE(s.k, l.k) AS o_orderkey,
+        |       CASE WHEN l.op IS NOT NULL THEN l.cp ELSE s.price_c END AS price_c,
+        |       CASE WHEN l.op IS NOT NULL THEN l.cs ELSE s.status END AS status,
+        |       COALESCE(l.op, 'base') AS src
+        |FROM snap s FULL OUTER JOIN last l ON s.k = l.k
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val base = T(s, d, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+        col("o_orderstatus").as("status"))
+      val snap = base.where(col("k") % 3 =!= 0)
+      val chg = base.where(col("k") % 5 === 0)
+        .select(col("k"), lit(1L).as("seq"), lit("U").as("op"),
+          (col("price_c") + 1000).as("price_c"), lit("U1").as("status"))
+        .unionByName(base.where(col("k") % 7 === 0)
+          .select(col("k"), lit(2L).as("seq"), lit("D").as("op"),
+            lit(-1L).as("price_c"), lit("D").as("status")))
+        .unionByName(base.where(col("k") % 3 === 0)
+          .select(col("k"), lit(3L).as("seq"), lit("I").as("op"),
+            (col("price_c") + 5000).as("price_c"), lit("I3").as("status")))
+      graft.operators.CdcMerge.latestWins(snap, chg, "k", "seq", "op",
+          Seq("price_c", "status"))
+        .withColumnRenamed("k", "o_orderkey")
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // q169: data-quality constraint suite (DataQuality) — the
+    // Deequ-class publish gate: completeness, key uniqueness, range,
+    // value-domain, sign, and referential-integrity checks, one audit
+    // row each. Every constraint is a single column-pruned scan + agg;
+    // the FK check is one left-anti hash join.
+    q("q169_dq_audit",
+      """WITH c1 AS (SELECT 'customer_key_unique' AS check_name,
+        |   'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS total,
+        |   CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS violations
+        |  FROM customer),
+        |c2 AS (SELECT 'documents_text_complete', 'documents',
+        |   CAST(COUNT(*) AS BIGINT),
+        |   CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+        |            THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents),
+        |c3 AS (SELECT 'events_type_domain', 'events', CAST(COUNT(*) AS BIGINT),
+        |   CAST(SUM(CASE WHEN event_type NOT IN
+        |            ('view', 'click', 'purchase', 'signup', 'error')
+        |            THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events),
+        |c4 AS (SELECT 'lineitem_qty_range', 'lineitem', CAST(COUNT(*) AS BIGINT),
+        |   CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |            THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem),
+        |c5 AS (SELECT 'orders_fk_customer', 'orders', CAST(COUNT(*) AS BIGINT),
+        |   CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey),
+        |c6 AS (SELECT 'orders_price_positive', 'orders', CAST(COUNT(*) AS BIGINT),
+        |   CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL
+        |      SELECT * FROM c3 UNION ALL SELECT * FROM c4 UNION ALL
+        |      SELECT * FROM c5 UNION ALL SELECT * FROM c6)
+        |SELECT check_name, tbl, total, violations,
+        |       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM u ORDER BY check_name""".stripMargin) { (s, d) =>
+      import graft.operators.DataQuality._
+      suite(Seq(
+          unique("customer_key_unique", "customer", T(s, d, "customer"),
+            "c_custkey"),
+          complete("documents_text_complete", "documents",
+            T(s, d, "documents"), "text"),
+          inSet("events_type_domain", "events", T(s, d, "events"),
+            "event_type", Seq("view", "click", "purchase", "signup", "error")),
+          inRange("lineitem_qty_range", "lineitem", T(s, d, "lineitem"),
+            "l_quantity", 1, 50),
+          referential("orders_fk_customer", "orders", T(s, d, "orders"),
+            "o_custkey", T(s, d, "customer"), "c_custkey"),
+          satisfies("orders_price_positive", "orders", T(s, d, "orders"),
+            col("o_totalprice") <= 0)))
+        .orderBy(col("check_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // q170: Markov next-event transition matrix — per-user event
+    // sequences (ordered by ts, event_id) → (prev, curr) counts and
+    // per-source transition probabilities in milli-units. The lag
+    // window is partitioned per user (bounded frames, never a corpus
+    // window); counting is two hash aggs on the 25-cell matrix.
+    q("q170_markov_transitions",
+      """WITH tr AS (SELECT user_id,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS prev,
+        |        event_type AS curr
+        |       FROM events),
+        |cnt AS (SELECT prev, curr, CAST(COUNT(*) AS BIGINT) AS n FROM tr
+        |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS from_n FROM cnt GROUP BY 1)
+        |SELECT c.prev, c.curr, c.n, f.from_n,
+        |       CAST(c.n * 1000 // f.from_n AS BIGINT) AS prob_milli
+        |FROM cnt c JOIN ft f ON c.prev = f.prev
+        |ORDER BY c.prev, c.curr""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = T(s, d, "events")
+        .select(col("user_id"), lag(col("event_type"), 1).over(w).as("prev"),
+          col("event_type").as("curr"))
+      val cnt = tr.where(col("prev").isNotNull)
+        .groupBy(col("prev"), col("curr"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val ft = cnt.groupBy(col("prev")).agg(sum(col("n")).cast("long").as("from_n"))
+      cnt.join(ft, "prev")
+        .select(col("prev"), col("curr"), col("n"), col("from_n"),
+          expr("n * 1000 DIV from_n").cast("long").as("prob_milli"))
+        .orderBy(col("prev"), col("curr"))
+    },
+
+    // ------------------------------------------------------------------
+    // q171: calendar gap-fill + forward fill (LOCF) — per-user daily
+    // spine over the observed purchase days, each day carrying the last
+    // observed daily-max purchase value (cents); days before the first
+    // observation stay -1. The classic sparse→dense time-series prep.
+    // IGNORE NULLS last_value over per-user frames (≤ days, bounded);
+    // the spine is a row-local cross of users × observed days.
+    q("q171_forward_fill",
+      """WITH p AS (SELECT user_id, epoch_ms(ts) // 86400000 AS dy,
+        |                  CAST(floor(value * 100) AS BIGINT) AS v_c
+        |           FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT DISTINCT user_id FROM p),
+        |days AS (SELECT DISTINCT dy FROM p),
+        |spine AS (SELECT u.user_id, days.dy FROM u CROSS JOIN days),
+        |daily AS (SELECT user_id, dy, MAX(v_c) AS day_max FROM p GROUP BY 1, 2),
+        |f AS (SELECT s.user_id, s.dy, d.day_max,
+        |        last_value(d.day_max IGNORE NULLS) OVER (
+        |          PARTITION BY s.user_id ORDER BY s.dy
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |      FROM spine s LEFT JOIN daily d
+        |        ON s.user_id = d.user_id AND s.dy = d.dy)
+        |SELECT user_id, dy,
+        |       CAST(CASE WHEN day_max IS NULL THEN 0 ELSE 1 END AS BIGINT) AS obs,
+        |       CAST(COALESCE(filled, -1) AS BIGINT) AS filled_c
+        |FROM f ORDER BY user_id, dy""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val p = T(s, d, "events").where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("(ts DIV 1000000) DIV 86400000").as("dy"),
+          floor(col("value") * 100).cast("long").as("v_c"))
+      val users = p.select(col("user_id")).distinct()
+      val days = p.select(col("dy")).distinct()
+      val daily = p.groupBy(col("user_id"), col("dy"))
+        .agg(max(col("v_c")).as("day_max"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("dy"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      users.crossJoin(days)
+        .join(daily, Seq("user_id", "dy"), "left")
+        .withColumn("filled", last(col("day_max"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("dy"),
+          col("day_max").isNotNull.cast("long").as("obs"),
+          coalesce(col("filled"), lit(-1L)).as("filled_c"))
+        .orderBy(col("user_id"), col("dy"))
+    },
+
+    // ------------------------------------------------------------------
+    // q172: rolling 7-day RANGE-frame aggregates — per-user daily
+    // purchase totals with a trailing 7-day sum/count/average (RANGE
+    // BETWEEN 6 PRECEDING, so calendar gaps matter — a ROWS frame would
+    // be wrong on sparse days). Frames are per-user and ≤ 7 days wide.
+    q("q172_rolling_window",
+      """WITH p AS (SELECT user_id, epoch_ms(ts) // 86400000 AS dy,
+        |                  CAST(floor(value * 100) AS BIGINT) AS v_c
+        |           FROM events WHERE event_type = 'purchase'),
+        |daily AS (SELECT user_id, dy, CAST(SUM(v_c) AS BIGINT) AS day_c,
+        |                 CAST(COUNT(*) AS BIGINT) AS day_n FROM p GROUP BY 1, 2)
+        |SELECT user_id, dy, day_c,
+        |  CAST(SUM(day_c) OVER w AS BIGINT) AS roll7_c,
+        |  CAST(SUM(day_n) OVER w AS BIGINT) AS roll7_n,
+        |  CAST((SUM(day_c) OVER w) * 1000 // (SUM(day_n) OVER w) AS BIGINT)
+        |    AS roll7_avg_milli
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY dy
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, dy""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = T(s, d, "events").where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("(ts DIV 1000000) DIV 86400000").as("dy"),
+          floor(col("value") * 100).cast("long").as("v_c"))
+        .groupBy(col("user_id"), col("dy"))
+        .agg(sum(col("v_c")).cast("long").as("day_c"),
+          count(lit(1)).cast("long").as("day_n"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("dy"))
+        .rangeBetween(-6, 0)
+      daily
+        .select(col("user_id"), col("dy"), col("day_c"),
+          sum(col("day_c")).over(w).cast("long").as("roll7_c"),
+          sum(col("day_n")).over(w).cast("long").as("roll7_n"))
+        .withColumn("roll7_avg_milli",
+          expr("roll7_c * 1000 DIV roll7_n").cast("long"))
+        .orderBy(col("user_id"), col("dy"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
