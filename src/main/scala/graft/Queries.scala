@@ -8869,6 +8869,171 @@ object Queries {
           expr("roll7_c * 1000 DIV roll7_n").cast("long"))
         .orderBy(col("user_id"), col("dy"))
     },
+
+    // ------------------------------------------------------------------
+    // x43: gap sessionization via the BUILT-IN session_window streaming
+    // aggregation — the native merging-window counterpart of x19's
+    // flatMapGroupsWithState custom state (same gap idea, different
+    // state machinery and output shape: windowed start/end/count/sum
+    // instead of numbered sessions). Gap 2 h at full microsecond
+    // precision; chaining is INCLUSIVE (next - last <= gap chains —
+    // pinned by StreamSessionWindowSpec), so the oracle's new-session
+    // flag is spelled delta > gap.
+    q("x43_stream_session_window",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |                  CAST(floor(value * 1000000) AS BIGINT) AS v_u
+        |           FROM events),
+        |f AS (SELECT user_id, event_id, us, v_u,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id
+        |                                ORDER BY us, event_id) IS NULL
+        |              OR us - lag(us) OVER (PARTITION BY user_id
+        |                                    ORDER BY us, event_id) > 7200000000
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |g AS (SELECT user_id, us, v_u,
+        |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, CAST(MIN(us) // 1000 AS BIGINT) AS sess_start_ms,
+        |       CAST((MAX(us) + 7200000000) // 1000 AS BIGINT) AS sess_end_ms,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(v_u) AS BIGINT) AS sum_value_micro
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_ms""".stripMargin) { (s, d) =>
+      graft.streaming.StreamSessionWindow.replayParquet(s, d,
+          gapMs = 7200000L, queryName = "x43_ssw")
+        .orderBy(col("user_id"), col("sess_start_ms"))
+    },
+
+    // ------------------------------------------------------------------
+    // q173: contrastive hard-negative mining — for each probe vector,
+    // the top-5 same-label (positives) and top-5 different-label (hard
+    // negatives) corpus vectors by exact cosine. q139's float
+    // discipline: sequential fold dot products, one double division,
+    // raw doubles hash-matched UNSCALED. Plan: probes broadcast, one
+    // corpus scan, two bounded windows over the probe-sized pair table.
+    q("q173_hard_negatives",
+      """WITH e AS (SELECT vec_id, label,
+        |                  [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_reduce([x*x FOR x IN v], (a,b) -> a+b)) AS nv
+        |      FROM e),
+        |pt AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |         CAST(b.label AS BIGINT) AS label,
+        |         CASE WHEN b.label = a.label THEN 1 ELSE 0 END AS same_label,
+        |         list_reduce([a.v[i]*b.v[i] FOR i IN generate_series(1, len(a.v))],
+        |                     (x,y) -> x+y) / (a.nv * b.nv) AS cos
+        |       FROM n a CROSS JOIN n b
+        |       WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |r AS (SELECT query_id, vec_id, label, same_label, cos,
+        |        row_number() OVER (PARTITION BY query_id, same_label
+        |                           ORDER BY cos DESC, vec_id) AS rnk
+        |      FROM pt)
+        |SELECT query_id, CAST(same_label AS BIGINT) AS same_label,
+        |       CAST(rnk AS BIGINT) AS rnk, vec_id, label, cos
+        |FROM r WHERE rnk <= 5
+        |ORDER BY query_id, same_label, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def fold(a: org.apache.spark.sql.Column) =
+        aggregate(a, lit(0.0), (acc, x) => acc + x)
+      val e = T(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          graft.functions.VectorFns.toDoubles(col("embedding")).as("v"))
+        .withColumn("nv", sqrt(fold(transform(col("v"), x => x * x))))
+      val eP = graft.Caches.persist(e)
+      val probes = eP.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nv").as("qnv"))
+      val pt = broadcast(probes).crossJoin(eP)
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("label").cast("long").as("label"),
+          (col("label") === col("qlabel")).cast("long").as("same_label"),
+          (fold(zip_with(col("qv"), col("v"), (a, b) => a * b))
+            / (col("qnv") * col("nv"))).as("cos"))
+      pt.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"), col("same_label"))
+            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("query_id"), col("same_label"), col("rnk"), col("vec_id"),
+          col("label"), col("cos"))
+        .orderBy(col("query_id"), col("same_label"), col("rnk"))
+    },
+
+    // ------------------------------------------------------------------
+    // q174: class rebalancing via deterministic hash-rate downsampling —
+    // every label thinned toward the minority class size with a
+    // row-local md5 gate (keep iff h·orig_n < target_n·10⁶, h uniform
+    // in [0, 10⁶)), the scalable alternative to exact per-class rank
+    // (which q88's bucketed-rank machinery covers). Output is the
+    // per-label audit: original vs target vs kept counts.
+    q("q174_class_balance",
+      """WITH sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS orig_n
+        |            FROM embeddings GROUP BY 1),
+        |m AS (SELECT MIN(orig_n) AS target_n FROM sz),
+        |k AS (SELECT e.label, sz.orig_n, m.target_n,
+        |        CASE WHEN (CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 15))
+        |                        AS BIGINT) % 1000000) * sz.orig_n
+        |                  < m.target_n * 1000000
+        |             THEN 1 ELSE 0 END AS keep
+        |      FROM embeddings e JOIN sz ON e.label = sz.label CROSS JOIN m)
+        |SELECT CAST(label AS BIGINT) AS label, orig_n, target_n,
+        |       CAST(SUM(keep) AS BIGINT) AS kept_n,
+        |       CAST(SUM(keep) * 1000 // orig_n AS BIGINT) AS kept_milli
+        |FROM k GROUP BY label, orig_n, target_n
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      val e = T(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val sz = e.groupBy(col("label")).agg(count(lit(1)).cast("long").as("orig_n"))
+      val m = sz.agg(min(col("orig_n")).as("target_n"))
+      e.join(sz, "label").crossJoin(m)
+        .withColumn("keep",
+          ((pmod(graft.functions.HashFns.md5Hash60(col("vec_id").cast("string")),
+            lit(1000000L)) * col("orig_n")) < col("target_n") * 1000000L)
+            .cast("long"))
+        .groupBy(col("label").cast("long").as("label"), col("orig_n"),
+          col("target_n"))
+        .agg(sum(col("keep")).cast("long").as("kept_n"))
+        .withColumn("kept_milli", expr("kept_n * 1000 DIV orig_n").cast("long"))
+        .orderBy(col("label"))
+    },
+
+    // ------------------------------------------------------------------
+    // q175: per-user z-score anomaly gate WITHOUT square roots — flag
+    // purchase amounts with |x − μ| > 1.5σ against the user's own
+    // history via the cross-multiplied integer identity
+    // 4·(n·x − S)² > 9·(n·Q − S²)  (μ = S/n, σ² = (nQ − S²)/n²; both
+    // sides exact BIGINTs, overflow-bounded: n ≤ events/user, x ≤ 10⁵
+    // cents). Plan: one user-keyed stats agg + one join back — the
+    // monitoring twin of q29's describe().
+    q("q175_anomaly_zscore",
+      """WITH p AS (SELECT user_id, event_id,
+        |                  CAST(floor(value * 100) AS BIGINT) AS x
+        |           FROM events WHERE event_type = 'purchase'),
+        |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(x) AS BIGINT) AS s,
+        |              CAST(SUM(x * x) AS BIGINT) AS q
+        |       FROM p GROUP BY 1)
+        |SELECT p.user_id, p.event_id, p.x, st.n,
+        |       CAST(CASE WHEN 4 * (st.n * p.x - st.s) * (st.n * p.x - st.s)
+        |                      > 9 * (st.n * st.q - st.s * st.s)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM p JOIN st ON p.user_id = st.user_id
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val p = T(s, d, "events").where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("x"))
+      val st = p.groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("s"),
+          sum(col("x") * col("x")).cast("long").as("q"))
+      p.join(st, "user_id")
+        .select(col("user_id"), col("event_id"), col("x"), col("n"),
+          (lit(4) * (col("n") * col("x") - col("s"))
+            * (col("n") * col("x") - col("s"))
+            > lit(9) * (col("n") * col("q") - col("s") * col("s")))
+            .cast("long").as("anomaly"))
+        .orderBy(col("event_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
