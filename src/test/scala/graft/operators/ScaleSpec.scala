@@ -603,4 +603,69 @@ class ScaleSpec extends SparkSpec {
     assert(q164.contains("Expand"),
       "q164's hop expansion must be the row-local Expand operator:\n" + q164)
   }
+
+  test("round-12c plan shapes: funnel, baskets, rollup, CDC, DQ, windows") {
+    val d = sf("sf0.001")
+    def formatted(name: String): String = {
+      val df = graft.Queries.all(name).fn(spark, d)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // q165 funnel: each step is a user-keyed equi-join with a range
+    // residual — never a cartesian; no window anywhere
+    val q165 = formatted("q165_funnel")
+    assert(!q165.contains("CartesianProduct") &&
+      !q165.contains("BroadcastNestedLoopJoin"),
+      "q165 steps must stay user-keyed equi-joins:\n" + q165)
+    assert(!q165.contains("windowspecdefinition"),
+      "q165 must not window over the corpus:\n" + q165)
+    // q166 assoc rules: the pair self-join is an equi-join on the
+    // basket key; N attaches via a broadcast (1-row aggregate)
+    val q166 = formatted("q166_assoc_rules")
+    assert(!q166.contains("CartesianProduct"),
+      "q166 pair generation must equi-join on the basket key:\n" + q166)
+    assert(q166.contains("BroadcastExchange"),
+      "q166's 1-row basket count must broadcast:\n" + q166)
+    // q167 rollup: grouping sets = ONE row-local Expand + one hash agg
+    // (+ the final sort), never one scan per grouping set
+    val q167 = formatted("q167_rollup")
+    assert(q167.contains("Expand"),
+      "q167 must use the Expand-based grouping-sets plan:\n" + q167)
+    assert("""\(\d+\) Exchange""".r.findAllIn(q167).size == 2,
+      "q167 must exchange exactly twice — the rollup hash agg and the " +
+        "final ORDER BY range partition:\n" + q167)
+    // q168 CDC merge: latest-wins is a hash AGGREGATE (max_by), never a
+    // per-key window; apply is a key equi-join
+    val q168 = formatted("q168_cdc_merge")
+    assert(!q168.contains("windowspecdefinition"),
+      "q168 latest-wins must be max_by aggregation, not a window:\n" + q168)
+    assert(!q168.contains("CartesianProduct") &&
+      !q168.contains("BroadcastNestedLoopJoin"),
+      "q168's merge join must stay an equi-join on the key:\n" + q168)
+    // q170 markov: the lag window must partition by user_id (bounded
+    // frames) — a corpus-wide window spec would have an empty
+    // partition clause
+    val q170 = formatted("q170_markov_transitions")
+    assert(q170.contains("windowspecdefinition(user_id"),
+      "q170's lag window must be partitioned per user:\n" + q170)
+    // q171/q172: every window partitioned per user, never corpus-wide
+    val q171 = formatted("q171_forward_fill")
+    assert(q171.contains("windowspecdefinition(user_id"),
+      "q171 LOCF window must be partitioned per user:\n" + q171)
+    val q172 = formatted("q172_rolling_window")
+    assert(q172.contains("windowspecdefinition(user_id"),
+      "q172 RANGE frame must be partitioned per user:\n" + q172)
+    // q173 hard negatives: probes must broadcast onto the corpus scan
+    val q173 = formatted("q173_hard_negatives")
+    assert(q173.contains("BroadcastNestedLoopJoin") ||
+      q173.contains("BroadcastExchange"),
+      "q173's probe side must broadcast:\n" + q173)
+    // q175 anomaly: one user-keyed agg + join back, no window
+    val q175 = formatted("q175_anomaly_zscore")
+    assert(!q175.contains("windowspecdefinition"),
+      "q175 must compute stats via aggregation, not a window:\n" + q175)
+    assert(!q175.contains("CartesianProduct") &&
+      !q175.contains("BroadcastNestedLoopJoin"),
+      "q175's stats join must stay user-keyed:\n" + q175)
+  }
 }
