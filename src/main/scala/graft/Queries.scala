@@ -9034,6 +9034,139 @@ object Queries {
             .cast("long").as("anomaly"))
         .orderBy(col("event_id"))
     },
+
+    // ------------------------------------------------------------------
+    // q176: right-to-be-forgotten cascade — given a forget set of
+    // customer keys, count the rows each downstream table must drop
+    // (orders by FK, lineitem through the order FK, events by user id)
+    // and what survives. The deletion-audit a GDPR/CCPA pipeline runs
+    // BEFORE the destructive pass. Plan: the forget set and the
+    // affected-order set are key-joined (broadcast when small, hash
+    // otherwise); each table contributes one semi-join count — no
+    // window, no cascade materialization.
+    q("q176_forget_cascade",
+      """WITH fk AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
+        |fo AS (SELECT o_orderkey FROM orders JOIN fk
+        |       ON o_custkey = c_custkey),
+        |t1 AS (SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS total,
+        |         CAST(SUM(CASE WHEN c_custkey % 50 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS forgotten
+        |       FROM customer),
+        |t2 AS (SELECT 'events', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN f.c_custkey IS NULL THEN 0 ELSE 1 END)
+        |              AS BIGINT)
+        |       FROM events e LEFT JOIN fk f ON e.user_id = f.c_custkey),
+        |t3 AS (SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN f.o_orderkey IS NULL THEN 0 ELSE 1 END)
+        |              AS BIGINT)
+        |       FROM lineitem l LEFT JOIN fo f ON l.l_orderkey = f.o_orderkey),
+        |t4 AS (SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN f.c_custkey IS NULL THEN 0 ELSE 1 END)
+        |              AS BIGINT)
+        |       FROM orders o LEFT JOIN fk f ON o.o_custkey = f.c_custkey),
+        |u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL
+        |      SELECT * FROM t3 UNION ALL SELECT * FROM t4)
+        |SELECT tbl, total, forgotten, total - forgotten AS surviving
+        |FROM u ORDER BY tbl""".stripMargin) { (s, d) =>
+      def audit(tbl: String, df: DataFrame, keyCol: String,
+          forget: DataFrame): DataFrame = {
+        val f = forget.select(forget.columns.head).toDF("_fkey")
+          .withColumn("_f", lit(1L))
+        df.select(col(keyCol))
+          .join(f, col(keyCol) === col("_fkey"), "left")
+          .agg(count(lit(1)).cast("long").as("total"),
+            sum(coalesce(col("_f"), lit(0L))).cast("long").as("forgotten"))
+          .select(lit(tbl).as("tbl"), col("total"), col("forgotten"))
+      }
+      val fk = T(s, d, "customer").where(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey"))
+      val fo = T(s, d, "orders")
+        .join(fk, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+      audit("customer", T(s, d, "customer"), "c_custkey", fk)
+        .unionByName(audit("events", T(s, d, "events"), "user_id", fk))
+        .unionByName(audit("lineitem", T(s, d, "lineitem"), "l_orderkey", fo))
+        .unionByName(audit("orders", T(s, d, "orders"), "o_custkey", fk))
+        .withColumn("surviving", col("total") - col("forgotten"))
+        .orderBy(col("tbl"))
+    },
+
+    // ------------------------------------------------------------------
+    // q177: snapshot diff / drift detection — classify every key across
+    // two table versions as added / removed / changed / unchanged (the
+    // data-diff a pipeline runs between loads; version B is derived
+    // deterministically from orders: %13 keys dropped, %11 prices
+    // bumped, %17 keys cloned forward as new keys). One full-outer hash
+    // join on the key; the summary is a 4-row aggregate.
+    q("q177_table_diff",
+      """WITH a AS (SELECT o_orderkey AS k,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS p
+        |           FROM orders),
+        |b AS (SELECT k, CASE WHEN k % 11 = 0 THEN p + 777 ELSE p END AS p
+        |      FROM a WHERE k % 13 <> 0
+        |      UNION ALL
+        |      SELECT k + 100000000, p FROM a WHERE k % 17 = 0),
+        |j AS (SELECT COALESCE(a.k, b.k) AS k, a.p AS pa, b.p AS pb,
+        |        CASE WHEN a.k IS NULL THEN 'added'
+        |             WHEN b.k IS NULL THEN 'removed'
+        |             WHEN a.p <> b.p THEN 'changed'
+        |             ELSE 'unchanged' END AS cls
+        |      FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(COALESCE(pb, pa)) AS BIGINT) AS sum_p
+        |FROM j GROUP BY cls ORDER BY cls""".stripMargin) { (s, d) =>
+      val a = T(s, d, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("p"))
+      val b = a.where(col("k") % 13 =!= 0)
+        .select(col("k"),
+          when(col("k") % 11 === 0, col("p") + 777).otherwise(col("p")).as("p"))
+        .unionByName(a.where(col("k") % 17 === 0)
+          .select((col("k") + 100000000L).as("k"), col("p")))
+      a.as("a").join(b.as("b"), col("a.k") === col("b.k"), "full_outer")
+        .select(
+          when(col("a.k").isNull, "added")
+            .when(col("b.k").isNull, "removed")
+            .when(col("a.p") =!= col("b.p"), "changed")
+            .otherwise("unchanged").as("cls"),
+          coalesce(col("b.p"), col("a.p")).as("pv"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("pv")).cast("long").as("sum_p"))
+        .orderBy(col("cls"))
+    },
+
+    // ------------------------------------------------------------------
+    // q178: join-skew diagnostic report — the ops tool behind the
+    // salted-join operator (q41/Skew.scala): per-key frequency of the
+    // join column, the 10 heaviest keys with their multiple-of-average
+    // in milli-units, and the integer salt factor a salted repartition
+    // would need (cnt DIV avg, floor 1). One key agg, a 1-row stats
+    // broadcast, and a TakeOrdered top-10 — no full sort.
+    q("q178_skew_report",
+      """WITH c AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |              CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c)
+        |SELECT k, cnt, st.n_keys, st.n_rows,
+        |       CAST(cnt * 1000 * st.n_keys // st.n_rows AS BIGINT) AS x_avg_milli,
+        |       CAST(CASE WHEN cnt * st.n_keys > 2 * st.n_rows
+        |            THEN cnt * st.n_keys // st.n_rows ELSE 1 END AS BIGINT)
+        |         AS salt_factor
+        |FROM c CROSS JOIN st
+        |ORDER BY cnt DESC, k LIMIT 10""".stripMargin) { (s, d) =>
+      val c = T(s, d, "lineitem").groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val st = c.agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(col("cnt")).cast("long").as("n_rows"))
+      c.crossJoin(st)
+        .select(col("k"), col("cnt"), col("n_keys"), col("n_rows"),
+          expr("cnt * 1000 * n_keys DIV n_rows").cast("long").as("x_avg_milli"),
+          when(col("cnt") * col("n_keys") > lit(2) * col("n_rows"),
+            expr("cnt * n_keys DIV n_rows")).otherwise(lit(1L))
+            .cast("long").as("salt_factor"))
+        .orderBy(col("cnt").desc, col("k"))
+        .limit(10)
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

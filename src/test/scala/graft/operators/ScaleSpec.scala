@@ -667,5 +667,19 @@ class ScaleSpec extends SparkSpec {
     assert(!q175.contains("CartesianProduct") &&
       !q175.contains("BroadcastNestedLoopJoin"),
       "q175's stats join must stay user-keyed:\n" + q175)
+    // q176 forget cascade: every audit join is a key equi-join
+    val q176 = formatted("q176_forget_cascade")
+    assert(!q176.contains("CartesianProduct"),
+      "q176 audit joins must stay key equi-joins:\n" + q176)
+    // q177 table diff: ONE full-outer equi-join, no window
+    val q177 = formatted("q177_table_diff")
+    assert(q177.contains("FullOuter"),
+      "q177 must diff via a full-outer join:\n" + q177)
+    assert(!q177.contains("windowspecdefinition"),
+      "q177 must not use a window:\n" + q177)
+    // q178 skew report: top-10 must be TakeOrdered, never a full sort
+    val q178 = formatted("q178_skew_report")
+    assert(q178.contains("TakeOrderedAndProject"),
+      "q178's top-10 must plan as TakeOrderedAndProject:\n" + q178)
   }
 }
