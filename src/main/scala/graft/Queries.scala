@@ -9167,6 +9167,39 @@ object Queries {
         .orderBy(col("cnt").desc, col("k"))
         .limit(10)
     },
+
+    // ------------------------------------------------------------------
+    // q179: unigram-LM subword tokenizer (Kudo 2018 / SentencePiece,
+    // UnigramTokenizer) — piece vocab scored by micro-log-prob, every
+    // word VITERBI-decoded into its maximum-likelihood piece sequence.
+    // The oracle is the operator-GENERATED unrolled DP: 16 forward
+    // argmax CTEs + 16 backtrace CTEs (the q86/q91 pattern) — it
+    // re-derives every DP cell, the argmax chain, and the '|'-joined
+    // segmentation string. One corpus shuffle; everything after is
+    // vocab-bounded.
+    q("q179_unigram_tokenizer",
+      graft.text.UnigramTokenizer.unrolledViterbiSql(minCount = 20)) { (s, d) =>
+      val w = graft.text.UnigramTokenizer.wordCounts(T(s, d, "documents"), "text")
+      val p = graft.text.UnigramTokenizer.pieceScores(w, minCount = 20)
+      graft.text.UnigramTokenizer.viterbi(w, p).toDF().orderBy(col("word"))
+    },
+
+    // ------------------------------------------------------------------
+    // q180: unigram-tokenizer hard-EM E-step — piece counts re-counted
+    // along the q179 Viterbi segmentations (viterbi_cnt = 0 for pieces
+    // no maximum-likelihood path uses; a full trainer iterates
+    // re-score → re-decode from here). Oracle replays the whole
+    // pipeline INCLUDING the backtrace and the explode-regroup.
+    q("q180_unigram_recount",
+      graft.text.UnigramTokenizer.unrolledRecountSql(minCount = 20)) { (s, d) =>
+      val w = graft.text.UnigramTokenizer.wordCounts(T(s, d, "documents"), "text")
+      val p = graft.text.UnigramTokenizer.pieceScores(w, minCount = 20)
+      val seg = graft.text.UnigramTokenizer.viterbi(w, p)
+      p.join(graft.text.UnigramTokenizer.recount(seg), Seq("piece"), "left")
+        .select(col("piece"), col("cnt"), col("score"),
+          coalesce(col("viterbi_cnt"), lit(0L)).as("viterbi_cnt"))
+        .orderBy(col("piece"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -681,5 +681,14 @@ class ScaleSpec extends SparkSpec {
     val q178 = formatted("q178_skew_report")
     assert(q178.contains("TakeOrderedAndProject"),
       "q178's top-10 must plan as TakeOrderedAndProject:\n" + q178)
+    // q179 unigram tokenizer: everything after the word-count shuffle
+    // is vocab-bounded — the plan must not cartesian anywhere, and the
+    // piece-score total must broadcast (1-row aggregate)
+    val q179 = formatted("q179_unigram_tokenizer")
+    assert(!q179.contains("CartesianProduct"),
+      "q179 must stay equi-joined on word/piece keys:\n" + q179)
+    assert(q179.contains("BroadcastExchange") ||
+      q179.contains("BroadcastNestedLoopJoin"),
+      "q179's 1-row piece total must broadcast:\n" + q179)
   }
 }
