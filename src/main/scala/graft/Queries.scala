@@ -9200,6 +9200,128 @@ object Queries {
           coalesce(col("viterbi_cnt"), lit(0L)).as("viterbi_cnt"))
         .orderBy(col("piece"))
     },
+
+    // ------------------------------------------------------------------
+    // q181: PMI collocation mining — pointwise mutual information over
+    // skip-gram token pairs (window ≤ 4 positions, unordered-normalized)
+    // against unigram margins: pmi = ln(c_ab·N_tok² / (N_pairs·c_a·c_b)),
+    // floor-scaled micro. The pair expansion is ROW-LOCAL (nested
+    // comprehension over positions — fanout ≤ 4 per token, linear in
+    // corpus, never doc-token²); counting is one pair agg + one token
+    // agg; both 1-row totals broadcast. Operands go through DOUBLE in
+    // the SAME association both engines (N_tok² · c_ab overflows BIGINT
+    // at scale), and IEEE multiply/divide/ln is bit-deterministic — the
+    // q139 raw-double discipline.
+    q("q181_pmi_collocations",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |ucnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+        |ntok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM uni),
+        |pr AS (
+        |  SELECT CASE WHEN p.a <= p.b THEN p.a ELSE p.b END AS tok_a,
+        |         CASE WHEN p.a <= p.b THEN p.b ELSE p.a END AS tok_b
+        |  FROM toks,
+        |       unnest(flatten([[{'a': t[i], 'b': t[j]}
+        |                       FOR j IN generate_series(i + 1, least(i + 4, len(t)))]
+        |                      FOR i IN generate_series(1, len(t))])) AS u(p)),
+        |pcnt AS (SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |         FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 50),
+        |npair AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pr)
+        |SELECT p.tok_a, p.tok_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+        |       CAST(floor(1000000 * ln(
+        |         (CAST(p.c_ab AS DOUBLE) * CAST(n.n_tok AS DOUBLE)
+        |            * CAST(n.n_tok AS DOUBLE))
+        |         / (CAST(np.n_pairs AS DOUBLE) * CAST(ca.c AS DOUBLE)
+        |            * CAST(cb.c AS DOUBLE)))) AS BIGINT) AS pmi_micro
+        |FROM pcnt p
+        |JOIN ucnt ca ON p.tok_a = ca.tok
+        |JOIN ucnt cb ON p.tok_b = cb.tok
+        |CROSS JOIN ntok n CROSS JOIN npair np
+        |ORDER BY tok_a, tok_b""".stripMargin) { (s, d) =>
+      val toks = T(s, d, "documents")
+        .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+      val toksP = graft.Caches.persist(toks)
+      val uni = toksP.select(explode(col("t")).as("tok"))
+      val ucnt = uni.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("c"))
+      val ntok = uni.agg(count(lit(1)).cast("long").as("n_tok"))
+      // Spark's sequence(a, b) DESCENDS when a > b (DuckDB's
+      // generate_series is empty) — the n<2 guard and the n-1 outer
+      // bound keep every inner range ascending and in bounds
+      val pairsCol = when(size(col("t")) < 2,
+          array().cast("array<struct<a:string,b:string>>"))
+        .otherwise(flatten(
+          transform(sequence(lit(1), size(col("t")) - 1), i =>
+            transform(sequence(i + 1, least(i + 4, size(col("t")))), j =>
+              struct(element_at(col("t"), i).as("a"),
+                element_at(col("t"), j).as("b"))))))
+      val pr = toksP.select(explode(pairsCol).as("p"))
+        .select(
+          when(col("p.a") <= col("p.b"), col("p.a")).otherwise(col("p.b")).as("tok_a"),
+          when(col("p.a") <= col("p.b"), col("p.b")).otherwise(col("p.a")).as("tok_b"))
+      val prP = graft.Caches.persist(pr)
+      val pcnt = prP.groupBy(col("tok_a"), col("tok_b"))
+        .agg(count(lit(1)).cast("long").as("c_ab"))
+        .where(col("c_ab") >= 50)
+      val npair = prP.agg(count(lit(1)).cast("long").as("n_pairs"))
+      pcnt
+        .join(ucnt.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+        .join(ucnt.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+        .crossJoin(ntok).crossJoin(npair)
+        .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"), col("c_b"),
+          floor(lit(1000000) * log(
+            (col("c_ab").cast("double") * col("n_tok").cast("double")
+              * col("n_tok").cast("double"))
+              / (col("n_pairs").cast("double") * col("c_a").cast("double")
+                * col("c_b").cast("double")))).cast("long").as("pmi_micro"))
+        .orderBy(col("tok_a"), col("tok_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // q182: language-ID quality audit — confusion matrix of the q26
+    // stopword classifier against the stored lang label, with per-cell
+    // share of the true language in milli-units. The evaluation side
+    // the classifier lacked; 'zh' honestly lands in 'und' (the
+    // stopword family has no zh entry). Two hash aggs on the k² matrix.
+    q("q182_langid_confusion",
+      ("""WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |""" + TextFns.LangStopwords.map { case (lang, words) =>
+          s"  len(list_filter(t, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x))) AS h_$lang"
+        }.mkString("", ",\n", "\n") +
+        """  FROM toks),
+        |pred AS (SELECT lang,
+        |  CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 THEN 'en'
+        |       WHEN h_de >= h_fr AND h_de >= h_es AND h_de > 0 THEN 'de'
+        |       WHEN h_fr >= h_es AND h_fr > 0 THEN 'fr'
+        |       WHEN h_es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |  FROM sc),
+        |ct AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM pred GROUP BY 1, 2),
+        |tt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_n FROM ct GROUP BY 1)
+        |SELECT ct.lang, ct.lang_pred, ct.n, tt.lang_n,
+        |       CAST(ct.n * 1000 // tt.lang_n AS BIGINT) AS share_milli
+        |FROM ct JOIN tt ON ct.lang = tt.lang
+        |ORDER BY ct.lang, ct.lang_pred""").stripMargin) { (s, d) =>
+      graft.functions.NativeFns.register(s)
+      val pred = T(s, d, "documents").select(col("lang"),
+        TextFns.langIdNative(col("text")).as("lang_pred"))
+      val ct = pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tt = ct.groupBy(col("lang")).agg(sum(col("n")).cast("long").as("lang_n"))
+      ct.join(tt, "lang")
+        .select(col("lang"), col("lang_pred"), col("n"), col("lang_n"),
+          expr("n * 1000 DIV lang_n").cast("long").as("share_milli"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
