@@ -9322,6 +9322,265 @@ object Queries {
           expr("n * 1000 DIV lang_n").cast("long").as("share_milli"))
         .orderBy(col("lang"), col("lang_pred"))
     },
+
+    // ------------------------------------------------------------------
+    // q183: WordPiece greedy decode + decoder-regret audit — greedy
+    // longest-match-first segmentation (the WordPiece inference rule,
+    // Wu et al. 2016 §4.1) of every word against the SAME scored piece
+    // vocabulary as q179, side by side with the Viterbi optimum:
+    // regret_micro = best_micro − greedy_micro ≥ 0 is the corpus-wide
+    // price of greedy inference, word by word. Completes the tokenizer
+    // family (BPE q91 / unigram-Viterbi q179 / WordPiece-greedy here)
+    // with the decoder isolated as the only variable. Oracle is the
+    // operator-GENERATED unrolled pipeline replaying BOTH decoders: 16
+    // forward-DP CTEs + 16 greedy-scan CTEs. One corpus shuffle;
+    // everything after is vocab-bounded.
+    q("q183_wordpiece_greedy",
+      graft.text.UnigramTokenizer.unrolledGreedySql(minCount = 20)) { (s, d) =>
+      val w = graft.Caches.persist(
+        graft.text.UnigramTokenizer.wordCounts(T(s, d, "documents"), "text"))
+      val p = graft.Caches.persist(
+        graft.text.UnigramTokenizer.pieceScores(w, minCount = 20))
+      val vit = graft.text.UnigramTokenizer.viterbi(w, p).toDF()
+        .select(col("word"), col("best_micro"))
+      graft.text.UnigramTokenizer.greedy(w, p).toDF()
+        .join(vit, "word")
+        .select(col("word"), col("wcount"), col("best_micro"),
+          col("greedy_micro"), col("greedy_pieces"),
+          (col("best_micro") - col("greedy_micro")).as("regret_micro"),
+          col("greedy_seg"))
+        .orderBy(col("word"))
+    },
+
+    // ------------------------------------------------------------------
+    // q184: incremental aggregate maintenance — the materialized-view
+    // delta pattern: a per-customer (count, sum) aggregate over orders
+    // version A is MAINTAINED to version B by applying only the CDC
+    // delta (q177's deterministic %13-drop / %11-change / %17-clone
+    // version-B derivation), then audited against a from-scratch
+    // recompute. Maintenance cost ∝ |delta| (one delta-sized shuffle +
+    // a key join against the base aggregate) — the base table is never
+    // rescanned, which is the whole point at 100 TB: the recompute side
+    // here is the AUDIT, not the production path. ok=1 on every row is
+    // the correctness witness.
+    q("q184_incremental_agg",
+      """WITH a AS (SELECT o_orderkey AS k, o_custkey AS g,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS p
+        |           FROM orders),
+        |b AS (SELECT k, g, CASE WHEN k % 11 = 0 THEN p + 777 ELSE p END AS p
+        |      FROM a WHERE k % 13 <> 0
+        |      UNION ALL
+        |      SELECT k + 100000000, g, p FROM a WHERE k % 17 = 0),
+        |base AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_base,
+        |                CAST(SUM(p) AS BIGINT) AS sum_base
+        |         FROM a GROUP BY g),
+        |d AS (SELECT COALESCE(a.g, b.g) AS g,
+        |             CASE WHEN a.k IS NULL THEN 1
+        |                  WHEN b.k IS NULL THEN -1 ELSE 0 END AS dn,
+        |             COALESCE(b.p, 0) - COALESCE(a.p, 0) AS dp
+        |      FROM a FULL OUTER JOIN b ON a.k = b.k
+        |      WHERE a.k IS NULL OR b.k IS NULL OR a.p <> b.p),
+        |dg AS (SELECT g, CAST(SUM(dn) AS BIGINT) AS d_n,
+        |              CAST(SUM(dp) AS BIGINT) AS d_sum
+        |       FROM d GROUP BY g),
+        |rec AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rec,
+        |               CAST(SUM(p) AS BIGINT) AS sum_rec
+        |        FROM b GROUP BY g)
+        |SELECT dg.g, COALESCE(base.n_base, 0) AS n_base,
+        |       COALESCE(base.sum_base, 0) AS sum_base, dg.d_n, dg.d_sum,
+        |       COALESCE(base.n_base, 0) + dg.d_n AS n_maint,
+        |       COALESCE(base.sum_base, 0) + dg.d_sum AS sum_maint,
+        |       CAST(CASE WHEN COALESCE(base.n_base, 0) + dg.d_n
+        |                        = COALESCE(rec.n_rec, 0)
+        |                  AND COALESCE(base.sum_base, 0) + dg.d_sum
+        |                        = COALESCE(rec.sum_rec, 0)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS ok
+        |FROM dg
+        |LEFT JOIN base ON base.g = dg.g
+        |LEFT JOIN rec ON rec.g = dg.g
+        |ORDER BY dg.g""".stripMargin) { (s, d) =>
+      val a = graft.Caches.persist(T(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("g"),
+          floor(col("o_totalprice") * 100).cast("long").as("p")))
+      val b = a.where(col("k") % 13 =!= 0)
+        .select(col("k"), col("g"),
+          when(col("k") % 11 === 0, col("p") + 777).otherwise(col("p")).as("p"))
+        .unionByName(a.where(col("k") % 17 === 0)
+          .select((col("k") + 100000000L).as("k"), col("g"), col("p")))
+      val base = a.groupBy(col("g"))
+        .agg(count(lit(1)).cast("long").as("n_base"),
+          sum(col("p")).cast("long").as("sum_base"))
+      val delta = a.as("a").join(b.as("b"), col("a.k") === col("b.k"), "full_outer")
+        .where(col("a.k").isNull || col("b.k").isNull || col("a.p") =!= col("b.p"))
+        .select(coalesce(col("a.g"), col("b.g")).as("g"),
+          when(col("a.k").isNull, 1).when(col("b.k").isNull, -1)
+            .otherwise(0).as("dn"),
+          (coalesce(col("b.p"), lit(0L)) - coalesce(col("a.p"), lit(0L))).as("dp"))
+        .groupBy(col("g"))
+        .agg(sum(col("dn")).cast("long").as("d_n"),
+          sum(col("dp")).cast("long").as("d_sum"))
+      val rec = b.groupBy(col("g"))
+        .agg(count(lit(1)).cast("long").as("n_rec"),
+          sum(col("p")).cast("long").as("sum_rec"))
+      delta
+        .join(base, Seq("g"), "left")
+        .join(rec, Seq("g"), "left")
+        .select(col("g"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("sum_base"), lit(0L)).as("sum_base"),
+          col("d_n"), col("d_sum"),
+          (coalesce(col("n_base"), lit(0L)) + col("d_n")).as("n_maint"),
+          (coalesce(col("sum_base"), lit(0L)) + col("d_sum")).as("sum_maint"),
+          when((coalesce(col("n_base"), lit(0L)) + col("d_n"))
+                 === coalesce(col("n_rec"), lit(0L)) &&
+               (coalesce(col("sum_base"), lit(0L)) + col("d_sum"))
+                 === coalesce(col("sum_rec"), lit(0L)), 1L)
+            .otherwise(0L).cast("long").as("ok"))
+        .orderBy(col("g"))
+    },
+
+    // ------------------------------------------------------------------
+    // q185: feature hashing (the hashing trick, Weinberger et al. 2009)
+    // — tokens mapped to a fixed 1024-bucket feature space by the
+    // SQL-mirrorable 60-bit md5 hash, with the signed variant's ±1
+    // second hash so collisions cancel in expectation. Per bucket:
+    // occurrence count, signed sum, and distinct-token (collision)
+    // count. Output is CONSTANT-size (1024 rows) at any corpus scale;
+    // one shuffle, with the distinct-count side bounded by (bucket ×
+    // vocab) — the fixed-dimension featurizer a 100 TB text pipeline
+    // uses when a learned vocab is too expensive.
+    q("q185_feature_hash",
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |h AS (SELECT tok,
+        |             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024
+        |               AS bucket,
+        |             CASE WHEN CAST(('0x' || substr(md5('sgn|' || tok), 1, 15))
+        |                         AS BIGINT) % 2 = 0
+        |                  THEN 1 ELSE -1 END AS sgn
+        |      FROM toks)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS occ,
+        |       CAST(SUM(sgn) AS BIGINT) AS signed_sum,
+        |       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_toks
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      import graft.functions.HashFns
+      val toks = T(s, d, "documents")
+        .select(explode(TextFns.wordTokens(col("text"))).as("tok"))
+      toks
+        .select(col("tok"),
+          (HashFns.md5Hash60(col("tok")) % 1024).as("bucket"),
+          when(HashFns.md5Hash60(concat(lit("sgn|"), col("tok"))) % 2 === 0, 1)
+            .otherwise(-1).as("sgn"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("occ"),
+          sum(col("sgn")).cast("long").as("signed_sum"),
+          countDistinct(col("tok")).cast("long").as("n_toks"))
+        .orderBy(col("bucket"))
+    },
+
+    // ------------------------------------------------------------------
+    // q186: deterministic neighbor sampling + 2-hop aggregation — the
+    // GraphSAGE sampling primitive (Hamilton et al. 2017 §3.1) over the
+    // q158 co-purchase graph: per node keep the fanout-2 neighbor
+    // sample ranked by the md5 edge hash (reproducible across engines
+    // AND across epochs — the seed is the hash prefix), then aggregate
+    // customer acctbal-cents features over the sampled 1-hop and 2-hop
+    // neighborhoods (sum-aggregator form: integer-exact, no division).
+    // Fanout 2 caps the 2-hop frontier at 4 paths/node, so cost is
+    // O(V·fanout²) regardless of degree skew; the per-node rank window
+    // is bounded by degree, which the q158 cell cap (2..10) already
+    // bounds. Everything else is key-partitioned hash joins.
+    q("q186_neighbor_sample",
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |         epoch_ms(l_shipdate) // 604800000 AS wk
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cell AS (SELECT pk, wk FROM cp GROUP BY pk, wk
+        |         HAVING COUNT(*) BETWEEN 2 AND 10),
+        |inc AS MATERIALIZED (
+        |  SELECT ck, pk, wk FROM cp JOIN cell USING (pk, wk)),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.ck AS u, b.ck AS v
+        |  FROM inc a JOIN inc b USING (pk, wk)
+        |  WHERE a.ck < b.ck),
+        |adj AS (SELECT u AS node, v AS nbr FROM e0
+        |        UNION ALL SELECT v, u FROM e0),
+        |samp AS MATERIALIZED (
+        |  SELECT node, nbr FROM (
+        |    SELECT node, nbr,
+        |           row_number() OVER (PARTITION BY node
+        |             ORDER BY CAST(('0x' || substr(md5(
+        |               'ns|' || CAST(node AS VARCHAR) || '|'
+        |                     || CAST(nbr AS VARCHAR)), 1, 15)) AS BIGINT),
+        |               nbr) AS rn
+        |    FROM adj) s
+        |  WHERE rn <= 2),
+        |feat AS (SELECT c_custkey AS node,
+        |                CAST(floor(c_acctbal * 100) AS BIGINT) AS f
+        |         FROM customer),
+        |h1 AS MATERIALIZED (
+        |  SELECT s.node, CAST(COUNT(*) AS BIGINT) AS n1,
+        |         CAST(SUM(f.f) AS BIGINT) AS f_sum
+        |  FROM samp s JOIN feat f ON f.node = s.nbr GROUP BY s.node),
+        |h2 AS (
+        |  SELECT s.node, CAST(SUM(h.n1) AS BIGINT) AS n2,
+        |         CAST(SUM(h.f_sum) AS BIGINT) AS h2_sum
+        |  FROM samp s JOIN h1 h ON h.node = s.nbr GROUP BY s.node)
+        |SELECT h1.node, h1.n1, h1.f_sum,
+        |       COALESCE(h2.n2, 0) AS n2, COALESCE(h2.h2_sum, 0) AS h2_sum
+        |FROM h1 LEFT JOIN h2 ON h2.node = h1.node
+        |ORDER BY h1.node""".stripMargin) { (s, d) => {
+      import graft.functions.HashFns
+      val cp = T(s, d, "orders")
+        .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
+          (msTs(col("l_shipdate")) / 604800000L).cast("long").as("wk"))
+        .distinct()
+      val cell = cp.groupBy(col("pk"), col("wk"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n").between(2, 10))
+        .select(col("pk"), col("wk"))
+      // same bounded per-cell pair expansion as q158 (≤ 10 members)
+      val e0 = graft.Caches.persist(cp.join(cell, Seq("pk", "wk"))
+        .groupBy(col("pk"), col("wk"))
+        .agg(sort_array(collect_set(col("ck"))).as("cs"))
+        .select(explode(flatten(transform(col("cs"), (a, i) =>
+          transform(slice(col("cs"), i + lit(2), lit(10)), b =>
+            struct(a.as("u"), b.as("v")))))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .distinct())
+      val adj = e0.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(e0.select(col("v").as("node"), col("u").as("nbr")))
+      val rn = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+        .orderBy(HashFns.md5Hash60(concat(lit("ns|"),
+          col("node").cast("string"), lit("|"), col("nbr").cast("string"))),
+          col("nbr"))
+      val samp = graft.Caches.persist(adj
+        .withColumn("rn", row_number().over(rn))
+        .where(col("rn") <= 2)
+        .select(col("node"), col("nbr")))
+      val feat = T(s, d, "customer")
+        .select(col("c_custkey").as("node"),
+          floor(col("c_acctbal") * 100).cast("long").as("f"))
+      val h1 = graft.Caches.persist(samp.as("s")
+        .join(feat.as("f"), col("f.node") === col("s.nbr"))
+        .groupBy(col("s.node").as("node"))
+        .agg(count(lit(1)).cast("long").as("n1"),
+          sum(col("f.f")).cast("long").as("f_sum")))
+      val h2 = samp.as("s")
+        .join(h1.as("h"), col("h.node") === col("s.nbr"))
+        .groupBy(col("s.node").as("node"))
+        .agg(sum(col("h.n1")).cast("long").as("n2"),
+          sum(col("h.f_sum")).cast("long").as("h2_sum"))
+      h1.join(h2.select(col("node"), col("n2"), col("h2_sum")), Seq("node"), "left")
+        .select(col("node"), col("n1"), col("f_sum"),
+          coalesce(col("n2"), lit(0L)).as("n2"),
+          coalesce(col("h2_sum"), lit(0L)).as("h2_sum"))
+        .orderBy(col("node"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -75,16 +75,7 @@ object UnigramTokenizer {
   def viterbi(words: DataFrame, pieces: DataFrame): Dataset[Segmented] = {
     val spark = words.sparkSession
     import spark.implicits._
-    val arcs = words
-      .select(col("word"), col("wcount"),
-        explode(sequence(lit(1), length(col("word")))).as("i"))
-      .select(col("word"), col("wcount"), col("i"),
-        explode(sequence(lit(1), lit(MaxPieceLen))).as("l"))
-      .where(col("l") <= col("i"))
-      .select(col("word"), col("wcount"), col("i").cast("int").as("i"),
-        (col("i") - col("l")).cast("int").as("j"),
-        expr("substring(word, i - l + 1, l)").as("piece"))
-      .join(pieces.select(col("piece"), col("score")), "piece")
+    val arcs = arcsOf(words, pieces)
     arcs.groupBy(col("word"), col("wcount"))
       .agg(collect_list(struct(col("j"), col("i"), col("score"))).as("arcs"))
       .as[(String, Long, Seq[(Int, Int, Long)])]
@@ -113,6 +104,64 @@ object UnigramTokenizer {
           pos = j
         }
         Segmented(word, wcount, best(n), count, segs.result().reverse.mkString("|"))
+      }
+  }
+
+  /** Candidate arcs shared by both decoders: every (start j, end i)
+    * word-substring position whose substring is a kept piece, joined to
+    * its score — ≤ MaxWordLen·MaxPieceLen per word, vocab-bounded. */
+  private def arcsOf(words: DataFrame, pieces: DataFrame): DataFrame =
+    words
+      .select(col("word"), col("wcount"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("wcount"), col("i"),
+        explode(sequence(lit(1), lit(MaxPieceLen))).as("l"))
+      .where(col("l") <= col("i"))
+      .select(col("word"), col("wcount"), col("i").cast("int").as("i"),
+        (col("i") - col("l")).cast("int").as("j"),
+        expr("substring(word, i - l + 1, l)").as("piece"))
+      .join(pieces.select(col("piece"), col("score")), "piece")
+
+  final case class GreedySeg(word: String, wcount: Long, greedy_micro: Long,
+                             greedy_pieces: Long, greedy_seg: String)
+
+  /** Greedy longest-match-first decode (the WordPiece inference rule,
+    * Wu et al. 2016 §4.1) of every word against the SAME scored piece
+    * vocabulary as [[viterbi]]: at each position take the LONGEST kept
+    * piece starting there and advance past it — single characters are
+    * always kept, so the scan always progresses and never backtracks.
+    * Running both decoders over one vocab isolates the DECODER as the
+    * only difference, which is exactly what the q183 regret audit
+    * measures: greedy_micro ≤ best_micro always, and the gap is the
+    * price of greedy inference. Same arc construction, row-local
+    * linear scan instead of the DP. */
+  def greedy(words: DataFrame, pieces: DataFrame): Dataset[GreedySeg] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    arcsOf(words, pieces).groupBy(col("word"), col("wcount"))
+      .agg(collect_list(struct(col("j"), col("i"), col("score"))).as("arcs"))
+      .as[(String, Long, Seq[(Int, Int, Long)])]
+      .map { case (word, wcount, arcList) =>
+        val n = word.length
+        // longest arc out of each start position (j → max i, with the
+        // winning arc's score); the 1-char arc guarantees endAt(j) > j
+        val endAt = Array.fill(n)(-1)
+        val scoreAt = Array.fill(n)(0L)
+        arcList.foreach { case (j, i, score) =>
+          if (i > endAt(j)) { endAt(j) = i; scoreAt(j) = score }
+        }
+        val segs = List.newBuilder[String]
+        var pos = 0
+        var total = 0L
+        var count = 0L
+        while (pos < n) {
+          val i = endAt(pos)
+          segs += word.substring(pos, i)
+          total += scoreAt(pos)
+          count += 1
+          pos = i
+        }
+        GreedySeg(word, wcount, total, count, segs.result().mkString("|"))
       }
   }
 
@@ -222,6 +271,54 @@ object UnigramTokenizer {
   /** Full oracle for the E-step recount (q180 shape): every kept piece
     * with its raw count, micro-log score, and Viterbi-path count (0 for
     * pieces no maximum-likelihood segmentation uses). */
+  /** Greedy scan: g_k chained CTEs, one per consumed piece — each step
+    * advances every unfinished word past the LONGEST arc at its cursor
+    * (row_number over i DESC; the 1-char arc guarantees progress, so
+    * MaxWordLen steps finish every word). */
+  private def greedySql: String = {
+    val steps = (1 to MaxWordLen).map { k =>
+      // single-line concat: same nested-stripMargin hazard as backtraceSql
+      s"""g_$k AS MATERIALIZED (
+         |  SELECT word, n, i AS pos, total + score AS total,
+         |         CASE WHEN seg = '' THEN piece ELSE seg || '|' || piece END AS seg
+         |  FROM (
+         |    SELECT t.word, t.n, a.i, a.score, t.total, t.seg,
+         |           substr(t.word, a.j + 1, a.i - a.j) AS piece,
+         |           row_number() OVER (PARTITION BY t.word
+         |             ORDER BY a.i DESC) AS rn
+         |    FROM g_${k - 1} t JOIN arc a ON a.word = t.word AND a.j = t.pos
+         |    WHERE t.pos < t.n) s
+         |  WHERE rn = 1
+         |  UNION ALL
+         |  SELECT word, n, pos, total, seg FROM g_${k - 1} WHERE pos = n)""".stripMargin
+    }
+    s"""g_0 AS (SELECT word, len(word) AS n, 0 AS pos,
+       |        CAST(0 AS BIGINT) AS total, '' AS seg FROM w),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  /** Full oracle for the decoder-regret audit (q183 shape): greedy
+    * longest-match segmentation side by side with the Viterbi optimum —
+    * (word, wcount, best_micro, greedy_micro, greedy_pieces,
+    * regret_micro, greedy_seg) ordered by word. Replays BOTH decoders:
+    * the forward-DP chain for best_micro and the greedy chain for the
+    * segmentation. */
+  def unrolledGreedySql(minCount: Long): String =
+    s"""${prefixSql(minCount)},
+       |$b0Sql,
+       |$forwardSql,
+       |$greedySql
+       |SELECT w.word, w.wcount, f.total AS best_micro,
+       |       g.total AS greedy_micro,
+       |       CAST(len(g.seg) - len(replace(g.seg, '|', '')) + 1 AS BIGINT)
+       |         AS greedy_pieces,
+       |       f.total - g.total AS regret_micro,
+       |       g.seg AS greedy_seg
+       |FROM w
+       |JOIN ball_$MaxWordLen f ON f.word = w.word AND f.pos = len(w.word)
+       |JOIN g_$MaxWordLen g ON g.word = w.word
+       |ORDER BY w.word""".stripMargin
+
   def unrolledRecountSql(minCount: Long): String =
     s"""${prefixSql(minCount)},
        |$b0Sql,

@@ -691,4 +691,48 @@ class ScaleSpec extends SparkSpec {
       q179.contains("BroadcastNestedLoopJoin"),
       "q179's 1-row piece total must broadcast:\n" + q179)
   }
+
+  test("round-12d plan shapes: greedy decode, delta maintenance, feature hash, neighbor sample") {
+    val d = sf("sf0.001")
+    def formatted(name: String): String = {
+      val df = graft.Queries.all(name).fn(spark, d)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // q183 greedy decode: both decoders are row-local maps over the
+    // vocab-bounded arc table — no window anywhere, no cartesian
+    // (the 1-row piece-total crossJoin broadcasts)
+    val q183 = formatted("q183_wordpiece_greedy")
+    assert(!q183.contains("windowspecdefinition"),
+      "q183 decoders are row-local — no window allowed:\n" + q183)
+    assert(!q183.contains("CartesianProduct"),
+      "q183 joins must stay key equi-joins:\n" + q183)
+    // q184 incremental maintenance: the CDC diff is ONE full-outer
+    // equi-join on the row key; everything downstream is keyed on g —
+    // no window, no cartesian
+    val q184 = formatted("q184_incremental_agg")
+    assert(q184.contains("FullOuter"),
+      "q184's delta derivation must be a full-outer key join:\n" + q184)
+    assert(!q184.contains("windowspecdefinition"),
+      "q184 must maintain via aggregation, not windows:\n" + q184)
+    assert(!q184.contains("CartesianProduct") &&
+      !q184.contains("BroadcastNestedLoopJoin"),
+      "q184 joins must stay key equi-joins:\n" + q184)
+    // q185 feature hashing: ONE hash aggregation over the token
+    // stream — no join, no window; output is the constant bucket space
+    val q185 = formatted("q185_feature_hash")
+    assert(!q185.contains("windowspecdefinition"),
+      "q185 must be pure aggregation:\n" + q185)
+    assert(!q185.contains("Join"),
+      "q185 has no join in its plan:\n" + q185)
+    // q186 neighbor sampling: the fanout rank window partitions per
+    // node (degree-bounded frames, never corpus-wide); hop joins are
+    // key equi-joins
+    val q186 = formatted("q186_neighbor_sample")
+    assert(q186.contains("windowspecdefinition(node"),
+      "q186's fanout rank must window per node:\n" + q186)
+    assert(!q186.contains("CartesianProduct") &&
+      !q186.contains("BroadcastNestedLoopJoin"),
+      "q186 hop joins must stay key equi-joins:\n" + q186)
+  }
 }

@@ -66,4 +66,43 @@ class UnigramTokenizerSpec extends SparkSpec {
     val used = rc.select(col("piece")).collect().map(_.getString(0)).toSet
     assert(!used.contains("ba"), "straddling piece 'ba' is never chosen")
   }
+
+  test("greedy takes the longest piece at each cursor") {
+    val d = docs(Seq.fill(40)("abab").mkString(" ") + " x")
+    val w = UnigramTokenizer.wordCounts(d, "text")
+    val p = UnigramTokenizer.pieceScores(w, minCount = 10)
+    val g = UnigramTokenizer.greedy(w, p).collect().map(s => s.word -> s).toMap
+    assert(g("abab").greedy_seg == "abab" && g("abab").greedy_pieces == 1L)
+  }
+
+  test("greedy never beats Viterbi and the regret is exact") {
+    // craft a greedy trap: long prefix piece forces a worse tail. Corpus
+    // of "aab" with frequent "aa": greedy eats "aa" then lone "b";
+    // Viterbi may prefer the same or a|ab — either way the invariant
+    // greedy_micro <= best_micro must hold word by word, and both
+    // totals must equal their piece-score sums.
+    val d = docs((Seq.fill(30)("aab") ++ Seq.fill(20)("ab")).mkString(" "))
+    val w = UnigramTokenizer.wordCounts(d, "text")
+    val p = UnigramTokenizer.pieceScores(w, minCount = 10)
+    val scores = p.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val vit = UnigramTokenizer.viterbi(w, p).collect()
+      .map(s => s.word -> s.best_micro).toMap
+    UnigramTokenizer.greedy(w, p).collect().foreach { s =>
+      assert(s.greedy_micro <= vit(s.word),
+        s"${s.word}: greedy ${s.greedy_micro} beats dp ${vit(s.word)}")
+      val total = s.greedy_seg.split("\\|").map(scores).sum
+      assert(total == s.greedy_micro,
+        s"${s.word}: pieces sum $total != greedy ${s.greedy_micro}")
+    }
+  }
+
+  test("greedy covers every character exactly once") {
+    val d = docs(Seq.fill(25)("abcde abc").mkString(" "))
+    val w = UnigramTokenizer.wordCounts(d, "text")
+    val p = UnigramTokenizer.pieceScores(w, minCount = 10)
+    UnigramTokenizer.greedy(w, p).collect().foreach { s =>
+      assert(s.greedy_seg.replace("|", "") == s.word,
+        s"${s.word}: segmentation ${s.greedy_seg} must spell the word")
+    }
+  }
 }
