@@ -9581,6 +9581,141 @@ object Queries {
           coalesce(col("h2_sum"), lit(0L)).as("h2_sum"))
         .orderBy(col("node"))
     }},
+
+    // ------------------------------------------------------------------
+    // q187: Soundex phonetic blocking — the entity-resolution blocking
+    // stage ahead of q159's pairwise fuzzy linkage: part-name words
+    // grouped by their simplified-Soundex code, with per-block
+    // occurrence count, distinct-word count, and the candidate-pair
+    // budget C(n_words, 2) the block contributes to the ER comparison
+    // phase. Blocking is THE quadratic-killer at scale: comparisons
+    // drop from C(N,2) to Σ C(|block|,2). One shuffle (code hash-agg);
+    // the code itself is row-local translate/regexp built-ins with
+    // identical SQL spellings (TextFns.soundexSimplified).
+    q("q187_soundex_blocking",
+      """WITH wrd AS (
+        |  SELECT unnest(string_split(p_name, ' ')) AS w FROM part),
+        |flt AS (SELECT w FROM wrd WHERE regexp_matches(w, '^[a-z]+$')),
+        |sx AS (
+        |  SELECT w,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        translate(upper(w), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |                  '01230120022455012623010202'),
+        |      '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'),
+        |      '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'),
+        |      '6+', '6', 'g') AS coll
+        |  FROM flt),
+        |cd AS (
+        |  SELECT w, substr(upper(w), 1, 1)
+        |           || rpad(substr(regexp_replace(substr(coll, 2), '0', '', 'g'),
+        |                          1, 3), 3, '0') AS code
+        |  FROM sx),
+        |blk AS (SELECT code, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+        |        FROM cd GROUP BY code)
+        |SELECT code, n_occ, n_words,
+        |       CAST(n_words * (n_words - 1) // 2 AS BIGINT) AS cand_pairs
+        |FROM blk ORDER BY code""".stripMargin) { (s, d) =>
+      T(s, d, "part")
+        .select(explode(split(col("p_name"), " ")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+        .select(col("w"), TextFns.soundexSimplified(col("w")).as("code"))
+        .groupBy(col("code"))
+        .agg(count(lit(1)).cast("long").as("n_occ"),
+          countDistinct(col("w")).cast("long").as("n_words"))
+        .select(col("code"), col("n_occ"), col("n_words"),
+          expr("n_words * (n_words - 1) DIV 2").cast("long").as("cand_pairs"))
+        .orderBy(col("code"))
+    },
+
+    // ------------------------------------------------------------------
+    // q188: l-diversity audit (Machanavajjhala et al. 2007) — the
+    // release gate AFTER q161's k-anonymity: a QI group can be large
+    // enough yet homogeneous in its sensitive attribute, leaking the
+    // secret without re-identification. QI = (nation, balance bucket),
+    // sensitive = market segment, distinct-l with l = 3. Same
+    // one-shuffle hash-agg shape as q161; the distinct side is bounded
+    // by the sensitive attribute's own 5-value cardinality.
+    q("q188_l_diversity",
+      """SELECT c_nationkey,
+        |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS grp_n,
+        |       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sens,
+        |       CAST(CASE WHEN COUNT(DISTINCT c_mktsegment) < 3
+        |            THEN 1 ELSE 0 END AS BIGINT) AS risky
+        |FROM customer
+        |GROUP BY c_nationkey, bal_bucket
+        |ORDER BY c_nationkey, bal_bucket""".stripMargin) { (s, d) =>
+      graft.operators.Privacy.lDiversityAudit(
+          T(s, d, "customer")
+            .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("long")),
+          Seq("c_nationkey", "bal_bucket"), "c_mktsegment", l = 3)
+        .orderBy(col("c_nationkey"), col("bal_bucket"))
+    },
+
+    // ------------------------------------------------------------------
+    // q189: sketch-based join-size estimation audit — the AMS/CMS
+    // inner-product estimator (Alon-Matias-Szegedy; Cormode-Muthu
+    // count-min §4.2): |A ⋈ B| on a key is Σ_k c_A(k)·c_B(k), and the
+    // row-wise inner product of two same-seeded CMS arrays
+    // over-estimates it (colliding keys only ADD), so min over the d
+    // rows is the estimate — the statistic a cost-based optimizer
+    // wants BEFORE running a 100 TB join. Sketch side: two constant
+    // 3×65536-counter arrays (one shuffle each, mergeable — the same
+    // additive-counter shape as x38). Exact side (the audit): per-key
+    // count join, over-estimate error in milli-units per row. orders
+    // custkeys ⋈ events user_ids.
+    q("q189_joinsize_estimate",
+      """WITH ka AS (SELECT o_custkey AS k FROM orders),
+        |kb AS (SELECT user_id AS k FROM events),
+        |ca AS (SELECT i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+        |              || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS p,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM ka CROSS JOIN generate_series(0, 2) AS g(i) GROUP BY 1, 2),
+        |cb AS (SELECT i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+        |              || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS p,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM kb CROSS JOIN generate_series(0, 2) AS g(i) GROUP BY 1, 2),
+        |est AS (SELECT ca.i, CAST(SUM(ca.c * cb.c) AS BIGINT) AS est_n
+        |        FROM ca JOIN cb ON ca.i = cb.i AND ca.p = cb.p GROUP BY ca.i),
+        |xa AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM ka GROUP BY k),
+        |xb AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM kb GROUP BY k),
+        |ex AS (SELECT CAST(COALESCE(SUM(xa.c * xb.c), 0) AS BIGINT) AS exact_n
+        |       FROM xa JOIN xb ON xa.k = xb.k)
+        |SELECT est.i, est.est_n, ex.exact_n,
+        |       CAST((est.est_n - ex.exact_n) * 1000 // ex.exact_n AS BIGINT)
+        |         AS over_milli
+        |FROM est CROSS JOIN ex
+        |ORDER BY est.i""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      def cmsOf(keys: DataFrame): DataFrame = keys
+        .select(explode(array((0 until 3).map(i =>
+          struct(lit(i).as("i"),
+            pmod(H.md5Hash60(concat_ws(":", lit(i), col("k").cast("string"))),
+              lit(65536L)).as("p"))): _*)).as("ip"))
+        .groupBy(col("ip.i").as("i"), col("ip.p").as("p"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val ka = T(s, d, "orders").select(col("o_custkey").as("k"))
+      val kb = T(s, d, "events").select(col("user_id").as("k"))
+      val est = cmsOf(ka).as("ca")
+        .join(cmsOf(kb).as("cb"),
+          col("ca.i") === col("cb.i") && col("ca.p") === col("cb.p"))
+        .groupBy(col("ca.i").as("i"))
+        .agg(sum(col("ca.c") * col("cb.c")).cast("long").as("est_n"))
+      val xa = ka.groupBy(col("k")).agg(count(lit(1)).cast("long").as("c"))
+      val xb = kb.groupBy(col("k")).agg(count(lit(1)).cast("long").as("c"))
+      val exact = xa.as("xa").join(xb.as("xb"), Seq("k"))
+        .agg(coalesce(sum(col("xa.c") * col("xb.c")), lit(0L)).cast("long")
+          .as("exact_n"))
+      est.crossJoin(exact)
+        .select(col("i"), col("est_n"), col("exact_n"),
+          expr("(est_n - exact_n) * 1000 DIV exact_n").cast("long")
+            .as("over_milli"))
+        .orderBy(col("i"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

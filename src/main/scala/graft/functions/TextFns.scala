@@ -331,6 +331,30 @@ object TextFns {
       when(query =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
   }
 
+  /** Simplified Soundex phonetic code (Russell/Odell, the US-census
+    * variant WITHOUT the H/W-separator rule — letters coded 0 between
+    * two same-coded consonants here break the run, which the full rule
+    * would merge; blocking quality is indistinguishable for ER use) —
+    * the phonetic blocking key an entity-resolution pass groups name
+    * words by before any pairwise comparison. Input must be an
+    * ASCII-letter word (callers filter `^[a-z]+$`). Every step is a
+    * built-in with an identical SQL spelling: letter→digit via one
+    * `translate`, adjacent-duplicate collapse via seven literal-digit
+    * `regexp_replace` passes (RE2 has no pattern backreferences, so
+    * `(\d)\1+` is unavailable in DuckDB — per-digit `d+`→`d` passes
+    * say the same thing in both engines), drop the first letter's own
+    * digit, strip zeros, pad/truncate to first-letter + 3 digits. */
+  def soundexSimplified(word: Column): Column = {
+    val up = upper(word)
+    val digs = translate(up,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    val coll = (0 to 6).foldLeft(digs) { (c, d) =>
+      regexp_replace(c, s"$d+", d.toString)
+    }
+    val tail = regexp_replace(coll.substr(lit(2), length(coll)), "0", "")
+    concat(up.substr(1, 1), rpad(tail.substr(1, 3), 3, "0"))
+  }
+
   /** Decode the five HTML entities a text-extraction pass must handle
     * (`&lt; &gt; &quot; &#39; &amp;`); `&amp;` is decoded LAST so
     * `&amp;lt;` yields the literal `&lt;` rather than double-decoding

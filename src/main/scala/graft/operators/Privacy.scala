@@ -25,6 +25,21 @@ object Privacy {
       .agg(count(lit(1)).cast("long").as("grp_n"))
       .withColumn("risky", (col("grp_n") < k).cast("long"))
 
+  /** l-diversity audit (Machanavajjhala et al. 2007, distinct-l form):
+    * k-anonymity alone leaks when a small QI group is homogeneous in
+    * its SENSITIVE attribute — every member shares the secret even
+    * without re-identification. One row per QI group: group size,
+    * distinct sensitive values, and a risk flag (1 when the group has
+    * fewer than l distinct sensitive values). Same single-shuffle
+    * hash-agg shape as [[kAnonymityAudit]]; the distinct count is
+    * bounded by the sensitive attribute's own cardinality. */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, l: Long): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("grp_n"),
+        countDistinct(col(sensitiveCol)).cast("long").as("n_sens"))
+      .withColumn("risky", (col("n_sens") < l).cast("long"))
+
   /** The releasable table: rows whose QI group has ≥ k members pass
     * through; rows in smaller groups have every QI column nulled
     * (suppressed) so the release stays k-anonymous without dropping

@@ -734,5 +734,20 @@ class ScaleSpec extends SparkSpec {
     assert(!q186.contains("CartesianProduct") &&
       !q186.contains("BroadcastNestedLoopJoin"),
       "q186 hop joins must stay key equi-joins:\n" + q186)
+    // q187/q188: single hash aggregation each — no join, no window
+    // (the soundex code is row-local translate/regexp built-ins)
+    val q187 = formatted("q187_soundex_blocking")
+    assert(!q187.contains("Join") && !q187.contains("windowspecdefinition"),
+      "q187 must be one hash aggregation over row-local codes:\n" + q187)
+    val q188 = formatted("q188_l_diversity")
+    assert(!q188.contains("Join") && !q188.contains("windowspecdefinition"),
+      "q188 must be one hash aggregation:\n" + q188)
+    // q189 join-size audit: sketch and exact sides are key equi-joins;
+    // only the 1-row exact total crosses (broadcast)
+    val q189 = formatted("q189_joinsize_estimate")
+    assert(!q189.contains("CartesianProduct"),
+      "q189 joins must stay key equi-joins:\n" + q189)
+    assert(!q189.contains("windowspecdefinition"),
+      "q189 must not window:\n" + q189)
   }
 }
