@@ -9716,6 +9716,98 @@ object Queries {
             .as("over_milli"))
         .orderBy(col("i"))
     }},
+
+    // ------------------------------------------------------------------
+    // q190: rolling 7-day distinct users (DAU/WAU7/stickiness) — the
+    // engagement metric every event pipeline reports, and the classic
+    // distinct-over-sliding-range trap: a RANGE window can't dedup and
+    // a per-day self-join over the range re-scans 7×. The scalable
+    // shape is BOUNDED FANOUT: each (user, day) contributes itself to
+    // the 7 target days it stays visible in (row-local explode of 7
+    // offsets — fanout is the window length, a constant), then ONE
+    // count-distinct hash agg per target day. Cost: 7× the user-day
+    // table, independent of raw event volume (the user-day dedup is
+    // the only corpus-scale shuffle). Expansion days with no real
+    // events are dropped by the day-spine semi-join.
+    q("q190_rolling_distinct",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, epoch_ms(ts) // 86400000 AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d FROM ud),
+        |ex AS (SELECT u, d + gi.i AS td
+        |       FROM ud CROSS JOIN generate_series(0, 6) AS gi(i)),
+        |wau AS (SELECT ex.td AS d, CAST(COUNT(DISTINCT ex.u) AS BIGINT) AS wau7
+        |        FROM ex JOIN days dy ON dy.d = ex.td GROUP BY ex.td),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d)
+        |SELECT dau.d, dau.dau, wau.wau7,
+        |       CAST(dau.dau * 1000 // wau.wau7 AS BIGINT) AS stickiness_milli
+        |FROM dau JOIN wau ON wau.d = dau.d
+        |ORDER BY dau.d""".stripMargin) { (s, d) =>
+      val ud = graft.Caches.persist(T(s, d, "events")
+        .select(col("user_id").as("u"),
+          expr("(ts DIV 1000000) DIV 86400000").as("d"))
+        .distinct())
+      val days = ud.select(col("d")).distinct()
+      val ex = ud.select(col("u"),
+        explode(sequence(col("d"), col("d") + 6)).as("td"))
+      val wau = ex.join(days.withColumnRenamed("d", "td"), "td")
+        .groupBy(col("td").as("d"))
+        .agg(countDistinct(col("u")).cast("long").as("wau7"))
+      val dau = ud.groupBy(col("d"))
+        .agg(count(lit(1)).cast("long").as("dau"))
+      dau.join(wau, "d")
+        .select(col("d"), col("dau"), col("wau7"),
+          expr("dau * 1000 DIV wau7").cast("long").as("stickiness_milli"))
+        .orderBy(col("d"))
+    },
+
+    // ------------------------------------------------------------------
+    // q191: stratified k-fold cross-validation audit — deterministic
+    // md5 fold assignment (reproducible across engines and reruns, the
+    // q70 split discipline) with the per-fold stratification check a
+    // CV harness runs before training: per (fold, lang) counts, the
+    // in-fold share, the global share, and the deviation in
+    // milli-units. One doc-table scan, two hash aggs on the k×langs
+    // matrix, 1-row total broadcast.
+    q("q191_kfold_audit",
+      """WITH f AS (
+        |  SELECT lang,
+        |         CAST(('0x' || substr(md5('cv|' || CAST(doc_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) % 5 AS fold
+        |  FROM documents),
+        |fl AS (SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM f GROUP BY fold, lang),
+        |ft AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS n_fold FROM fl GROUP BY fold),
+        |gl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM fl GROUP BY lang),
+        |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM fl)
+        |SELECT fl.fold, fl.lang, fl.n, ft.n_fold,
+        |       CAST(fl.n * 1000 // ft.n_fold AS BIGINT) AS share_milli,
+        |       CAST(gl.n_lang * 1000 // tt.n_all AS BIGINT) AS global_milli,
+        |       CAST(fl.n * 1000 // ft.n_fold
+        |            - gl.n_lang * 1000 // tt.n_all AS BIGINT) AS dev_milli
+        |FROM fl
+        |JOIN ft ON ft.fold = fl.fold
+        |JOIN gl ON gl.lang = fl.lang
+        |CROSS JOIN tt
+        |ORDER BY fl.fold, fl.lang""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      val f = T(s, d, "documents")
+        .select(col("lang"),
+          pmod(H.md5Hash60(concat(lit("cv|"), col("doc_id").cast("string"))),
+            lit(5L)).as("fold"))
+      val fl = graft.Caches.persist(f.groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n")))
+      val ft = fl.groupBy(col("fold")).agg(sum(col("n")).cast("long").as("n_fold"))
+      val gl = fl.groupBy(col("lang")).agg(sum(col("n")).cast("long").as("n_lang"))
+      val tt = fl.agg(sum(col("n")).cast("long").as("n_all"))
+      fl.join(ft, "fold").join(gl, "lang").crossJoin(tt)
+        .select(col("fold"), col("lang"), col("n"), col("n_fold"),
+          expr("n * 1000 DIV n_fold").cast("long").as("share_milli"),
+          expr("n_lang * 1000 DIV n_all").cast("long").as("global_milli"),
+          expr("n * 1000 DIV n_fold - n_lang * 1000 DIV n_all").cast("long")
+            .as("dev_milli"))
+        .orderBy(col("fold"), col("lang"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -749,5 +749,21 @@ class ScaleSpec extends SparkSpec {
       "q189 joins must stay key equi-joins:\n" + q189)
     assert(!q189.contains("windowspecdefinition"),
       "q189 must not window:\n" + q189)
+    // q190 rolling distinct: bounded-fanout expansion, NEVER a
+    // distinct-over-range window or a day-range theta-join
+    val q190 = formatted("q190_rolling_distinct")
+    assert(!q190.contains("windowspecdefinition"),
+      "q190 must use fanout expansion, not a range window:\n" + q190)
+    assert(!q190.contains("CartesianProduct") &&
+      !q190.contains("BroadcastNestedLoopJoin"),
+      "q190's day joins must stay equi-joins:\n" + q190)
+    assert(q190.contains("Generate"),
+      "q190's 7-day visibility must be the row-local explode:\n" + q190)
+    // q191 k-fold audit: hash aggs on the k×langs matrix, no window
+    val q191 = formatted("q191_kfold_audit")
+    assert(!q191.contains("windowspecdefinition"),
+      "q191 must be hash aggregation only:\n" + q191)
+    assert(!q191.contains("CartesianProduct"),
+      "q191's only cross is the broadcast 1-row total:\n" + q191)
   }
 }
