@@ -9808,6 +9808,105 @@ object Queries {
             .as("dev_milli"))
         .orderBy(col("fold"), col("lang"))
     }},
+
+    // ------------------------------------------------------------------
+    // q192: first/last-touch attribution — credit assignment from each
+    // purchase to the user's click/view touches inside a 7-day
+    // lookback, the sessionized-credit operator behind marketing and
+    // recommendation-feedback pipelines. Scale shape: the lookback
+    // range join uses the q44 week-bucket discipline (each purchase
+    // explodes to its 2 candidate weeks — row-local fanout 2 — then a
+    // pure (user, week) EQUI-join; Δt filtered after), and per-purchase
+    // credit is a max_by/min_by AGGREGATE over a single BIGINT order
+    // key (touch-ms ×2 + type bit, deterministic on same-ms ties) —
+    // the q168 no-window discipline. Purchases with no touch in window
+    // are reported under touch='none' via an anti-join, with empty
+    // groups vanishing identically in both engines.
+    q("q192_attribution",
+      """WITH ev AS (SELECT event_id, user_id AS u, epoch_ms(ts) AS tms,
+        |                   event_type AS et, value FROM events),
+        |p AS (SELECT event_id, u, tms,
+        |             CAST(floor(value * 1000000) AS BIGINT) AS v,
+        |             tms // 604800000 AS wk
+        |      FROM ev WHERE et = 'purchase'),
+        |t AS (SELECT u, tms, et, tms // 604800000 AS wk
+        |      FROM ev WHERE et IN ('click', 'view')),
+        |pp AS (SELECT p.event_id, p.u, p.tms, p.v, p.wk - gi.i AS jwk
+        |       FROM p CROSS JOIN generate_series(0, 1) AS gi(i)),
+        |cand AS (
+        |  SELECT pp.event_id, pp.v, t.et,
+        |         t.tms * 2 + CASE WHEN t.et = 'view' THEN 1 ELSE 0 END AS ord
+        |  FROM pp JOIN t ON t.u = pp.u AND t.wk = pp.jwk
+        |  WHERE t.tms <= pp.tms AND pp.tms - t.tms < 604800000),
+        |att AS (SELECT event_id, v, max_by(et, ord) AS last_t,
+        |               min_by(et, ord) AS first_t
+        |        FROM cand GROUP BY event_id, v),
+        |agg AS (
+        |  SELECT 'last' AS kind, last_t AS touch,
+        |         CAST(COUNT(*) AS BIGINT) AS n_conv,
+        |         CAST(SUM(v) AS BIGINT) AS v_micro
+        |  FROM att GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'first', first_t, CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(v) AS BIGINT)
+        |  FROM att GROUP BY 2),
+        |un AS (SELECT p.v FROM p LEFT JOIN att ON att.event_id = p.event_id
+        |       WHERE att.event_id IS NULL),
+        |none AS (
+        |  SELECT k.kind, 'none' AS touch, CAST(COUNT(*) AS BIGINT) AS n_conv,
+        |         CAST(SUM(v) AS BIGINT) AS v_micro
+        |  FROM un CROSS JOIN
+        |    (SELECT 'last' AS kind UNION ALL SELECT 'first') k
+        |  GROUP BY 1)
+        |SELECT kind, touch, n_conv, v_micro FROM agg
+        |UNION ALL SELECT kind, touch, n_conv, v_micro FROM none
+        |ORDER BY kind, touch""".stripMargin) { (s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("user_id").as("u"),
+          expr("ts DIV 1000000").as("tms"), col("event_type").as("et"),
+          col("value"))
+      val p = graft.Caches.persist(ev.where(col("et") === "purchase")
+        .select(col("event_id"), col("u"), col("tms"),
+          floor(col("value") * 1000000).cast("long").as("v"),
+          expr("tms DIV 604800000").as("wk")))
+      val t = ev.where(col("et").isin("click", "view"))
+        .select(col("u"), col("tms"), col("et"),
+          expr("tms DIV 604800000").as("wk"))
+      val pp = p.select(col("event_id"), col("u"), col("tms"), col("v"),
+        explode(array(col("wk"), col("wk") - 1)).as("jwk"))
+      val cand = pp.as("pp")
+        .join(t.as("t"),
+          col("t.u") === col("pp.u") && col("t.wk") === col("pp.jwk"))
+        .where(col("t.tms") <= col("pp.tms") &&
+          col("pp.tms") - col("t.tms") < 604800000L)
+        .select(col("pp.event_id").as("event_id"), col("pp.v").as("v"),
+          col("t.et").as("et"),
+          (col("t.tms") * 2 +
+            when(col("t.et") === "view", 1L).otherwise(0L)).as("ord"))
+      val att = graft.Caches.persist(cand.groupBy(col("event_id"), col("v"))
+        .agg(expr("max_by(et, ord)").as("last_t"),
+          expr("min_by(et, ord)").as("first_t")))
+      val agg = att.groupBy(col("last_t").as("touch"))
+        .agg(count(lit(1)).cast("long").as("n_conv"),
+          sum(col("v")).cast("long").as("v_micro"))
+        .select(lit("last").as("kind"), col("touch"), col("n_conv"),
+          col("v_micro"))
+        .unionByName(att.groupBy(col("first_t").as("touch"))
+          .agg(count(lit(1)).cast("long").as("n_conv"),
+            sum(col("v")).cast("long").as("v_micro"))
+          .select(lit("first").as("kind"), col("touch"), col("n_conv"),
+            col("v_micro")))
+      import s.implicits._
+      val un = p.join(att.select(col("event_id")), Seq("event_id"), "left_anti")
+      val none = un
+        .crossJoin(Seq("last", "first").toDF("kind"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).cast("long").as("n_conv"),
+          sum(col("v")).cast("long").as("v_micro"))
+        .select(col("kind"), lit("none").as("touch"), col("n_conv"),
+          col("v_micro"))
+      agg.unionByName(none).orderBy(col("kind"), col("touch"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -765,5 +765,15 @@ class ScaleSpec extends SparkSpec {
       "q191 must be hash aggregation only:\n" + q191)
     assert(!q191.contains("CartesianProduct"),
       "q191's only cross is the broadcast 1-row total:\n" + q191)
+    // q192 attribution: the lookback is a (user, week) EQUI-join after
+    // the fanout-2 explode; per-purchase credit is max_by/min_by
+    // aggregation, never a per-user window
+    val q192 = formatted("q192_attribution")
+    assert(q192.contains("Generate"),
+      "q192's week fanout must be the row-local explode:\n" + q192)
+    assert(!q192.contains("windowspecdefinition"),
+      "q192 credit must be max_by aggregation, not a window:\n" + q192)
+    assert(!q192.contains("CartesianProduct"),
+      "q192's lookback must stay a (user, week) equi-join:\n" + q192)
   }
 }
