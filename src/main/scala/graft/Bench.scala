@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    def build(): SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -13,11 +13,29 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     // warmup: JVM/codegen/parquet-footer costs paid outside the timings
-    graft.sources.Tables.names.foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => }
+    def warm(s: SparkSession): SparkSession = {
+      s.sparkContext.setLogLevel("WARN")
+      graft.sources.Tables.names.foreach { t =>
+        try s.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => }
+      }
+      s
+    }
+    var spark = warm(build())
+    // a fatal executor error (e.g. one query OOMing the shared heap)
+    // stops the SparkContext; without recovery EVERY later query in the
+    // run "fails" with 'stopped SparkContext' — one bad iteration
+    // poisoning hundreds of good measurements (observed once in a
+    // 3×232-query sf1 run). The failed iteration stays failed (and is
+    // reported in "flaky"); the harness rebuilds a fresh session so the
+    // rest of the pass measures real work again.
+    def session(): SparkSession = {
+      if (spark.sparkContext.isStopped) {
+        System.err.println("[bench] SparkContext stopped — rebuilding session")
+        spark = warm(build())
+      }
+      spark
     }
     // SPARK_GRAFT_ONLY=q20_asof_join,x02_simhash_dedup : time a subset
     // while iterating (the driver leaves it unset → full run)
@@ -38,7 +56,7 @@ object Bench {
       // noop sink: full plan executes (no count-only column pruning),
       // nothing is written
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { fn(session(), sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }

@@ -13,19 +13,31 @@ object Verify {
     }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark cannot
-      // read as a timestamp — surface it as BIGINT nanoseconds instead.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def build(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark cannot
+        // read as a timestamp — surface it as BIGINT nanoseconds instead.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = build()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+      // a fatal executor error stops the SparkContext; without recovery
+      // every LATER query would spuriously fail with 'stopped
+      // SparkContext' (one bad query zeroing the rest of the gate) —
+      // the failed query stays failed, the session is rebuilt
+      if (spark.sparkContext.isStopped) {
+        System.err.println("[verify] SparkContext stopped — rebuilding session")
+        spark = build()
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
