@@ -9907,6 +9907,75 @@ object Queries {
           col("v_micro"))
       agg.unionByName(none).orderBy(col("kind"), col("touch"))
     }},
+
+    // ------------------------------------------------------------------
+    // q193: funnel conversion-latency percentiles — the time-to-convert
+    // companion of q165: for every user completing the view→click→
+    // purchase exists-chain, Δs = first qualifying purchase − first
+    // view, and exact {p50, p90, p99} over those latencies via the q147
+    // bucketed-rank discipline (scalableCumSum global rank — NO
+    // corpus-wide window). The chain joins are per-user equi-joins with
+    // horizon-bounded range residuals (the Funnel/x41 state shape);
+    // latency is computed in one integer division from the nanosecond
+    // stamps, spelled identically in both engines.
+    q("q193_funnel_latency",
+      """WITH v AS (SELECT DISTINCT user_id, ts FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT DISTINCT e.user_id, e.ts
+        |      FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') e
+        |      JOIN v ON e.user_id = v.user_id
+        |       AND v.ts < e.ts AND e.ts <= v.ts + INTERVAL 2 HOUR),
+        |p AS (SELECT DISTINCT e.user_id, e.ts
+        |      FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') e
+        |      JOIN c ON e.user_id = c.user_id
+        |       AND c.ts < e.ts AND e.ts <= c.ts + INTERVAL 6 HOUR),
+        |conv AS (SELECT user_id, MIN(ts) AS f3 FROM p GROUP BY 1),
+        |fv AS (SELECT user_id, MIN(ts) AS f1 FROM v GROUP BY 1),
+        |dl AS (SELECT conv.user_id AS u,
+        |              (epoch_us(conv.f3) - epoch_us(fv.f1)) // 1000000 AS delta_s
+        |       FROM conv JOIN fv ON fv.user_id = conv.user_id),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+        |pcts(pct) AS (VALUES (50), (90), (99)),
+        |rk AS (SELECT delta_s, row_number() OVER (ORDER BY delta_s, u) AS r
+        |       FROM dl)
+        |SELECT CAST(p2.pct AS BIGINT) AS pct, rk.delta_s, n.n AS n_conv
+        |FROM pcts p2 CROSS JOIN n
+        |JOIN rk ON rk.r = (p2.pct * n.n + 99) // 100
+        |ORDER BY pct""".stripMargin) { (s, d) => {
+      import s.implicits._
+      val ev = T(s, d, "events")
+      def typed(t: String) = ev.where(col("event_type") === t)
+        .select(col("user_id"), col("ts"))
+      val v = typed("view").distinct()
+      val c = typed("click").as("e")
+        .join(v.as("q"), col("e.user_id") === col("q.user_id") &&
+          col("q.ts") < col("e.ts") &&
+          col("e.ts") <= col("q.ts") + lit(2L * 3600 * 1000000000L))
+        .select(col("e.user_id").as("user_id"), col("e.ts").as("ts"))
+        .distinct()
+      val p = typed("purchase").as("e")
+        .join(c.as("q"), col("e.user_id") === col("q.user_id") &&
+          col("q.ts") < col("e.ts") &&
+          col("e.ts") <= col("q.ts") + lit(6L * 3600 * 1000000000L))
+        .select(col("e.user_id").as("user_id"), col("e.ts").as("ts"))
+        .distinct()
+      val conv = p.groupBy(col("user_id")).agg(min(col("ts")).as("f3"))
+      val fv = v.groupBy(col("user_id")).agg(min(col("ts")).as("f1"))
+      // ns stamps are µs multiples, so Δns DIV 1e9 ≡ Δµs // 1e6
+      val dl = graft.Caches.persist(conv.join(fv, "user_id")
+        .select(col("user_id").as("u"),
+          expr("(f3 - f1) DIV 1000000000").as("delta_s")))
+      val nDf = dl.agg(count(lit(1)).as("n"))
+      val ranked = R.scalableCumSum(dl.withColumn("_one", lit(1L)),
+        "delta_s", "u", "_one", rankName = "r")
+      val pcts = Seq(50L, 90L, 99L).toDF("pct")
+      broadcast(pcts.crossJoin(nDf)
+          .select(col("pct"), expr("(pct * n + 99) div 100").as("_tr"),
+            col("n").cast("long").as("n_conv")))
+        .join(ranked, col("_tr") === col("r"))
+        .select(col("pct"), col("delta_s"), col("n_conv"))
+        .orderBy(col("pct"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

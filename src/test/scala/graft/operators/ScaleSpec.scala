@@ -775,5 +775,13 @@ class ScaleSpec extends SparkSpec {
       "q192 credit must be max_by aggregation, not a window:\n" + q192)
     assert(!q192.contains("CartesianProduct"),
       "q192's lookback must stay a (user, week) equi-join:\n" + q192)
+    // q193 funnel latency: percentile targets broadcast onto the
+    // scalableCumSum rank — every window partitioned (the cumsum
+    // bucket), never one global ORDER BY window over the latencies
+    val q193 = formatted("q193_funnel_latency")
+    assert(q193.contains("BroadcastExchange"),
+      "q193's percentile targets must broadcast:\n" + q193)
+    assert(!q193.contains("windowspecdefinition(delta_s"),
+      "q193 must rank via scalableCumSum, not a global value window:\n" + q193)
   }
 }
