@@ -9976,6 +9976,28 @@ object Queries {
         .select(col("pct"), col("delta_s"), col("n_conv"))
         .orderBy(col("pct"))
     }},
+
+    // ------------------------------------------------------------------
+    // x44: STREAMING rolling 7-day distinct users — q190's streaming
+    // twin and the suite's chained-stateful-operators demonstration
+    // (Spark 3.5+): watermarked dropDuplicates → watermarked windowed
+    // count in ONE append-mode query. Distinct-over-sliding-range is
+    // inexpressible as a single streaming aggregation; the bounded
+    // fanout-7 explode + (user, target-day) dedup turns it into two
+    // standard watermarked operators with per-(user, open-day) dedup
+    // state and a counter per open day. Oracle replays the identical
+    // expansion batch-side.
+    q("x44_stream_rolling_distinct",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, epoch_ms(ts) // 86400000 AS d
+        |  FROM events),
+        |ex AS (SELECT u, d + gi.i AS td
+        |       FROM ud CROSS JOIN generate_series(0, 6) AS gi(i))
+        |SELECT td * 86400000 AS day_ms, CAST(COUNT(DISTINCT u) AS BIGINT) AS wau
+        |FROM ex GROUP BY td ORDER BY day_ms""".stripMargin) { (s, d) =>
+      graft.streaming.StreamRollingDistinct.replayParquet(s, d)
+        .orderBy(col("day_ms"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
