@@ -9998,6 +9998,90 @@ object Queries {
       graft.streaming.StreamRollingDistinct.replayParquet(s, d)
         .orderBy(col("day_ms"))
     },
+
+    // ------------------------------------------------------------------
+    // q194: per-GROUP HLL distinct audit — q129's register math with a
+    // group dimension (distinct users per event type): registers are a
+    // (group, bucket) → max ρ relation, so per-group cardinality
+    // monitoring is ONE hash agg on a (groups × 64)-row table — the
+    // GROUP BY form a 100 TB pipeline uses for per-source/per-shard
+    // distinct counts where q129's global register set won't slice.
+    // Exact side (the audit): per-group COUNT(DISTINCT), err in
+    // milli-units. Same estimator, same small-range correction, same
+    // floor-milli float discipline.
+    q("q194_hll_by_group",
+      """WITH h AS (
+        |  SELECT event_type AS g,
+        |         CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |b AS (SELECT g, h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (SELECT g, bucket,
+        |             MAX(CASE WHEN w = 0 THEN 55
+        |                 ELSE 55 - length(bin(w)) END) AS rho
+        |      FROM b GROUP BY g, bucket),
+        |s AS (SELECT g,
+        |             CAST(SUM(CAST(1 AS BIGINT) << (55 - rho)) AS BIGINT)
+        |               AS present_sum,
+        |             COUNT(*) AS nb
+        |      FROM r GROUP BY g),
+        |fin AS (SELECT g,
+        |         CAST(present_sum + (64 - nb) * (CAST(1 AS BIGINT) << 55)
+        |              AS BIGINT) AS sum_inv_int,
+        |         ((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE))
+        |           * CAST(36028797018963968 AS DOUBLE))
+        |           / CAST(present_sum + (64 - nb) * (CAST(1 AS BIGINT) << 55)
+        |                  AS DOUBLE) AS hll_est,
+        |         64 - nb AS v
+        |        FROM s),
+        |est AS (SELECT g, sum_inv_int,
+        |         CAST(CASE WHEN hll_est <= CAST(160 AS DOUBLE) AND v > 0
+        |              THEN floor(CAST(1000 AS DOUBLE) * (CAST(64 AS DOUBLE)
+        |                   * ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE))))
+        |              ELSE floor(CAST(1000 AS DOUBLE) * hll_est) END
+        |              AS BIGINT) AS est_milli
+        |        FROM fin),
+        |tr AS (SELECT event_type AS g,
+        |              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+        |       FROM events GROUP BY 1)
+        |SELECT est.g, est.sum_inv_int, est.est_milli, tr.true_distinct,
+        |       CAST(abs(est.est_milli - tr.true_distinct * 1000)
+        |            // tr.true_distinct AS BIGINT) AS err_milli
+        |FROM est JOIN tr ON tr.g = est.g
+        |ORDER BY est.g""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      val ev = T(s, d, "events")
+      val hashed = ev.select(col("event_type").as("g"),
+          H.md5Hash60(concat(lit("hll:"), col("user_id").cast("string")))
+            .as("h"))
+        .select(col("g"), pmod(col("h"), lit(64L)).as("bucket"),
+          shiftright(col("h"), 6).as("w"))
+      val regs = hashed.groupBy(col("g"), col("bucket"))
+        .agg(max(when(col("w") === 0, lit(55))
+          .otherwise(lit(55) - length(bin(col("w"))))).as("rho"))
+      val sums = regs.groupBy(col("g")).agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - rho AS INT))"))
+          .cast("long").as("present_sum"),
+        count(lit(1)).as("nb"))
+      val sumInv = col("present_sum") + (lit(64L) - col("nb")) * lit(1L << 55)
+      val raw = ((lit(0.709) * lit(4096.0)) * lit(3.6028797018963968e16))
+        .divide(sumInv.cast("double"))
+      val v = lit(64L) - col("nb")
+      val estMilli = when(raw <= lit(160.0) && v > 0,
+        floor(lit(1000.0) *
+          (lit(64.0) * log(lit(64.0).divide(v.cast("double"))))))
+        .otherwise(floor(lit(1000.0) * raw)).cast("long")
+      val est = sums.select(col("g"), sumInv.cast("long").as("sum_inv_int"),
+        estMilli.as("est_milli"))
+      val tr = ev.groupBy(col("event_type").as("g"))
+        .agg(countDistinct(col("user_id")).cast("long").as("true_distinct"))
+      est.join(tr, "g")
+        .select(col("g"), col("sum_inv_int"), col("est_milli"),
+          col("true_distinct"),
+          expr("abs(est_milli - true_distinct * 1000) DIV true_distinct")
+            .cast("long").as("err_milli"))
+        .orderBy(col("g"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -783,5 +783,11 @@ class ScaleSpec extends SparkSpec {
       "q193's percentile targets must broadcast:\n" + q193)
     assert(!q193.contains("windowspecdefinition(delta_s"),
       "q193 must rank via scalableCumSum, not a global value window:\n" + q193)
+    // q194 per-group HLL: register + finalize are hash aggs on the
+    // (group × 64) relation; no window, no cartesian
+    val q194 = formatted("q194_hll_by_group")
+    assert(!q194.contains("windowspecdefinition") &&
+      !q194.contains("CartesianProduct"),
+      "q194 must be register hash aggs + a group-key join:\n" + q194)
   }
 }
