@@ -52,11 +52,15 @@ object Bench {
     // back-to-back iterations of whichever queries it overlapped.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     def run1(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      // resolve the session BEFORE starting the timer: a post-crash
+      // rebuild + table warmup must be charged to the harness, not to
+      // whichever query happens to run first after the crash
+      val s = session()
       val t0 = System.nanoTime()
       // noop sink: full plan executes (no count-only column pruning),
       // nothing is written
       val ok =
-        try { fn(session(), sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { fn(s, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }

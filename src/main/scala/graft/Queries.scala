@@ -8595,8 +8595,10 @@ object Queries {
 
     // ------------------------------------------------------------------
     // q166: market-basket association rules (AssocRules.pairRules) —
-    // 2-itemset support/confidence/lift over order baskets; all metrics
-    // exact integers via cross-multiplied floor division. Pair fanout is
+    // 2-itemset support/confidence/lift over order baskets; confidence
+    // via cross-multiplied floor division, lift through DOUBLE in the
+    // same association both engines (pair·N·10⁶ overflows BIGINT at
+    // ~1e9-basket scale — the q181 discipline). Pair fanout is
     // C(basket, 2) ≤ 21 per order, never corpus-quadratic.
     q("q166_assoc_rules",
       """WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
@@ -8610,8 +8612,10 @@ object Queries {
         |SELECT p.item_a, p.item_b, p.pair_n, ca.c AS cnt_a, cb.c AS cnt_b,
         |       CAST(p.pair_n * 1000 // ca.c AS BIGINT) AS conf_ab_milli,
         |       CAST(p.pair_n * 1000 // cb.c AS BIGINT) AS conf_ba_milli,
-        |       CAST(p.pair_n * n.n_baskets * 1000000 // (ca.c * cb.c) AS BIGINT)
-        |         AS lift_micro
+        |       CAST(floor((CAST(p.pair_n AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)
+        |                     * 1000000.0)
+        |                  / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))
+        |            AS BIGINT) AS lift_micro
         |FROM pairs p JOIN icnt ca ON p.item_a = ca.it
         |             JOIN icnt cb ON p.item_b = cb.it CROSS JOIN n
         |ORDER BY item_a, item_b""".stripMargin) { (s, d) =>

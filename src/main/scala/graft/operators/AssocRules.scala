@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * appearing together in ≥ minSupport baskets, emit support,
   * directional confidence, and lift.
   *
-  * All rule metrics are exact integers: confidence in milli-units via
-  * cross-multiplied floor division (pair·1000 DIV item), lift in
-  * micro-units ((pair·N·10⁶) DIV (cntA·cntB)) — no floating division,
-  * so both engines agree bit-for-bit.
+  * Rule metrics are deterministic integers: confidence in milli-units
+  * via cross-multiplied floor division (pair·1000 DIV item — both
+  * operands comfortably in BIGINT), lift in micro-units via DOUBLE
+  * (floor((pair·N·10⁶)/(cntA·cntB)) with every operand cast to DOUBLE
+  * in the same association on both engines — the BIGINT numerator
+  * pair·N·10⁶ would overflow at ~1e9-basket scale, where Spark
+  * (non-ANSI) wraps silently while DuckDB raises; IEEE
+  * multiply/divide/floor is bit-deterministic, so parity holds).
   *
   * Scale design: baskets are deduplicated to DISTINCT (basket, item)
   * first (one hash shuffle); the pair generation is a self-join on the
@@ -46,7 +50,9 @@ object AssocRules {
         col("cnt_a"), col("cnt_b"),
         expr("pair_n * 1000 DIV cnt_a").cast("long").as("conf_ab_milli"),
         expr("pair_n * 1000 DIV cnt_b").cast("long").as("conf_ba_milli"),
-        expr("pair_n * n_baskets * 1000000 DIV (cnt_a * cnt_b)").cast("long")
-          .as("lift_micro"))
+        floor((col("pair_n").cast("double") * col("n_baskets").cast("double")
+            * lit(1000000.0))
+          / (col("cnt_a").cast("double") * col("cnt_b").cast("double")))
+          .cast("long").as("lift_micro"))
   }
 }

@@ -22,7 +22,11 @@ object DataQuality {
   private def one(name: String, table: String, df: DataFrame,
       violation: Column): DataFrame =
     df.agg(count(lit(1)).cast("long").as("total"),
-        sum(when(violation, 1L).otherwise(0L)).cast("long").as("violations"))
+        // SUM over zero rows is NULL — coalesce so an EMPTY audited
+        // table reads as 0 violations / pass = 1, not an indeterminate
+        // NULL audit row
+        coalesce(sum(when(violation, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("violations"))
       .select(lit(name).as("check_name"), lit(table).as("tbl"),
         col("total"), col("violations"),
         (col("violations") === 0L).cast("long").as("pass"))
@@ -76,6 +80,10 @@ object DataQuality {
   }
 
   /** The suite: union of single-constraint results. */
-  def suite(constraints: Seq[DataFrame]): DataFrame =
+  def suite(constraints: Seq[DataFrame]): DataFrame = {
+    require(constraints.nonEmpty,
+      "DataQuality.suite needs at least one constraint — an empty suite " +
+        "has no audit semantics (it would vacuously pass)")
     constraints.reduce(_.unionByName(_))
+  }
 }

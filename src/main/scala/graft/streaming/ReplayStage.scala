@@ -19,7 +19,28 @@ import scala.jdk.CollectionConverters._
   */
 object ReplayStage {
 
-  final case class Staged(dir: Path, schema: StructType, maxTsNanos: Long)
+  final case class Staged(dir: Path, schema: StructType, maxTsNanos: Long) {
+    /** Delete the staging dir (symlinks + sentinel). Call after the
+      * replay terminates — a multi-pass bench replaying several
+      * streaming queries must not accumulate temp dirs across runs. */
+    def cleanup(): Unit = deleteRecursively(dir)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** `Files.list` holds an open directory fd until closed — always
+    * drain inside try/finally. */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
 
   /** Stage `dir/events.parquet` (file or directory of parts) for
     * streaming replay with a sentinel `leadNs` nanoseconds after the
@@ -38,8 +59,7 @@ object ReplayStage {
     val srcPath = Paths.get(src).toAbsolutePath
     val parts: Seq[Path] =
       if (Files.isDirectory(srcPath))
-        Files.list(srcPath).iterator().asScala.toSeq
-          .filter(_.getFileName.toString.endsWith(".parquet"))
+        listDir(srcPath).filter(_.getFileName.toString.endsWith(".parquet"))
       else Seq(srcPath)
     parts.zipWithIndex.foreach { case (p, i) =>
       Files.createSymbolicLink(replay.resolve(f"events_$i%04d.parquet"), p)
@@ -58,16 +78,47 @@ object ReplayStage {
     }
     sentinelDf.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
     val target = replay.resolve("zz_sentinel.parquet")
-    Files.list(scratch).iterator().asScala
+    listDir(scratch)
       .find(_.getFileName.toString.endsWith(".parquet"))
       .foreach(p => Files.move(p, target))
+    deleteRecursively(scratch) // only the moved sentinel part is needed
     Staged(replay, schema, maxTsNanos)
   }
 
   /** The staged dir as a streaming DataFrame (raw source schema; `ts`
-    * normalized to BIGINT nanos). */
+    * normalized to BIGINT nanos).
+    *
+    * `maxFilesPerTrigger` splits the replay into MULTIPLE micro-batches.
+    * With the 0 ms watermarks these replays use, that is only safe when
+    * file-name order equals event-time order: after batch 1 the
+    * watermark advances to that batch's max event time, and any later
+    * file holding earlier events would have those rows silently dropped
+    * as late (symlink naming preserves part order, which parquet writers
+    * do NOT guarantee is time-ordered). So when it is set, the staged
+    * parts are verified non-overlapping-in-name-order first (one scan of
+    * the ts column — a replay-tool cost, not a production-path one) and
+    * an unordered layout fails loudly instead of under-counting. */
   def readStream(spark: SparkSession, staged: Staged,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    maxFilesPerTrigger.foreach { _ =>
+      import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+      val perFile = graft.sources.Tables.tsNanosNormalized(
+          spark.read.schema(staged.schema).parquet(staged.dir.toString))
+        .groupBy(input_file_name().as("f"))
+        .agg(fmin(col("ts")).as("lo"), fmax(col("ts")).as("hi"))
+        .orderBy(col("f"))
+        .collect() // bounded by the part-file count
+      var runMax = Long.MinValue
+      perFile.foreach { r =>
+        val (f, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
+        // lo == runMax is fine: rows AT the watermark are not late
+        require(lo >= runMax,
+          s"maxFilesPerTrigger replay requires time-ordered parts, but $f " +
+            s"starts at $lo ns, before an earlier part's max $runMax ns — " +
+            "a multi-batch replay would drop its early rows as late")
+        runMax = math.max(runMax, hi)
+      }
+    }
     val reader = spark.readStream.schema(staged.schema)
       .option("pathGlobFilter", "*.parquet")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))

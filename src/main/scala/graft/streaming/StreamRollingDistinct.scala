@@ -56,16 +56,21 @@ object StreamRollingDistinct {
       statePartitions: Option[Int] = Some(8)): DataFrame = {
     require(windowDays <= 7, "sentinel lead (9 days) assumes windowDays <= 7")
     val staged = ReplayStage.stageEvents(spark, dir, 9L * 86400L * 1000000000L)
-    val evs = ReplayStage.readStream(spark, staged, maxFilesPerTrigger)
-    ReplayStage.withStatePartitions(spark, statePartitions) {
-      val q = dailyDistinct(evs, windowDays)
-        .writeStream
-        .outputMode("append")
-        .format("memory").queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    try {
+      // ReplayStage.readStream guards maxFilesPerTrigger: a multi-batch
+      // replay requires time-ordered parts (else the advanced watermark
+      // drops later files' early rows) and fails loudly otherwise
+      val evs = ReplayStage.readStream(spark, staged, maxFilesPerTrigger)
+      ReplayStage.withStatePartitions(spark, statePartitions) {
+        val q = dailyDistinct(evs, windowDays)
+          .writeStream
+          .outputMode("append")
+          .format("memory").queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally staged.cleanup()
     val maxDay = staged.maxTsNanos / 86400000000000L
     spark.table(queryName)
       .where(col("day_ms") <= (maxDay + (windowDays - 1)) * 86400000L)

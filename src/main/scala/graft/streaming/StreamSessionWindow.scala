@@ -50,16 +50,21 @@ object StreamSessionWindow {
       maxFilesPerTrigger: Option[Int] = None,
       statePartitions: Option[Int] = Some(8)): DataFrame = {
     val staged = ReplayStage.stageEvents(spark, dir, (gapMs + 1L) * 1000000L)
-    val evs = ReplayStage.readStream(spark, staged, maxFilesPerTrigger)
-    ReplayStage.withStatePartitions(spark, statePartitions) {
-      val q = sessions(evs, s"$gapMs milliseconds")
-        .writeStream
-        .outputMode("append")
-        .format("memory").queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    try {
+      // ReplayStage.readStream guards maxFilesPerTrigger: a multi-batch
+      // replay requires time-ordered parts (else the advanced watermark
+      // drops later files' early rows) and fails loudly otherwise
+      val evs = ReplayStage.readStream(spark, staged, maxFilesPerTrigger)
+      ReplayStage.withStatePartitions(spark, statePartitions) {
+        val q = sessions(evs, s"$gapMs milliseconds")
+          .writeStream
+          .outputMode("append")
+          .format("memory").queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally staged.cleanup()
     // The sentinel must be dropped OUTSIDE the streaming query: inside
     // it, a `user_id >= 0` predicate sits on a GROUPING column, so
     // Catalyst pushes it through the aggregate and below the

@@ -109,4 +109,33 @@ class AnalyticsOpsSpec extends SparkSpec {
       ("s", 3L, 1L, 0L),  // null not in set
       ("u", 3L, 1L, 0L))) // duplicate id=1
   }
+
+  test("data quality: an empty audited table passes with 0 violations") {
+    val empty = Seq.empty[(Long, String, Double)].toDF("id", "name", "v")
+    val rows = DataQuality.suite(Seq(
+        DataQuality.complete("c", "t", empty, "name"),
+        DataQuality.inRange("r", "t", empty, "v", 0, 50),
+        DataQuality.unique("u", "t", empty, "id"))
+      ).orderBy(col("check_name")).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // violations must be 0 (not NULL) and pass must be 1 over zero rows
+    assert(rows == Seq(("c", 0L, 0L, 1L), ("r", 0L, 0L, 1L), ("u", 0L, 0L, 1L)))
+  }
+
+  test("data quality: an empty suite is rejected, not vacuously passed") {
+    intercept[IllegalArgumentException] { DataQuality.suite(Seq.empty) }
+  }
+
+  test("assoc rules: lift survives counts whose BIGINT product would overflow") {
+    // pair_n * n_baskets * 1e6 with n_baskets ~ 3e9 overflows BIGINT
+    // (~9.2e18); the DOUBLE association must still yield the exact
+    // floor. Closed form: floor(2e9 * 3e9 * 1e6 / (2.5e9 * 2.6e9)).
+    val lift = spark.sql(
+      """SELECT CAST(floor((CAST(2000000000 AS DOUBLE) * CAST(3000000000 AS DOUBLE)
+        |                    * 1000000.0)
+        |                 / (CAST(2500000000 AS DOUBLE) * CAST(2600000000 AS DOUBLE)))
+        |       AS BIGINT) AS lift_micro""".stripMargin)
+      .head().getLong(0)
+    assert(lift == 923076L, s"exact floor of 6e24/6.5e18: $lift")
+  }
 }
