@@ -869,6 +869,36 @@ object Queries {
       |       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms
       |FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
 
+  /** Exists-chain funnel oracle (view → click → purchase, 2 h / 6 h
+    * horizons) — shared by the batch interval-join plan (q165) and the
+    * stateful streaming replay (x45): stream ≡ batch is the
+    * correctness contract, exactly the q19/x19 pairing. */
+  private def funnelOracleSql: String =
+    """WITH v AS (SELECT DISTINCT user_id, ts FROM events
+      |           WHERE event_type = 'view'),
+      |c AS (SELECT DISTINCT e.user_id, e.ts
+      |      FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') e
+      |      JOIN v ON e.user_id = v.user_id
+      |       AND v.ts < e.ts AND e.ts <= v.ts + INTERVAL 2 HOUR),
+      |p AS (SELECT DISTINCT e.user_id, e.ts
+      |      FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') e
+      |      JOIN c ON e.user_id = c.user_id
+      |       AND c.ts < e.ts AND e.ts <= c.ts + INTERVAL 6 HOUR),
+      |s1 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_step1 FROM v GROUP BY 1),
+      |s2 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_step2 FROM c GROUP BY 1),
+      |s3 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_step3, MIN(ts) AS f3
+      |       FROM p GROUP BY 1)
+      |SELECT s1.user_id, s1.n_step1,
+      |       CAST(COALESCE(s2.n_step2, 0) AS BIGINT) AS n_step2,
+      |       CAST(COALESCE(s3.n_step3, 0) AS BIGINT) AS n_step3,
+      |       CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+      |              + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |         AS depth,
+      |       CAST(COALESCE(epoch_us(s3.f3) // 1000000, -1) AS BIGINT)
+      |         AS first_conv_s
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** KMV sketch size for q40 (and the scaled numerator (k-1)·|H|,
     * precomputed so neither engine risks 32-bit overflow mid-product). */
   private val KmvK = 64
@@ -8562,31 +8592,7 @@ object Queries {
     // semantics: any qualifying chain counts. Each step is one
     // user-keyed interval join (x41's bounded-state shape); measured
     // decay at sf0.01: 150 → 64 → 5 users.
-    q("q165_funnel",
-      """WITH v AS (SELECT DISTINCT user_id, ts FROM events
-        |           WHERE event_type = 'view'),
-        |c AS (SELECT DISTINCT e.user_id, e.ts
-        |      FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') e
-        |      JOIN v ON e.user_id = v.user_id
-        |       AND v.ts < e.ts AND e.ts <= v.ts + INTERVAL 2 HOUR),
-        |p AS (SELECT DISTINCT e.user_id, e.ts
-        |      FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') e
-        |      JOIN c ON e.user_id = c.user_id
-        |       AND c.ts < e.ts AND e.ts <= c.ts + INTERVAL 6 HOUR),
-        |s1 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_step1 FROM v GROUP BY 1),
-        |s2 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_step2 FROM c GROUP BY 1),
-        |s3 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_step3, MIN(ts) AS f3
-        |       FROM p GROUP BY 1)
-        |SELECT s1.user_id, s1.n_step1,
-        |       CAST(COALESCE(s2.n_step2, 0) AS BIGINT) AS n_step2,
-        |       CAST(COALESCE(s3.n_step3, 0) AS BIGINT) AS n_step3,
-        |       CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
-        |              + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
-        |         AS depth,
-        |       CAST(COALESCE(epoch_us(s3.f3) // 1000000, -1) AS BIGINT)
-        |         AS first_conv_s
-        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-        |ORDER BY user_id""".stripMargin) { (s, d) =>
+    q("q165_funnel", funnelOracleSql) { (s, d) =>
       graft.operators.Funnel.existsChain(T(s, d, "events"),
           Seq("view", "click", "purchase"),
           Seq(2L * 3600 * 1000000000L, 6L * 3600 * 1000000000L))
@@ -10086,6 +10092,222 @@ object Queries {
             .cast("long").as("err_milli"))
         .orderBy(col("g"))
     }},
+
+    // ------------------------------------------------------------------
+    // q195: community detection by deterministic synchronous label
+    // propagation (LabelProp.communities) over the customer→supplier
+    // order graph (q86's node/edge sets) — 4 rounds, most-frequent
+    // neighbor label with smallest-label tie-break. The oracle unrolls
+    // the identical round as chained MATERIALIZED CTEs generated by the
+    // operator itself (one definition, two engines — the q86 pattern).
+    q("q195_label_prop",
+      s"""WITH nodes AS (
+        |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+        |  UNION
+        |  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier),
+        |ed AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                       's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |adj AS (SELECT src AS node, dst AS nbr FROM ed
+        |        UNION ALL SELECT dst, src FROM ed),
+        |${graft.operators.LabelProp.unrolledSqlCtes(4)}
+        |SELECT node, label FROM l4 ORDER BY node""".stripMargin) {
+      (s, d) => {
+        val nodes = T(s, d, "customer")
+          .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+          .union(T(s, d, "supplier")
+            .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node")))
+          .distinct()
+        val edges = T(s, d, "orders")
+          .join(T(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        graft.operators.LabelProp.communities(nodes, edges, iterations = 4)
+          .orderBy(col("node"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // q196: session path mining (SessionPaths.topPaths) — each q19 gap
+    // session as its ordered event-type path string, top 50 by
+    // frequency with smallest-path tie-break. Keyed windows only;
+    // TakeOrderedAndProject for the top-N.
+    q("q196_session_paths",
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+        |           FROM events),
+        |f AS (SELECT user_id, event_id, ts_ms, event_type,
+        |        CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |                  IS NULL
+        |              OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+        |                  ORDER BY ts_ms, event_id) > $SessionGapMs
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |g AS (SELECT user_id, event_id, ts_ms, event_type,
+        |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |      FROM f),
+        |p AS (SELECT user_id, sess,
+        |        string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+        |      FROM g GROUP BY user_id, sess)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 50""".stripMargin) { (s, d) =>
+      graft.operators.SessionPaths.topPaths(T(s, d, "events"), "user_id",
+        msEvent, "event_id", "event_type", SessionGapMs, topN = 50)
+    },
+
+    // ------------------------------------------------------------------
+    // q197: t-closeness audit (Privacy.tClosenessAudit) — completes the
+    // privacy triad (q161 k-anonymity, q188 l-diversity): per
+    // (nation, segment) group, the EMD between its balance-bucket
+    // distribution and the table's, in micro-units. The cumulative-
+    // difference numerator is exact BIGINT cross-multiplication; only
+    // the final micro-scaling goes through DOUBLE in the same
+    // association both engines (the q181 discipline).
+    q("q197_t_closeness",
+      """WITH src AS (SELECT c_nationkey, c_mktsegment,
+        |                    CAST(floor(c_acctbal / 1000) AS BIGINT) AS sv
+        |             FROM customer),
+        |ga AS (SELECT sv, CAST(COUNT(*) AS BIGINT) AS csv FROM src GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(csv) AS BIGINT) AS n_all,
+        |               CAST(COUNT(*) AS BIGINT) AS m FROM ga),
+        |ca AS (SELECT sv, CAST(SUM(csv) OVER (ORDER BY sv
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_all FROM ga),
+        |gc AS (SELECT c_nationkey, c_mktsegment, sv,
+        |              CAST(COUNT(*) AS BIGINT) AS cg FROM src GROUP BY 1, 2, 3),
+        |gr AS (SELECT c_nationkey, c_mktsegment,
+        |              CAST(COUNT(*) AS BIGINT) AS grp_n FROM src GROUP BY 1, 2),
+        |grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.grp_n, c.sv, c.cum_all,
+        |                t.n_all, t.m, COALESCE(gc.cg, 0) AS cg
+        |         FROM gr g CROSS JOIN ca c CROSS JOIN tot t
+        |         LEFT JOIN gc ON gc.c_nationkey = g.c_nationkey
+        |                     AND gc.c_mktsegment = g.c_mktsegment
+        |                     AND gc.sv = c.sv),
+        |cum AS (SELECT *, CAST(SUM(cg) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |          ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum_g FROM grid),
+        |agg AS (SELECT c_nationkey, c_mktsegment, grp_n, n_all, m,
+        |               CAST(SUM(abs(cum_g * n_all - cum_all * grp_n)) AS BIGINT)
+        |                 AS num
+        |        FROM cum GROUP BY 1, 2, 3, 4, 5)
+        |SELECT c_nationkey, c_mktsegment, grp_n,
+        |       CAST(CASE WHEN m <= 1 THEN 0
+        |            ELSE floor((1000000.0 * CAST(num AS DOUBLE))
+        |                 / (CAST(grp_n AS DOUBLE) * CAST(n_all AS DOUBLE)
+        |                    * CAST(m - 1 AS DOUBLE))) END AS BIGINT) AS emd_micro,
+        |       CAST(CASE WHEN (CASE WHEN m <= 1 THEN 0
+        |            ELSE floor((1000000.0 * CAST(num AS DOUBLE))
+        |                 / (CAST(grp_n AS DOUBLE) * CAST(n_all AS DOUBLE)
+        |                    * CAST(m - 1 AS DOUBLE))) END) > 200000
+        |            THEN 1 ELSE 0 END AS BIGINT) AS risky
+        |FROM agg ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, d) =>
+      graft.operators.Privacy.tClosenessAudit(
+          T(s, d, "customer")
+            .withColumn("sv", floor(col("c_acctbal") / 1000).cast("long")),
+          Seq("c_nationkey", "c_mktsegment"), "sv", tMilli = 200L)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    },
+
+    // ------------------------------------------------------------------
+    // q198: k-core decomposition (KCore.core) over the q158 co-purchase
+    // graph — 4 synchronous peel rounds at k = 3, emitting the
+    // surviving nodes with their in-core degree. The oracle unrolls the
+    // identical peel as operator-generated MATERIALIZED CTEs.
+    q("q198_kcore",
+      s"""WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |         epoch_ms(l_shipdate) // 604800000 AS wk
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cell AS (SELECT pk, wk FROM cp GROUP BY pk, wk HAVING COUNT(*) BETWEEN 2 AND 10),
+        |inc AS MATERIALIZED (
+        |  SELECT ck, pk, wk FROM cp JOIN cell USING (pk, wk)),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.ck AS u, b.ck AS v
+        |  FROM inc a JOIN inc b USING (pk, wk)
+        |  WHERE a.ck < b.ck),
+        |${graft.operators.KCore.unrolledSqlCtes(3, 4)}
+        |SELECT node, dg FROM coredeg ORDER BY node""".stripMargin) {
+      (s, d) => {
+        val cp = T(s, d, "orders")
+          .join(T(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
+            (msTs(col("l_shipdate")) / 604800000L).cast("long").as("wk"))
+          .distinct()
+        val cell = cp.groupBy(col("pk"), col("wk"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n").between(2, 10))
+          .select(col("pk"), col("wk"))
+        // same bounded per-cell expansion as q158 (every group ≤ 10)
+        val edges = cp.join(cell, Seq("pk", "wk"))
+          .groupBy(col("pk"), col("wk"))
+          .agg(sort_array(collect_set(col("ck"))).as("cs"))
+          .select(explode(flatten(transform(col("cs"), (a, i) =>
+            transform(slice(col("cs"), i + lit(2), lit(10)), b =>
+              struct(a.as("u"), b.as("v")))))).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"))
+          .distinct()
+        graft.operators.KCore.core(edges, k = 3, peelRounds = 4)
+          .orderBy(col("node"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // q199: LOSSLESS set-similarity self-join (SetSimJoin.jaccardJoin,
+    // the All-Pairs prefix filter) — every document pair with 4-gram
+    // shingle Jaccard ≥ 0.6, uncapped: the exact complement of the
+    // capped q27 index and the probabilistic x01 LSH. The ORACLE
+    // verifies losslessness structurally: it computes the answer by the
+    // straightforward full shingle self-join, while the Spark plan only
+    // ever joins on each document's rarest prefix shingles — identical
+    // output is exactly the All-Pairs completeness guarantee.
+    q("q199_setsim_join",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest([array_to_string(t[i:i+3], ' ')
+        |                 FOR i IN generate_series(1, len(t)-3)]) AS g
+        |  FROM toks WHERE len(t) >= 4),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |it AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter,
+        |       CAST(x.n + y.n - inter AS BIGINT) AS un,
+        |       CAST(inter * 1000 // (x.n + y.n - inter) AS BIGINT) AS jac_milli
+        |FROM it JOIN sz x ON it.id_a = x.doc_id JOIN sz y ON it.id_b = y.doc_id
+        |WHERE inter * 1000 >= 600 * (x.n + y.n - inter)
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      graft.operators.SetSimJoin.jaccardJoin(T(s, d, "documents"),
+          "doc_id", "text", shingleK = 4, tauMilli = 600L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // x45: the q165 funnel through the STATEFUL streaming plan
+    // (flatMapGroupsWithState, horizon-bounded per-user admission
+    // windows, end-of-replay timeout flush): shares q165's oracle —
+    // the incremental execution must reproduce the batch answer
+    // exactly, the q19/x19 contract.
+    q("x45_stream_funnel", funnelOracleSql) { (s, d) =>
+      graft.streaming.StreamFunnel.replayParquet(s, d,
+          Seq("view", "click", "purchase"),
+          Seq(2L * 3600 * 1000000000L, 6L * 3600 * 1000000000L),
+          queryName = "x45_funnel")
+        .toDF()
+        .select(col("user_id"),
+          col("counts")(0).as("n_step1"), col("counts")(1).as("n_step2"),
+          col("counts")(2).as("n_step3"), col("depth"), col("first_conv_s"))
+        .orderBy(col("user_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -39,7 +39,8 @@ object ReplayStage {
     * drain inside try/finally. */
   private def listDir(p: Path): Seq[Path] = {
     val s = Files.list(p)
-    try s.iterator().asScala.toSeq finally s.close()
+    try s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
   }
 
   /** Stage `dir/events.parquet` (file or directory of parts) for
@@ -90,14 +91,17 @@ object ReplayStage {
     *
     * `maxFilesPerTrigger` splits the replay into MULTIPLE micro-batches.
     * With the 0 ms watermarks these replays use, that is only safe when
-    * file-name order equals event-time order: after batch 1 the
-    * watermark advances to that batch's max event time, and any later
-    * file holding earlier events would have those rows silently dropped
-    * as late (symlink naming preserves part order, which parquet writers
-    * do NOT guarantee is time-ordered). So when it is set, the staged
-    * parts are verified non-overlapping-in-name-order first (one scan of
-    * the ts column — a replay-tool cost, not a production-path one) and
-    * an unordered layout fails loudly instead of under-counting. */
+    * the source's PROCESSING order equals event-time order: after batch
+    * 1 the watermark advances to that batch's max event time, and any
+    * later file holding earlier events would have those rows silently
+    * dropped as late. The file source processes oldest-modification-time
+    * first (ties in listing order, which nothing guarantees), so when
+    * maxFilesPerTrigger is set the staged parts are verified first (one
+    * scan of the ts column — a replay-tool cost, not a production-path
+    * one): mtimes must be strictly increasing (an mtime tie makes the
+    * processing order undefined) and event-time ranges non-overlapping
+    * in that order. An unsafe layout fails loudly instead of
+    * under-counting. */
   def readStream(spark: SparkSession, staged: Staged,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     maxFilesPerTrigger.foreach { _ =>
@@ -106,16 +110,28 @@ object ReplayStage {
           spark.read.schema(staged.schema).parquet(staged.dir.toString))
         .groupBy(input_file_name().as("f"))
         .agg(fmin(col("ts")).as("lo"), fmax(col("ts")).as("hi"))
-        .orderBy(col("f"))
         .collect() // bounded by the part-file count
+        .map { r =>
+          // symlink mtime follows the TARGET (java.io semantics), which
+          // is also what the Hadoop local FS reports to the file source
+          val p = Paths.get(java.net.URI.create(r.getString(0)))
+          (Files.getLastModifiedTime(p).toMillis, r.getString(0),
+            r.getLong(1), r.getLong(2))
+        }
+        .sortBy { case (mt, f, _, _) => (mt, f) }
       var runMax = Long.MinValue
-      perFile.foreach { r =>
-        val (f, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
+      var prevMt = Long.MinValue
+      perFile.foreach { case (mt, f, lo, hi) =>
+        require(mt > prevMt || perFile.length == 1,
+          s"maxFilesPerTrigger replay requires strictly increasing part " +
+            s"mtimes, but $f shares mtime $mt ms with an earlier part — " +
+            "the source's processing order between them is undefined")
         // lo == runMax is fine: rows AT the watermark are not late
         require(lo >= runMax,
           s"maxFilesPerTrigger replay requires time-ordered parts, but $f " +
             s"starts at $lo ns, before an earlier part's max $runMax ns — " +
             "a multi-batch replay would drop its early rows as late")
+        prevMt = mt
         runMax = math.max(runMax, hi)
       }
     }

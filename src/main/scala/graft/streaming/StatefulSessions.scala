@@ -95,80 +95,37 @@ object StatefulSessions {
                     maxFilesPerTrigger: Option[Int] = None,
                     statePartitions: Option[Int] = Some(8)): Dataset[Session] = {
     import spark.implicits._
-    val src = s"$dir/events.parquet"
-    val srcRaw = spark.read.parquet(src)
-    val schema = srcRaw.schema // RAW file schema — the replay dir readers need it
-    val maxTsNanos = graft.sources.Tables.tsNanosNormalized(srcRaw)
-      .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
-
-    val replay = java.nio.file.Files.createTempDirectory("graft_replay")
-    val srcPath = java.nio.file.Paths.get(src).toAbsolutePath
-    val parts: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(srcPath)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(srcPath).iterator().asScala.toSeq
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-      } else Seq(srcPath)
-    parts.zipWithIndex.foreach { case (p, i) =>
-      java.nio.file.Files.createSymbolicLink(
-        replay.resolve(f"events_$i%04d.parquet"), p)
-    }
-    // sentinel: one future row; missing columns (event_type, …) read as
-    // null under the explicit schema — only user_id/event_id/ts are used
-    val sentinelTsNanos = maxTsNanos + (gapMs + 1L) * 1000000L
-    val scratch = java.nio.file.Files.createTempDirectory("graft_sentinel")
-    // the sentinel file must carry ts in the SAME physical type as the
-    // source files (the explicit reader schema covers both) — convert
-    // the canonical nanos value back when the source stores timestamps
-    val sentinelRaw = Seq((-1L, -1L, sentinelTsNanos)).toDF("user_id", "event_id", "ts")
-    val sentinelDf = schema("ts").dataType match {
-      case t @ (org.apache.spark.sql.types.TimestampType |
-                org.apache.spark.sql.types.TimestampNTZType) =>
-        sentinelRaw.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)").cast(t))
-      case _ => sentinelRaw
-    }
-    sentinelDf
-      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    val sentinelPart = java.nio.file.Files.list(scratch).iterator()
-    val target = replay.resolve("zz_sentinel.parquet")
-    import scala.jdk.CollectionConverters._
-    sentinelPart.asScala.find(_.getFileName.toString.endsWith(".parquet"))
-      .foreach(p => java.nio.file.Files.move(p, target))
-
-    val reader = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "*.parquet")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val evs = graft.sources.Tables.tsNanosNormalized(reader.parquet(replay.toString))
-      .selectExpr("user_id", "event_id", "ts DIV 1000000 AS ts_ms",
-        "timestamp_millis(ts DIV 1000000) AS ts_t")
-      .withWatermark("ts_t", "0 milliseconds")
-      .as[Ev]
-    // The sentinel must be dropped AFTER it feeds the watermark. A
-    // `.where` before groupByKey gets pushed below the EventTimeWatermark
-    // node by Catalyst (the predicate doesn't touch the event-time
-    // column), which silently un-advances the watermark and strands the
-    // session ending at the global max ts. A typed filter on the OUTPUT
-    // of flatMapGroupsWithState can't be pushed through it.
-    // A stateful query's partition count = shuffle partitions at start
-    // time, and every partition pays a per-batch state-store commit. A
-    // bounded replay carries tiny state (one open session per user), so
-    // a handful of state partitions beats the session default — scoped
-    // to the query start and restored after. A production 24/7 stream
-    // over many executors would pass None and size the session conf to
-    // the cluster instead (state partitioning is fixed at first start).
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    // shared staging (symlinks + watermark sentinel at max(ts) +
+    // gap + 1 ms, the flush deadline of the last open session);
+    // ReplayStage also guards maxFilesPerTrigger — multi-batch replay
+    // requires time-ordered parts — and the staging dir is removed when
+    // the replay terminates
+    val staged = ReplayStage.stageEvents(spark, dir, (gapMs + 1L) * 1000000L)
     try {
-      val q = sessionize(evs, gapMs).filter(_.user_id >= 0).writeStream
-        .outputMode("append")
-        .format("memory").queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    }
+      val evs = ReplayStage.readStream(spark, staged, maxFilesPerTrigger)
+        .selectExpr("user_id", "event_id", "ts DIV 1000000 AS ts_ms",
+          "timestamp_millis(ts DIV 1000000) AS ts_t")
+        .withWatermark("ts_t", "0 milliseconds")
+        .as[Ev]
+      // The sentinel must be dropped AFTER it feeds the watermark. A
+      // `.where` before groupByKey gets pushed below the EventTimeWatermark
+      // node by Catalyst (the predicate doesn't touch the event-time
+      // column), which silently un-advances the watermark and strands the
+      // session ending at the global max ts. A typed filter on the OUTPUT
+      // of flatMapGroupsWithState can't be pushed through it.
+      // A bounded replay carries tiny state (one open session per user),
+      // so a handful of state partitions beats the session default; a
+      // production 24/7 stream would pass None and size the session conf
+      // to the cluster (state partitioning is fixed at first start).
+      ReplayStage.withStatePartitions(spark, statePartitions) {
+        val q = sessionize(evs, gapMs).filter(_.user_id >= 0).writeStream
+          .outputMode("append")
+          .format("memory").queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally staged.cleanup()
     spark.table(queryName).as[Session]
   }
 }
