@@ -10308,6 +10308,209 @@ object Queries {
           col("counts")(2).as("n_step3"), col("depth"), col("first_conv_s"))
         .orderBy(col("user_id"))
     },
+
+    // ------------------------------------------------------------------
+    // q200: KMV set algebra (KmvSetOps.pairwiseDistinct) — union /
+    // intersection / Jaccard distinct-user estimates for every
+    // event-type pair from one bottom-64 sketch per type (q40's
+    // estimator extended to Beyer et al.'s set operations), with exact
+    // audit counts and milli-unit union error. One corpus pass builds
+    // every sketch; the pairwise stage is key-cardinality-bounded
+    // row-local array math.
+    q("q200_kmv_setops",
+      s"""WITH pairs AS (
+        |  SELECT DISTINCT event_type AS t, user_id AS id,
+        |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))
+        |              AS BIGINT) % ${graft.functions.HashFns.MersennePrime}
+        |           AS hv
+        |  FROM events),
+        |rk AS (SELECT t, id, hv,
+        |         row_number() OVER (PARTITION BY t ORDER BY hv, id) AS rn
+        |       FROM pairs),
+        |sk AS (SELECT t, list(hv ORDER BY hv, id) AS hs,
+        |              CAST(COUNT(*) AS BIGINT) AS m
+        |       FROM rk WHERE rn <= $KmvK GROUP BY t),
+        |nx AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |       FROM pairs GROUP BY t),
+        |pr AS (SELECT a.t AS t_a, b.t AS t_b, a.hs AS hs_a, b.hs AS hs_b,
+        |              a.m AS m_a, b.m AS m_b,
+        |              na.n_exact AS n_a, nb.n_exact AS n_b
+        |       FROM sk a JOIN sk b ON a.t < b.t
+        |       JOIN nx na ON na.t = a.t JOIN nx nb ON nb.t = b.t),
+        |u AS (SELECT *,
+        |        (list_sort(list_distinct(hs_a || hs_b)))[1:$KmvK] AS u_sk
+        |      FROM pr),
+        |e AS (SELECT *, CAST(len(u_sk) AS BIGINT) AS u_len,
+        |        CAST(CASE WHEN m_a < $KmvK THEN m_a
+        |             ELSE $KmvNumerator // hs_a[$KmvK] END AS BIGINT) AS est_a,
+        |        CAST(CASE WHEN m_b < $KmvK THEN m_b
+        |             ELSE $KmvNumerator // hs_b[$KmvK] END AS BIGINT) AS est_b,
+        |        CAST(CASE WHEN len(u_sk) < $KmvK THEN len(u_sk)
+        |             ELSE $KmvNumerator // u_sk[$KmvK] END AS BIGINT)
+        |          AS est_union,
+        |        CAST(len(list_filter(u_sk, x -> list_contains(hs_a, x)
+        |               AND list_contains(hs_b, x))) AS BIGINT) AS rho_num
+        |      FROM u),
+        |ix AS (SELECT x.t AS t_a, y.t AS t_b,
+        |              CAST(COUNT(*) AS BIGINT) AS exact_inter
+        |       FROM pairs x JOIN pairs y ON x.id = y.id AND x.t < y.t
+        |       GROUP BY 1, 2)
+        |SELECT e.t_a, e.t_b, m_a, m_b, est_a, est_b, est_union, rho_num,
+        |       CAST(rho_num * est_union // u_len AS BIGINT) AS est_inter,
+        |       CAST(COALESCE(exact_inter, 0) AS BIGINT) AS exact_inter,
+        |       CAST(n_a + n_b - COALESCE(exact_inter, 0) AS BIGINT)
+        |         AS exact_union,
+        |       CAST(abs(est_union - (n_a + n_b - COALESCE(exact_inter, 0)))
+        |            * 1000 // (n_a + n_b - COALESCE(exact_inter, 0))
+        |            AS BIGINT) AS err_union_milli
+        |FROM e LEFT JOIN ix ON e.t_a = ix.t_a AND e.t_b = ix.t_b
+        |ORDER BY e.t_a, e.t_b""".stripMargin) { (s, d) =>
+      graft.operators.KmvSetOps.pairwiseDistinct(
+          T(s, d, "events"), "event_type", "user_id", KmvK)
+        .orderBy(col("t_a"), col("t_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // q201: multi-source BFS hop distance (Bfs.hopDistance) over the
+    // q195 customer↔supplier order graph — seeds are the %97 customer
+    // keys, 4 synchronous frontier rounds, every reached node with its
+    // minimum hop count. The oracle unrolls the identical
+    // frontier/settle rounds as operator-generated MATERIALIZED CTEs.
+    q("q201_bfs_distance",
+      s"""WITH ed AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                       's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |adj AS (SELECT src AS node, dst AS nbr FROM ed
+        |        UNION ALL SELECT dst, src FROM ed),
+        |seeds AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+        |          FROM customer WHERE c_custkey % 97 = 0),
+        |${graft.operators.Bfs.unrolledSqlCtes(4)}
+        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin) {
+      (s, d) => {
+        val edges = T(s, d, "orders")
+          .join(T(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val seeds = T(s, d, "customer")
+          .where(col("c_custkey") % 97 === 0)
+          .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+        graft.operators.Bfs.hopDistance(edges, seeds, rounds = 4)
+          .orderBy(col("node"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // q202: interval coalescing (Intervals.coalesce) — per-user event
+    // validity windows of VARIABLE duration (1 + event_id % 30 minutes)
+    // merged into maximal islands. The running-max-end rule is
+    // load-bearing: a long interval swallows short successors, which
+    // lag(end) gap logic (q19) under-merges by design.
+    q("q202_interval_coalesce",
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS s,
+        |             epoch_ms(ts) + 60000 * (1 + event_id % 30) AS e
+        |           FROM events),
+        |f AS (SELECT user_id, event_id, s, e,
+        |        CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (SELECT user_id, s, e,
+        |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM f)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |       CAST(MIN(s) AS BIGINT) AS start_ms,
+        |       CAST(MAX(e) AS BIGINT) AS end_ms,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin) { (s, d) =>
+      graft.operators.Intervals.coalesce(T(s, d, "events"), "user_id",
+          start = msEvent,
+          end = msEvent + lit(60000L) * (lit(1L) + col("event_id") % 30),
+          tieCol = "event_id")
+        .select(col("user_id"), col("island"),
+          col("start").as("start_ms"), col("end").as("end_ms"), col("n_rows"))
+        .orderBy(col("user_id"), col("island"))
+    },
+
+    // ------------------------------------------------------------------
+    // q203: per-nation OLS price trend (Regression.olsByGroup) — order
+    // totalprice (whole dollars) regressed on orderdate (days, epoch
+    // shifted by 10000 to keep Σxy small): slope/intercept/R² from one
+    // hash aggregation of exact BIGINT sufficient statistics, the
+    // n·Σxy-class products through DOUBLE in the same association both
+    // engines (q181 discipline). Exactness bound at this scale:
+    // |x|≤3·10³, y≤6·10⁵ ⇒ Σxy ≤ n·1.8·10⁹ — overflow-free to n≈5·10⁹
+    // rows per group.
+    q("q203_ols_trend",
+      """WITH src AS (
+        |  SELECT c_nationkey,
+        |         CAST(epoch_ms(o_orderdate) // 86400000 - 10000 AS BIGINT) AS x,
+        |         CAST(floor(o_totalprice) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |a AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |             CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |             CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |             CAST(SUM(y*y) AS BIGINT) AS syy
+        |      FROM src GROUP BY 1),
+        |b AS (SELECT *,
+        |        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+        |        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+        |        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS nm
+        |      FROM a)
+        |SELECT c_nationkey, n,
+        |       CAST(CASE WHEN dx > 0 THEN 1 ELSE 0 END AS BIGINT) AS ok,
+        |       CAST(CASE WHEN dx > 0 THEN floor(1000000.0 * nm / dx)
+        |            ELSE 0 END AS BIGINT) AS slope_micro,
+        |       CAST(CASE WHEN dx > 0 THEN floor(100.0 *
+        |              (CAST(sy AS DOUBLE) * dx - nm * CAST(sx AS DOUBLE))
+        |              / (CAST(n AS DOUBLE) * dx)) ELSE 0 END AS BIGINT)
+        |         AS intercept_centi,
+        |       CAST(CASE WHEN dx > 0 AND dy > 0
+        |            THEN floor(1000.0 * nm * nm / (dx * dy))
+        |            ELSE 0 END AS BIGINT) AS r2_milli
+        |FROM b ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      graft.operators.Regression.olsByGroup(
+          T(s, d, "orders")
+            .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey")),
+          Seq("c_nationkey"),
+          x = expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000 - 10000"),
+          y = floor(col("o_totalprice")))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // x46: streaming per-hour EXACT top-5 heavy users via CHAINED
+    // streaming aggregations (StreamTopK — the agg→agg sibling of
+    // x44's dedup→agg): watermarked (window, user) counts re-aggregated
+    // on the same window through the mergeable bottom-k sketch over a
+    // (cnt DESC, user ASC) rank encoding — ranked streaming output,
+    // inexpressible as a window function over a stream, in k·16 bytes
+    // of state per open window. The oracle is the plain batch
+    // hourly-rank: stream ≡ batch is the contract.
+    q("x46_stream_topk",
+      """WITH c AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |             user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT bucket_ms, user_id, cnt,
+        |        row_number() OVER (PARTITION BY bucket_ms
+        |          ORDER BY cnt DESC, user_id) AS rnk
+        |      FROM c)
+        |SELECT bucket_ms, CAST(rnk AS BIGINT) AS rnk, user_id, cnt
+        |FROM r WHERE rnk <= 5
+        |ORDER BY bucket_ms, rnk""".stripMargin) { (s, d) =>
+      graft.streaming.StreamTopK.replayParquet(s, d, k = 5,
+          queryName = "x46_topk")
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("bucket_ms"), col("rnk"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

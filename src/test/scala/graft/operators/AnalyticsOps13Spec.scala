@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Closed-form tests for the round-13 analytics operators: BFS hop
+  * distance, interval coalescing, per-group OLS, and KMV set algebra. */
+class AnalyticsOps13Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- BFS
+
+  test("bfs: path graph distances from one seed, unreached absent") {
+    // 1—2—3—4—5, seed 1, 3 rounds: node 5 stays unreached
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val out = Bfs.hopDistance(edges, Seq(1L).toDF("node"), rounds = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("bfs: multi-seed takes the minimum, distance is final at first reach") {
+    // 1—2—3—4—5 with seeds {1, 5}: 3 is reached at 2 from both sides
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val out = Bfs.hopDistance(edges, Seq(1L, 5L).toDF("node"), rounds = 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 0L)))
+  }
+
+  test("bfs: a cycle converges and extra rounds are no-ops") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val d2 = Bfs.hopDistance(edges, Seq(1L).toDF("node"), rounds = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val d4 = Bfs.hopDistance(edges, Seq(1L).toDF("node"), rounds = 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(d2 == Seq((1L, 0L), (2L, 1L), (3L, 1L)) && d4 == d2)
+  }
+
+  // ---------------------------------------------- interval coalescing
+
+  test("intervals: a long interval swallows short successors (lag(end) would split)") {
+    // [0,100] covers [10,20] and [30,40]; [90,120] chains past its end;
+    // [200,210] is a separate island. lag(end)-based logic would start
+    // a new island at 30 (30 > 20) — running max end must not.
+    val df = Seq((1L, 1L, 0L, 100L), (1L, 2L, 10L, 20L), (1L, 3L, 30L, 40L),
+      (1L, 4L, 90L, 120L), (1L, 5L, 200L, 210L))
+      .toDF("k", "id", "s", "e")
+    val out = Intervals.coalesce(df, "k", col("s"), col("e"), "id")
+      .orderBy("island").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq((1L, 0L, 120L, 4L), (2L, 200L, 210L, 1L)))
+  }
+
+  test("intervals: touching intervals merge (start == running max end)") {
+    val df = Seq((1L, 1L, 0L, 10L), (1L, 2L, 10L, 20L), (1L, 3L, 21L, 30L))
+      .toDF("k", "id", "s", "e")
+    val out = Intervals.coalesce(df, "k", col("s"), col("e"), "id")
+      .orderBy("island").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq((1L, 0L, 20L, 2L), (2L, 21L, 30L, 1L)))
+  }
+
+  test("intervals: keys are independent") {
+    val df = Seq((1L, 1L, 0L, 10L), (2L, 2L, 5L, 15L)).toDF("k", "id", "s", "e")
+    assert(Intervals.coalesce(df, "k", col("s"), col("e"), "id").count() == 2L)
+  }
+
+  // ------------------------------------------------------------- OLS
+
+  test("ols: a perfect line recovers slope, intercept and R^2 = 1") {
+    val df = (1L to 10L).map(x => ("g", x, 2L * x + 3L)).toDF("g", "x", "y")
+    val r = Regression.olsByGroup(df, Seq("g"), col("x"), col("y")).head()
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("ok") == 1L)
+    assert(r.getAs[Long]("slope_micro") == 2000000L)
+    assert(r.getAs[Long]("intercept_centi") == 300L)
+    assert(r.getAs[Long]("r2_milli") == 1000L)
+  }
+
+  test("ols: degenerate x variance reports ok = 0 with zeroed estimates") {
+    val df = Seq(("g", 5L, 1L), ("g", 5L, 9L)).toDF("g", "x", "y")
+    val r = Regression.olsByGroup(df, Seq("g"), col("x"), col("y")).head()
+    assert(r.getAs[Long]("ok") == 0L && r.getAs[Long]("slope_micro") == 0L &&
+      r.getAs[Long]("r2_milli") == 0L)
+  }
+
+  test("ols: uncorrelated symmetric data reads slope 0") {
+    val df = Seq(("g", -1L, 4L), ("g", 0L, 7L), ("g", 1L, 4L))
+      .toDF("g", "x", "y")
+    val r = Regression.olsByGroup(df, Seq("g"), col("x"), col("y")).head()
+    assert(r.getAs[Long]("slope_micro") == 0L && r.getAs[Long]("r2_milli") == 0L)
+  }
+
+  // ------------------------------------------------------- KMV set ops
+
+  private def kvDf(rows: Seq[(String, Long)]) = rows.toDF("t", "id")
+
+  test("kmv set ops: sub-k sketches are exact on every estimate") {
+    val rows = (1L to 20L).map(("a", _)) ++ (11L to 30L).map(("b", _))
+    val r = KmvSetOps.pairwiseDistinct(kvDf(rows), "t", "id", k = 64).head()
+    assert(r.getAs[Long]("est_a") == 20L && r.getAs[Long]("est_b") == 20L)
+    assert(r.getAs[Long]("est_union") == 30L && r.getAs[Long]("exact_union") == 30L)
+    assert(r.getAs[Long]("est_inter") == 10L && r.getAs[Long]("exact_inter") == 10L)
+    assert(r.getAs[Long]("err_union_milli") == 0L)
+  }
+
+  test("kmv set ops: disjoint sets estimate zero intersection") {
+    val rows = (1L to 15L).map(("a", _)) ++ (100L to 114L).map(("b", _))
+    val r = KmvSetOps.pairwiseDistinct(kvDf(rows), "t", "id", k = 64).head()
+    assert(r.getAs[Long]("rho_num") == 0L && r.getAs[Long]("est_inter") == 0L &&
+      r.getAs[Long]("exact_inter") == 0L)
+  }
+
+  test("kmv set ops: k-bounded sketches stay within the KMV error envelope") {
+    // 600 vs 500 ids overlapping on 300: k=64 estimates carry ~1/sqrt(k)
+    // (~12.5%) relative error; assert a generous 3-sigma band so the
+    // test pins the estimator wiring, not the hash luck
+    val rows = (1L to 600L).map(("a", _)) ++ (301L to 800L).map(("b", _))
+    val r = KmvSetOps.pairwiseDistinct(kvDf(rows), "t", "id", k = 64).head()
+    assert(r.getAs[Long]("exact_union") == 800L)
+    val estU = r.getAs[Long]("est_union")
+    assert(estU > 500L && estU < 1200L, s"est_union $estU out of envelope")
+    val estI = r.getAs[Long]("est_inter")
+    assert(estI > 100L && estI < 600L, s"est_inter $estI out of envelope")
+    // duplicates never inflate: re-adding the same ids changes nothing
+    val r2 = KmvSetOps.pairwiseDistinct(kvDf(rows ++ rows), "t", "id", 64).head()
+    assert(r2.getAs[Long]("est_union") == estU &&
+      r2.getAs[Long]("est_inter") == estI)
+  }
+}

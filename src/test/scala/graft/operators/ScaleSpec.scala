@@ -790,4 +790,93 @@ class ScaleSpec extends SparkSpec {
       !q194.contains("CartesianProduct"),
       "q194 must be register hash aggs + a group-key join:\n" + q194)
   }
+
+  test("round-13 plan shapes: graph rounds truncate lineage, keyed windows, lossless prefix join") {
+    val d = sf("sf0.001")
+    def formatted(name: String): String = {
+      val df = graft.Queries.all(name).fn(spark, d)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // q195/q198 iterative graph rounds: the returned frame must scan the
+    // LogicalRDD rebuild (constant-depth plan), never the accumulated
+    // 2^k/3^k-nested InMemoryRelation lineage whose per-action
+    // stringification goes CPU-bound
+    val q195 = formatted("q195_label_prop")
+    assert(q195.contains("ExistingRDD"),
+      "q195's rounds must end in a lineage-truncated LogicalRDD scan:\n" + q195)
+    val q198 = formatted("q198_kcore")
+    assert(q198.contains("ExistingRDD"),
+      "q198's peel must end in a lineage-truncated LogicalRDD scan:\n" + q198)
+    assert(!q198.contains("CartesianProduct"),
+      "q198's degree/survivor joins must stay key equi-joins:\n" + q198)
+    // q196 session paths: the gap windows partition per user (bounded
+    // frames), counting is hash agg, and the top-50 is
+    // TakeOrderedAndProject — never a global sort
+    val q196 = formatted("q196_session_paths")
+    assert(q196.contains("windowspecdefinition(user_id"),
+      "q196's session windows must partition per user:\n" + q196)
+    assert(q196.contains("TakeOrderedAndProject"),
+      "q196's top-N must be TakeOrderedAndProject:\n" + q196)
+    assert(!q196.contains("CartesianProduct"),
+      "q196 has no join beyond the keyed windows:\n" + q196)
+    // q197 t-closeness: per-group cumulative windows keyed by the QI
+    // tuple; the only unpartitioned window is the m-row global
+    // histogram's (m = sensitive cardinality, an attribute property);
+    // the histogram and 1-row total reach groups via broadcast
+    val q197 = formatted("q197_t_closeness")
+    assert(q197.contains("windowspecdefinition(c_nationkey"),
+      "q197's per-group cumsum must window on the QI tuple:\n" + q197)
+    assert(q197.contains("BroadcastExchange"),
+      "q197's global histogram must broadcast onto the groups:\n" + q197)
+    // q199 lossless set-sim join: rarity rank windows per DOCUMENT
+    // (never a corpus-wide frequency window); candidate generation and
+    // verification are equi-joins on shingle/doc keys
+    val q199 = formatted("q199_setsim_join")
+    assert(q199.contains("windowspecdefinition(_id"),
+      "q199's prefix rank must window per document:\n" + q199)
+    assert(!q199.contains("CartesianProduct") &&
+      !q199.contains("BroadcastNestedLoopJoin"),
+      "q199 must join on shingle/doc keys only:\n" + q199)
+  }
+
+  test("round-13b plan shapes: sketch algebra, BFS truncation, keyed coalesce, one-agg OLS") {
+    val d = sf("sf0.001")
+    def formatted(name: String): String = {
+      val df = graft.Queries.all(name).fn(spark, d)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // q200 KMV set algebra: sketches from ONE corpus aggregation, the
+    // pairwise stage is row-local array math on key-cardinality-bounded
+    // rows (the t_a < t_b broadcast cross is the ONLY non-equi join) —
+    // no window anywhere
+    val q200 = formatted("q200_kmv_setops")
+    assert(!q200.contains("windowspecdefinition"),
+      "q200 must not window — sketches are one hash agg:\n" + q200)
+    assert(q200.contains("BroadcastExchange"),
+      "q200's pair stage must broadcast the key-bounded sketch side:\n" + q200)
+    // q201 BFS: rounds end in the lineage-truncated LogicalRDD scan;
+    // frontier/settle joins are key equi-joins
+    val q201 = formatted("q201_bfs_distance")
+    assert(q201.contains("ExistingRDD"),
+      "q201's rounds must end in a lineage-truncated LogicalRDD scan:\n" + q201)
+    assert(!q201.contains("CartesianProduct"),
+      "q201's frontier joins must stay key equi-joins:\n" + q201)
+    // q202 interval coalescing: running-max-end and island windows
+    // partition per user; aggregation is one (user, island) hash agg
+    val q202 = formatted("q202_interval_coalesce")
+    assert(q202.contains("windowspecdefinition(user_id"),
+      "q202's windows must partition per user:\n" + q202)
+    assert(!q202.contains("Join"),
+      "q202 is windows + one hash agg — no join:\n" + q202)
+    // q203 OLS: ONE sufficient-statistics hash agg after the key
+    // equi-join; slope/intercept/R² are row-local — no window
+    val q203 = formatted("q203_ols_trend")
+    assert(!q203.contains("windowspecdefinition"),
+      "q203 must reduce to sufficient statistics, not windows:\n" + q203)
+    assert(!q203.contains("CartesianProduct") &&
+      !q203.contains("BroadcastNestedLoopJoin"),
+      "q203's orders⨝customer must stay an equi-join:\n" + q203)
+  }
 }
