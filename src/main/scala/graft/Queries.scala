@@ -899,6 +899,60 @@ object Queries {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Interval-coalescing oracle (variable 1–30-minute validity spans
+    * merged on the running-max-end rule) — shared by the batch windowed
+    * plan (q202) and the stateful streaming replay (x47): stream ≡
+    * batch is the correctness contract, the q19/x19 pairing. */
+  private def intervalOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS s,
+      |             epoch_ms(ts) + 60000 * (1 + event_id % 30) AS e
+      |           FROM events),
+      |f AS (SELECT user_id, event_id, s, e,
+      |        CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |g AS (SELECT user_id, s, e,
+      |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |      FROM f)
+      |SELECT user_id, CAST(island AS BIGINT) AS island,
+      |       CAST(MIN(s) AS BIGINT) AS start_ms,
+      |       CAST(MAX(e) AS BIGINT) AS end_ms,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM g GROUP BY user_id, island
+      |ORDER BY user_id, island""".stripMargin
+
+  /** Lossless set-similarity pair CTEs (4-gram shingles, Jaccard ≥
+    * 0.6 by the FULL shingle self-join — the structural completeness
+    * witness for the All-Pairs prefix filter) — shared by q199 (the
+    * raw pair table) and q205 (the cross-source contamination matrix
+    * over the same pairs). Final CTE: `simpairs(id_a, id_b, inter,
+    * un, jac_milli)`. */
+  private def setsimOracleCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
+      |                     x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest([array_to_string(t[i:i+3], ' ')
+      |                 FOR i IN generate_series(1, len(t)-3)]) AS g
+      |  FROM toks WHERE len(t) >= 4),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |it AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |simpairs AS MATERIALIZED (
+      |  SELECT id_a, id_b, inter,
+      |         CAST(x.n + y.n - inter AS BIGINT) AS un,
+      |         CAST(inter * 1000 // (x.n + y.n - inter) AS BIGINT) AS jac_milli
+      |  FROM it JOIN sz x ON it.id_a = x.doc_id JOIN sz y ON it.id_b = y.doc_id
+      |  WHERE inter * 1000 >= 600 * (x.n + y.n - inter))""".stripMargin
+
   /** KMV sketch size for q40 (and the scaled numerator (k-1)·|H|,
     * precomputed so neither engine risks 32-bit overflow mid-product). */
   private val KmvK = 64
@@ -10265,26 +10319,8 @@ object Queries {
     // ever joins on each document's rarest prefix shingles — identical
     // output is exactly the All-Pairs completeness guarantee.
     q("q199_setsim_join",
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(lower(trim(text)), '[^\p{L}\p{N}]+'),
-        |                     x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         unnest([array_to_string(t[i:i+3], ' ')
-        |                 FOR i IN generate_series(1, len(t)-3)]) AS g
-        |  FROM toks WHERE len(t) >= 4),
-        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-        |it AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, inter,
-        |       CAST(x.n + y.n - inter AS BIGINT) AS un,
-        |       CAST(inter * 1000 // (x.n + y.n - inter) AS BIGINT) AS jac_milli
-        |FROM it JOIN sz x ON it.id_a = x.doc_id JOIN sz y ON it.id_b = y.doc_id
-        |WHERE inter * 1000 >= 600 * (x.n + y.n - inter)
+      s"""WITH $setsimOracleCtes
+        |SELECT id_a, id_b, inter, un, jac_milli FROM simpairs
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       graft.operators.SetSimJoin.jaccardJoin(T(s, d, "documents"),
           "doc_id", "text", shingleK = 4, tauMilli = 600L)
@@ -10407,26 +10443,7 @@ object Queries {
     // merged into maximal islands. The running-max-end rule is
     // load-bearing: a long interval swallows short successors, which
     // lag(end) gap logic (q19) under-merges by design.
-    q("q202_interval_coalesce",
-      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS s,
-        |             epoch_ms(ts) + 60000 * (1 + event_id % 30) AS e
-        |           FROM events),
-        |f AS (SELECT user_id, event_id, s, e,
-        |        CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
-        |             THEN 1 ELSE 0 END AS is_new
-        |      FROM e
-        |      WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        |g AS (SELECT user_id, s, e,
-        |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        |      FROM f)
-        |SELECT user_id, CAST(island AS BIGINT) AS island,
-        |       CAST(MIN(s) AS BIGINT) AS start_ms,
-        |       CAST(MAX(e) AS BIGINT) AS end_ms,
-        |       CAST(COUNT(*) AS BIGINT) AS n_rows
-        |FROM g GROUP BY user_id, island
-        |ORDER BY user_id, island""".stripMargin) { (s, d) =>
+    q("q202_interval_coalesce", intervalOracleSql) { (s, d) =>
       graft.operators.Intervals.coalesce(T(s, d, "events"), "user_id",
           start = msEvent,
           end = msEvent + lit(60000L) * (lit(1L) + col("event_id") % 30),
@@ -10511,6 +10528,127 @@ object Queries {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("bucket_ms"), col("rnk"))
     },
+
+    // ------------------------------------------------------------------
+    // x47: q202's interval coalescing through the STATEFUL streaming
+    // plan (StreamIntervals — flatMapGroupsWithState with ONE open
+    // island per key as the whole state; islands close when a later
+    // span starts past the running max end or the watermark passes it):
+    // shares q202's oracle verbatim, island numbering included.
+    q("x47_stream_intervals", intervalOracleSql) { (s, d) =>
+      graft.streaming.StreamIntervals.replayParquet(s, d,
+          queryName = "x47_intervals")
+        .toDF()
+        .select(col("user_id"), col("island"),
+          col("start").as("start_ms"), col("end").as("end_ms"),
+          col("n_rows"))
+        .orderBy(col("user_id"), col("island"))
+    },
+
+    // ------------------------------------------------------------------
+    // q204: HRW ELASTICITY audit — what q136's rendezvous sharding
+    // promises under resharding, verified structurally: growing 8 → 9
+    // shards moves ONLY keys whose new shard-8 hash wins (minimal
+    // movement, ~1/9 of keys), and every moved key lands on the NEW
+    // shard — n_moved_elsewhere must be 0 on every row, or the
+    // rendezvous property is broken. The consistent-hash story a 100 TB
+    // shard layout needs before any rebalance.
+    q("q204_hrw_rebalance",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         [CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || ':'
+        |               || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |          FOR s IN generate_series(0, 8)] AS hs
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_position(hs[1:8], list_max(hs[1:8])) - 1 AS s8,
+        |        list_position(hs, list_max(hs)) - 1 AS s9
+        |      FROM h)
+        |SELECT CAST(s8 AS BIGINT) AS shard8,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_moved,
+        |       CAST(SUM(CASE WHEN s9 <> s8 AND s9 <> 8 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_moved_elsewhere,
+        |       CAST(SUM(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END) * 1000
+        |            // COUNT(*) AS BIGINT) AS moved_milli
+        |FROM s GROUP BY s8 ORDER BY shard8""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          array((0 until 9).map(sh =>
+            H.md5Hash60(concat_ws(":", lit(sh), col("doc_id")))): _*)
+            .as("hs"))
+        .select(
+          (expr("array_position(slice(hs, 1, 8), array_max(slice(hs, 1, 8)))")
+            - 1).cast("long").as("shard8"),
+          (expr("array_position(hs, array_max(hs))") - 1)
+            .cast("long").as("shard9"))
+        .groupBy(col("shard8"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("shard9") =!= col("shard8")).cast("long")).cast("long")
+            .as("n_moved"),
+          sum((col("shard9") =!= col("shard8") && col("shard9") =!= 8)
+            .cast("long")).cast("long").as("n_moved_elsewhere"))
+        .withColumn("moved_milli", expr("n_moved * 1000 DIV n_docs"))
+        .select(col("shard8"), col("n_docs"), col("n_moved"),
+          col("n_moved_elsewhere"), col("moved_milli"))
+        .orderBy(col("shard8"))
+    }},
+
+    // ------------------------------------------------------------------
+    // q205: cross-source contamination matrix — q199's LOSSLESS
+    // near-dup pairs rolled up by source pair with per-million-pair
+    // rates: the leakage report a corpus audit publishes ("how much of
+    // source A duplicates source B") and the number a dataset card
+    // cites. Composition of the certified pair table (q199) with two
+    // source lookups — three hash equi-joins + one k²-bounded agg.
+    q("q205_source_contamination",
+      s"""WITH $setsimOracleCtes,
+        |src AS (SELECT doc_id, source FROM documents),
+        |m AS (SELECT least(x.source, y.source) AS src_lo,
+        |             greatest(x.source, y.source) AS src_hi,
+        |             CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |      FROM simpairs JOIN src x ON id_a = x.doc_id
+        |      JOIN src y ON id_b = y.doc_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd
+        |      FROM documents GROUP BY 1)
+        |SELECT m.src_lo, m.src_hi, m.n_pairs,
+        |       cl.nd AS n_lo, ch.nd AS n_hi,
+        |       CAST(CASE WHEN m.src_lo = m.src_hi
+        |            THEN m.n_pairs * 1000000 // (cl.nd * (cl.nd - 1) // 2)
+        |            ELSE m.n_pairs * 1000000 // (cl.nd * ch.nd) END
+        |            AS BIGINT) AS rate_ppm
+        |FROM m JOIN c cl ON m.src_lo = cl.source
+        |JOIN c ch ON m.src_hi = ch.source
+        |ORDER BY m.src_lo, m.src_hi""".stripMargin) { (s, d) => {
+      val docs = T(s, d, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val m = graft.operators.SetSimJoin.jaccardJoin(docs,
+          "doc_id", "text", shingleK = 4, tauMilli = 600L)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          "id_b")
+        .select(least(col("sa"), col("sb")).as("src_lo"),
+          greatest(col("sa"), col("sb")).as("src_hi"))
+        .groupBy(col("src_lo"), col("src_hi"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+      val cnts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("nd"))
+      m.join(broadcast(cnts.select(col("source").as("src_lo"),
+          col("nd").as("n_lo"))), "src_lo")
+        .join(broadcast(cnts.select(col("source").as("src_hi"),
+          col("nd").as("n_hi"))), "src_hi")
+        .withColumn("rate_ppm", expr(
+          "CAST(CASE WHEN src_lo = src_hi " +
+            "THEN n_pairs * 1000000 DIV ((n_lo * (n_lo - 1)) DIV 2) " +
+            "ELSE n_pairs * 1000000 DIV (n_lo * n_hi) END AS BIGINT)"))
+        .select(col("src_lo"), col("src_hi"), col("n_pairs"),
+          col("n_lo"), col("n_hi"), col("rate_ppm"))
+        .orderBy(col("src_lo"), col("src_hi"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -878,5 +878,19 @@ class ScaleSpec extends SparkSpec {
     assert(!q203.contains("CartesianProduct") &&
       !q203.contains("BroadcastNestedLoopJoin"),
       "q203's orders⨝customer must stay an equi-join:\n" + q203)
+    // q204 HRW rebalance: row-local hash arrays + ONE hash agg —
+    // no join, no window, constant 8-row output at any corpus scale
+    val q204 = formatted("q204_hrw_rebalance")
+    assert(!q204.contains("Join") && !q204.contains("windowspecdefinition"),
+      "q204 must be one aggregation over row-local shard codes:\n" + q204)
+    // q205 contamination matrix: the q199 pair machinery (per-doc rank
+    // windows, shingle/doc equi-joins) + source lookups; the count
+    // side broadcasts; never a cartesian
+    val q205 = formatted("q205_source_contamination")
+    assert(!q205.contains("CartesianProduct") &&
+      !q205.contains("BroadcastNestedLoopJoin"),
+      "q205 must stay equi-joins end to end:\n" + q205)
+    assert(q205.contains("windowspecdefinition(_id"),
+      "q205's prefix rank must window per document (q199's plan):\n" + q205)
   }
 }
