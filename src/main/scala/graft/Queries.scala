@@ -10649,6 +10649,109 @@ object Queries {
           col("n_lo"), col("n_hi"), col("rate_ppm"))
         .orderBy(col("src_lo"), col("src_hi"))
     }},
+
+    // ------------------------------------------------------------------
+    // q206: median/MAD robust outlier audit (RobustStats.madOutliers) —
+    // the outlier-resistant sibling of the z-score gate (q175): per
+    // event type, median of µ-scaled value, MAD, and |x−med| > 3·MAD
+    // counts. The Spark side ranks DISTINCT values per group (value-
+    // cardinality-bounded windows, the q42 scheme); the oracle ranks
+    // all rows — same order statistic, two shapes.
+    q("q206_mad_outliers",
+      """WITH src AS (SELECT event_type AS k,
+        |               CAST(FLOOR(value * 1000000) AS BIGINT) AS x
+        |             FROM events),
+        |rk AS (SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY x) AS rn,
+        |              COUNT(*) OVER (PARTITION BY k) AS nn FROM src),
+        |med AS (SELECT k, MAX(CASE WHEN rn = (50*nn+99)//100 THEN x END) AS med
+        |        FROM rk GROUP BY k),
+        |dv AS (SELECT s.k, s.x, m.med, abs(s.x - m.med) AS d
+        |       FROM src s JOIN med m ON s.k = m.k),
+        |rk2 AS (SELECT k, d, row_number() OVER (PARTITION BY k ORDER BY d) AS rn,
+        |               COUNT(*) OVER (PARTITION BY k) AS nn FROM dv),
+        |mad AS (SELECT k, MAX(CASE WHEN rn = (50*nn+99)//100 THEN d END) AS mad
+        |        FROM rk2 GROUP BY k)
+        |SELECT dv.k AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MAX(dv.med) AS BIGINT) AS med,
+        |       CAST(MAX(a.mad) AS BIGINT) AS mad,
+        |       CAST(SUM(CASE WHEN dv.d > 3 * a.mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_out,
+        |       CAST(SUM(CASE WHEN dv.d > 3 * a.mad THEN 1 ELSE 0 END) * 1000
+        |            // COUNT(*) AS BIGINT) AS out_milli
+        |FROM dv JOIN mad a ON dv.k = a.k
+        |GROUP BY dv.k ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.operators.RobustStats.madOutliers(T(s, d, "events"),
+          "event_type", expr("CAST(FLOOR(value * 1000000) AS BIGINT)"))
+        .orderBy(col("event_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // q207: per-group WEIGHTED median (RobustStats.weightedMedian) —
+    // quantity-weighted price medians per return flag: the smallest
+    // price-cents value whose cumulative quantity reaches ceil(W/2).
+    // Distinct-value weight sums + a value-bounded cumulative window —
+    // never a row-count window.
+    q("q207_weighted_median",
+      """WITH s AS (SELECT l_returnflag AS k,
+        |             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v,
+        |             CAST(FLOOR(l_quantity) AS BIGINT) AS w
+        |           FROM lineitem),
+        |g AS (SELECT k, v, CAST(SUM(w) AS BIGINT) AS ws FROM s GROUP BY k, v),
+        |c AS (SELECT k, v, SUM(ws) OVER (PARTITION BY k ORDER BY v) AS cum,
+        |             SUM(ws) OVER (PARTITION BY k) AS tot FROM g)
+        |SELECT k AS l_returnflag, CAST(MAX(tot) AS BIGINT) AS w_total,
+        |       CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS BIGINT)
+        |         AS wmed
+        |FROM c GROUP BY k ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.operators.RobustStats.weightedMedian(T(s, d, "lineitem"),
+          "l_returnflag", expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"),
+          expr("CAST(FLOOR(l_quantity) AS BIGINT)"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // x48: STREAMING per-day OLS drift monitor (StreamOls) — live model
+    // fitting with ZERO custom state: the OLS sufficient statistics are
+    // sums, so the watermarked windowed aggregation IS the state (six
+    // longs per open (day, type) group — the x37/x38 additive-sketch
+    // discipline applied to regression); estimates finish row-locally
+    // through the SAME Regression.finish expressions as batch q203.
+    // The oracle is the batch daily fit: stream ≡ batch bit-for-bit.
+    q("x48_stream_ols",
+      """WITH src AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+        |               event_type,
+        |               (epoch_ms(ts) // 1000) % 86400 AS x,
+        |               CAST(FLOOR(value * 1000) AS BIGINT) AS y
+        |             FROM events),
+        |a AS (SELECT day_ms, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |             CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |             CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |             CAST(SUM(y*y) AS BIGINT) AS syy
+        |      FROM src GROUP BY 1, 2),
+        |b AS (SELECT *,
+        |        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+        |        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+        |        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS nm
+        |      FROM a)
+        |SELECT day_ms, event_type, n,
+        |       CAST(CASE WHEN dx > 0 THEN 1 ELSE 0 END AS BIGINT) AS ok,
+        |       CAST(CASE WHEN dx > 0 THEN floor(1000000.0 * nm / dx)
+        |            ELSE 0 END AS BIGINT) AS slope_micro,
+        |       CAST(CASE WHEN dx > 0 THEN floor(100.0 *
+        |              (CAST(sy AS DOUBLE) * dx - nm * CAST(sx AS DOUBLE))
+        |              / (CAST(n AS DOUBLE) * dx)) ELSE 0 END AS BIGINT)
+        |         AS intercept_centi,
+        |       CAST(CASE WHEN dx > 0 AND dy > 0
+        |            THEN floor(1000.0 * nm * nm / (dx * dy))
+        |            ELSE 0 END AS BIGINT) AS r2_milli
+        |FROM b ORDER BY day_ms, event_type""".stripMargin) { (s, d) =>
+      graft.streaming.StreamOls.replayParquet(s, d, queryName = "x48_ols")
+        .orderBy(col("day_ms"), col("event_type"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -28,7 +28,8 @@ object Regression {
   def olsByGroup(df: DataFrame, groupCols: Seq[String],
                  x: Column, y: Column): DataFrame = {
     val g = groupCols.map(col)
-    df.select((g :+ x.cast("long").as("_x")) :+ y.cast("long").as("_y"): _*)
+    val stats = df
+      .select((g :+ x.cast("long").as("_x")) :+ y.cast("long").as("_y"): _*)
       .groupBy(g: _*)
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("_x")).cast("long").as("sx"),
@@ -36,6 +37,17 @@ object Regression {
         sum(col("_x") * col("_y")).cast("long").as("sxy"),
         sum(col("_x") * col("_x")).cast("long").as("sxx"),
         sum(col("_y") * col("_y")).cast("long").as("syy"))
+    finish(stats).select(g ++ Seq(col("n"), col("ok"), col("slope_micro"),
+      col("intercept_centi"), col("r2_milli")): _*)
+  }
+
+  /** Estimates from a frame already carrying the sufficient-statistic
+    * columns (n, sx, sy, sxy, sxx, syy) — the streaming path aggregates
+    * the sums itself (they are mergeable, so a watermarked windowed agg
+    * IS the state) and finishes here row-locally. Adds ok, slope_micro,
+    * intercept_centi, r2_milli. */
+  def finish(stats: DataFrame): DataFrame = {
+    stats
       .withColumn("dx", expr(
         "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
       .withColumn("dy", expr(
@@ -54,7 +66,6 @@ object Regression {
       .withColumn("r2_milli", expr(
         "CAST(CASE WHEN dx > 0 AND dy > 0 " +
           "THEN floor(1000.0 * nm * nm / (dx * dy)) ELSE 0 END AS BIGINT)"))
-      .select(g ++ Seq(col("n"), col("ok"), col("slope_micro"),
-        col("intercept_centi"), col("r2_milli")): _*)
+      .drop("dx", "dy", "nm")
   }
 }

@@ -89,6 +89,40 @@ class AnalyticsOps13Spec extends SparkSpec {
     assert(r.getAs[Long]("slope_micro") == 0L && r.getAs[Long]("r2_milli") == 0L)
   }
 
+  // ------------------------------------------------------ robust stats
+
+  test("mad: closed-form median/MAD and the 3-MAD gate") {
+    // values 1..9 plus a far outlier 1000: med = 5 (lower median of 10),
+    // deviations {0..4, 995} sorted {0,1,1,2,2,3,3,4,4,995} → MAD = 2
+    // (rank ceil(5)=5), gate 3·2=6 flags only 1000
+    val df = ((1L to 9L) :+ 1000L).map(("a", _)).toDF("k", "x")
+    val r = RobustStats.madOutliers(df, "k", col("x")).head()
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("med") == 5L)
+    assert(r.getAs[Long]("mad") == 2L && r.getAs[Long]("n_out") == 1L)
+  }
+
+  test("mad: a majority-constant group reads MAD 0 and flags every deviant") {
+    val df = (Seq.fill(6)(7L) ++ Seq(8L, 9L)).map(("a", _)).toDF("k", "x")
+    val r = RobustStats.madOutliers(df, "k", col("x")).head()
+    assert(r.getAs[Long]("med") == 7L && r.getAs[Long]("mad") == 0L &&
+      r.getAs[Long]("n_out") == 2L)
+  }
+
+  test("weighted median: weights move the median off the unweighted one") {
+    // values 1,2,3 with weights 1,1,10: W=12, ceil(W/2)=6 → wmed 3;
+    // unweighted median would be 2
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 10L))
+      .toDF("k", "v", "w")
+    val r = RobustStats.weightedMedian(df, "k", col("v"), col("w")).head()
+    assert(r.getAs[Long]("w_total") == 12L && r.getAs[Long]("wmed") == 3L)
+    // duplicate values accumulate weight: 3×(1,w2) ties 1 vs (5,w6):
+    // W=12, threshold 6 → cum(1)=6 reaches it
+    val df2 = Seq(("a", 1L, 2L), ("a", 1L, 2L), ("a", 1L, 2L), ("a", 5L, 6L))
+      .toDF("k", "v", "w")
+    assert(RobustStats.weightedMedian(df2, "k", col("v"), col("w"))
+      .head().getAs[Long]("wmed") == 1L)
+  }
+
   // ------------------------------------------------------- KMV set ops
 
   private def kvDf(rows: Seq[(String, Long)]) = rows.toDF("t", "id")

@@ -892,5 +892,21 @@ class ScaleSpec extends SparkSpec {
       "q205 must stay equi-joins end to end:\n" + q205)
     assert(q205.contains("windowspecdefinition(_id"),
       "q205's prefix rank must window per document (q199's plan):\n" + q205)
+    // q206 MAD: both percentile passes window per GROUP over distinct
+    // values (value-cardinality-bounded); median join-backs are key
+    // equi-joins
+    val q206 = formatted("q206_mad_outliers")
+    assert(q206.contains("windowspecdefinition(event_type"),
+      "q206's rank windows must partition per group:\n" + q206)
+    assert(!q206.contains("CartesianProduct") &&
+      !q206.contains("BroadcastNestedLoopJoin"),
+      "q206's median join-backs must stay key equi-joins:\n" + q206)
+    // q207 weighted median: one (key, value) weight agg + the
+    // value-bounded cumulative window — no join at all
+    val q207 = formatted("q207_weighted_median")
+    assert(q207.contains("windowspecdefinition(l_returnflag"),
+      "q207's cumulative weights must window per group:\n" + q207)
+    assert(!q207.contains("Join"),
+      "q207 has no join — distinct-value sums only:\n" + q207)
   }
 }
