@@ -10752,6 +10752,122 @@ object Queries {
       graft.streaming.StreamOls.replayParquet(s, d, queryName = "x48_ols")
         .orderBy(col("day_ms"), col("event_type"))
     },
+
+    // ------------------------------------------------------------------
+    // q208: sweep-line peak concurrency (Sweep.peakConcurrencyDaily) —
+    // per-day maximum number of simultaneously-active validity spans
+    // (the q202/x47 span family: 1 + event_id % 30 minutes). Half-open
+    // [s, e) boundary ordering is load-bearing: ends sort before starts
+    // at equal t. The running sum rides scalableCumSum — bucketed
+    // histogram + per-bucket windows, never one corpus-wide window.
+    q("q208_peak_concurrency",
+      """WITH sp AS (SELECT epoch_ms(ts) AS s,
+        |              epoch_ms(ts) + 60000 * (1 + event_id % 30) AS e,
+        |              event_id AS id
+        |            FROM events),
+        |b AS (SELECT s AS t, 1 AS d, 1000000000000 + id AS tie FROM sp
+        |      UNION ALL SELECT e, -1, id FROM sp),
+        |c AS (SELECT t, SUM(d) OVER (ORDER BY t, tie
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |      FROM b)
+        |SELECT (t // 86400000) * 86400000 AS day_ms,
+        |       CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+        |       CAST(MAX(conc) AS BIGINT) AS peak
+        |FROM c GROUP BY 1 ORDER BY day_ms""".stripMargin) { (s, d) =>
+      graft.operators.Sweep.peakConcurrencyDaily(T(s, d, "events"),
+          start = msEvent,
+          end = msEvent + lit(60000L) * (lit(1L) + col("event_id") % 30),
+          tie = col("event_id"))
+        .orderBy(col("day_ms"))
+    },
+
+    // ------------------------------------------------------------------
+    // q209: power-law tail audit — the discrete-MLE Zipf exponent
+    // α = 1 + n / Σ ln(x/xmin) (Clauset-Shalizi-Newman 2009 eq. 3.1)
+    // over document lengths per source, xmin = 100 chars: the corpus-
+    // statistics check that a source's length distribution has the
+    // heavy tail natural text shows (α ≈ 2–3) rather than a truncation
+    // artifact. Log terms are floored micro-ints per DISTINCT length
+    // (the q74 discipline — and the distinct-value grouping keeps the
+    // flip-risk surface at the length-vocabulary size, not the corpus
+    // row count); the Σ and the final α are exact integer arithmetic.
+    q("q209_powerlaw_alpha",
+      """WITH src AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |             FROM documents WHERE n_chars >= 100
+        |             GROUP BY source, n_chars),
+        |t AS (SELECT source, cnt,
+        |        cnt * CAST(FLOOR(1000000 * ln(CAST(n_chars AS DOUBLE) / 100.0))
+        |              AS BIGINT) AS term
+        |      FROM src),
+        |a AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+        |             CAST(SUM(term) AS BIGINT) AS s_scaled
+        |      FROM t GROUP BY source)
+        |SELECT source, n, s_scaled,
+        |       CAST(CASE WHEN s_scaled > 0
+        |            THEN 1000 + n * 1000000000 // s_scaled
+        |            ELSE 0 END AS BIGINT) AS alpha_milli
+        |FROM a ORDER BY source""".stripMargin) { (s, d) =>
+      T(s, d, "documents")
+        .where(col("n_chars") >= 100)
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .withColumn("term", col("cnt") *
+          floor(lit(1000000) * log(col("n_chars").cast("double") / 100.0))
+            .cast("long"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).cast("long").as("n"),
+          sum(col("term")).cast("long").as("s_scaled"))
+        .withColumn("alpha_milli", expr(
+          "CAST(CASE WHEN s_scaled > 0 " +
+            "THEN 1000 + n * 1000000000 DIV s_scaled ELSE 0 END AS BIGINT)"))
+        .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
+    // q210: decile lift table — the ranking-evaluation primitive: rank
+    // customers by account balance (exact GLOBAL rank via
+    // scalableRowNumber, never a single-task window), cut into deciles,
+    // and report per-decile order counts and orders-per-customer in
+    // milli-units — "does the score actually order the outcome".
+    q("q210_decile_lift",
+      """WITH c AS (SELECT c_custkey,
+        |             CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c
+        |           FROM customer),
+        |r AS (SELECT c_custkey,
+        |        row_number() OVER (ORDER BY bal_c, c_custkey) AS rnk,
+        |        COUNT(*) OVER () AS n FROM c),
+        |dc AS (SELECT c_custkey, ((rnk - 1) * 10) // n AS decile FROM r),
+        |o AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_ord
+        |      FROM orders GROUP BY 1)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |       CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |       CAST(SUM(COALESCE(n_ord, 0)) AS BIGINT) AS n_orders,
+        |       CAST(SUM(COALESCE(n_ord, 0)) * 1000 // COUNT(*) AS BIGINT)
+        |         AS opc_milli
+        |FROM dc LEFT JOIN o ON dc.c_custkey = o.o_custkey
+        |GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) => {
+      val c = T(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+      val n1 = c.agg(count(lit(1)).cast("long").as("_n"))
+      val ranked = graft.operators.Relational
+        .scalableRowNumber(c, "bal_c", "c_custkey", rankName = "_r")
+        .crossJoin(broadcast(n1))
+        .select(col("c_custkey"),
+          expr("((_r - 1) * 10) DIV _n").as("decile"))
+      val o = T(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).cast("long").as("n_ord"))
+      ranked.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .na.fill(0L, Seq("n_ord"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).cast("long").as("n_cust"),
+          sum(col("n_ord")).cast("long").as("n_orders"))
+        .withColumn("opc_milli", expr("n_orders * 1000 DIV n_cust"))
+        .select(col("decile").cast("long").as("decile"), col("n_cust"),
+          col("n_orders"), col("opc_milli"))
+        .orderBy(col("decile"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -123,6 +123,27 @@ class AnalyticsOps13Spec extends SparkSpec {
       .head().getAs[Long]("wmed") == 1L)
   }
 
+  // ------------------------------------------------------------ sweep
+
+  test("sweep: nested and chained spans peak correctly") {
+    // [0,100) ∪ [10,20) ∪ [15,30) overlap 3-deep at t=15; [200,250)
+    // alone later the same day
+    val df = Seq((1L, 0L, 100L), (2L, 10L, 20L), (3L, 15L, 30L),
+      (4L, 200L, 250L)).toDF("id", "s", "e")
+    val out = Sweep.peakConcurrencyDaily(df, col("s"), col("e"), col("id"))
+      .head()
+    assert(out.getAs[Long]("day_ms") == 0L &&
+      out.getAs[Long]("n_boundaries") == 8L && out.getAs[Long]("peak") == 3L)
+  }
+
+  test("sweep: half-open boundaries — an end at t frees the slot for a start at t") {
+    // back-to-back [0,10), [10,20), [20,30): never concurrent
+    val df = Seq((1L, 0L, 10L), (2L, 10L, 20L), (3L, 20L, 30L))
+      .toDF("id", "s", "e")
+    assert(Sweep.peakConcurrencyDaily(df, col("s"), col("e"), col("id"))
+      .head().getAs[Long]("peak") == 1L)
+  }
+
   // ------------------------------------------------------- KMV set ops
 
   private def kvDf(rows: Seq[(String, Long)]) = rows.toDF("t", "id")

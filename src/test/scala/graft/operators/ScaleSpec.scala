@@ -908,5 +908,28 @@ class ScaleSpec extends SparkSpec {
       "q207's cumulative weights must window per group:\n" + q207)
     assert(!q207.contains("Join"),
       "q207 has no join — distinct-value sums only:\n" + q207)
+    // q208 sweep: the running concurrency rides scalableCumSum —
+    // every non-trivial window partitions per bucket; the only
+    // unpartitioned window is the bucket histogram's (bucket-count
+    // rows, a constant)
+    val q208 = formatted("q208_peak_concurrency")
+    assert(q208.contains("windowspecdefinition(_cs_bkt"),
+      "q208's running sum must window per cumsum bucket:\n" + q208)
+    assert(!q208.contains("CartesianProduct"),
+      "q208 joins only the broadcast histogram:\n" + q208)
+    // q209 power law: two hash aggs over the length vocabulary —
+    // no join, no window
+    val q209 = formatted("q209_powerlaw_alpha")
+    assert(!q209.contains("Join") && !q209.contains("windowspecdefinition"),
+      "q209 is two hash aggs over distinct lengths:\n" + q209)
+    // q210 decile lift: exact global rank via scalableRowNumber
+    // (bucketed), order counts joined by key — no corpus-wide
+    // single-partition rank window
+    val q210 = formatted("q210_decile_lift")
+    assert(q210.contains("windowspecdefinition(_rnk_bkt"),
+      "q210's rank must ride the bucketed scalableRowNumber:\n" + q210)
+    assert(!q210.contains("CartesianProduct") ||
+      q210.contains("BroadcastExchange"),
+      "q210's only cross is the broadcast 1-row total:\n" + q210)
   }
 }
