@@ -924,6 +924,34 @@ object Queries {
       |FROM g GROUP BY user_id, island
       |ORDER BY user_id, island""".stripMargin
 
+  /** SCD2 dimension-history CTEs (q62's change collapse over the
+    * lineitem linestatus stream) — shared by q62 (the raw version
+    * table) and q211 (the point-in-time temporal lookup over the same
+    * versions). Final CTE: `scd2v(l_orderkey, l_linenumber, ship_ms,
+    * l_linestatus, valid_from, valid_to, is_current)`. */
+  private def scd2OracleCtes: String =
+    """base AS (
+      |  SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms,
+      |         l_linestatus
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT *, CASE WHEN row_number() OVER w = 1
+      |                   OR lag(l_linestatus) OVER w IS DISTINCT FROM l_linestatus
+      |            THEN 1 ELSE 0 END AS _o
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY l_orderkey
+      |               ORDER BY ship_ms, l_linenumber, l_linestatus)),
+      |v AS (SELECT l_orderkey, l_linenumber, ship_ms, l_linestatus
+      |      FROM m WHERE _o = 1),
+      |scd2v AS MATERIALIZED (
+      |  SELECT l_orderkey, l_linenumber, ship_ms, l_linestatus,
+      |         ship_ms AS valid_from,
+      |         lead(ship_ms) OVER w2 AS valid_to,
+      |         lead(ship_ms) OVER w2 IS NULL AS is_current
+      |  FROM v
+      |  WINDOW w2 AS (PARTITION BY l_orderkey
+      |                ORDER BY ship_ms, l_linenumber, l_linestatus))""".stripMargin
+
   /** Lossless set-similarity pair CTEs (4-gram shingles, Jaccard ≥
     * 0.6 by the FULL shingle self-join — the structural completeness
     * witness for the All-Pairs prefix filter) — shared by q199 (the
@@ -3853,26 +3881,10 @@ object Queries {
     // rows with valid_from/valid_to/is_current. One shuffle on the key
     // (both windows share the partitioning).
     q("q62_scd2",
-      """WITH base AS (
-        |  SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms,
-        |         l_linestatus
-        |  FROM lineitem),
-        |m AS (
-        |  SELECT *, CASE WHEN row_number() OVER w = 1
-        |                   OR lag(l_linestatus) OVER w IS DISTINCT FROM l_linestatus
-        |            THEN 1 ELSE 0 END AS _o
-        |  FROM base
-        |  WINDOW w AS (PARTITION BY l_orderkey
-        |               ORDER BY ship_ms, l_linenumber, l_linestatus)),
-        |v AS (SELECT l_orderkey, l_linenumber, ship_ms, l_linestatus
-        |      FROM m WHERE _o = 1)
+      s"""WITH $scd2OracleCtes
         |SELECT l_orderkey, l_linenumber, ship_ms, l_linestatus,
-        |       ship_ms AS valid_from,
-        |       lead(ship_ms) OVER w2 AS valid_to,
-        |       lead(ship_ms) OVER w2 IS NULL AS is_current
-        |FROM v
-        |WINDOW w2 AS (PARTITION BY l_orderkey
-        |              ORDER BY ship_ms, l_linenumber, l_linestatus)
+        |       valid_from, valid_to, is_current
+        |FROM scd2v
         |ORDER BY l_orderkey, ship_ms, l_linenumber, l_linestatus""".stripMargin) { (s, d) =>
       val changes = T(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -10867,6 +10879,261 @@ object Queries {
         .select(col("decile").cast("long").as("decile"), col("n_cust"),
           col("n_orders"), col("opc_milli"))
         .orderBy(col("decile"))
+    }},
+
+    // ------------------------------------------------------------------
+    // q211: SCD2 point-in-time temporal lookup — the warehouse read
+    // side of q62's dimension-history build: each order probed 90 days
+    // after its orderdate against the versioned linestatus chain
+    // (valid_from ≤ t < valid_to, open version NULL-bounded), orders
+    // before their first version reading 'none'. One key equi-join;
+    // containment filters ride it (per-key version chains are bounded
+    // by the change count, never the corpus). The oracle shares q62's
+    // CTEs verbatim — but its lookup is a PURE-EQUALITY left join with
+    // the containment folded into a covering-version MAX aggregation:
+    // DuckDB executes a LEFT join with mixed conditions as a blockwise
+    // nested loop (orders × versions went >50 min at sf1; the
+    // restructured form runs in 2 s). Spark's hash joins carry non-equi
+    // residuals natively, so the engine keeps the direct containment
+    // join.
+    q("q211_scd2_lookup",
+      s"""WITH $scd2OracleCtes,
+        |pr AS (SELECT o_orderkey, epoch_ms(o_orderdate) + 7776000000 AS t,
+        |              epoch_ms(o_orderdate) // 2592000000 AS mo
+        |       FROM orders),
+        |hit AS (SELECT pr.o_orderkey, pr.mo,
+        |          MAX(CASE WHEN s.l_orderkey IS NOT NULL AND s.valid_from <= pr.t
+        |                    AND (s.valid_to IS NULL OR pr.t < s.valid_to)
+        |               THEN s.l_linestatus END) AS l_linestatus
+        |        FROM pr LEFT JOIN scd2v s ON pr.o_orderkey = s.l_orderkey
+        |        GROUP BY 1, 2)
+        |SELECT COALESCE(l_linestatus, 'none') AS status,
+        |       CAST(mo AS BIGINT) AS mo, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM hit GROUP BY 1, 2 ORDER BY status, mo""".stripMargin) {
+      (s, d) => {
+        val changes = T(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            msTs(col("l_shipdate")).as("ship_ms"), col("l_linestatus"))
+        val ver = R.scd2(changes, keyCols = Seq("l_orderkey"),
+          orderCol = col("ship_ms"),
+          tieCol = struct(col("l_linenumber"), col("l_linestatus")),
+          attrCols = Seq("l_linestatus"))
+        val probes = T(s, d, "orders")
+          .select(col("o_orderkey"),
+            (msTs(col("o_orderdate")) + 7776000000L).as("t"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 2592000000")
+              .as("mo"))
+        probes.join(ver,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("valid_from") <= col("t") &&
+              (col("valid_to").isNull || col("t") < col("valid_to")), "left")
+          .groupBy(coalesce(col("l_linestatus"), lit("none")).as("status"),
+            col("mo"))
+          .agg(count(lit(1)).cast("long").as("n_orders"))
+          .orderBy(col("status"), col("mo"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // q212: ABC / Pareto contribution classes — parts ranked by revenue
+    // (descending, exact cents), cut at 70% / 90% cumulative share: the
+    // inventory-analytics classic ("which 10% of parts carry 70% of
+    // revenue"). The descending rank rides scalableCumSum on the
+    // NEGATED revenue — bucket assignment only partitions, order inside
+    // stays exact — never a corpus-wide window.
+    q("q212_abc_classes",
+      """WITH rev AS (SELECT l_partkey,
+        |               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+        |                 AS BIGINT) AS rev_c
+        |             FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, rev_c,
+        |        SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(rev_c) OVER () AS tot
+        |      FROM rev)
+        |SELECT CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+        |            WHEN cum * 10 <= tot * 9 THEN 'B' ELSE 'C' END AS cls,
+        |       CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |       CAST(SUM(rev_c) AS BIGINT) AS rev_sum,
+        |       CAST(SUM(rev_c) * 1000 // MAX(tot) AS BIGINT) AS share_milli
+        |FROM c GROUP BY 1 ORDER BY cls""".stripMargin) { (s, d) => {
+      val rev = T(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"))
+          .cast("long").as("rev_c"))
+      val tot1 = rev.agg(sum(col("rev_c")).cast("long").as("_tot"))
+      graft.operators.Relational.scalableCumSum(
+          rev.withColumn("_ord", -col("rev_c")),
+          "_ord", "l_partkey", "rev_c", cumName = "_cum")
+        .crossJoin(broadcast(tot1))
+        .withColumn("cls",
+          when(col("_cum") * 10 <= col("_tot") * 7, "A")
+            .when(col("_cum") * 10 <= col("_tot") * 9, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).cast("long").as("n_parts"),
+          sum(col("rev_c")).cast("long").as("rev_sum"),
+          max(col("_tot")).as("_t"))
+        .withColumn("share_milli", expr("rev_sum * 1000 DIV _t"))
+        .select(col("cls"), col("n_parts"), col("rev_sum"),
+          col("share_milli"))
+        .orderBy(col("cls"))
+    }},
+
+    // ------------------------------------------------------------------
+    // q213: clamped running balance (RunningOps.clampedBalance) — the
+    // stock/credit recurrence b = max(0, b + δ) made WINDOWABLE by the
+    // reflection identity b_i = cum_i − min(0, running-min cum): no
+    // row-at-a-time execution, keyed windows only. Deltas: purchases
+    // add ⌊value⌋, errors consume it.
+    q("q213_clamped_balance",
+      """WITH src AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS o,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN CAST(FLOOR(value) AS BIGINT)
+        |              ELSE -CAST(FLOOR(value) AS BIGINT) END AS d
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |c AS (SELECT user_id, event_id, o, d,
+        |        SUM(d) OVER (PARTITION BY user_id ORDER BY o, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM src),
+        |l AS (SELECT *,
+        |        LEAST(0, MIN(cum) OVER (PARTITION BY user_id
+        |          ORDER BY o, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS low,
+        |        LEAST(0, COALESCE(MIN(cum) OVER (PARTITION BY user_id
+        |          ORDER BY o, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |          AS lowprev,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY o DESC, event_id DESC) AS rnd
+        |      FROM c)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_moves,
+        |       CAST(SUM(CASE WHEN cum < lowprev THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clamped,
+        |       CAST(MAX(CASE WHEN rnd = 1 THEN cum - low END) AS BIGINT)
+        |         AS final_balance,
+        |       CAST(MAX(cum - low) AS BIGINT) AS peak_balance
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.operators.RunningOps.clampedBalance(
+          T(s, d, "events")
+            .where(col("event_type").isin("purchase", "error")),
+          "user_id", order = expr("ts DIV 1000"), tieCol = "event_id",
+          delta = when(col("event_type") === "purchase",
+              expr("CAST(FLOOR(value) AS BIGINT)"))
+            .otherwise(-expr("CAST(FLOOR(value) AS BIGINT)")))
+        .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // x49: q213's clamped balance through the STATEFUL streaming plan
+    // (StreamBalance): the batch side needed the reflection identity to
+    // make the recurrence windowable — the stream just RUNS the
+    // recurrence in constant per-key state (balance, peak, moves,
+    // clamps). One contract, two execution models, q213's oracle
+    // verbatim.
+    q("x49_stream_balance",
+      """WITH src AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS o,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN CAST(FLOOR(value) AS BIGINT)
+        |              ELSE -CAST(FLOOR(value) AS BIGINT) END AS d
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |c AS (SELECT user_id, event_id, o, d,
+        |        SUM(d) OVER (PARTITION BY user_id ORDER BY o, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM src),
+        |l AS (SELECT *,
+        |        LEAST(0, MIN(cum) OVER (PARTITION BY user_id
+        |          ORDER BY o, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS low,
+        |        LEAST(0, COALESCE(MIN(cum) OVER (PARTITION BY user_id
+        |          ORDER BY o, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |          AS lowprev,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY o DESC, event_id DESC) AS rnd
+        |      FROM c)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_moves,
+        |       CAST(SUM(CASE WHEN cum < lowprev THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clamped,
+        |       CAST(MAX(CASE WHEN rnd = 1 THEN cum - low END) AS BIGINT)
+        |         AS final_balance,
+        |       CAST(MAX(cum - low) AS BIGINT) AS peak_balance
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.streaming.StreamBalance.replayParquet(s, d,
+          queryName = "x49_balance")
+        .toDF()
+        .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q214: Poisson bootstrap uncertainty audit — THE distributed
+    // bootstrap (Chamandy et al. 2012): per order a deterministic
+    // md5-derived Poisson(1)-approximating weight {0,1,2,3} per replica
+    // (thresholds 368/736/920 of the unit mille), so B=16 resampled
+    // means per nation come out of ONE pass with bounded fanout — no
+    // resample shuffle, no randomness, reproducible in any engine. The
+    // replica variance (exact integer arithmetic, cents²) is the
+    // uncertainty a mean-revenue dashboard should publish next to the
+    // point estimate.
+    q("q214_bootstrap_var",
+      s"""WITH src AS (
+        |  SELECT c_nationkey, o_orderkey,
+        |         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |w AS (SELECT c_nationkey, x, r,
+        |        CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+        |             WHEN u < 920 THEN 2 ELSE 3 END AS wt
+        |      FROM (SELECT c_nationkey, x, r,
+        |              CAST(('0x' || substr(md5('bs:' || CAST(r AS VARCHAR)
+        |                || ':' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |                AS BIGINT) % ${graft.functions.HashFns.MersennePrime}
+        |                % 1000 AS u
+        |            FROM src, generate_series(0, 15) AS t(r))),
+        |rep AS (SELECT c_nationkey, r,
+        |               CAST(SUM(wt * x) // SUM(wt) AS BIGINT) AS m
+        |        FROM w GROUP BY 1, 2 HAVING SUM(wt) > 0),
+        |base AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |                CAST(SUM(x) // COUNT(*) AS BIGINT) AS mean_c
+        |         FROM src GROUP BY 1),
+        |bv AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS b,
+        |              CAST(SUM(m) AS BIGINT) AS sm,
+        |              CAST(SUM(m * m) AS BIGINT) AS smm
+        |       FROM rep GROUP BY 1)
+        |SELECT base.c_nationkey, n, mean_c, b,
+        |       CAST((b * smm - sm * sm) // (b * b) AS BIGINT) AS boot_var_c2
+        |FROM base JOIN bv ON base.c_nationkey = bv.c_nationkey
+        |ORDER BY base.c_nationkey""".stripMargin) { (s, d) => {
+      val H = graft.functions.HashFns
+      val src = T(s, d, "orders")
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("o_orderkey"),
+          expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("x"))
+      val w = src
+        .withColumn("r", explode(sequence(lit(0), lit(15))))
+        .withColumn("u", H.md5Hash(concat_ws(":", lit("bs"), col("r"),
+          col("o_orderkey"))) % 1000)
+        .withColumn("wt",
+          when(col("u") < 368, 0L).when(col("u") < 736, 1L)
+            .when(col("u") < 920, 2L).otherwise(3L))
+      val rep = w.groupBy(col("c_nationkey"), col("r"))
+        .agg(sum(col("wt") * col("x")).as("_wx"), sum(col("wt")).as("_ws"))
+        .where(col("_ws") > 0)
+        .select(col("c_nationkey"), expr("CAST(_wx DIV _ws AS BIGINT)").as("m"))
+      val base = src.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").as("mean_c"))
+      val bv = rep.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("long").as("b"),
+          sum(col("m")).cast("long").as("_sm"),
+          sum(col("m") * col("m")).cast("long").as("_smm"))
+      base.join(bv, "c_nationkey")
+        .withColumn("boot_var_c2",
+          expr("CAST((b * _smm - _sm * _sm) DIV (b * b) AS BIGINT)"))
+        .select(col("c_nationkey"), col("n"), col("mean_c"), col("b"),
+          col("boot_var_c2"))
+        .orderBy(col("c_nationkey"))
     }},
   )
 

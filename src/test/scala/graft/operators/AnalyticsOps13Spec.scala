@@ -144,6 +144,43 @@ class AnalyticsOps13Spec extends SparkSpec {
       .head().getAs[Long]("peak") == 1L)
   }
 
+  // -------------------------------------------------- clamped balance
+
+  test("clamped balance: reflection identity equals the sequential recurrence") {
+    // deterministic pseudo-random deltas per key, heavy on clamps
+    val rows = for (k <- 1L to 4L; i <- 1L to 40L) yield {
+      val d = ((k * 7919 + i * 104729) % 21) - 10 // −10..10
+      (k, i, d)
+    }
+    val out = RunningOps.clampedBalance(rows.toDF("k", "id", "d"),
+        "k", col("id"), "id", col("d"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_clamped"), r.getAs[Long]("final_balance"),
+          r.getAs[Long]("peak_balance"))).toMap
+    val ref = rows.groupBy(_._1).view.mapValues { evs =>
+      var b = 0L; var clamps = 0L; var peak = 0L
+      evs.sortBy(_._2).foreach { case (_, _, d) =>
+        if (b + d < 0L) clamps += 1
+        b = math.max(0L, b + d); peak = math.max(peak, b)
+      }
+      (clamps, b, peak)
+    }.toMap
+    assert(out == ref)
+    assert(ref.values.exists(_._1 > 0L), "fixture must actually clamp")
+  }
+
+  test("clamped balance: equal-low revisits do not count as clamps") {
+    // +5, −5 (lands exactly on 0 — not a clamp), −3 (the one clamp),
+    // +2, −2 (lands exactly back on the low without undercutting it —
+    // b + δ = 0, not a clamp)
+    val df = Seq((1L, 1L, 5L), (1L, 2L, -5L), (1L, 3L, -3L), (1L, 4L, 2L),
+      (1L, 5L, -2L)).toDF("k", "id", "d")
+    val r = RunningOps.clampedBalance(df, "k", col("id"), "id", col("d")).head()
+    assert(r.getAs[Long]("n_clamped") == 1L &&
+      r.getAs[Long]("final_balance") == 0L &&
+      r.getAs[Long]("peak_balance") == 5L)
+  }
+
   // ------------------------------------------------------- KMV set ops
 
   private def kvDf(rows: Seq[(String, Long)]) = rows.toDF("t", "id")

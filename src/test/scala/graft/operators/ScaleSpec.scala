@@ -932,4 +932,34 @@ class ScaleSpec extends SparkSpec {
       q210.contains("BroadcastExchange"),
       "q210's only cross is the broadcast 1-row total:\n" + q210)
   }
+
+  test("round-13c plan shapes: temporal lookup, Pareto cumsum, clamp windows") {
+    val d = sf("sf0.001")
+    def formatted(name: String): String = {
+      val df = graft.Queries.all(name).fn(spark, d)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // q211 SCD2 lookup: the probe join is a KEY equi-join (containment
+    // predicates ride it); version-chain windows partition per order
+    val q211 = formatted("q211_scd2_lookup")
+    assert(!q211.contains("CartesianProduct") &&
+      !q211.contains("BroadcastNestedLoopJoin"),
+      "q211's probe join must stay the orderkey equi-join:\n" + q211)
+    assert(q211.contains("windowspecdefinition(l_orderkey"),
+      "q211's version chain must window per order:\n" + q211)
+    // q212 ABC: the descending cumulative share rides the bucketed
+    // scalableCumSum; the 1-row total broadcasts
+    val q212 = formatted("q212_abc_classes")
+    assert(q212.contains("windowspecdefinition(_cs_bkt"),
+      "q212's cumsum must ride the bucketed scheme:\n" + q212)
+    assert(q212.contains("BroadcastExchange"),
+      "q212's grand total must broadcast:\n" + q212)
+    // q213 clamp: every window partitions per user; no join anywhere
+    val q213 = formatted("q213_clamped_balance")
+    assert(q213.contains("windowspecdefinition(user_id"),
+      "q213's cum/low windows must partition per user:\n" + q213)
+    assert(!q213.contains("Join"),
+      "q213 is keyed windows + one hash agg — no join:\n" + q213)
+  }
 }
