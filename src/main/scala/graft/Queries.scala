@@ -11135,6 +11135,92 @@ object Queries {
           col("boot_var_c2"))
         .orderBy(col("c_nationkey"))
     }},
+
+    // ------------------------------------------------------------------
+    // q215: user survival / retention curve — per user the lifetime in
+    // days (last − first event day), then S(t) = share of users whose
+    // lifetime reaches t, for every OBSERVED lifetime: the
+    // survival-analysis read of q163's cohort matrix. The reverse
+    // cumulative runs over the lifetime HISTOGRAM — a day-domain-
+    // bounded window (≤ the observation span in days, a calendar
+    // property, never corpus-bounded; the q197 m-bounded discipline).
+    q("q215_survival_curve",
+      """WITH u AS (SELECT user_id,
+        |             CAST(MAX(epoch_ms(ts) // 86400000)
+        |                - MIN(epoch_ms(ts) // 86400000) AS BIGINT) AS lt
+        |           FROM events GROUP BY 1),
+        |h AS (SELECT lt, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY 1),
+        |c AS (SELECT lt, cnt,
+        |        SUM(cnt) OVER (ORDER BY lt DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ge,
+        |        SUM(cnt) OVER () AS tot
+        |      FROM h)
+        |SELECT lt AS lifetime_days, CAST(cnt AS BIGINT) AS n_exact,
+        |       CAST(n_ge AS BIGINT) AS n_ge,
+        |       CAST(n_ge * 1000 // tot AS BIGINT) AS surv_milli
+        |FROM c ORDER BY lifetime_days""".stripMargin) { (s, d) => {
+      val u = T(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg((max(expr("ts DIV 86400000000000"))
+          - min(expr("ts DIV 86400000000000"))).cast("long").as("lt"))
+      val h = u.groupBy(col("lt")).agg(count(lit(1)).cast("long").as("cnt"))
+      val wRev = org.apache.spark.sql.expressions.Window
+        .orderBy(col("lt").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      h.withColumn("n_ge", sum(col("cnt")).over(wRev).cast("long"))
+        .withColumn("_tot", sum(col("cnt")).over(wAll).cast("long"))
+        .select(col("lt").as("lifetime_days"), col("cnt").as("n_exact"),
+          col("n_ge"), expr("n_ge * 1000 DIV _tot").as("surv_milli"))
+        .orderBy(col("lifetime_days"))
+    }},
+
+    // ------------------------------------------------------------------
+    // q216: Benford first-digit audit — the fraud/synthetic-data screen:
+    // leading-digit distribution of order totals vs Benford's
+    // log10(1 + 1/d), deviation per digit in milli-units. The expected
+    // shares are compile-time constants interpolated into BOTH engines
+    // from one Scala definition (no runtime logs to disagree on);
+    // everything else is a row-local digit extraction + one 9-row agg.
+    q("q216_benford_audit", {
+      val exp = (1 to 9).map(dg =>
+        s"($dg, ${math.floor(1000 * math.log10(1.0 + 1.0 / dg)).toLong})")
+        .mkString(", ")
+      s"""WITH e(digit, exp_milli) AS (VALUES $exp),
+        |o AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+        |               AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |      FROM orders WHERE o_totalprice >= 1),
+        |a AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM a)
+        |SELECT e.digit, COALESCE(a.n, 0) AS n,
+        |       CAST(COALESCE(a.n, 0) * 1000 // t.tot AS BIGINT) AS obs_milli,
+        |       CAST(e.exp_milli AS BIGINT) AS exp_milli,
+        |       CAST(abs(COALESCE(a.n, 0) * 1000 // t.tot - e.exp_milli)
+        |            AS BIGINT) AS dev_milli
+        |FROM e LEFT JOIN a ON e.digit = a.digit CROSS JOIN t
+        |ORDER BY e.digit""".stripMargin
+    }) { (s, d) => {
+      val expRows = (1 to 9).map(dg =>
+        (dg.toLong, math.floor(1000 * math.log10(1.0 + 1.0 / dg)).toLong))
+      import s.implicits._
+      val e = expRows.toDF("digit", "exp_milli")
+      val a = T(s, d, "orders")
+        .where(col("o_totalprice") >= 1)
+        .select(expr("CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)" +
+          " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).cast("long").as("n"))
+      val t = a.agg(sum(col("n")).cast("long").as("tot"))
+      broadcast(e).join(a, Seq("digit"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          expr("CAST(n * 1000 DIV tot AS BIGINT)").as("obs_milli"),
+          col("exp_milli"),
+          expr("CAST(abs(n * 1000 DIV tot - exp_milli) AS BIGINT)")
+            .as("dev_milli"))
+        .orderBy(col("digit"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
