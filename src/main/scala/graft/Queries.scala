@@ -11221,6 +11221,91 @@ object Queries {
             .as("dev_milli"))
         .orderBy(col("digit"))
     }},
+
+    // ------------------------------------------------------------------
+    // q217: Gini coefficient of customer revenue — the inequality /
+    // concentration audit (is revenue a long tail or a monopoly), the
+    // single-number cousin of q212's ABC classes: G = (2·Σ(r·xᵣ) −
+    // (n+1)·Σx) / (n·Σx) over ascending-rank dollars. Rank = the
+    // bucketed scalableRowNumber, never a single-task global window.
+    // Σ(r·x) and n·Σx are exact BIGINTs (bound: n·Σx < 2⁶³ holds to
+    // ~30× sf1 at whole-dollar scale — the q175 documented-bound
+    // discipline); only the final milli scaling goes through DOUBLE in
+    // the same association both engines.
+    q("q217_gini",
+      """WITH rev AS (SELECT c_custkey,
+        |               CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)),
+        |                             0) AS BIGINT) AS x
+        |             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |             GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, c_custkey) AS rnk
+        |      FROM rev),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx,
+        |             CAST(SUM(rnk * x) AS BIGINT) AS srx
+        |      FROM r)
+        |SELECT n, sx,
+        |       CAST(CASE WHEN sx > 0 THEN floor(1000.0 *
+        |              (CAST(2 * srx - (n + 1) * sx AS DOUBLE))
+        |              / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |            ELSE 0 END AS BIGINT) AS gini_milli
+        |FROM a""".stripMargin) { (s, d) => {
+      val rev = T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy(col("c_custkey"))
+        .agg(coalesce(sum(expr("CAST(FLOOR(o_totalprice) AS BIGINT)")),
+          lit(0L)).cast("long").as("x"))
+      graft.operators.Relational
+        .scalableRowNumber(rev, "x", "c_custkey", rankName = "rnk")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("rnk") * col("x")).cast("long").as("srx"))
+        .select(col("n"), col("sx"), expr(
+          "CAST(CASE WHEN sx > 0 THEN floor(1000.0 * " +
+            "(CAST(2 * srx - (n + 1) * sx AS DOUBLE)) " +
+            "/ (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) " +
+            "ELSE 0 END AS BIGINT)").as("gini_milli"))
+    }},
+
+    // ------------------------------------------------------------------
+    // q218: Chao1 vocabulary-richness estimate per language (the
+    // species-richness estimator, bias-corrected form: Ŝ = S +
+    // f₁(f₁−1)/(2(f₂+1)) — defined even with no doubletons): how much
+    // unseen vocabulary a corpus slice still hides, the coverage
+    // sibling of q135's vocab-coverage and q209's tail audit. Pure
+    // integer arithmetic over the token-count histogram.
+    q("q218_chao1",
+      """WITH toks AS (
+        |  SELECT lang,
+        |         unnest(list_filter(string_split_regex(lower(trim(text)),
+        |                '[^\p{L}\p{N}]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS s_obs,
+        |             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS f1,
+        |             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS f2
+        |      FROM tc GROUP BY 1)
+        |SELECT lang, s_obs, f1, f2,
+        |       CAST(s_obs + f1 * (f1 - 1) // (2 * (f2 + 1)) AS BIGINT)
+        |         AS chao1
+        |FROM a ORDER BY lang""".stripMargin) { (s, d) =>
+      T(s, d, "documents")
+        .select(col("lang"),
+          explode(graft.functions.TextFns.wordTokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("s_obs"),
+          sum((col("c") === 1L).cast("long")).cast("long").as("f1"),
+          sum((col("c") === 2L).cast("long")).cast("long").as("f2"))
+        .withColumn("chao1",
+          expr("CAST(s_obs + f1 * (f1 - 1) DIV (2 * (f2 + 1)) AS BIGINT)"))
+        .orderBy(col("lang"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
