@@ -10179,17 +10179,21 @@ object Queries {
         |${graft.operators.LabelProp.unrolledSqlCtes(4)}
         |SELECT node, label FROM l4 ORDER BY node""".stripMargin) {
       (s, d) => {
+        // node ids are unique by construction ('c'/'s' prefixes are
+        // disjoint, keys unique per table) — no distinct shuffle; the
+        // edge dedup runs on the NUMERIC pair before the string concat
+        // (16-byte shuffle rows instead of ~30-byte strings)
         val nodes = T(s, d, "customer")
           .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
           .union(T(s, d, "supplier")
             .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node")))
-          .distinct()
         val edges = T(s, d, "orders")
           .join(T(s, d, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
           .distinct()
+          .select(concat(lit("c"), col("ck").cast("string")).as("src"),
+            concat(lit("s"), col("sk").cast("string")).as("dst"))
         graft.operators.LabelProp.communities(nodes, edges, iterations = 4)
           .orderBy(col("node"))
       }
@@ -10435,12 +10439,15 @@ object Queries {
         |${graft.operators.Bfs.unrolledSqlCtes(4)}
         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin) {
       (s, d) => {
+        // edge dedup on the NUMERIC pair before the string concat —
+        // the q195 shuffle-width discipline
         val edges = T(s, d, "orders")
           .join(T(s, d, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
           .distinct()
+          .select(concat(lit("c"), col("ck").cast("string")).as("src"),
+            concat(lit("s"), col("sk").cast("string")).as("dst"))
         val seeds = T(s, d, "customer")
           .where(col("c_custkey") % 97 === 0)
           .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
