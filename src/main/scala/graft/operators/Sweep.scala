@@ -32,8 +32,9 @@ object Sweep {
     val spans = df.select(start.cast("long").as("_s"),
       end.cast("long").as("_e"), tie.cast("long").as("_id"))
     // ends first at equal t: tie key = (delta+1)/2 · 10¹² + id, so a
-    // −1 boundary (0·10¹²+id) sorts before a +1 (10¹²+id) — requires
-    // id < 10¹², checked cheaply by the caller's data contract
+    // −1 boundary (0·10¹²+id) sorts before a +1 (10¹²+id) — a data
+    // contract the caller guarantees (ids here are table keys ≪ 10¹²;
+    // a deployment beyond it raises the constant)
     val bounds = spans.select(col("_s").as("_t"), lit(1L).as("_d"),
         (lit(1000000000000L) + col("_id")).as("_tie"))
       .unionByName(spans.select(col("_e").as("_t"), lit(-1L).as("_d"),

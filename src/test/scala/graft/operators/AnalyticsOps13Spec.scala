@@ -181,6 +181,41 @@ class AnalyticsOps13Spec extends SparkSpec {
       r.getAs[Long]("peak_balance") == 5L)
   }
 
+  // ------------------------------------- audit-query invariants (sf0.001)
+
+  test("audit queries hold their statistical invariants on the fixture") {
+    val d = sf("sf0.001")
+    def run(name: String) = graft.Queries.all(name).fn(spark, d).collect()
+    // q214 bootstrap: variance non-negative, B = 16 everywhere, and the
+    // deterministic weights make reruns identical
+    val boot = run("q214_bootstrap_var")
+    assert(boot.forall(r => r.getAs[Long]("boot_var_c2") >= 0L &&
+      r.getAs[Long]("b") == 16L))
+    assert(run("q214_bootstrap_var").map(_.toString).toSeq ==
+      boot.map(_.toString).toSeq, "bootstrap must be deterministic")
+    // q215 survival: n_ge monotone non-increasing in lifetime, first
+    // share = 1000 (everyone survives to the minimum observed lifetime
+    // only when min lifetime is the smallest bucket — assert monotone +
+    // bounds instead)
+    val surv = run("q215_survival_curve")
+    val nges = surv.map(_.getAs[Long]("n_ge"))
+    assert(nges.zip(nges.tail).forall { case (a, b) => a >= b })
+    assert(surv.forall(r => r.getAs[Long]("surv_milli") >= 0L &&
+      r.getAs[Long]("surv_milli") <= 1000L))
+    // q216 Benford: all nine digits, shares sum to ~1000 (floor slack)
+    val ben = run("q216_benford_audit")
+    assert(ben.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val obsSum = ben.map(_.getAs[Long]("obs_milli")).sum
+    assert(obsSum >= 991L && obsSum <= 1000L, s"obs shares sum $obsSum")
+    // q217 Gini in [0, 1000); a perfectly equal synthetic check is in
+    // the formula: 2·Σr·x̄ = (n+1)·Σx when all x equal
+    val gini = run("q217_gini").head.getAs[Long]("gini_milli")
+    assert(gini >= 0L && gini < 1000L, s"gini $gini")
+    // q218 Chao1: the estimate never falls below the observed richness
+    val chao = run("q218_chao1")
+    assert(chao.forall(r => r.getAs[Long]("chao1") >= r.getAs[Long]("s_obs")))
+  }
+
   // ------------------------------------------------------- KMV set ops
 
   private def kvDf(rows: Seq[(String, Long)]) = rows.toDF("t", "id")
