@@ -11313,6 +11313,38 @@ object Queries {
           expr("CAST(s_obs + f1 * (f1 - 1) DIV (2 * (f2 + 1)) AS BIGINT)"))
         .orderBy(col("lang"))
     },
+
+    // ------------------------------------------------------------------
+    // x50: STREAMING per-day Benford drift monitor (StreamBenford) —
+    // q216's fraud screen live: per-day leading-digit counts via the
+    // built-in watermarked aggregation (counts additive ⇒ nine longs
+    // per open day IS the state), shares vs the same compile-time
+    // constants finished row-locally per closed window. Oracle = the
+    // batch per-day Benford table: stream ≡ batch.
+    q("x50_stream_benford", {
+      val exp = (1 to 9).map(dg =>
+        s"($dg, ${graft.streaming.StreamBenford.expMilli(dg)})").mkString(", ")
+      s"""WITH e(digit, exp_milli) AS (VALUES $exp),
+        |o AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+        |        CAST(substr(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR),
+        |             1, 1) AS BIGINT) AS digit
+        |      FROM events WHERE value >= 1),
+        |a AS (SELECT day_ms, digit, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM o GROUP BY 1, 2),
+        |t AS (SELECT day_ms, CAST(SUM(n) AS BIGINT) AS tot
+        |      FROM a GROUP BY 1)
+        |SELECT a.day_ms, a.digit, a.n,
+        |       CAST(a.n * 1000 // t.tot AS BIGINT) AS obs_milli,
+        |       CAST(e.exp_milli AS BIGINT) AS exp_milli,
+        |       CAST(abs(a.n * 1000 // t.tot - e.exp_milli) AS BIGINT)
+        |         AS dev_milli
+        |FROM a JOIN t ON a.day_ms = t.day_ms JOIN e ON a.digit = e.digit
+        |ORDER BY a.day_ms, a.digit""".stripMargin
+    }) { (s, d) =>
+      graft.streaming.StreamBenford.replayParquet(s, d,
+          queryName = "x50_benford")
+        .orderBy(col("day_ms"), col("digit"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
