@@ -10394,11 +10394,14 @@ object Queries {
         |      FROM pr),
         |e AS (SELECT *, CAST(len(u_sk) AS BIGINT) AS u_len,
         |        CAST(CASE WHEN m_a < $KmvK THEN m_a
-        |             ELSE $KmvNumerator // hs_a[$KmvK] END AS BIGINT) AS est_a,
+        |             ELSE $KmvNumerator // GREATEST(hs_a[$KmvK], 1)
+        |             END AS BIGINT) AS est_a,
         |        CAST(CASE WHEN m_b < $KmvK THEN m_b
-        |             ELSE $KmvNumerator // hs_b[$KmvK] END AS BIGINT) AS est_b,
+        |             ELSE $KmvNumerator // GREATEST(hs_b[$KmvK], 1)
+        |             END AS BIGINT) AS est_b,
         |        CAST(CASE WHEN len(u_sk) < $KmvK THEN len(u_sk)
-        |             ELSE $KmvNumerator // u_sk[$KmvK] END AS BIGINT)
+        |             ELSE $KmvNumerator // GREATEST(u_sk[$KmvK], 1)
+        |             END AS BIGINT)
         |          AS est_union,
         |        CAST(len(list_filter(u_sk, x -> list_contains(hs_a, x)
         |               AND list_contains(hs_b, x))) AS BIGINT) AS rho_num

@@ -52,10 +52,14 @@ object KmvSetOps {
         size(col("smp")).cast("long").as("m"), col("n_exact"))
 
     // integer-exact estimator: CASE guards the (ANSI) array index and
-    // the lazy ELSE keeps sub-k sketches exact; DIV, never double /
+    // the lazy ELSE keeps sub-k sketches exact; DIV, never double /.
+    // GREATEST(·,1) guards the divisor: md5Hash mod MersennePrime is 0
+    // with probability ~2⁻³¹ per key, where Spark's non-ANSI DIV would
+    // yield NULL but DuckDB's // raises — the guard (mirrored 1:1 in
+    // the oracle) keeps both engines total and identical.
     def estSql(hs: String, m: String): String =
       s"CAST(CASE WHEN $m < $k THEN $m " +
-        s"ELSE $numerator DIV $hs[${k - 1}] END AS BIGINT)"
+        s"ELSE $numerator DIV GREATEST($hs[${k - 1}], 1) END AS BIGINT)"
 
     // |keys| rows: the self-cross is key-cardinality-bounded, broadcast
     val a = sk.select(col("t").as("t_a"), col("hs").as("hs_a"),
@@ -71,7 +75,7 @@ object KmvSetOps {
       .withColumn("est_b", expr(estSql("hs_b", "m_b")))
       .withColumn("est_union", expr(
         s"CAST(CASE WHEN u_len < $k THEN u_len " +
-          s"ELSE $numerator DIV u_sk[${k - 1}] END AS BIGINT)"))
+          s"ELSE $numerator DIV GREATEST(u_sk[${k - 1}], 1) END AS BIGINT)"))
       .withColumn("rho_num",
         size(array_intersect(col("u_sk"),
           array_intersect(col("hs_a"), col("hs_b")))).cast("long"))

@@ -52,9 +52,13 @@ object Privacy {
     * EMD = Σᵢ |cumP_g(i) − cumP_all(i)| / (m−1), reported in
     * micro-units with a risk flag when it exceeds `tMilli/1000`.
     *
-    * Arithmetic: the cumulative-difference numerator is exact BIGINT
-    * cross-multiplication (|cum_g·N − cum_all·n_g| ≤ N², overflow-free
-    * to N ≈ 3·10⁹ rows); only the final micro-scaling goes through
+    * Arithmetic: each cumulative-difference term is exact BIGINT
+    * cross-multiplication with |cum_g·N − cum_all·n_g| ≤ n_g·N, and the
+    * per-group SUM over the m−1 interior sensitive values is bounded by
+    * (m−1)·n_g·N ≤ (m−1)·N² — so the joint limit is (m−1)·N² < 2⁶³,
+    * e.g. N ≈ 3·10⁹ rows at m ≤ 1000 or N ≈ 10⁸ at m ≤ 10⁶ (m = the
+    * sensitive attribute's cardinality, an attribute property, not
+    * corpus size); only the final micro-scaling goes through
     * DOUBLE in the same association on both engines (1e6·Σ would
     * overflow BIGINT first — the q181 discipline; IEEE
     * multiply/divide/floor is bit-deterministic). Groups of a single

@@ -29,11 +29,21 @@ object Sweep {
     * Output: (day_ms, n_boundaries, peak). */
   def peakConcurrencyDaily(df: DataFrame, start: Column, end: Column,
                            tie: Column): DataFrame = {
+    val rawId = tie.cast("long")
+    // the tie-encoding contract below is GUARDED, not just documented:
+    // an id outside [0, 10¹²) would silently corrupt end-before-start
+    // ordering, so a violating row raises at scan time (one codegen'd
+    // comparison per row — no extra job, no plan-shape change)
+    val guardedId = when(rawId >= 0L && rawId < 1000000000000L, rawId)
+      .otherwise(raise_error(concat(
+        lit("Sweep.peakConcurrencyDaily: tie id out of [0, 1e12) breaks " +
+          "the boundary-order encoding: "), rawId.cast("string")))
+        .cast("long"))
     val spans = df.select(start.cast("long").as("_s"),
-      end.cast("long").as("_e"), tie.cast("long").as("_id"))
+      end.cast("long").as("_e"), guardedId.as("_id"))
     // ends first at equal t: tie key = (delta+1)/2 · 10¹² + id, so a
     // −1 boundary (0·10¹²+id) sorts before a +1 (10¹²+id) — a data
-    // contract the caller guarantees (ids here are table keys ≪ 10¹²;
+    // contract now enforced above (ids here are table keys ≪ 10¹²;
     // a deployment beyond it raises the constant)
     val bounds = spans.select(col("_s").as("_t"), lit(1L).as("_d"),
         (lit(1000000000000L) + col("_id")).as("_tie"))

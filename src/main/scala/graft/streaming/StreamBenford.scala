@@ -44,13 +44,21 @@ object StreamBenford {
   def replayParquet(spark: SparkSession, dir: String,
                     queryName: String = "stream_benford",
                     statePartitions: Option[Int] = Some(8)): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n =>
-      spark.conf.set("spark.sql.shuffle.partitions", n))
-    try {
+    // complete mode needs no watermark sentinel, but the source read
+    // must still handle BOTH events.parquet layouts (single file and
+    // directory of part files) like ReplayStage.stageEvents does — a
+    // glob of 'events.parquet' against the parent dir silently yields
+    // zero rows on the directory layout.
+    val src = s"$dir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    val stream =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(src)))
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "*.parquet").parquet(src)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    ReplayStage.withStatePartitions(spark, statePartitions) {
       val q = dailyDigitCounts(graft.sources.Tables.tsNanosNormalized(stream))
         .writeStream
         .outputMode("complete")
@@ -58,8 +66,6 @@ object StreamBenford {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
     import spark.implicits._
     // both consumers of the memory sink must mint FRESH attributes

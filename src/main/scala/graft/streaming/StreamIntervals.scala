@@ -27,6 +27,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Stream ≡ batch is the correctness contract: the replay shares q202's
   * oracle verbatim, island numbering included.
+  *
+  * 24/7 CAVEAT (the StreamBenford MODE-CAVEAT discipline): after a
+  * timeout flush the key's state is KEPT (n = 0, seq retained — the
+  * retained seq is what lets a returning key resume island numbering,
+  * the stream ≡ batch contract) and no new timeout is registered, so a
+  * key that never returns holds its ~4-long state until query end.
+  * Harmless for the bounded AvailableNow replay; a continuous
+  * deployment that cannot afford one idle entry per ever-seen key
+  * should re-arm a long eviction timeout in the timed-out branch and
+  * accept that an evicted key restarts island numbering at 1 (or
+  * persist the seq externally).
   */
 object StreamIntervals {
 
