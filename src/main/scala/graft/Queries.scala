@@ -11348,6 +11348,346 @@ object Queries {
           queryName = "x50_benford")
         .orderBy(col("day_ms"), col("digit"))
     },
+
+    // ==================================================================
+    // Round 14: the model-eval / drift-detection family — rank-based
+    // tests (Spearman/Mann–Whitney/AUC), distribution drift (KS/χ²/PSI/
+    // CUSUM), classifier calibration, retrieval eval+fusion, time-series
+    // diagnostics, and the zone-map layout audit.
+    // ==================================================================
+
+    // ------------------------------------------------------------------
+    // q219: per-nation Spearman rank correlation between a customer's
+    // order count and total spend (RankStats.spearmanByGroup) — the
+    // outlier-proof association test (a single whale customer saturates
+    // Pearson; ranks don't care). Midranks ×2 under ties, BIGINT
+    // sufficient statistics (4n³ bound documented in the operator), one
+    // double sqrt/divide at the end in the same association.
+    q("q219_spearman",
+      """WITH per AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, o_custkey,
+        |         CAST(COUNT(*) AS BIGINT) AS xo,
+        |         CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+        |           AS yo
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT nation,
+        |    2 * (rank() OVER (PARTITION BY nation ORDER BY xo) - 1)
+        |      + COUNT(*) OVER (PARTITION BY nation, xo) + 1 AS rx,
+        |    2 * (rank() OVER (PARTITION BY nation ORDER BY yo) - 1)
+        |      + COUNT(*) OVER (PARTITION BY nation, yo) + 1 AS ry
+        |  FROM per),
+        |a AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+        |        CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+        |        CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+        |        CAST(SUM(ry * ry) AS BIGINT) AS syy
+        |      FROM rk GROUP BY 1)
+        |SELECT nation, n,
+        |       CAST(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |            THEN floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                        * CAST(n * syy - sy * sy AS DOUBLE)))
+        |            ELSE 0 END AS BIGINT) AS rho_micro
+        |FROM a ORDER BY nation""".stripMargin) { (s, d) => {
+      val per = T(s, d, "orders")
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          col("o_custkey"))
+        .agg(count(lit(1)).cast("long").as("_no"),
+          sum(expr("CAST(FLOOR(o_totalprice) AS BIGINT)")).cast("long")
+            .as("_sp"))
+      graft.operators.RankStats
+        .spearmanByGroup(per, "nation", col("_no"), col("_sp"))
+        .orderBy(col("nation"))
+    }},
+
+    // ------------------------------------------------------------------
+    // q220: two-sample Kolmogorov–Smirnov drift test between EVERY pair
+    // of document sources over doc length (DriftStats.ksPairs) — the
+    // shape-free "did this source drift" screen a corpus audit runs
+    // across crawl snapshots. Integer-exact: the ECDF gap at v
+    // cross-multiplies to |cum_a·n_b − cum_b·n_a|; only the final milli
+    // scaling divides through DOUBLE. Per-pair windows run over the
+    // UNION of the two sides' distinct values — one-side-only values
+    // still shift the ECDF, pinned by the full-outer grid.
+    q("q220_ks_drift",
+      """WITH h AS (SELECT source AS s, CAST(n_chars AS BIGINT) AS v,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |sd AS (SELECT DISTINCT s FROM h),
+        |pr AS (SELECT a.s AS side_a, b.s AS side_b
+        |       FROM sd a JOIN sd b ON a.s < b.s),
+        |ga AS (SELECT pr.side_a, pr.side_b, h.v, h.c AS ca
+        |       FROM pr JOIN h ON h.s = pr.side_a),
+        |gb AS (SELECT pr.side_a, pr.side_b, h.v, h.c AS cb
+        |       FROM pr JOIN h ON h.s = pr.side_b),
+        |g AS (SELECT side_a, side_b, v,
+        |             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |      FROM ga FULL OUTER JOIN gb USING (side_a, side_b, v)),
+        |cumd AS (SELECT side_a, side_b,
+        |           SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
+        |           SUM(ca) OVER wp AS na, SUM(cb) OVER wp AS nb
+        |         FROM g
+        |         WINDOW w AS (PARTITION BY side_a, side_b ORDER BY v
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND CURRENT ROW),
+        |                wp AS (PARTITION BY side_a, side_b)),
+        |agg AS (SELECT side_a, side_b,
+        |          CAST(MAX(na) AS BIGINT) AS n_a,
+        |          CAST(MAX(nb) AS BIGINT) AS n_b,
+        |          CAST(MAX(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_num
+        |        FROM cumd GROUP BY 1, 2)
+        |SELECT side_a, side_b, n_a, n_b, ks_num,
+        |       CAST(floor(1000.0 * CAST(ks_num AS DOUBLE)
+        |            / CAST(n_a * n_b AS DOUBLE)) AS BIGINT) AS ks_milli
+        |FROM agg ORDER BY side_a, side_b""".stripMargin) { (s, d) =>
+      graft.operators.DriftStats
+        .ksPairs(T(s, d, "documents"), "source", col("n_chars"))
+        .orderBy(col("side_a"), col("side_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // q221: Mann–Whitney U between every pair of event types over the
+    // event value (RankStats.mannWhitneyPairs) — "is type A's value
+    // distribution stochastically larger than B's", the rank-sum
+    // location test with midrank ties. Never ranks rows: U comes from
+    // the (side, value-cents) histogram via the rank-sum identity; the
+    // common-language effect size is the one double division.
+    q("q221_mannwhitney",
+      """WITH h AS (SELECT event_type AS s,
+        |             CAST(FLOOR(value * 100) AS BIGINT) AS v,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |sd AS (SELECT DISTINCT s FROM h),
+        |pr AS (SELECT a.s AS side_a, b.s AS side_b
+        |       FROM sd a JOIN sd b ON a.s < b.s),
+        |ga AS (SELECT pr.side_a, pr.side_b, h.v, h.c AS ca
+        |       FROM pr JOIN h ON h.s = pr.side_a),
+        |gb AS (SELECT pr.side_a, pr.side_b, h.v, h.c AS cb
+        |       FROM pr JOIN h ON h.s = pr.side_b),
+        |g AS (SELECT side_a, side_b, v,
+        |             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |      FROM ga FULL OUTER JOIN gb USING (side_a, side_b, v)),
+        |rk AS (SELECT side_a, side_b, ca, cb,
+        |         2 * COALESCE(SUM(ca + cb) OVER (
+        |               PARTITION BY side_a, side_b ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |             0) + ca + cb + 1 AS r2
+        |       FROM g),
+        |a AS (SELECT side_a, side_b,
+        |        CAST(SUM(ca) AS BIGINT) AS n_a,
+        |        CAST(SUM(cb) AS BIGINT) AS n_b,
+        |        CAST(SUM(ca * r2) AS BIGINT) AS r2a,
+        |        CAST(SUM(cb * r2) AS BIGINT) AS r2b
+        |      FROM rk GROUP BY 1, 2)
+        |SELECT side_a, side_b, n_a, n_b,
+        |       CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+        |       CAST(r2b - n_b * (n_b + 1) AS BIGINT) AS u2_b,
+        |       CAST(floor(1000000.0 * CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+        |            / (2.0 * CAST(n_a * n_b AS DOUBLE))) AS BIGINT)
+        |         AS cle_micro
+        |FROM a ORDER BY side_a, side_b""".stripMargin) { (s, d) =>
+      graft.operators.RankStats
+        .mannWhitneyPairs(T(s, d, "events"), "event_type",
+          expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+        .orderBy(col("side_a"), col("side_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // q222: per-class one-vs-rest ROC AUC of the first embedding
+    // component as a class-separability score (RankStats.aucByGroup) —
+    // the threshold-free audit a quality/label classifier reports.
+    // AUC from the rank-sum identity over the (class, score) histogram;
+    // midranks give ties the standard ½ credit. Scores are the float
+    // component floored at micro resolution — one IEEE multiply+floor,
+    // identical both engines.
+    q("q222_auc_ovr",
+      """WITH e AS (SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+        |                  * 1000000) AS BIGINT) AS v, label
+        |           FROM embeddings),
+        |cls AS (SELECT unnest(generate_series(0, 9)) AS cls),
+        |x AS (SELECT cls, v,
+        |             CASE WHEN label = cls THEN 1 ELSE 0 END AS y
+        |      FROM e CROSS JOIN cls),
+        |h AS (SELECT cls, v, CAST(COUNT(*) AS BIGINT) AS c,
+        |             CAST(SUM(y) AS BIGINT) AS cp
+        |      FROM x GROUP BY 1, 2),
+        |r AS (SELECT cls, c, cp,
+        |        COALESCE(SUM(c) OVER (PARTITION BY cls ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS bf
+        |      FROM h),
+        |a AS (SELECT cls, CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |        CAST(SUM(c - cp) AS BIGINT) AS n_neg,
+        |        CAST(SUM(cp * (2 * bf + c + 1)) AS BIGINT) AS r2p
+        |      FROM r GROUP BY 1)
+        |SELECT CAST(cls AS BIGINT) AS cls, n_pos, n_neg,
+        |       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+        |            THEN floor(1000000.0
+        |                 * CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+        |                 / (2.0 * CAST(n_pos * n_neg AS DOUBLE)))
+        |            ELSE -1 END AS BIGINT) AS auc_micro
+        |FROM a ORDER BY cls""".stripMargin) { (s, d) => {
+      val e = T(s, d, "embeddings")
+        .select(expr("CAST(FLOOR(CAST(embedding[0] AS DOUBLE) * 1000000)" +
+          " AS BIGINT)").as("_v"), col("label"))
+        .withColumn("cls", explode(sequence(lit(0L), lit(9L))))
+        .withColumn("_y", (col("label") === col("cls")).cast("long"))
+      graft.operators.RankStats
+        .aucByGroup(e, "cls", col("_v"), col("_y"))
+        .orderBy(col("cls"))
+    }},
+
+    // ------------------------------------------------------------------
+    // q223: precision/recall/F1 threshold sweep of the q222 score
+    // against the even-label class (Calibration.prSweep) — the
+    // gate-tuning table: one row per operating point, F1 in its
+    // integer-pure 2TP/(2TP+FP+FN) form, everything cross-multiplied
+    // floor division over exact counts. One score histogram re-keyed by
+    // broadcast thresholds.
+    q("q223_pr_sweep",
+      """WITH e AS (SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+        |                  * 1000000) AS BIGINT) AS v,
+        |                  CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y
+        |           FROM embeddings),
+        |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+        |             CAST(SUM(y) AS BIGINT) AS cp
+        |      FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS allp FROM h),
+        |th AS (SELECT unnest(generate_series(-250000, 250000, 50000))
+        |         AS threshold),
+        |a AS (SELECT threshold, CAST(SUM(cp) AS BIGINT) AS tp,
+        |             CAST(SUM(c - cp) AS BIGINT) AS fp
+        |      FROM h JOIN th ON v >= threshold GROUP BY 1)
+        |SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp,
+        |       CAST(allp - tp AS BIGINT) AS fn_,
+        |       CAST(CASE WHEN tp + fp > 0 THEN tp * 1000 // (tp + fp)
+        |            ELSE 0 END AS BIGINT) AS precision_milli,
+        |       CAST(CASE WHEN allp > 0 THEN tp * 1000 // allp
+        |            ELSE 0 END AS BIGINT) AS recall_milli,
+        |       CAST(CASE WHEN 2 * tp + fp + (allp - tp) > 0
+        |            THEN 2 * tp * 1000 // (2 * tp + fp + (allp - tp))
+        |            ELSE 0 END AS BIGINT) AS f1_milli
+        |FROM a CROSS JOIN tot ORDER BY threshold""".stripMargin) { (s, d) =>
+      graft.operators.Calibration.prSweep(
+          T(s, d, "embeddings"),
+          expr("CAST(FLOOR(CAST(embedding[0] AS DOUBLE) * 1000000)" +
+            " AS BIGINT)"),
+          expr("CAST(label % 2 = 0 AS BIGINT)"),
+          thresholds = (-250000L to 250000L by 50000L))
+        .orderBy(col("threshold"))
+    },
+
+    // ------------------------------------------------------------------
+    // q224: expected-calibration-error reliability diagram
+    // (Calibration.reliabilityBins) — is a predicted 0.8 right 80% of
+    // the time? The fixture is SELF-VALIDATING: predicted probability =
+    // md5(vec_id) mod 1001 milli-units and the label fires when an
+    // independent md5 draw lands under it, so the table is calibrated
+    // in expectation and the per-bin gap shows honest sampling noise.
+    // One hash agg over 10 bins, integer end-to-end.
+    q("q224_calibration",
+      """WITH p AS (
+        |  SELECT CAST(('0x' || substr(md5('cal:' || CAST(vec_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) % 1001 AS pm,
+        |         CASE WHEN CAST(('0x' || substr(md5('lab:' ||
+        |                CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+        |              < CAST(('0x' || substr(md5('cal:' ||
+        |                CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1001
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |b AS (SELECT LEAST(pm // 100, 9) AS bin,
+        |             CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(pm) AS BIGINT) AS sp,
+        |             CAST(SUM(y) AS BIGINT) AS np
+        |      FROM p GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, n,
+        |       CAST(sp // n AS BIGINT) AS conf_milli,
+        |       CAST(np * 1000 // n AS BIGINT) AS acc_milli,
+        |       CAST(abs(sp // n - np * 1000 // n) AS BIGINT) AS gap_milli
+        |FROM b ORDER BY bin""".stripMargin) { (s, d) => {
+      val pm = graft.functions.HashFns.md5Hash60(
+        concat(lit("cal:"), col("vec_id").cast("string"))) % 1001L
+      val lab = graft.functions.HashFns.md5Hash60(
+        concat(lit("lab:"), col("vec_id").cast("string"))) % 1000L
+      val src = T(s, d, "embeddings")
+        .select(pm.as("_pm"), (lab < pm).cast("long").as("_y"))
+      graft.operators.Calibration
+        .reliabilityBins(src, col("_pm"), col("_y"), bins = 10)
+        .orderBy(col("bin"))
+    }},
+
+    // ------------------------------------------------------------------
+    // q225: chi-squared independence residual table of lang × source
+    // over documents (DriftStats.chiSqCells) — are languages uniformly
+    // spread over sources, and which cells deviate. Per-cell terms
+    // (O·N − R·C)²/(R·C·N) individually floored to micro (the q209
+    // per-term discipline, no float accumulation); margins broadcast.
+    q("q225_chisq",
+      """WITH cells AS (SELECT lang AS rowv, source AS colv,
+        |                 CAST(COUNT(*) AS BIGINT) AS o
+        |               FROM documents GROUP BY 1, 2),
+        |r AS (SELECT rowv, CAST(SUM(o) AS BIGINT) AS rr
+        |      FROM cells GROUP BY 1),
+        |c AS (SELECT colv, CAST(SUM(o) AS BIGINT) AS cc
+        |      FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells)
+        |SELECT rowv, colv, o,
+        |       CAST(floor(1000000.0 * CAST(rr * cc AS DOUBLE)
+        |            / CAST(nn AS DOUBLE)) AS BIGINT) AS e_micro,
+        |       CAST(floor(1000000.0 * CAST(o * nn - rr * cc AS DOUBLE)
+        |            * CAST(o * nn - rr * cc AS DOUBLE)
+        |            / (CAST(rr * cc AS DOUBLE) * CAST(nn AS DOUBLE)))
+        |            AS BIGINT) AS term_micro
+        |FROM cells JOIN r USING (rowv) JOIN c USING (colv) CROSS JOIN n
+        |ORDER BY rowv, colv""".stripMargin) { (s, d) =>
+      graft.operators.DriftStats
+        .chiSqCells(T(s, d, "documents"), "lang", "source")
+        .orderBy(col("rowv"), col("colv"))
+    },
+
+    // ------------------------------------------------------------------
+    // q226: per-type CUSUM drift alarm over daily event-value totals
+    // (TimeSeries.cusumDaily) — Page's sequential change-point
+    // detector: a persistent small shift accumulates where per-day
+    // z-checks stay blind. The recurrence c = max(0, c + (x − k)) is
+    // the q213 clamp, windowable via the reflection identity
+    // c_i = cum_i − min(0, running-min cum_i); slack and alarm
+    // thresholds self-calibrate from the key's own mean (integer DIV).
+    q("q226_cusum",
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS p,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |        CAST(CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+        |             AS BIGINT) AS mean
+        |      FROM daily GROUP BY 1),
+        |cm AS (SELECT d.event_type, d.p, d.x, m.mean,
+        |         SUM(d.x - (m.mean + m.mean * 10 // 100)) OVER (
+        |           PARTITION BY d.event_type ORDER BY d.p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM daily d JOIN m USING (event_type)),
+        |f AS (SELECT event_type, p, x, mean,
+        |        cum - LEAST(0, MIN(cum) OVER (
+        |          PARTITION BY event_type ORDER BY p
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |          AS cusum
+        |      FROM cm)
+        |SELECT event_type, CAST(p AS BIGINT) AS period_ms, x,
+        |       CAST(cusum AS BIGINT) AS cusum,
+        |       CAST(cusum > mean * 3 AS BIGINT) AS alarm
+        |FROM f ORDER BY event_type, period_ms""".stripMargin) { (s, d) =>
+      graft.operators.TimeSeries.cusumDaily(
+          T(s, d, "events"),
+          "event_type",
+          periodMs = expr("(ts DIV 1000000 DIV 86400000) * 86400000"),
+          value = expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+        .orderBy(col("event_type"), col("period_ms"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -58,4 +58,52 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").option("compression", "zstd").parquet(dir)
+
+  /** Zone-map skip audit — the report an engineer reads BEFORE
+    * committing a 100 TB table to a sort/layout: simulate file
+    * boundaries with a shard-assignment expression, build each shard's
+    * [min, max] zone over `value` (exactly what parquet footers store),
+    * and for each closed predicate range [lo, hi] count the shards a
+    * min/max-pruning scan skips (zone disjoint from the range) plus the
+    * row-level scan cost and true selectivity. Two layouts of the SAME
+    * data differ only in `shard` — compare a natural-arrival layout
+    * against a value-sorted one and the skip_milli column IS the
+    * argument for re-sorting.
+    *
+    * Output per predicate: (pred_lo, pred_hi, n_shards, n_skipped,
+    * skip_milli, rows_total, rows_scanned, rows_matching). Scale: one
+    * hash agg to zones (shard-cardinality rows), a broadcast
+    * zones × predicates cross (both bounded), and one corpus pass for
+    * the true match counts against the broadcast predicate list. */
+  def zoneMapSkipAudit(df: DataFrame, shard: Column, value: Column,
+                       preds: Seq[(Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "zoneMapSkipAudit: no predicates")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(shard.cast("long").as("_sh"),
+      value.cast("long").as("_v"))
+    val zones = src.groupBy(col("_sh"))
+      .agg(min(col("_v")).as("_zlo"), max(col("_v")).as("_zhi"),
+        count(lit(1)).cast("long").as("_zn"))
+    val p = preds.toDF("pred_lo", "pred_hi")
+    val audit = zones.crossJoin(broadcast(p))
+      .withColumn("_skip",
+        (col("_zhi") < col("pred_lo")) || (col("_zlo") > col("pred_hi")))
+      .groupBy(col("pred_lo"), col("pred_hi"))
+      .agg(count(lit(1)).cast("long").as("n_shards"),
+        sum(col("_skip").cast("long")).cast("long").as("n_skipped"),
+        sum(col("_zn")).cast("long").as("rows_total"),
+        sum(when(col("_skip"), 0L).otherwise(col("_zn")))
+          .cast("long").as("rows_scanned"))
+      .withColumn("skip_milli", expr("n_skipped * 1000 DIV n_shards"))
+    val matches = src.join(broadcast(p),
+        col("_v") >= col("pred_lo") && col("_v") <= col("pred_hi"))
+      .groupBy(col("pred_lo"), col("pred_hi"))
+      .agg(count(lit(1)).cast("long").as("rows_matching"))
+    audit.join(matches, Seq("pred_lo", "pred_hi"), "left")
+      .na.fill(0L, Seq("rows_matching"))
+      .select(col("pred_lo"), col("pred_hi"), col("n_shards"),
+        col("n_skipped"), col("skip_milli"), col("rows_total"),
+        col("rows_scanned"), col("rows_matching"))
+  }
 }
