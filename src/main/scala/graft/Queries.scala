@@ -11688,6 +11688,433 @@ object Queries {
           value = expr("CAST(FLOOR(value * 100) AS BIGINT)"))
         .orderBy(col("event_type"), col("period_ms"))
     },
+
+    // ------------------------------------------------------------------
+    // q227: retrieval-run evaluation (RetrievalEval.evalRun) — MRR,
+    // hit@1/5, precision@10 of the exact-cosine top-10 run against
+    // same-label relevance, the regression table a retrieval gate reads
+    // before an index change ships. The run uses q139's float
+    // discipline (sequential-fold dots, explicit norm division — raw
+    // doubles rank-stable cross-engine); the metrics are exact integer
+    // divisions over candidate-sized frames.
+    q("q227_retrieval_eval",
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(x AS DOUBLE) FOR x IN embedding] AS v, label
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_reduce([x*x FOR x IN v], (a,b) -> a+b)) AS nrm
+        |      FROM e),
+        |q AS (SELECT vec_id AS qid, label AS qlab, v AS qv, nrm AS qnrm
+        |      FROM n WHERE vec_id < 10),
+        |sc AS (SELECT q.qid, q.qlab, c.vec_id, c.label,
+        |         list_reduce([q.qv[i]*c.v[i]
+        |             FOR i IN generate_series(1, len(q.qv))],
+        |           (a,b) -> a+b) / (q.qnrm * c.nrm) AS cos
+        |       FROM q CROSS JOIN n c WHERE c.vec_id <> q.qid),
+        |rk AS (SELECT qid, qlab, vec_id, label,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, vec_id) AS rnk
+        |       FROM sc),
+        |run AS (SELECT qid, rnk,
+        |          CASE WHEN label = qlab THEN 1 ELSE 0 END AS rel
+        |        FROM rk WHERE rnk <= 10),
+        |a AS (SELECT qid AS query_id, CAST(COUNT(*) AS BIGINT) AS n_ret,
+        |        CAST(SUM(rel) AS BIGINT) AS n_rel_ret,
+        |        CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rnk END), 0)
+        |             AS BIGINT) AS first_rel_rank,
+        |        CAST(SUM(CASE WHEN rel = 1 AND rnk <= 10 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS relk
+        |      FROM run GROUP BY 1)
+        |SELECT query_id, n_ret, n_rel_ret, first_rel_rank,
+        |       CAST(CASE WHEN first_rel_rank > 0
+        |            THEN 1000000 // first_rel_rank ELSE 0 END AS BIGINT)
+        |         AS rr_micro,
+        |       CAST(first_rel_rank = 1 AS BIGINT) AS hit1,
+        |       CAST(first_rel_rank BETWEEN 1 AND 5 AS BIGINT) AS hit5,
+        |       CAST(relk * 1000 // 10 AS BIGINT) AS p_at_k_milli
+        |FROM a ORDER BY query_id""".stripMargin) { (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def fold(a: org.apache.spark.sql.Column) =
+        aggregate(a, lit(0.0), (acc, x) => acc + x)
+      val e = T(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          graft.functions.VectorFns.toDoubles(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(fold(transform(col("v"), x => x * x))))
+      val eP = graft.Caches.persist(e)
+      val probes = eP.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("_qlab"),
+          col("v").as("qv"), col("nrm").as("qnrm"))
+      val sc = broadcast(probes).crossJoin(eP)
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("_qlab"), col("vec_id"), col("label"),
+          (fold(zip_with(col("qv"), col("v"), (a, b) => a * b))
+            / (col("qnrm") * col("nrm"))).as("_cos"))
+      val run = sc.withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("_cos").desc, col("vec_id"))).cast("long"))
+        .where(col("rank") <= 10)
+      val truth = run.sparkSession.emptyDataFrame // placeholder never used
+      val _ = truth
+      val rel = run.select(col("query_id"), col("vec_id"), col("rank"))
+      val truthPairs = probes.select(col("query_id"), col("_qlab"))
+        .join(eP.select(col("vec_id"), col("label")),
+          col("label") === col("_qlab"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+      graft.operators.RetrievalEval
+        .evalRun(rel, truthPairs, "query_id", "vec_id", "rank", k = 10)
+        .orderBy(col("query_id"))
+    }},
+
+    // ------------------------------------------------------------------
+    // q228: reciprocal-rank fusion of a lexical and a dense run
+    // (RetrievalEval.rrfFuse, Cormack et al. SIGIR'09) — rank-only
+    // ensembling of q84's BM25 top-20 and the exact-cosine top-20,
+    // immune to incomparable score scales (q93's cascade is the other
+    // composition: there the dense score RERANKS lexical candidates;
+    // here both runs retrieve independently and only ranks fuse).
+    // rrf = Σ 10⁹ DIV (60 + rank) — integer end-to-end; fusion cost is
+    // candidate-sized.
+    q("q228_rrf_fusion",
+      s"""$mirrorToksCte,
+        |stats AS (SELECT COUNT(*) AS nd, SUM(len(t)) AS nt FROM toks),
+        |dfT AS (SELECT w, COUNT(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks)
+        |        GROUP BY w),
+        |qt AS (SELECT * FROM (VALUES (0, 'hash'), (0, 'join'), (0, 'merge'),
+        |                             (1, 'slow'), (1, 'scan'), (1, 'filter'),
+        |                             (2, 'stream'), (2, 'window'), (2, 'agg'))
+        |                     AS q(qid, w)),
+        |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM toks)
+        |       WHERE w IN (SELECT w FROM qt)
+        |       GROUP BY doc_id, dl, w),
+        |term AS (SELECT qt.qid, tf.doc_id,
+        |    CAST(FLOOR(1000000 *
+        |      ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                / (CAST(df AS DOUBLE) + 0.5)) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 *
+        |        (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                        / (CAST(nt AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        |    ) AS BIGINT) AS ts
+        |  FROM tf JOIN qt USING (w) JOIN dfT USING (w) CROSS JOIN stats),
+        |sc AS (SELECT qid, doc_id, SUM(ts) AS score_scaled
+        |       FROM term GROUP BY qid, doc_id),
+        |lrun AS (SELECT qid, doc_id, rnk FROM (
+        |  SELECT qid, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY score_scaled DESC, doc_id) AS rnk FROM sc)
+        |  WHERE rnk <= 20),
+        |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce([x*x FOR x IN v], (a,b) -> a+b)) AS nrm
+        |      FROM e),
+        |qe AS (SELECT vec_id AS qid, v, nrm FROM n WHERE vec_id IN (0, 1, 2)),
+        |dn AS (SELECT q.qid, c.vec_id AS doc_id,
+        |         list_reduce([q.v[i]*c.v[i]
+        |             FOR i IN generate_series(1, len(q.v))],
+        |           (a,b) -> a+b) / (q.nrm * c.nrm) AS cos
+        |       FROM qe q CROSS JOIN n c),
+        |drun AS (SELECT qid, doc_id, rnk FROM (
+        |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, doc_id) AS rnk FROM dn) WHERE rnk <= 20),
+        |fused AS (SELECT qid, doc_id,
+        |            CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT)
+        |              AS rrf_scaled,
+        |            CAST(COUNT(*) AS BIGINT) AS n_runs
+        |          FROM (SELECT * FROM lrun UNION ALL SELECT * FROM drun)
+        |          GROUP BY 1, 2),
+        |rkd AS (SELECT CAST(qid AS BIGINT) AS qid,
+        |          CAST(row_number() OVER (PARTITION BY qid
+        |            ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rank,
+        |          doc_id, rrf_scaled, n_runs
+        |        FROM fused)
+        |SELECT qid, rank, doc_id, rrf_scaled, n_runs
+        |FROM rkd WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def fold(a: org.apache.spark.sql.Column) =
+          aggregate(a, lit(0.0), (acc, x) => acc + x)
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
+        val stats = graft.text.Bm25.fit(docs, "doc_id", "t")
+        val lrun = graft.text.Bm25.topKScaled(stats, docs, "doc_id", "t",
+            queries = Seq(
+              0L -> Seq("hash", "join", "merge"),
+              1L -> Seq("slow", "scan", "filter"),
+              2L -> Seq("stream", "window", "agg")),
+            k = 20)
+          .select(col("qid"), col("doc_id"), col("rnk").as("rank"))
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"),
+            graft.functions.VectorFns.toDoubles(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(fold(transform(col("v"), x => x * x))))
+        val eP = graft.Caches.persist(e)
+        val qe = eP.where(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
+        val dn = broadcast(qe).crossJoin(eP)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            (fold(zip_with(col("qv"), col("v"), (a, b) => a * b))
+              / (col("qnrm") * col("nrm"))).as("_cos"))
+        val drun = dn.withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("_cos").desc, col("doc_id"))).cast("long"))
+          .where(col("rank") <= 20)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        graft.operators.RetrievalEval
+          .rrfFuse(Seq(lrun, drun), "qid", "doc_id", "rank", k = 10)
+          .orderBy(col("qid"), col("rank"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // q229: lag-1 / lag-7 autocorrelation of daily per-type event value
+    // (TimeSeries.autocorr) — trend vs weekly periodicity vs noise, the
+    // diagnostic behind alert baselines. Period sums rescale to
+    // milli-of-key-max first (integer floor) so every sufficient
+    // statistic stays exact BIGINT at ANY corpus magnitude; pairs come
+    // from a period-grain self-join, never a window.
+    q("q229_autocorr",
+      """WITH sums AS (
+        |  SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS p,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS raw
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT event_type, CAST(MAX(raw) AS BIGINT) AS m
+        |       FROM sums GROUP BY 1),
+        |d AS (SELECT s.event_type, s.p,
+        |        CAST(CASE WHEN m.m > 0 THEN raw * 1000 // m.m ELSE 0 END
+        |             AS BIGINT) AS x
+        |      FROM sums s JOIN mx m USING (event_type)),
+        |lg AS (SELECT unnest([1, 7]) AS lag),
+        |pairs AS (SELECT l.event_type, g.lag, l.x AS xa, r.x AS xb
+        |          FROM lg g CROSS JOIN d l
+        |          JOIN d r ON r.event_type = l.event_type
+        |                  AND r.p = l.p + g.lag * 86400000),
+        |a AS (SELECT event_type, CAST(lag AS BIGINT) AS lag,
+        |        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+        |        CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+        |        CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+        |        CAST(SUM(xb * xb) AS BIGINT) AS syy
+        |      FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs,
+        |       CAST(CASE WHEN n_pairs * sxx - sx * sx > 0
+        |                  AND n_pairs * syy - sy * sy > 0
+        |            THEN floor(1000000.0
+        |                 * CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+        |                        * CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+        |            ELSE 0 END AS BIGINT) AS acf_micro
+        |FROM a ORDER BY event_type, lag""".stripMargin) { (s, d) =>
+      graft.operators.TimeSeries.autocorr(
+          T(s, d, "events"), "event_type",
+          periodMs = expr("(ts DIV 1000000 DIV 86400000) * 86400000"),
+          value = expr("CAST(FLOOR(value * 100) AS BIGINT)"),
+          stepMs = 86400000L, lags = Seq(1, 7))
+        .orderBy(col("event_type"), col("lag"))
+    },
+
+    // ------------------------------------------------------------------
+    // q230: day-of-week seasonality indices per event type
+    // (TimeSeries.dowSeasonality) — the ratio-to-overall weekly profile
+    // that deseasonalizes alert baselines. Epoch-day mod 7 (no
+    // locale-dependent date function on either engine); the index
+    // ratio goes through ONE fixed double association (the integer
+    // cross-product would overflow at corpus scale).
+    q("q230_dow_seasonality",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS x
+        |  FROM events GROUP BY 1, 2),
+        |o AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS sall,
+        |             CAST(COUNT(*) AS BIGINT) AS nall
+        |      FROM daily GROUP BY 1),
+        |g AS (SELECT event_type, d % 7 AS dow,
+        |             CAST(COUNT(*) AS BIGINT) AS n_periods,
+        |             CAST(SUM(x) AS BIGINT) AS sdow
+        |      FROM daily GROUP BY 1, 2)
+        |SELECT g.event_type, CAST(g.dow AS BIGINT) AS dow, g.n_periods,
+        |       CAST(sdow // n_periods AS BIGINT) AS mean_c,
+        |       CAST(floor(1000.0 * CAST(sdow AS DOUBLE)
+        |            * CAST(nall AS DOUBLE) / (CAST(n_periods AS DOUBLE)
+        |            * CAST(sall AS DOUBLE))) AS BIGINT) AS index_milli
+        |FROM g JOIN o USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin) { (s, d) =>
+      graft.operators.TimeSeries.dowSeasonality(
+          T(s, d, "events"), "event_type",
+          epochDay = expr("ts DIV 1000000 DIV 86400000"),
+          value = expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+
+    // ------------------------------------------------------------------
+    // q231: zone-map skip audit of two layouts (Layout.zoneMapSkipAudit)
+    // — the before-you-resort report: the SAME orders data sharded by
+    // arrival key vs sorted by order date, per year-range predicate the
+    // min/max-prunable shard fraction and row scan cost. The sorted
+    // layout's skip_milli column IS the argument for re-sorting (file
+    // zones become disjoint date slices). Shard grain 4096 rows ≈ a
+    // parquet row group; the sorted rank rides scalableRowNumber.
+    q("q231_zonemap_audit", {
+      val preds = (1995 to 2000).map { y =>
+        (java.time.LocalDate.of(y, 1, 1).toEpochDay,
+          java.time.LocalDate.of(y, 12, 31).toEpochDay)
+      }
+      val predVals = preds.map { case (lo, hi) => s"($lo, $hi)" }
+        .mkString(", ")
+      s"""WITH src AS (SELECT o_orderkey,
+        |         CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day
+        |       FROM orders),
+        |lay AS (
+        |  SELECT 'natural' AS layout, o_orderkey // 4096 AS sh, day
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'sorted',
+        |         (row_number() OVER (ORDER BY day, o_orderkey) - 1) // 4096,
+        |         day
+        |  FROM src),
+        |z AS (SELECT layout, sh, CAST(MIN(day) AS BIGINT) AS zlo,
+        |             CAST(MAX(day) AS BIGINT) AS zhi,
+        |             CAST(COUNT(*) AS BIGINT) AS zn
+        |      FROM lay GROUP BY 1, 2),
+        |p(pred_lo, pred_hi) AS (VALUES $predVals),
+        |a AS (SELECT layout, pred_lo, pred_hi,
+        |        CAST(COUNT(*) AS BIGINT) AS n_shards,
+        |        CAST(SUM(CASE WHEN zhi < pred_lo OR zlo > pred_hi
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |        CAST(SUM(zn) AS BIGINT) AS rows_total,
+        |        CAST(SUM(CASE WHEN zhi < pred_lo OR zlo > pred_hi
+        |             THEN 0 ELSE zn END) AS BIGINT) AS rows_scanned
+        |      FROM z CROSS JOIN p GROUP BY 1, 2, 3),
+        |m AS (SELECT layout, pred_lo, pred_hi,
+        |        CAST(COUNT(*) AS BIGINT) AS rows_matching
+        |      FROM lay JOIN p ON day BETWEEN pred_lo AND pred_hi
+        |      GROUP BY 1, 2, 3)
+        |SELECT a.layout, CAST(a.pred_lo AS BIGINT) AS pred_lo,
+        |       CAST(a.pred_hi AS BIGINT) AS pred_hi, n_shards, n_skipped,
+        |       CAST(n_skipped * 1000 // n_shards AS BIGINT) AS skip_milli,
+        |       rows_total, rows_scanned,
+        |       CAST(COALESCE(m.rows_matching, 0) AS BIGINT)
+        |         AS rows_matching
+        |FROM a LEFT JOIN m USING (layout, pred_lo, pred_hi)
+        |ORDER BY layout, pred_lo""".stripMargin
+    }) { (s, d) => {
+      val preds = (1995 to 2000).map { y =>
+        (java.time.LocalDate.of(y, 1, 1).toEpochDay,
+          java.time.LocalDate.of(y, 12, 31).toEpochDay)
+      }
+      val src = T(s, d, "orders")
+        .select(col("o_orderkey"),
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000")
+            .as("day"))
+      val nat = graft.operators.Layout.zoneMapSkipAudit(src,
+          expr("o_orderkey DIV 4096"), col("day"), preds)
+        .withColumn("layout", lit("natural"))
+      val ranked = graft.operators.Relational
+        .scalableRowNumber(src, "day", "o_orderkey", rankName = "_r")
+      val srt = graft.operators.Layout.zoneMapSkipAudit(ranked,
+          expr("(_r - 1) DIV 4096"), col("day"), preds)
+        .withColumn("layout", lit("sorted"))
+      nat.unionByName(srt).orderBy(col("layout"), col("pred_lo"))
+    }},
+
+    // ------------------------------------------------------------------
+    // q232: per-nation Kendall τ-b between order count and spend
+    // (RankStats.kendallByGroup) — the concordance twin of q219's
+    // Spearman with tie corrections; quadratic per group BY DEFINITION,
+    // so groups are first hash-capped (deterministic md5 gate, cap
+    // 1000, mirrored 1:1 in the oracle — the q168 rebalance scheme).
+    q("q232_kendall",
+      """WITH per AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |         o_custkey AS id,
+        |         CAST(COUNT(*) AS BIGINT) AS x,
+        |         CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+        |           AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |gs AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS gn
+        |       FROM per GROUP BY 1),
+        |kept AS (SELECT p.* FROM per p JOIN gs USING (nation)
+        |         WHERE CAST(('0x' || substr(md5('ktau:' ||
+        |                 CAST(nation AS VARCHAR) || ':' ||
+        |                 CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |               % 1000000 * gn < 1000 * 1000000),
+        |pairs AS (SELECT l.nation,
+        |            CAST(sign(l.x - r.x) * sign(l.y - r.y) AS BIGINT)
+        |              AS sgn,
+        |            CAST(l.x = r.x AS BIGINT) AS tiex,
+        |            CAST(l.y = r.y AS BIGINT) AS tiey
+        |          FROM kept l JOIN kept r
+        |            ON l.nation = r.nation AND l.id < r.id),
+        |a AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n0,
+        |        CAST(SUM(sgn) AS BIGINT) AS cmd,
+        |        CAST(SUM(tiex) AS BIGINT) AS tx,
+        |        CAST(SUM(tiey) AS BIGINT) AS ty
+        |      FROM pairs GROUP BY 1),
+        |nu AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_used
+        |       FROM kept GROUP BY 1)
+        |SELECT a.nation, nu.n_used, a.cmd AS conc_minus_disc,
+        |       CAST(CASE WHEN n0 > tx AND n0 > ty
+        |            THEN floor(1000000.0 * CAST(cmd AS DOUBLE)
+        |                 / sqrt(CAST(n0 - tx AS DOUBLE)
+        |                        * CAST(n0 - ty AS DOUBLE)))
+        |            ELSE 0 END AS BIGINT) AS tau_b_micro
+        |FROM a JOIN nu USING (nation) ORDER BY a.nation""".stripMargin) {
+      (s, d) => {
+        val per = T(s, d, "orders")
+          .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nation"),
+            col("o_custkey").as("id"))
+          .agg(count(lit(1)).cast("long").as("_x"),
+            sum(expr("CAST(FLOOR(o_totalprice) AS BIGINT)")).cast("long")
+              .as("_y"))
+        graft.operators.RankStats.kendallByGroup(per, "nation", "id",
+            col("_x"), col("_y"), cap = 1000L)
+          .orderBy(col("nation"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // q233: population stability index of the event-value distribution
+    // per event type against the global mix (DriftStats.psiBySide) —
+    // the score-bucket drift metric model monitoring alarms on (<0.1
+    // stable, >0.25 action). Per-(side, bucket) terms individually
+    // floored to micro over exact counts (the q209 per-term ln
+    // discipline); zero-count side-buckets get the standard one
+    // pseudo-count via the full side × bucket grid.
+    q("q233_psi",
+      """WITH bh AS (SELECT event_type AS s,
+        |              LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS b,
+        |              CAST(COUNT(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |sd AS (SELECT s, CAST(SUM(c) AS BIGINT) AS ns FROM bh GROUP BY 1),
+        |bk AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM bh GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bh),
+        |grid AS (SELECT sd.s, sd.ns, bk.b, bk.cb, COALESCE(bh.c, 0) AS c
+        |         FROM sd CROSS JOIN bk
+        |         LEFT JOIN bh ON bh.s = sd.s AND bh.b = bk.b),
+        |t AS (SELECT s, ns,
+        |        CAST(floor(1000000.0 *
+        |          (CAST(GREATEST(c, 1) AS DOUBLE) / CAST(ns AS DOUBLE)
+        |           - CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * ln((CAST(GREATEST(c, 1) AS DOUBLE) / CAST(ns AS DOUBLE))
+        |               / (CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))))
+        |          AS BIGINT) AS tm
+        |      FROM grid CROSS JOIN nn)
+        |SELECT s AS side, CAST(MAX(ns) AS BIGINT) AS n_side,
+        |       CAST(SUM(tm) AS BIGINT) AS psi_micro
+        |FROM t GROUP BY s ORDER BY side""".stripMargin) { (s, d) =>
+      graft.operators.DriftStats.psiBySide(
+          T(s, d, "events"), "event_type",
+          bucketOf = expr("LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9)"))
+        .orderBy(col("side"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

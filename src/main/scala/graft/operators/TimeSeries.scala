@@ -129,8 +129,13 @@ object TimeSeries {
       .join(broadcast(overall), keyCol)
       .select(col(keyCol), col("dow"), col("n_periods"),
         expr("_s DIV n_periods").as("mean_c"),
-        // index = (per-dow mean) / (overall mean), cross-multiplied:
-        // 1000·(s/n) / (sall/nall) = 1000·s·nall DIV (n·sall)
-        expr("_s * 1000 * _nall DIV (n_periods * _sall)").as("index_milli"))
+        // index = (per-dow mean) / (overall mean) = s·nall / (n·sall);
+        // the integer cross-product s·1000·nall overflows BIGINT at
+        // corpus scale, so the ratio goes through DOUBLE in ONE fixed
+        // association (q181 discipline — each BIGINT→double conversion
+        // and IEEE op correctly rounded, hence engine-identical)
+        expr("CAST(floor(1000.0 * CAST(_s AS DOUBLE)" +
+          " * CAST(_nall AS DOUBLE) / (CAST(n_periods AS DOUBLE)" +
+          " * CAST(_sall AS DOUBLE))) AS BIGINT)").as("index_milli"))
   }
 }
