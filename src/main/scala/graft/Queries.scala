@@ -899,6 +899,36 @@ object Queries {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Per-type daily CUSUM oracle (Page's change-point recurrence via
+    * the clamp reflection identity) — shared by the batch windowed plan
+    * (q226) and the streaming monitor replay (x51): stream ≡ batch is
+    * the correctness contract, the q213/x49 pairing. */
+  private def cusumOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS p,
+      |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+      |           AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type,
+      |        CAST(CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+      |             AS BIGINT) AS mean
+      |      FROM daily GROUP BY 1),
+      |cm AS (SELECT d.event_type, d.p, d.x, m.mean,
+      |         SUM(d.x - (m.mean + m.mean * 10 // 100)) OVER (
+      |           PARTITION BY d.event_type ORDER BY d.p
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |       FROM daily d JOIN m USING (event_type)),
+      |f AS (SELECT event_type, p, x, mean,
+      |        cum - LEAST(0, MIN(cum) OVER (
+      |          PARTITION BY event_type ORDER BY p
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |          AS cusum
+      |      FROM cm)
+      |SELECT event_type, CAST(p AS BIGINT) AS period_ms, x,
+      |       CAST(cusum AS BIGINT) AS cusum,
+      |       CAST(cusum > mean * 3 AS BIGINT) AS alarm
+      |FROM f ORDER BY event_type, period_ms""".stripMargin
+
   /** Interval-coalescing oracle (variable 1–30-minute validity spans
     * merged on the running-max-end rule) — shared by the batch windowed
     * plan (q202) and the stateful streaming replay (x47): stream ≡
@@ -11656,31 +11686,7 @@ object Queries {
     // the q213 clamp, windowable via the reflection identity
     // c_i = cum_i − min(0, running-min cum_i); slack and alarm
     // thresholds self-calibrate from the key's own mean (integer DIV).
-    q("q226_cusum",
-      """WITH daily AS (
-        |  SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS p,
-        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
-        |           AS x
-        |  FROM events GROUP BY 1, 2),
-        |m AS (SELECT event_type,
-        |        CAST(CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
-        |             AS BIGINT) AS mean
-        |      FROM daily GROUP BY 1),
-        |cm AS (SELECT d.event_type, d.p, d.x, m.mean,
-        |         SUM(d.x - (m.mean + m.mean * 10 // 100)) OVER (
-        |           PARTITION BY d.event_type ORDER BY d.p
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |       FROM daily d JOIN m USING (event_type)),
-        |f AS (SELECT event_type, p, x, mean,
-        |        cum - LEAST(0, MIN(cum) OVER (
-        |          PARTITION BY event_type ORDER BY p
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |          AS cusum
-        |      FROM cm)
-        |SELECT event_type, CAST(p AS BIGINT) AS period_ms, x,
-        |       CAST(cusum AS BIGINT) AS cusum,
-        |       CAST(cusum > mean * 3 AS BIGINT) AS alarm
-        |FROM f ORDER BY event_type, period_ms""".stripMargin) { (s, d) =>
+    q("q226_cusum", cusumOracleSql) { (s, d) =>
       graft.operators.TimeSeries.cusumDaily(
           T(s, d, "events"),
           "event_type",
@@ -12114,6 +12120,59 @@ object Queries {
           T(s, d, "events"), "event_type",
           bucketOf = expr("LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9)"))
         .orderBy(col("side"))
+    },
+
+    // ------------------------------------------------------------------
+    // x51: STREAMING CUSUM drift monitor (StreamCusum) — q226 live: the
+    // watermarked per-(type, day) cent sum IS the state (one long per
+    // open pair, additive ⇒ map-side combined, watermark-evicted) and
+    // the batch cusumDaily operator finishes VERBATIM over the closed
+    // rows — stream ≡ batch structurally, oracle shared word for word.
+    q("x51_stream_cusum", cusumOracleSql) { (s, d) =>
+      graft.streaming.StreamCusum.replayParquet(s, d,
+          queryName = "x51_cusum")
+        .orderBy(col("event_type"), col("period_ms"))
+    },
+
+    // ------------------------------------------------------------------
+    // x52: STREAMING per-day KS drift monitor (StreamKsDrift) — q220's
+    // two-sample test as a monitor: each closed day's binned value
+    // distribution against the stream's own reference, state = the
+    // per-(day, whole-unit bucket) histogram (≤ ~500 longs per open
+    // day). D is the exact integer cross-multiplied ECDF gap over the
+    // full day × bucket grid; binning granularity is the documented
+    // monitor trade.
+    q("x52_stream_ks",
+      """WITH h AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+        |             CAST(FLOOR(value) AS BIGINT) AS b,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day_ms FROM h),
+        |bk AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM h GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS nall FROM h),
+        |grid AS (SELECT d.day_ms, bk.b, bk.cb, COALESCE(h.c, 0) AS c
+        |         FROM days d CROSS JOIN bk
+        |         LEFT JOIN h ON h.day_ms = d.day_ms AND h.b = bk.b),
+        |cumd AS (SELECT day_ms,
+        |           SUM(c) OVER w AS cd, SUM(cb) OVER w AS call,
+        |           SUM(c) OVER wd AS nday
+        |         FROM grid
+        |         WINDOW w AS (PARTITION BY day_ms ORDER BY b
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND CURRENT ROW),
+        |                wd AS (PARTITION BY day_ms)),
+        |a AS (SELECT day_ms, nall,
+        |        CAST(MAX(nday) AS BIGINT) AS n_day,
+        |        CAST(MAX(abs(cd * nall - call * nday)) AS BIGINT) AS ks_num
+        |      FROM cumd CROSS JOIN nn GROUP BY 1, 2)
+        |SELECT CAST(day_ms AS BIGINT) AS day_ms, n_day, ks_num,
+        |       CAST(floor(1000.0 * CAST(ks_num AS DOUBLE)
+        |            / (CAST(n_day AS DOUBLE) * CAST(nall AS DOUBLE)))
+        |            AS BIGINT) AS ks_milli
+        |FROM a ORDER BY day_ms""".stripMargin) { (s, d) =>
+      graft.streaming.StreamKsDrift.replayParquet(s, d,
+          queryName = "x52_ks")
+        .orderBy(col("day_ms"))
     },
   )
 

@@ -141,6 +141,23 @@ object ReplayStage {
     graft.sources.Tables.tsNanosNormalized(reader.parquet(staged.dir.toString))
   }
 
+  /** Streaming source over `dir/events.parquet` for COMPLETE-mode
+    * replays (no sentinel needed — complete mode re-emits everything,
+    * so no end-of-stream watermark flush is required): handles both
+    * layouts (single file and directory of part files) with an explicit
+    * reader schema. Raw source columns; callers normalize `ts` via
+    * [[graft.sources.Tables.tsNanosNormalized]]. */
+  def completeModeStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    if (Files.isDirectory(Paths.get(src)))
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(src)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
     * `statePartitions` (a stateful query's state-partition count is
     * fixed at first start; a bounded replay wants a handful, not the

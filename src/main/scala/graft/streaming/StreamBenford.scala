@@ -46,18 +46,8 @@ object StreamBenford {
                     statePartitions: Option[Int] = Some(8)): DataFrame = {
     // complete mode needs no watermark sentinel, but the source read
     // must still handle BOTH events.parquet layouts (single file and
-    // directory of part files) like ReplayStage.stageEvents does — a
-    // glob of 'events.parquet' against the parent dir silently yields
-    // zero rows on the directory layout.
-    val src = s"$dir/events.parquet"
-    val schema = spark.read.parquet(src).schema
-    val stream =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(src)))
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "*.parquet").parquet(src)
-      else
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // directory of part files) — the shared ReplayStage helper does.
+    val stream = ReplayStage.completeModeStream(spark, dir)
     ReplayStage.withStatePartitions(spark, statePartitions) {
       val q = dailyDigitCounts(graft.sources.Tables.tsNanosNormalized(stream))
         .writeStream
