@@ -33,9 +33,12 @@ object DriftStats {
     * cum_b·n_a|, ks_milli = floor(1000·D)). The per-pair cumulative
     * window runs over the union of the two sides' DISTINCT values. */
   def ksPairs(df: DataFrame, sideCol: String, value: Column): DataFrame = {
-    val hist = df.select(col(sideCol).as("_s"), value.cast("long").as("_v"))
-      .groupBy(col("_s"), col("_v"))
-      .agg(count(lit(1)).cast("long").as("_c"))
+    // persisted: both per-pair branches join the SAME histogram —
+    // without the persist the corpus aggregates twice
+    val hist = graft.Caches.persist(
+      df.select(col(sideCol).as("_s"), value.cast("long").as("_v"))
+        .groupBy(col("_s"), col("_v"))
+        .agg(count(lit(1)).cast("long").as("_c")))
     val sides = hist.select(col("_s")).distinct()
     val pairTbl = sides.select(col("_s").as("side_a"))
       .join(sides.select(col("_s").as("side_b")),

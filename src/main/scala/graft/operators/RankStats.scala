@@ -95,9 +95,12 @@ object RankStats {
     * side-cardinality-bounded (a dimension property, not corpus size). */
   def mannWhitneyPairs(df: DataFrame, sideCol: String,
                        value: Column): DataFrame = {
-    val hist = df.select(col(sideCol).as("_s"), value.cast("long").as("_v"))
-      .groupBy(col("_s"), col("_v"))
-      .agg(count(lit(1)).cast("long").as("_c"))
+    // persisted: both per-pair branches (a-side and b-side) join the
+    // SAME histogram — without the persist the corpus aggregates twice
+    val hist = graft.Caches.persist(
+      df.select(col(sideCol).as("_s"), value.cast("long").as("_v"))
+        .groupBy(col("_s"), col("_v"))
+        .agg(count(lit(1)).cast("long").as("_c")))
     // explicit side-pair table (side-cardinality-bounded, broadcast);
     // each pair's value grid is the UNION of the two sides' distinct
     // values — a value held by only one side still shifts the ranking,

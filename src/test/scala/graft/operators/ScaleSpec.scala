@@ -962,4 +962,65 @@ class ScaleSpec extends SparkSpec {
     assert(!q213.contains("Join"),
       "q213 is keyed windows + one hash agg — no join:\n" + q213)
   }
+
+  test("round-14 plan shapes: histogram ranks, pair grids, keyed monitors") {
+    val d = sf("sf0.001")
+    def formatted(name: String): String = {
+      val df = graft.Queries.all(name).fn(spark, d)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // q219 Spearman: rank/tie windows partition per GROUP — never a
+    // corpus-wide spec; sufficient stats end in one hash agg
+    val q219 = formatted("q219_spearman")
+    assert(q219.contains("windowspecdefinition(nation"),
+      "q219's rank windows must partition per group:\n" + q219)
+    assert(!q219.contains("CartesianProduct"),
+      "q219's orders⨝customer must stay an equi-join:\n" + q219)
+    // q220 KS: per-PAIR cumulative windows over the value union; the
+    // only non-equi join is the side-cardinality-bounded pair
+    // enumeration (broadcast); histogram joins are hash joins
+    val q220 = formatted("q220_ks_drift")
+    assert(q220.contains("windowspecdefinition(side_a"),
+      "q220's ECDF windows must partition per side pair:\n" + q220)
+    assert(q220.contains("BroadcastHashJoin"),
+      "q220's pair→histogram joins must be hash equi-joins:\n" + q220)
+    assert(q220.contains("InMemoryTableScan"),
+      "q220 must persist the shared histogram (both pair branches):\n" +
+        q220)
+    // q222 AUC: the rank2 window partitions per class over the DISTINCT
+    // score histogram; AUC itself is one hash agg
+    val q222 = formatted("q222_auc_ovr")
+    assert(q222.contains("windowspecdefinition(cls"),
+      "q222's midrank window must partition per class:\n" + q222)
+    // q226 CUSUM: cum/low windows partition per type; the per-type mean
+    // broadcasts back onto the daily rows
+    val q226 = formatted("q226_cusum")
+    assert(q226.contains("windowspecdefinition(event_type"),
+      "q226's recurrence windows must partition per type:\n" + q226)
+    assert(q226.contains("BroadcastExchange"),
+      "q226's per-type means must broadcast:\n" + q226)
+    // q228 RRF: both runs are per-query top-k windows; fusion is one
+    // hash agg + a per-query rank window — candidate-sized throughout
+    val q228 = formatted("q228_rrf_fusion")
+    assert(q228.contains("windowspecdefinition(qid"),
+      "q228's run and fusion ranks must window per query:\n" + q228)
+    assert(!q228.contains("CartesianProduct"),
+      "q228's only cross is the broadcast probe side:\n" + q228)
+    // q231 zone-map audit: zones are ONE hash agg; the predicate list
+    // broadcasts onto zones and rows (non-equi range conditions on a
+    // constant-size literal side)
+    val q231 = formatted("q231_zonemap_audit")
+    assert(q231.contains("BroadcastExchange"),
+      "q231's predicate table must broadcast:\n" + q231)
+    assert(!q231.contains("CartesianProduct"),
+      "q231's range probes must broadcast, never cartesian:\n" + q231)
+    // q233 PSI: per-(side, bucket) terms are row-local after broadcast
+    // margins; one final hash agg, no window
+    val q233 = formatted("q233_psi")
+    assert(!q233.contains("windowspecdefinition"),
+      "q233 must not window — margins broadcast, one agg:\n" + q233)
+    assert(q233.contains("BroadcastExchange"),
+      "q233's margins must broadcast onto the grid:\n" + q233)
+  }
 }
