@@ -12174,6 +12174,252 @@ object Queries {
           queryName = "x52_ks")
         .orderBy(col("day_ms"))
     },
+
+    // ------------------------------------------------------------------
+    // q234: nDCG@10 of the q227 cosine run (RetrievalEval.ndcgAtK) —
+    // the position-discounted ranking grade: a hit at rank 1 is worth
+    // 10⁶ micro-gain, rank 10 ≈ 289k. Gains are COMPILE-TIME constants
+    // interpolated into both engines (the Benford-constants
+    // discipline); DCG/IDCG/nDCG are integer end-to-end.
+    q("q234_ndcg", {
+      val g = (1 to 10).map(r =>
+        s"($r, ${graft.operators.RetrievalEval.gainMicro(r)})")
+        .mkString(", ")
+      s"""WITH e AS (SELECT vec_id,
+        |             [CAST(x AS DOUBLE) FOR x IN embedding] AS v, label
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_reduce([x*x FOR x IN v], (a,b) -> a+b)) AS nrm
+        |      FROM e),
+        |q AS (SELECT vec_id AS qid, label AS qlab, v AS qv, nrm AS qnrm
+        |      FROM n WHERE vec_id < 10),
+        |sc AS (SELECT q.qid, q.qlab, c.vec_id, c.label,
+        |         list_reduce([q.qv[i]*c.v[i]
+        |             FOR i IN generate_series(1, len(q.qv))],
+        |           (a,b) -> a+b) / (q.qnrm * c.nrm) AS cos
+        |       FROM q CROSS JOIN n c WHERE c.vec_id <> q.qid),
+        |rk AS (SELECT qid, qlab, vec_id, label,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, vec_id) AS rnk
+        |       FROM sc),
+        |g(r, w) AS (VALUES $g),
+        |tr AS (SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+        |       FROM q JOIN n c ON c.label = q.qlab AND c.vec_id <> q.qid
+        |       GROUP BY 1),
+        |dcg AS (SELECT qid,
+        |          CAST(SUM(CASE WHEN label = qlab THEN w ELSE 0 END)
+        |               AS BIGINT) AS dcg_micro
+        |        FROM rk JOIN g ON g.r = rk.rnk WHERE rnk <= 10
+        |        GROUP BY 1),
+        |idcg AS (SELECT t.qid, t.n_rel,
+        |           CAST(SUM(g.w) AS BIGINT) AS idcg_micro
+        |         FROM tr t JOIN g ON g.r <= LEAST(10, t.n_rel)
+        |         GROUP BY 1, 2)
+        |SELECT i.qid AS query_id, n_rel,
+        |       CAST(COALESCE(d.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+        |       idcg_micro,
+        |       CAST(CASE WHEN idcg_micro > 0
+        |            THEN COALESCE(d.dcg_micro, 0) * 1000 // idcg_micro
+        |            ELSE 0 END AS BIGINT) AS ndcg_milli
+        |FROM idcg i LEFT JOIN dcg d USING (qid)
+        |ORDER BY query_id""".stripMargin
+    }) { (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def fold(a: org.apache.spark.sql.Column) =
+        aggregate(a, lit(0.0), (acc, x) => acc + x)
+      val e = T(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          graft.functions.VectorFns.toDoubles(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(fold(transform(col("v"), x => x * x))))
+      val eP = graft.Caches.persist(e)
+      val probes = eP.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("_qlab"),
+          col("v").as("qv"), col("nrm").as("qnrm"))
+      val run = broadcast(probes).crossJoin(eP)
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (fold(zip_with(col("qv"), col("v"), (a, b) => a * b))
+            / (col("qnrm") * col("nrm"))).as("_cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("_cos").desc, col("vec_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+      val truth = probes.select(col("query_id"), col("_qlab"))
+        .join(eP.select(col("vec_id"), col("label")),
+          col("label") === col("_qlab"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+      graft.operators.RetrievalEval
+        .ndcgAtK(run, truth, "query_id", "vec_id", "rank", k = 10)
+        .orderBy(col("query_id"))
+    }},
+
+    // ------------------------------------------------------------------
+    // q235: quantile–quantile drift table (DriftStats.qqVsGlobal) — each
+    // source's exact doc-length percentiles against the global ones:
+    // WHERE a source drifted (q220's KS says how much; this says the
+    // p90 moved while the median held). Two exactPercentiles passes,
+    // stack unpivot, sign-factored milli shifts.
+    q("q235_qq_drift",
+      """WITH src AS (SELECT source AS s, CAST(n_chars AS BIGINT) AS v
+        |             FROM documents),
+        |cs AS (SELECT s, v, COUNT(*) AS c FROM src GROUP BY 1, 2),
+        |cum AS (SELECT s, v,
+        |          SUM(c) OVER (PARTITION BY s ORDER BY v) AS cum,
+        |          SUM(c) OVER (PARTITION BY s) AS n
+        |        FROM cs),
+        |pp(p) AS (VALUES (10), (25), (50), (75), (90)),
+        |sp AS (SELECT s AS side, p,
+        |         CAST(MIN(CASE WHEN cum >= (p * n + 99) // 100 THEN v END)
+        |              AS BIGINT) AS value_side
+        |       FROM cum CROSS JOIN pp GROUP BY 1, 2),
+        |gc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+        |              SUM(c) OVER () AS n
+        |       FROM (SELECT v, COUNT(*) AS c FROM src GROUP BY 1)),
+        |gp AS (SELECT p,
+        |         CAST(MIN(CASE WHEN cum >= (p * n + 99) // 100 THEN v END)
+        |              AS BIGINT) AS value_all
+        |       FROM gc CROSS JOIN pp GROUP BY 1)
+        |SELECT side, CAST(sp.p AS BIGINT) AS p, value_side, value_all,
+        |       CAST(value_side - value_all AS BIGINT) AS shift,
+        |       CAST(CAST(sign(value_side - value_all) AS BIGINT)
+        |            * (abs(value_side - value_all) * 1000
+        |               // GREATEST(abs(value_all), 1)) AS BIGINT)
+        |         AS shift_milli
+        |FROM sp JOIN gp USING (p) ORDER BY side, p""".stripMargin) {
+      (s, d) =>
+        graft.operators.DriftStats
+          .qqVsGlobal(T(s, d, "documents"), "source", col("n_chars"),
+            percents = Seq(10, 25, 50, 75, 90))
+          .orderBy(col("side"), col("p"))
+    },
+
+    // ------------------------------------------------------------------
+    // q236: A/B experiment readout (Experiment.twoProportion) — the
+    // analysis a pipeline change ships behind: UNIT-grain conversion
+    // (a user converts once however many rows they emit — the dedup
+    // step naive row-rate comparisons miss), exact milli rates and
+    // lifts, and the two-proportion z through ONE double association.
+    // Variant = user_id parity (a deterministic hash bucket).
+    q("q236_ab_test",
+      """WITH u AS (SELECT user_id, CAST(user_id % 2 AS BIGINT) AS g,
+        |             CAST(MAX(CASE WHEN event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |           FROM events GROUP BY 1, 2),
+        |a AS (SELECT
+        |        CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_a,
+        |        CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_b,
+        |        CAST(SUM(CASE WHEN g = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |          AS conv_a,
+        |        CAST(SUM(CASE WHEN g = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |          AS conv_b
+        |      FROM u)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |       CAST(conv_a * 1000 // n_a AS BIGINT) AS rate_a_milli,
+        |       CAST(conv_b * 1000 // n_b AS BIGINT) AS rate_b_milli,
+        |       CAST(conv_a * 1000 // n_a - conv_b * 1000 // n_b AS BIGINT)
+        |         AS lift_abs_milli,
+        |       CAST(CASE WHEN conv_b > 0 THEN
+        |            CAST(sign(conv_a * n_b - conv_b * n_a) AS BIGINT)
+        |            * (abs(conv_a * n_b - conv_b * n_a) * 1000
+        |               // (conv_b * n_a)) ELSE 0 END AS BIGINT)
+        |         AS lift_rel_milli,
+        |       CAST(CASE WHEN conv_a + conv_b > 0
+        |            AND conv_a + conv_b < n_a + n_b THEN
+        |            floor(1000.0 * (CAST(conv_a AS DOUBLE)
+        |                / CAST(n_a AS DOUBLE)
+        |              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |             / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+        |                      / CAST(n_a + n_b AS DOUBLE))
+        |               * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |                      / CAST(n_a + n_b AS DOUBLE))
+        |               * (1.0 / CAST(n_a AS DOUBLE)
+        |                  + 1.0 / CAST(n_b AS DOUBLE))))
+        |            ELSE 0 END AS BIGINT) AS z_milli
+        |FROM a""".stripMargin) { (s, d) =>
+      graft.operators.Experiment.twoProportion(
+        T(s, d, "events"), "user_id",
+        variantOf = expr("user_id % 2"),
+        converted = col("event_type") === "purchase")
+    },
+
+    // ------------------------------------------------------------------
+    // q237: per-nation trimmed/winsorized account-balance means
+    // (RobustStats.trimmedMeans) — the robust-location pair next to
+    // q206's MAD: trimming drops the tails outside [p10, p90],
+    // winsorizing clamps them. Balances go NEGATIVE, so every mean is a
+    // sign-factored floor division (the truncate-vs-floor parity rule).
+    q("q237_trimmed_mean",
+      """WITH src AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS x
+        |             FROM customer),
+        |cs AS (SELECT nation, x, COUNT(*) AS c FROM src GROUP BY 1, 2),
+        |cum AS (SELECT nation, x,
+        |          SUM(c) OVER (PARTITION BY nation ORDER BY x) AS cum,
+        |          SUM(c) OVER (PARTITION BY nation) AS n
+        |        FROM cs),
+        |f AS (SELECT nation,
+        |        CAST(MIN(CASE WHEN cum >= (10 * n + 99) // 100 THEN x END)
+        |             AS BIGINT) AS lo,
+        |        CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN x END)
+        |             AS BIGINT) AS hi
+        |      FROM cum GROUP BY 1),
+        |a AS (SELECT src.nation, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(MAX(lo) AS BIGINT) AS p_lo_c,
+        |        CAST(MAX(hi) AS BIGINT) AS p_hi_c,
+        |        CAST(SUM(x) AS BIGINT) AS s,
+        |        CAST(SUM(CASE WHEN x BETWEEN lo AND hi THEN x END)
+        |             AS BIGINT) AS ts,
+        |        CAST(SUM(CASE WHEN x BETWEEN lo AND hi THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS tn,
+        |        CAST(SUM(GREATEST(LEAST(x, hi), lo)) AS BIGINT) AS ws
+        |      FROM src JOIN f USING (nation) GROUP BY 1)
+        |SELECT nation, n, p_lo_c, p_hi_c,
+        |       CAST(CAST(sign(s) AS BIGINT) * (abs(s) // n) AS BIGINT)
+        |         AS mean_c,
+        |       CAST(CASE WHEN tn > 0 THEN CAST(sign(ts) AS BIGINT)
+        |            * (abs(ts) // tn) ELSE 0 END AS BIGINT) AS trimmed_c,
+        |       CAST(CAST(sign(ws) AS BIGINT) * (abs(ws) // n) AS BIGINT)
+        |         AS winsor_c
+        |FROM a ORDER BY nation""".stripMargin) { (s, d) =>
+      graft.operators.RobustStats.trimmedMeans(
+          T(s, d, "customer")
+            .select(col("c_nationkey").cast("long").as("nation"),
+              col("c_acctbal")),
+          "nation", expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)"),
+          loPct = 10, hiPct = 90)
+        .orderBy(col("nation"))
+    },
+
+    // ------------------------------------------------------------------
+    // q238: behavioral bot screening (Behavior.botScore) — per-user
+    // event rate over the active span and event-type diversity, scored
+    // row-locally; built from MERGEABLE statistics only (count, min/max
+    // time, small-domain distinct) so the identical feature set streams
+    // as one watermarked aggregation. The synthetic corpus is organic,
+    // so the flag column honestly reads zero — the features are the
+    // verified surface.
+    q("q238_bot_score",
+      """WITH a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |             CAST((MAX(epoch_ns(ts)) - MIN(epoch_ns(ts)))
+        |                  // 1000000000 AS BIGINT) AS span_s,
+        |             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |           FROM events GROUP BY 1)
+        |SELECT user_id, n_events, span_s, n_types,
+        |       CAST(n_events * 60000 // GREATEST(span_s, 1) AS BIGINT)
+        |         AS rate_milli,
+        |       CAST((n_events * 60000 // GREATEST(span_s, 1)) // n_types
+        |            AS BIGINT) AS score,
+        |       CAST((n_events * 60000 // GREATEST(span_s, 1)) // n_types
+        |            > 100000 AND n_events >= 20 AS BIGINT) AS bot
+        |FROM a ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.operators.Behavior.botScore(
+          T(s, d, "events"), "user_id", col("ts"), "event_type")
+        .orderBy(col("user_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -111,6 +111,40 @@ object DriftStats {
       .select(col("chi2_obs_micro"), col("n_cells"),
         ((col("_nr") - 1L) * (col("_nc") - 1L)).cast("long").as("df"))
 
+  /** Quantile–quantile drift table: each side's exact percentiles of
+    * integral `value` against the GLOBAL percentiles — WHERE in the
+    * distribution a source drifted (KS says how much; the QQ table says
+    * the p90 grew 18% while the median held). Rides
+    * [[Relational.exactPercentiles]] twice (value-cardinality-bounded
+    * windows, never row sorts); the wide percentile rows unpivot via
+    * stack. Output per (side, p): value_side, value_all, shift
+    * (value_side − value_all) and shift_milli relative to the global
+    * percentile. */
+  def qqVsGlobal(df: DataFrame, sideCol: String, value: Column,
+                 percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty, "qqVsGlobal: percents empty")
+    val src = df.select(col(sideCol).as("_s"), value.cast("long").as("_v"))
+    def unpivot(vCol: String) = s"stack(${percents.size}, " +
+      percents.map(p => s"${p}L, p${p}_c").mkString(", ") +
+      s") AS (p, $vCol)"
+    val side = Relational.exactPercentiles(src, "_s", col("_v"), percents)
+      .selectExpr("_s AS side", unpivot("value_side"))
+    val glob = Relational.exactPercentiles(
+        src.withColumn("_g", lit(1L)), "_g", col("_v"), percents)
+      .selectExpr(unpivot("value_all"))
+    side.join(broadcast(glob), Seq("p"))
+      .select(col("side"), col("p").cast("long").as("p"),
+        col("value_side"), col("value_all"),
+        (col("value_side") - col("value_all")).cast("long").as("shift"),
+        // sign-factored: the shift can be negative, and truncating DIV
+        // (Spark) vs flooring // (DuckDB) disagree below zero — divide
+        // magnitudes, reapply the sign (the cross-engine parity rule)
+        expr("CAST(sign(value_side - value_all) AS BIGINT)" +
+          " * (abs(value_side - value_all) * 1000" +
+          " DIV GREATEST(abs(value_all), 1))").cast("long")
+          .as("shift_milli"))
+  }
+
   /** Population stability index of integral `value` bucketed by
     * `bucketOf`, for every `sideCol` against the GLOBAL distribution:
     * PSI = Σ_b (p_side(b) − p_all(b)) · ln(p_side(b)/p_all(b)). The

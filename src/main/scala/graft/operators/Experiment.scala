@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experimentation analysis — the A/B readout a data-pipeline change
+  * ships behind (new dedup threshold, new quality gate, new ranking):
+  * unit-level conversion by variant, absolute and relative lift, and
+  * the two-proportion z statistic. Analysis is UNIT-grain (a user
+  * converts once no matter how many rows they emit — the dedup step is
+  * the part naive row-rate comparisons get wrong).
+  *
+  * Scale: one hash agg to units, one 2-row agg to variants, one row
+  * out. Rates and lift are exact integer cross-multiplied divisions
+  * (documented bound n_a·conv_b < 2⁶³); only z goes through DOUBLE in
+  * ONE fixed association (q181 discipline). */
+object Experiment {
+
+  /** Two-proportion experiment readout. `variantOf` must be a pure
+    * function of the unit (0/1 — e.g. a deterministic hash bucket);
+    * `converted` marks converting ROWS (the unit converts if any of
+    * its rows do). Output (one row): n_a, n_b, conv_a, conv_b,
+    * rate_a_milli, rate_b_milli, lift_abs_milli, lift_rel_milli,
+    * z_milli. */
+  def twoProportion(df: DataFrame, unitCol: String, variantOf: Column,
+                    converted: Column): DataFrame = {
+    val units = df
+      .select(col(unitCol).as("_u"), variantOf.cast("long").as("_g"),
+        converted.cast("long").as("_c"))
+      .groupBy(col("_u"), col("_g"))
+      .agg(max(col("_c")).as("_conv"))
+    units.groupBy()
+      .agg(
+        sum(when(col("_g") === 0L, 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("_g") === 1L, 1L).otherwise(0L)).cast("long").as("n_b"),
+        sum(when(col("_g") === 0L, col("_conv")).otherwise(0L))
+          .cast("long").as("conv_a"),
+        sum(when(col("_g") === 1L, col("_conv")).otherwise(0L))
+          .cast("long").as("conv_b"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        expr("conv_a * 1000 DIV n_a").as("rate_a_milli"),
+        expr("conv_b * 1000 DIV n_b").as("rate_b_milli"),
+        expr("conv_a * 1000 DIV n_a - conv_b * 1000 DIV n_b")
+          .cast("long").as("lift_abs_milli"),
+        // relative lift (p_a - p_b)/p_b, cross-multiplied exactly;
+        // sign-factored because the numerator can be negative and
+        // truncating DIV (Spark) vs flooring // (DuckDB) disagree there
+        expr("CASE WHEN conv_b > 0 THEN" +
+          " CAST(sign(conv_a * n_b - conv_b * n_a) AS BIGINT)" +
+          " * (abs(conv_a * n_b - conv_b * n_a) * 1000" +
+          " DIV (conv_b * n_a)) ELSE 0 END")
+          .cast("long").as("lift_rel_milli"),
+        // z = (p_a - p_b) / sqrt(phat (1-phat) (1/n_a + 1/n_b)) — one
+        // fixed-shape double tree, engine-identical
+        expr("""CAST(CASE WHEN conv_a + conv_b > 0
+               | AND conv_a + conv_b < n_a + n_b THEN
+               |floor(1000.0 * (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               |  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               | / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+               |          / CAST(n_a + n_b AS DOUBLE))
+               |   * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+               |          / CAST(n_a + n_b AS DOUBLE))
+               |   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+               |ELSE 0 END AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("z_milli"))
+  }
+}

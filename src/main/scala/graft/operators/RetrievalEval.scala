@@ -49,6 +49,53 @@ object RetrievalEval {
         expr(s"_rel_at_k * 1000 DIV $k").cast("long").as("p_at_k_milli"))
   }
 
+  /** Per-rank nDCG gain in micro-units — floor(10⁶ / log2(r+1)), ONE
+    * compile-time definition interpolated into both engines (the
+    * Benford-constants discipline: no runtime logs to disagree on). */
+  def gainMicro(rank: Int): Long =
+    math.floor(1e6 / (math.log(rank + 1.0) / math.log(2.0))).toLong
+
+  /** nDCG@k of a ranked run against binary relevance — the
+    * position-discounted companion of [[evalRun]]: a hit at rank 1 is
+    * worth 10⁶ micro-gain, rank 10 ≈ 289k. DCG sums the gains at the
+    * run's relevant ranks; the ideal DCG fills ranks 1..min(k, n_rel)
+    * (n_rel = the query's TOTAL relevant count, so a query with plenty
+    * of relevant material is graded against a full ideal page).
+    * Integer end-to-end: gains are compile-time constants, the final
+    * ratio is one floor division. Output per query: (qid, n_rel,
+    * dcg_micro, idcg_micro, ndcg_milli). */
+  def ndcgAtK(run: DataFrame, truth: DataFrame, qidCol: String,
+              idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"ndcgAtK: k=$k")
+    val spark = run.sparkSession
+    import spark.implicits._
+    val gains = (1 to k).map(r => (r.toLong, gainMicro(r)))
+      .toDF("_r", "_g")
+    val t = truth.select(col(qidCol), col(idCol), lit(1L).as("_rel"))
+    val nRel = t.groupBy(col(qidCol))
+      .agg(count(lit(1)).cast("long").as("n_rel"))
+    val dcg = run
+      .select(col(qidCol), col(idCol), col(rankCol).cast("long").as("_r"))
+      .where(col("_r") <= k)
+      .join(t, Seq(qidCol, idCol), "left").na.fill(0L, Seq("_rel"))
+      .join(broadcast(gains), Seq("_r"))
+      .groupBy(col(qidCol))
+      .agg(sum(col("_rel") * col("_g")).cast("long").as("dcg_micro"))
+    // ideal DCG: gains at ranks 1..min(k, n_rel) — a broadcast range
+    // join against the k-row gain table
+    val idcg = nRel.join(broadcast(gains),
+        col("_r") <= least(lit(k.toLong), col("n_rel")))
+      .groupBy(col(qidCol))
+      .agg(max(col("n_rel")).cast("long").as("n_rel"),
+        sum(col("_g")).cast("long").as("idcg_micro"))
+    idcg.join(dcg, Seq(qidCol), "left").na.fill(0L, Seq("dcg_micro"))
+      .select(col(qidCol), col("n_rel"), col("dcg_micro"),
+        col("idcg_micro"),
+        expr("CASE WHEN idcg_micro > 0" +
+          " THEN dcg_micro * 1000 DIV idcg_micro ELSE 0 END")
+          .cast("long").as("ndcg_milli"))
+  }
+
   /** Reciprocal-rank fusion of ranked runs (each (qidCol, idCol,
     * rankCol)): rrf(d) = Σ_runs 10⁹ DIV (k0 + rank_run(d)), a doc
     * missing from a run contributing 0 (truncated-run RRF, the

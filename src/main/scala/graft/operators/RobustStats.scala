@@ -40,6 +40,47 @@ object RobustStats {
       .withColumn("out_milli", expr("n_out * 1000 DIV n"))
   }
 
+  /** Per-group trimmed and winsorized means next to the raw mean — the
+    * standard robust-location pair: trimming DROPS the tails outside
+    * [p_lo, p_hi], winsorizing CLAMPS them to the fences (keeps the
+    * count, caps the influence). Fences are the exact discrete
+    * percentiles (the q42 scheme); one join-back + one counting agg;
+    * all integer floor divisions. Output: (key, n, p_lo_c, p_hi_c,
+    * mean_c, trimmed_c, winsor_c). */
+  def trimmedMeans(df: DataFrame, keyCol: String, value: Column,
+                   loPct: Int = 10, hiPct: Int = 90): DataFrame = {
+    require(0 < loPct && loPct < hiPct && hiPct < 100,
+      s"trimmedMeans: ($loPct, $hiPct)")
+    val src = df.select(col(keyCol), value.cast("long").as("_x"))
+    val fences = Relational
+      .exactPercentiles(src, keyCol, col("_x"), Seq(loPct, hiPct))
+      .select(col(keyCol), col(s"p${loPct}_c").as("_lo"),
+        col(s"p${hiPct}_c").as("_hi"))
+    src.join(broadcast(fences), keyCol)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        max(col("_lo")).cast("long").as("p_lo_c"),
+        max(col("_hi")).cast("long").as("p_hi_c"),
+        sum(col("_x")).cast("long").as("_sum"),
+        sum(when(col("_x").between(col("_lo"), col("_hi")), col("_x")))
+          .cast("long").as("_tsum"),
+        sum(col("_x").between(col("_lo"), col("_hi")).cast("long"))
+          .cast("long").as("_tn"),
+        sum(greatest(least(col("_x"), col("_hi")), col("_lo")))
+          .cast("long").as("_wsum"))
+      .select(col(keyCol), col("n"), col("p_lo_c"), col("p_hi_c"),
+        // sums can be negative (balances): sign-factored division —
+        // truncating DIV (Spark) and flooring // (DuckDB) disagree
+        // below zero, |x| DIV n with the sign reapplied doesn't
+        expr("CAST(sign(_sum) AS BIGINT) * (abs(_sum) DIV n)")
+          .cast("long").as("mean_c"),
+        expr("CASE WHEN _tn > 0 THEN CAST(sign(_tsum) AS BIGINT)" +
+          " * (abs(_tsum) DIV _tn) ELSE 0 END")
+          .cast("long").as("trimmed_c"),
+        expr("CAST(sign(_wsum) AS BIGINT) * (abs(_wsum) DIV n)")
+          .cast("long").as("winsor_c"))
+  }
+
   /** Per-group WEIGHTED median: the smallest value whose cumulative
     * weight reaches ceil(W/2) — quantity-weighted price medians, token-
     * weighted quality medians. One (key, value) weight aggregation +

@@ -295,6 +295,108 @@ class AnalyticsOps14Spec extends SparkSpec {
     assert(pe.getLong(3) == 2L && pe.getLong(6) == 0L && pe.getLong(7) == 0L)
   }
 
+  // ----------------------------------------------------------- nDCG@k
+
+  test("ndcg: perfect ranking reads 1000, gains discount by position") {
+    // q1: relevant docs at ranks 1 and 2 of 2 total -> nDCG 1000
+    val run = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"))
+      .toDF("qid", "rank", "doc")
+    val truth = Seq((1L, "a"), (1L, "b")).toDF("qid", "doc")
+    val r = RetrievalEval.ndcgAtK(run, truth, "qid", "doc", "rank", k = 10)
+      .head()
+    assert(r.getLong(1) == 2L && r.getLong(4) == 1000L)
+    // same relevance at ranks 2 and 3: DCG = g(2)+g(3),
+    // IDCG = g(1)+g(2) -> strictly below 1000
+    val run2 = Seq((1L, 1L, "c"), (1L, 2L, "a"), (1L, 3L, "b"))
+      .toDF("qid", "rank", "doc")
+    val r2 = RetrievalEval.ndcgAtK(run2, truth, "qid", "doc", "rank", k = 10)
+      .head()
+    val g = RetrievalEval.gainMicro _
+    assert(r2.getLong(2) == g(2) + g(3) && r2.getLong(3) == g(1) + g(2))
+    assert(r2.getLong(4) ==
+      (g(2) + g(3)) * 1000L / (g(1) + g(2)) && r2.getLong(4) < 1000L)
+  }
+
+  test("ndcg: ideal fills min(k, n_rel) ranks; no-hit run reads 0") {
+    // 15 relevant of which none retrieved in k=10
+    val run = Seq((1L, 1L, "zz")).toDF("qid", "rank", "doc")
+    val truth = (1 to 15).map(i => (1L, s"d$i")).toDF("qid", "doc")
+    val r = RetrievalEval.ndcgAtK(run, truth, "qid", "doc", "rank", k = 10)
+      .head()
+    val idealAll = (1 to 10).map(RetrievalEval.gainMicro).sum
+    assert(r.getLong(1) == 15L && r.getLong(2) == 0L &&
+      r.getLong(3) == idealAll && r.getLong(4) == 0L)
+  }
+
+  // --------------------------------------------------------- QQ drift
+
+  test("qq drift: identical side reads zero shift, shifted side reads the delta") {
+    val base = (1 to 100).map(v => ("same", v.toLong)) ++
+      (1 to 100).map(v => ("plus10", v.toLong + 10L))
+    val df = base.toDF("s", "v")
+    val out = DriftStats.qqVsGlobal(df, "s", col("v"), Seq(50))
+      .orderBy("side").collect()
+    // global p50 over the union; 'plus10' sits 10 above 'same'
+    val plus = out(0); val same = out(1)
+    assert(plus.getString(0) == "plus10" && same.getString(0) == "same")
+    assert(plus.getLong(4) - same.getLong(4) == 10L)
+  }
+
+  // ------------------------------------------------------------ A/B test
+
+  test("two-proportion: unit-grain dedup, exact lifts, z sign") {
+    // variant 0: users 0,2 (0 converts twice -> counts once);
+    // variant 1: users 1,3 (none converts)
+    val df = Seq((0L, "p"), (0L, "p"), (2L, "v"), (1L, "v"), (3L, "v"))
+      .toDF("u", "et")
+    val r = Experiment.twoProportion(df, "u", expr("u % 2"),
+      col("et") === "p").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 1L, 0L)))
+    assert(r.getLong(4) == 500L && r.getLong(5) == 0L &&
+      r.getLong(6) == 500L && r.getLong(7) == 0L) // rel lift guards /0
+    assert(r.getLong(8) > 0L) // z positive: a converts more
+  }
+
+  // ------------------------------------------------------ trimmed means
+
+  test("trimmed/winsorized means: one outlier moves the mean, not the robust pair") {
+    val df = ((1 to 99).map(i => ("g", 100L)) :+ (("g", 1000000L)))
+      .toDF("k", "x")
+    val r = RobustStats.trimmedMeans(df, "k", col("x")).head()
+    val mean = r.getLong(4); val trimmed = r.getLong(5)
+    val winsor = r.getLong(6)
+    assert(mean > 10000L)            // outlier drags the raw mean
+    assert(trimmed == 100L)          // trimming drops it
+    assert(winsor == 100L)           // clamped to p90 = 100
+  }
+
+  test("trimmed means: negative sums divide sign-factored") {
+    val df = Seq(("g", -100L), ("g", -200L), ("g", -300L)).toDF("k", "x")
+    val r = RobustStats.trimmedMeans(df, "k", col("x")).head()
+    assert(r.getLong(4) == -200L) // sign(s) * (|s| DIV n), exact
+  }
+
+  // -------------------------------------------------------- bot score
+
+  test("bot score: a fast narrow client flags, a slow varied one does not") {
+    val bot = (0 until 30).map(i =>
+      (1L, i.toLong * 100000000L, "click")) // 30 clicks in 3 s
+    val human = (0 until 30).map(i =>
+      (2L, i.toLong * 3600L * 1000000000L,
+        Seq("view", "click", "purchase")(i % 3)))
+    val df = (bot ++ human).toDF("u", "t", "ty")
+    val out = Behavior.botScore(df, "u", col("t"), "ty")
+      .orderBy("u").collect()
+    val b = out(0)
+    // span 2s, rate = 30*60000/2 = 900000 milli/min, 1 type
+    assert(b.getLong(1) == 30L && b.getLong(2) == 2L &&
+      b.getLong(3) == 1L && b.getLong(4) == 900000L &&
+      b.getLong(6) == 1L)
+    val h = out(1)
+    assert(h.getLong(3) == 3L && h.getLong(6) == 0L)
+  }
+
   // --------------------------------------------------- sweep id guard
 
   test("sweep: a tie id beyond 1e12 fails loudly instead of mis-ordering") {
