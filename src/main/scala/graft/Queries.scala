@@ -929,6 +929,27 @@ object Queries {
       |       CAST(cusum > mean * 3 AS BIGINT) AS alarm
       |FROM f ORDER BY event_type, period_ms""".stripMargin
 
+  /** Per-user behavioral bot-screen oracle (mergeable rate/diversity
+    * features + row-local score) — shared by the batch operator (q238)
+    * and the streaming feature replay (x53): the batch side counts
+    * distinct types directly, the stream carries a 61-bit presence
+    * sketch; the shared oracle is the proof both reduce to the same
+    * numbers on this corpus. */
+  private def botScoreOracleSql: String =
+    """WITH a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |             CAST((MAX(epoch_ns(ts)) - MIN(epoch_ns(ts)))
+      |                  // 1000000000 AS BIGINT) AS span_s,
+      |             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      |           FROM events GROUP BY 1)
+      |SELECT user_id, n_events, span_s, n_types,
+      |       CAST(n_events * 60000 // GREATEST(span_s, 1) AS BIGINT)
+      |         AS rate_milli,
+      |       CAST((n_events * 60000 // GREATEST(span_s, 1)) // n_types
+      |            AS BIGINT) AS score,
+      |       CAST((n_events * 60000 // GREATEST(span_s, 1)) // n_types
+      |            > 100000 AND n_events >= 20 AS BIGINT) AS bot
+      |FROM a ORDER BY user_id""".stripMargin
+
   /** Interval-coalescing oracle (variable 1–30-minute validity spans
     * merged on the running-max-end rule) — shared by the batch windowed
     * plan (q202) and the stateful streaming replay (x47): stream ≡
@@ -12402,22 +12423,144 @@ object Queries {
     // as one watermarked aggregation. The synthetic corpus is organic,
     // so the flag column honestly reads zero — the features are the
     // verified surface.
-    q("q238_bot_score",
-      """WITH a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |             CAST((MAX(epoch_ns(ts)) - MIN(epoch_ns(ts)))
-        |                  // 1000000000 AS BIGINT) AS span_s,
-        |             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
-        |           FROM events GROUP BY 1)
-        |SELECT user_id, n_events, span_s, n_types,
-        |       CAST(n_events * 60000 // GREATEST(span_s, 1) AS BIGINT)
-        |         AS rate_milli,
-        |       CAST((n_events * 60000 // GREATEST(span_s, 1)) // n_types
-        |            AS BIGINT) AS score,
-        |       CAST((n_events * 60000 // GREATEST(span_s, 1)) // n_types
-        |            > 100000 AND n_events >= 20 AS BIGINT) AS bot
-        |FROM a ORDER BY user_id""".stripMargin) { (s, d) =>
+    q("q238_bot_score", botScoreOracleSql) { (s, d) =>
       graft.operators.Behavior.botScore(
           T(s, d, "events"), "user_id", col("ts"), "event_type")
+        .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q239: Heaps'-law vocabulary growth (VocabGrowth.heapsFit) — V(N)
+    // ≈ K·N^β at ten document prefixes plus the fitted β: at what rate
+    // does more data keep buying new types (β drifting up flags
+    // synthetic inflow, down flags saturation). Both running sums ride
+    // scalableCumSum; the fit is ten micro-floored ln points through
+    // exact BIGINT OLS statistics.
+    q("q239_heaps_law",
+      s"""$mirrorToksCte,
+        |pd AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt FROM toks),
+        |fo AS (SELECT fd, CAST(COUNT(*) AS BIGINT) AS newt
+        |       FROM (SELECT tok, MIN(doc_id) AS fd
+        |             FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        |             GROUP BY tok)
+        |       GROUP BY fd),
+        |c AS (SELECT pd.doc_id,
+        |        SUM(pd.nt) OVER (ORDER BY pd.doc_id) AS n_tokens,
+        |        SUM(COALESCE(fo.newt, 0)) OVER (ORDER BY pd.doc_id)
+        |          AS v_types,
+        |        row_number() OVER (ORDER BY pd.doc_id) AS r
+        |      FROM pd LEFT JOIN fo ON fo.fd = pd.doc_id),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pd),
+        |sm AS (SELECT CAST(r // GREATEST(n // 10, 1) AS BIGINT) AS point,
+        |         CAST(r AS BIGINT) AS docs_prefix,
+        |         CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         CAST(v_types AS BIGINT) AS v_types,
+        |         CAST(floor(1000000.0 * ln(CAST(n_tokens AS DOUBLE)))
+        |              AS BIGINT) AS x_micro,
+        |         CAST(floor(1000000.0 * ln(CAST(v_types AS DOUBLE)))
+        |              AS BIGINT) AS y_micro
+        |       FROM c CROSS JOIN nn
+        |       WHERE r % GREATEST(n // 10, 1) = 0
+        |         AND r // GREATEST(n // 10, 1) <= 10
+        |         AND n_tokens >= 1 AND v_types >= 1),
+        |fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS fn,
+        |          CAST(SUM(x_micro) AS BIGINT) AS sx,
+        |          CAST(SUM(y_micro) AS BIGINT) AS sy,
+        |          CAST(SUM(x_micro * y_micro) AS BIGINT) AS sxy,
+        |          CAST(SUM(x_micro * x_micro) AS BIGINT) AS sxx
+        |        FROM sm)
+        |SELECT point, docs_prefix, n_tokens, v_types, x_micro, y_micro,
+        |       CAST(CASE WHEN fn * sxx - sx * sx > 0
+        |            THEN floor(1000000.0
+        |                 * (CAST(fn * sxy - sx * sy AS DOUBLE)
+        |                    / CAST(fn * sxx - sx * sx AS DOUBLE)))
+        |            ELSE 0 END AS BIGINT) AS beta_micro
+        |FROM sm CROSS JOIN fit ORDER BY point""".stripMargin) { (s, d) =>
+      graft.operators.VocabGrowth.heapsFit(
+          T(s, d, "documents")
+            .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t")),
+          "doc_id", "t", points = 10)
+        .orderBy(col("point"))
+    },
+
+    // ------------------------------------------------------------------
+    // q240: difference-in-differences readout (Experiment.diffInDiff) —
+    // the experiment form for a change landing at a point in TIME:
+    // per-variant mean event value before/after the observed-range
+    // midpoint, deltas differenced so the baseline gap and the shared
+    // time trend cancel. Sign-factored integer means; the split is
+    // data-derived so the analysis scales with the corpus's own span.
+    q("q240_diff_in_diff",
+      """WITH src AS (SELECT CAST(user_id % 2 AS BIGINT) AS g,
+        |               CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS p,
+        |               CAST(FLOOR(value * 100) AS BIGINT) AS x
+        |             FROM events),
+        |sp AS (SELECT CAST((MIN(p) + MAX(p) + 1) // 2 AS BIGINT)
+        |         AS split FROM src),
+        |t AS (SELECT g, CAST(p >= split AS BIGINT) AS post, x, split
+        |      FROM src CROSS JOIN sp),
+        |a AS (SELECT split,
+        |   CAST(SUM(CASE WHEN g=0 AND post=0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_pre_a,
+        |   CAST(SUM(CASE WHEN g=0 AND post=0 THEN x ELSE 0 END) AS BIGINT)
+        |     AS s_pre_a,
+        |   CAST(SUM(CASE WHEN g=0 AND post=1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_post_a,
+        |   CAST(SUM(CASE WHEN g=0 AND post=1 THEN x ELSE 0 END) AS BIGINT)
+        |     AS s_post_a,
+        |   CAST(SUM(CASE WHEN g=1 AND post=0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_pre_b,
+        |   CAST(SUM(CASE WHEN g=1 AND post=0 THEN x ELSE 0 END) AS BIGINT)
+        |     AS s_pre_b,
+        |   CAST(SUM(CASE WHEN g=1 AND post=1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_post_b,
+        |   CAST(SUM(CASE WHEN g=1 AND post=1 THEN x ELSE 0 END) AS BIGINT)
+        |     AS s_post_b
+        | FROM t GROUP BY 1)
+        |SELECT split,
+        |  n_pre_a,
+        |  CAST(CAST(sign(s_pre_a) AS BIGINT)
+        |       * (abs(s_pre_a) // GREATEST(n_pre_a, 1)) AS BIGINT)
+        |    AS mean_pre_a,
+        |  n_post_a,
+        |  CAST(CAST(sign(s_post_a) AS BIGINT)
+        |       * (abs(s_post_a) // GREATEST(n_post_a, 1)) AS BIGINT)
+        |    AS mean_post_a,
+        |  n_pre_b,
+        |  CAST(CAST(sign(s_pre_b) AS BIGINT)
+        |       * (abs(s_pre_b) // GREATEST(n_pre_b, 1)) AS BIGINT)
+        |    AS mean_pre_b,
+        |  n_post_b,
+        |  CAST(CAST(sign(s_post_b) AS BIGINT)
+        |       * (abs(s_post_b) // GREATEST(n_post_b, 1)) AS BIGINT)
+        |    AS mean_post_b,
+        |  CAST((CAST(sign(s_post_a) AS BIGINT)
+        |        * (abs(s_post_a) // GREATEST(n_post_a, 1))
+        |      - CAST(sign(s_pre_a) AS BIGINT)
+        |        * (abs(s_pre_a) // GREATEST(n_pre_a, 1)))
+        |     - (CAST(sign(s_post_b) AS BIGINT)
+        |        * (abs(s_post_b) // GREATEST(n_post_b, 1))
+        |      - CAST(sign(s_pre_b) AS BIGINT)
+        |        * (abs(s_pre_b) // GREATEST(n_pre_b, 1))) AS BIGINT)
+        |    AS did
+        |FROM a""".stripMargin) { (s, d) =>
+      graft.operators.Experiment.diffInDiff(
+        T(s, d, "events"),
+        variantOf = expr("user_id % 2"),
+        period = expr("ts DIV 1000000 DIV 86400000"),
+        value = expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+    },
+
+    // ------------------------------------------------------------------
+    // x53: STREAMING behavioral bot screen (StreamBotScore) — q238 live,
+    // the payoff of designing the batch score from mergeable statistics:
+    // count, min/max time, and a 61-bit type-presence sketch are four
+    // longs of built-in streaming-agg state per user. Shares q238's
+    // COUNT(DISTINCT) oracle verbatim — the identity proves the sketch
+    // was collision-free on this corpus.
+    q("x53_stream_botscore", botScoreOracleSql) { (s, d) =>
+      graft.streaming.StreamBotScore.replayParquet(s, d,
+          queryName = "x53_bot")
         .orderBy(col("user_id"))
     },
   )

@@ -64,4 +64,41 @@ object Experiment {
                |ELSE 0 END AS BIGINT)""".stripMargin.replace("\n", " "))
           .as("z_milli"))
   }
+
+  /** Difference-in-differences readout — the experiment form for a
+    * change that lands at a point in TIME (a new ingest gate, a ranking
+    * swap): compare each variant's mean metric before vs after the
+    * split and difference the deltas, cancelling both the variants'
+    * baseline gap and the shared time trend. The split is the midpoint
+    * of the observed period range (data-derived, so the analysis scales
+    * with the corpus's own span). One period-tagged hash aggregation;
+    * means are sign-factored floor divisions (exact, engine-portable).
+    * Output (one row): split, per-cell n and mean, did (the DiD
+    * estimate in the metric's own integer units). */
+  def diffInDiff(df: DataFrame, variantOf: Column, period: Column,
+                 value: Column): DataFrame = {
+    val src = df.select(variantOf.cast("long").as("_g"),
+      period.cast("long").as("_p"), value.cast("long").as("_x"))
+    val split = src.agg(((min(col("_p")) + max(col("_p")) + 1L) / 2L)
+      .cast("long").as("_split"))
+    def cell(g: Int, post: Int, out: String) = Seq(
+      sum(when(col("_g") === g.toLong && col("_post") === post.toLong, 1L)
+        .otherwise(0L)).cast("long").as(s"n_$out"),
+      sum(when(col("_g") === g.toLong && col("_post") === post.toLong,
+        col("_x")).otherwise(0L)).cast("long").as(s"_s_$out"))
+    val aggs = cell(0, 0, "pre_a") ++ cell(0, 1, "post_a") ++
+      cell(1, 0, "pre_b") ++ cell(1, 1, "post_b")
+    def mean(c: String) =
+      s"CAST(sign(_s_$c) AS BIGINT) * (abs(_s_$c) DIV GREATEST(n_$c, 1))"
+    src.crossJoin(broadcast(split))
+      .withColumn("_post", (col("_p") >= col("_split")).cast("long"))
+      .groupBy(col("_split").as("split"))
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(Seq("split") ++
+        Seq("pre_a", "post_a", "pre_b", "post_b").flatMap(c =>
+          Seq(s"n_$c", s"CAST(${mean(c)} AS BIGINT) AS mean_$c")) ++
+        Seq(s"CAST((${mean("post_a")} - ${mean("pre_a")})" +
+          s" - (${mean("post_b")} - ${mean("pre_b")}) AS BIGINT)" +
+          " AS did"): _*)
+  }
 }

@@ -397,6 +397,47 @@ class AnalyticsOps14Spec extends SparkSpec {
     assert(h.getLong(3) == 3L && h.getLong(6) == 0L)
   }
 
+  // ------------------------------------------------------- Heaps' law
+
+  test("heaps fit: all-new vocabulary reads beta exactly 1, frozen reads 0") {
+    // every doc brings 2 brand-new tokens: V(N) = N -> beta = 1e6
+    val fresh = (1 to 40).map(i =>
+      (i.toLong, Seq(s"a$i", s"b$i"))).toDF("doc_id", "t")
+    val f = VocabGrowth.heapsFit(fresh, "doc_id", "t").head()
+    assert(f.getLong(6) == 1000000L)
+    // one shared token forever: V = 1 at every prefix -> slope 0
+    val frozen = (1 to 40).map(i =>
+      (i.toLong, Seq("same", "same"))).toDF("doc_id", "t")
+    val z = VocabGrowth.heapsFit(frozen, "doc_id", "t").head()
+    assert(z.getLong(6) == 0L && z.getLong(3) == 1L)
+  }
+
+  test("heaps fit: samples exactly `points` evenly spaced prefixes") {
+    val docs = (1 to 100).map(i => (i.toLong, Seq(s"t$i")))
+      .toDF("doc_id", "t")
+    val out = VocabGrowth.heapsFit(docs, "doc_id", "t", points = 10)
+      .orderBy("point").collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L) &&
+      out.map(_.getLong(1)).toSeq == (10L to 100L by 10L))
+  }
+
+  // -------------------------------------------------- diff-in-diff
+
+  test("diff-in-diff: the shared trend and baseline gap cancel") {
+    // variant 0: pre mean 100, post mean 150 (delta 50)
+    // variant 1: pre mean 200, post mean 230 (delta 30) -> DiD = 20
+    val rows = Seq(
+      (0L, 1L, 100L), (0L, 2L, 100L), (0L, 8L, 150L), (0L, 9L, 150L),
+      (1L, 1L, 200L), (1L, 2L, 200L), (1L, 8L, 230L), (1L, 9L, 230L))
+      .toDF("g", "p", "x")
+    val r = Experiment.diffInDiff(rows, col("g"), col("p"), col("x"))
+      .head()
+    assert(r.getLong(0) == 5L) // split = (1 + 9 + 1)/2
+    assert(r.getLong(2) == 100L && r.getLong(4) == 150L &&
+      r.getLong(6) == 200L && r.getLong(8) == 230L)
+    assert(r.getLong(9) == 20L)
+  }
+
   // --------------------------------------------------- sweep id guard
 
   test("sweep: a tie id beyond 1e12 fails loudly instead of mis-ordering") {

@@ -22,6 +22,18 @@ class StreamMonitorsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("x53 stream bot screen replay equals the batch botScore rows") {
+    val d = sf("sf0.001")
+    val streamed = StreamBotScore.replayParquet(spark, d,
+        queryName = "spec_x53")
+      .orderBy(col("user_id")).collect().toSeq
+    val batch = graft.operators.Behavior.botScore(
+        graft.sources.Tables.table(spark, d, "events"),
+        "user_id", col("ts"), "event_type")
+      .orderBy(col("user_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("x52 stream KS replay: per-day stats are internally consistent") {
     val d = sf("sf0.001")
     val out = StreamKsDrift.replayParquet(spark, d, queryName = "spec_x52")
