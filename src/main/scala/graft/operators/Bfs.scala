@@ -36,18 +36,23 @@ object Bfs {
                   rounds: Int): DataFrame = {
     require(rounds >= 1, "hopDistance: rounds must be >= 1")
     val spark = edges.sparkSession
+    // round-14 lazy matFlat (see Hits/LabelProp): constant-depth plans
+    // via the LogicalRDD rebuild, per-round persists dedup the double
+    // reference (frontier filter + anti-join), but nothing materializes
+    // until the one action at the end — a single job for the whole
+    // traversal. Handles release only after that action.
     def matFlat(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist()
-      p.count()
       (spark.createDataFrame(p.rdd, p.schema), p)
     }
     val adj = edges.select(col("src").as("node"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
       .persist()
-    adj.count()
+    val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var (d, dHandle) = matFlat(
       seeds.select(col("node")).distinct()
         .select(col("node"), lit(0L).as("dist")))
+    handles += dHandle
     var k = 1
     while (k <= rounds) {
       val frontier = d.where(col("dist") === (k - 1)).select(col("node"))
@@ -57,10 +62,12 @@ object Bfs {
       val fresh = cand.join(d.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(k.toLong).as("dist"))
       val (next, nextHandle) = matFlat(d.unionByName(fresh))
-      dHandle.unpersist(blocking = false)
+      handles += nextHandle
       d = next; dHandle = nextHandle
       k += 1
     }
+    dHandle.count() // the traversal's ONE action — fills every cache
+    handles.filter(_ ne dHandle).foreach(_.unpersist(blocking = false))
     adj.unpersist(blocking = false)
     graft.Caches.track(dHandle)
     d

@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
   * returned plan reads it back (PageRank.scala's persist-then-scalar
   * pattern; without it every half-round ran its subtree twice). The
   * max is inlined as a literal — the SQL mirror cross-joins the same
-  * 1-row CTE; per-round frames persist + materialize so lineage stays
-  * constant-depth; loop-local persists drop on return and the result
+  * 1-row CTE. Per-round score frames persist + lineage-truncate but
+  * fill LAZILY: the next half-round's mx scalar is the only driver
+  * action per half (one job, not two — the round-14 change), and every
+  * handle releases only after a later action has pulled all its
+  * consumers; loop-local persists drop on return and the result
   * registers in [[graft.Caches]].
   */
 object Hits {
@@ -48,39 +51,46 @@ object Hits {
 
     val spark = nodes.sparkSession
 
-    // Materialize + lineage-truncate (Bpe.train's pattern): the eager
-    // count fills the cache, and the LogicalRDD rebuild hands back a
-    // CONSTANT-DEPTH plan over the cached RDD — downstream rounds never
-    // embed the nested InMemoryRelation trees whose per-action
-    // plan-string rendering blows up with iteration depth. Returns the
-    // persisted handle so the caller can release it once superseded.
+    // Lineage-truncate WITHOUT an eager count (the round-14 lazy
+    // variant of Bpe.train's matFlat): the LogicalRDD rebuild hands
+    // back a CONSTANT-DEPTH plan over the persisted RDD, and the cache
+    // fills when the NEXT half-round's mx scalar (the one driver action
+    // this loop cannot avoid) pulls it — one job per half-round instead
+    // of two. Correctness hinges on RELEASE ORDER, not fill order: a
+    // handle may only unpersist after an action has pulled every
+    // consumer of its cache (otherwise the un-cached subtree re-runs
+    // per consumer and the recompute chains exponentially).
     def matFlat(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist()
-      p.count()
       (spark.createDataFrame(p.rdd, p.schema), p)
     }
 
-    // Persist raw BEFORE the mx scalar: the action materializes the
-    // cache, so the edges⨝scores join+agg executes exactly once per
-    // half-round — the score frame below reads the cache back instead
-    // of re-running the unpersisted subtree when IT materializes
-    // (round-10 verdict: the old shape ran every half-round twice, 16
-    // executions where 8 suffice).
+    // raw handles pending release: raw_X feeds score_X, which
+    // materializes during the NEXT half-round's mx action — so each mx
+    // first releases the PREVIOUS half-round's raw (its score consumer
+    // just filled) and then queues its own.
+    var pendingRaw: List[DataFrame] = Nil
     def normalized(rawPlan: DataFrame): (DataFrame, DataFrame) = {
       val raw = rawPlan.persist()
-      // 1-row scalar, inlined — the SQL mirror cross-joins its twin CTE
+      // 1-row scalar, inlined — the SQL mirror cross-joins its twin
+      // CTE; this action also fills the previous half-round's score
+      // cache (raw reads it), making that round's raw releasable
       val mx = raw.agg(greatest(max(col("raw")), lit(1L))).first().getLong(0)
+      pendingRaw.foreach(_.unpersist(blocking = false))
+      pendingRaw = List(raw)
       // overflow guard (free: mx is already on the driver): every raw
       // ≤ mx, so mx·scale < 2^63 ⇒ no product below can wrap
       require(mx <= Long.MaxValue / scale,
         s"scores: max(raw)=$mx overflows BIGINT at scale=$scale — " +
           s"lower `scale` (degree bound ~${Long.MaxValue / scale / scale})")
-      val res = matFlat(nd.select(col("node"))
+      // the nodes join looks skippable (absent ≡ 0, nothing re-injects
+      // mass mid-loop) but measured SLOWER without it (17.2 s vs
+      // 10.8 s at sf0.1): the join's shuffle is what hands each round's
+      // cached score frame balanced partitions — keep it
+      matFlat(nd.select(col("node"))
         .join(raw, Seq("node"), "left")
         .select(col("node"),
           coalesce(expr(s"(raw * ${scale}L) div ${mx}L"), lit(0L)).as("s")))
-      raw.unpersist(blocking = false) // score frame is cached; raw done
-      res
     }
 
     var (h, hP) = matFlat(nd.select(col("node"), lit(scale).as("s")))
@@ -105,7 +115,9 @@ object Hits {
     val out = h.select(col("node"), col("s").as("hub"))
       .join(a.select(col("node"), col("s").as("auth")), Seq("node"))
     val pinned = graft.Caches.persist(out)
-    pinned.count()
+    pinned.count() // fills the final h score cache (via its still-
+    // pending raw) and the result — only now is everything releasable
+    pendingRaw.foreach(_.unpersist(blocking = false))
     hP.unpersist(blocking = false)
     aP.unpersist(blocking = false)
     if (ndOwned) nd.unpersist(blocking = false)

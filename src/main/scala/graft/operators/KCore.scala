@@ -36,17 +36,26 @@ object KCore {
     require(k >= 1, "core: k must be >= 1")
     require(peelRounds >= 1, "core: peelRounds must be >= 1")
     val spark = edges.sparkSession
-    // Materialize + lineage-truncate (Hits.matFlat / Dedup's pattern):
-    // the round plan references e three times (degree count + two
-    // survivor semi-joins), so without the LogicalRDD rebuild round r's
-    // plan holds 3^r copies of the input subtree and every AQE stage
-    // update stringifies it — the peel goes CPU-bound on explainString.
+    // Lineage-truncate WITHOUT an eager count (the round-14 lazy
+    // matFlat, see Hits/LabelProp): the round plan references e three
+    // times (degree count + two survivor semi-joins), so without the
+    // LogicalRDD rebuild round r's plan holds 3^r copies of the input
+    // subtree and every AQE stage update stringifies it. The per-round
+    // persist stays (it dedups the triple reference at execution) but
+    // fills only at the ONE action at the end — a single job for the
+    // whole peel instead of a count job per round. Handles release
+    // only after that action (a dropped never-filled cache re-runs its
+    // subtree per consumer, chaining 3^r). Peak cache holds every
+    // round's SHRINKING edge set instead of two rounds' — the peeled
+    // sets decay geometrically on real graphs and persists spill to
+    // disk, the price of k fewer driver round-trips.
     def matFlat(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist()
-      p.count()
       (spark.createDataFrame(p.rdd, p.schema), p)
     }
+    val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var (e, eHandle) = matFlat(edges)
+    handles += eHandle
     var i = 0
     while (i < peelRounds) {
       val deg = e.select(col("u").as("node"))
@@ -57,7 +66,7 @@ object KCore {
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")))
-      eHandle.unpersist(blocking = false)
+      handles += nextHandle
       e = next; eHandle = nextHandle
       i += 1
     }
@@ -65,8 +74,8 @@ object KCore {
       .union(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).cast("long").as("dg"))
     val result = graft.Caches.track(out.persist())
-    result.count()
-    eHandle.unpersist(blocking = false)
+    result.count() // the peel's ONE action — fills every round's cache
+    handles.foreach(_.unpersist(blocking = false))
     result
   }
 

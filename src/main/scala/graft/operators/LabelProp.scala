@@ -46,17 +46,24 @@ object LabelProp {
       .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
       .persist()
     adj.count()
-    // Materialize + lineage-truncate (Hits.matFlat / Dedup's pattern):
-    // each round references the previous labels twice (count join +
-    // isolated-node fallback), so without the LogicalRDD rebuild round
-    // k's plan holds 2^k copies of round 0's — and every AQE stage
-    // update stringifies it (explainString-bound, not data-bound).
+    // Lineage-truncate WITHOUT an eager count (the round-14 lazy
+    // matFlat, see Hits): each round references the previous labels
+    // twice (count join + isolated-node fallback), so without the
+    // LogicalRDD rebuild round k's plan holds 2^k copies of round 0's —
+    // and every AQE stage update stringifies it (explainString-bound,
+    // not data-bound). The per-round persist stays (it is what dedups
+    // the double reference at execution), but nothing materializes
+    // until the ONE action at the end — the whole loop is a single job
+    // instead of one count job per round. Handles release only AFTER
+    // that action: dropping a never-filled cache would re-run its
+    // subtree once per consumer, which chains exponentially.
     def matFlat(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist()
-      p.count()
       (spark.createDataFrame(p.rdd, p.schema), p)
     }
+    val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var (l, lHandle) = matFlat(nd.select(col("node"), col("node").as("label")))
+    handles += lHandle
     var i = 0
     while (i < iterations) {
       val cnt = adj.join(l.select(col("node").as("nbr"), col("label")), "nbr")
@@ -69,10 +76,12 @@ object LabelProp {
         .select(col("node"), col("label").as("_best"))
       val (next, nextHandle) = matFlat(l.join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("_best"), col("label")).as("label")))
-      lHandle.unpersist(blocking = false)
+      handles += nextHandle
       l = next; lHandle = nextHandle
       i += 1
     }
+    lHandle.count() // the loop's ONE action — fills every round's cache
+    handles.filter(_ ne lHandle).foreach(_.unpersist(blocking = false))
     if (ndOwned) nd.unpersist(blocking = false)
     adj.unpersist(blocking = false)
     graft.Caches.track(lHandle)

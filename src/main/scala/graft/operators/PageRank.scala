@@ -68,10 +68,15 @@ object PageRank {
           Seq("node"), "left_anti").persist())
       else None
     var r = nd.select(col("node"), lit(base).as("rank"))
+    val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var i = 0
     while (i < iterations) {
       val share = dangling match {
         case Some(d) =>
+          // the one unavoidable driver action per round; it also FILLS
+          // the previous round's lazily-persisted cache (this semi-join
+          // reads it), which is what lets the loop skip per-round
+          // count() jobs entirely (round-14: one job per round, not two)
           val dm = r.join(d, Seq("node"), "left_semi")
             .agg(coalesce(sum(col("rank")), lit(0L))).first().getLong(0)
           dm / n * 85 / 100
@@ -85,21 +90,34 @@ object PageRank {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport + share) + coalesce(col("contrib"), lit(0L))).as("rank"))
-        .persist()
-      next.count() // materialize: the next round's plan scans the
-      // InMemoryRelation, not the accumulated lineage — growth stays
-      // linear in plan text and constant in executed work (unlike
-      // q54's union-of-self doubling, no rdd rebuild is needed)
-      if (i > 0) r.unpersist(blocking = false)
-      r = next
+      r = dangling match {
+        case Some(_) =>
+          // each round is referenced TWICE (next round's dangling
+          // scalar + contrib join) — persist, fill lazily at the next
+          // scalar; release only after the final materialization
+          // (dropping a never-filled cache would re-run its subtree
+          // once per consumer, chaining exponentially)
+          val p = next.persist(); handles += p; p
+        case None =>
+          // single-reference chain: each round feeds only the next, so
+          // no persist is needed — plan text grows linearly and the one
+          // final action executes the whole chain as ONE job (was one
+          // count job per round)
+          next
+      }
       i += 1
     }
+    val res =
+      if (dangling.isDefined) graft.Caches.track(r) // persisted in-loop
+      else graft.Caches.persist(r)
+    res.count() // materialize the chain before anything releases
+    handles.filter(_ ne r).foreach(_.unpersist(blocking = false))
     if (ndOwned) nd.unpersist(blocking = false)
     if (edOwned) ed.unpersist(blocking = false)
     outdeg.unpersist(blocking = false)
     e.unpersist(blocking = false)
     dangling.foreach(_.unpersist(blocking = false))
-    graft.Caches.track(r)
+    res
   }
 
   /** The SQL mirror of [[ranks]], unrolled: chained CTEs `r0..rK` over
@@ -182,28 +200,31 @@ object PageRank {
       when(col("_seed"), lit(base)).otherwise(lit(0L)).as("rank"))
     var i = 0
     while (i < iterations) {
+      // single-reference chain (no per-round scalar here): each round
+      // feeds only the next, so the loop is fully lazy — no persist, no
+      // count; the one final action executes the whole chain as ONE job
+      // (round-14: was one count job per round). `mask` and `e` are the
+      // multiply-referenced frames and stay persisted above.
       val contrib = e.join(r, e("src") === r("node"))
         .select(col("dst").as("node"),
           expr("((rank div outdeg) * 85) div 100").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
-      val next = mask
+      r = mask
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (when(col("_seed"), lit(tp)).otherwise(lit(0L))
             + coalesce(col("contrib"), lit(0L))).as("rank"))
-        .persist()
-      next.count()
-      if (i > 0) r.unpersist(blocking = false)
-      r = next
       i += 1
     }
+    val res = graft.Caches.persist(r)
+    res.count() // materialize before the shared frames release
     if (ndOwned) nd.unpersist(blocking = false)
     if (edOwned) ed.unpersist(blocking = false)
     if (sdOwned) sd.unpersist(blocking = false)
     outdeg.unpersist(blocking = false)
     e.unpersist(blocking = false)
     mask.unpersist(blocking = false)
-    graft.Caches.track(r)
+    res
   }
 
   /** SQL mirror of [[personalizedRanks]], unrolled over caller CTEs
