@@ -12563,6 +12563,63 @@ object Queries {
           queryName = "x53_bot")
         .orderBy(col("user_id"))
     },
+
+    // ------------------------------------------------------------------
+    // q241: embedding centroid drift between two corpus slices
+    // (EmbeddingDrift.centroidShift) — per label, the cosine between
+    // the even-id and odd-id halves' centroids plus the norm ratio: the
+    // retrain/reindex trigger an ANN serving stack watches. Components
+    // floor to micro-ints BEFORE aggregation (exact BIGINT dim sums at
+    // any partition order); the cosine is scale-invariant so the sums
+    // stand in for means, folded sequentially per label (q139's
+    // bit-exact double discipline).
+    q("q241_centroid_drift",
+      """WITH e AS (SELECT label, CAST(vec_id % 2 AS BIGINT) AS g,
+        |             embedding
+        |           FROM embeddings),
+        |x AS (SELECT label, g, d,
+        |        CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000)
+        |             AS BIGINT) AS q
+        |      FROM e CROSS JOIN generate_series(1, 64) AS gs(d)),
+        |ds AS (SELECT label, d,
+        |         CAST(SUM(CASE WHEN g = 0 THEN q ELSE 0 END) AS BIGINT)
+        |           AS sa,
+        |         CAST(SUM(CASE WHEN g = 1 THEN q ELSE 0 END) AS BIGINT)
+        |           AS sb
+        |       FROM x GROUP BY 1, 2),
+        |cn AS (SELECT label,
+        |         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_a,
+        |         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_b
+        |       FROM e GROUP BY 1),
+        |ar AS (SELECT label, list(CAST(sa AS DOUBLE) ORDER BY d) AS va,
+        |              list(CAST(sb AS DOUBLE) ORDER BY d) AS vb
+        |       FROM ds GROUP BY 1),
+        |f AS (SELECT label,
+        |        list_reduce([va[i] * vb[i]
+        |            FOR i IN generate_series(1, len(va))],
+        |          (a, b) -> a + b) AS dot,
+        |        sqrt(list_reduce([x*x FOR x IN va], (a, b) -> a + b))
+        |          AS nna,
+        |        sqrt(list_reduce([x*x FOR x IN vb], (a, b) -> a + b))
+        |          AS nnb
+        |      FROM ar)
+        |SELECT cn.label, n_a, n_b,
+        |       CAST(CASE WHEN n_a > 0 AND n_b > 0 AND nna > 0 AND nnb > 0
+        |            THEN floor(1000000.0 * (dot / (nna * nnb)))
+        |            ELSE -2000000 END AS BIGINT) AS cos_micro,
+        |       CAST(CASE WHEN n_a > 0 AND n_b > 0 AND nna > 0
+        |            THEN floor(1000.0 * ((nnb / CAST(n_b AS DOUBLE))
+        |                 / (nna / CAST(n_a AS DOUBLE))))
+        |            ELSE -1 END AS BIGINT) AS norm_ratio_milli
+        |FROM cn JOIN f USING (label) ORDER BY cn.label""".stripMargin) {
+      (s, d) =>
+        graft.operators.EmbeddingDrift.centroidShift(
+            T(s, d, "embeddings"), "label",
+            sideOf = expr("vec_id % 2"), vecCol = "embedding")
+          .orderBy(col("label"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

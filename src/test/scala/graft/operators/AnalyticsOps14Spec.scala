@@ -438,6 +438,28 @@ class AnalyticsOps14Spec extends SparkSpec {
     assert(r.getLong(9) == 20L)
   }
 
+  // --------------------------------------------------- centroid drift
+
+  test("centroid drift: identical sides read cos 1e6 ratio 1000, flips read -1e6") {
+    val same = Seq((1, 0L, Seq(1.0f, 2.0f)), (1, 1L, Seq(1.0f, 2.0f)),
+      (2, 0L, Seq(1.0f, 0.0f)), (2, 1L, Seq(-1.0f, 0.0f)),
+      (3, 0L, Seq(1.0f, 1.0f))).toDF("label", "g", "embedding")
+    val out = EmbeddingDrift.centroidShift(same, "label", col("g"),
+      "embedding").orderBy("label").collect()
+    assert(out(0).getLong(3) == 1000000L && out(0).getLong(4) == 1000L)
+    assert(out(1).getLong(3) == -1000000L)
+    assert(out(2).getLong(3) == -2000000L && out(2).getLong(4) == -1L)
+  }
+
+  test("centroid drift: magnitude change reads in the norm ratio, not the cosine") {
+    // side 1 = 3x side 0: same direction (cos 1), ratio 3000
+    val df = Seq((1, 0L, Seq(1.0f, 2.0f)), (1, 1L, Seq(3.0f, 6.0f)))
+      .toDF("label", "g", "embedding")
+    val r = EmbeddingDrift.centroidShift(df, "label", col("g"),
+      "embedding").head()
+    assert(r.getLong(3) == 1000000L && r.getLong(4) == 3000L)
+  }
+
   // --------------------------------------------------- sweep id guard
 
   test("sweep: a tie id beyond 1e12 fails loudly instead of mis-ordering") {
