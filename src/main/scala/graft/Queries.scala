@@ -12620,6 +12620,61 @@ object Queries {
             sideOf = expr("vec_id % 2"), vecCol = "embedding")
           .orderBy(col("label"))
     },
+
+    // ------------------------------------------------------------------
+    // q242: IVF maintenance routing audit (IvfMaintenance.routingAudit)
+    // — before folding a new ingest batch (vec_id % 7 = 3) into the
+    // existing index, route it onto the BASE-built md5-seed cells (no
+    // refit — the q144 deterministic-quantizer regime) and report per
+    // cell base/new occupancy, growth, and share drift: the capacity
+    // report that localizes q241's distribution walk to routing cells.
+    q("q242_ivf_maintenance",
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS ve,
+        |         CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END AS isnew
+        |  FROM embeddings),
+        |sd0 AS (
+        |  SELECT vec_id, ve,
+        |         row_number() OVER (
+        |           ORDER BY CAST(('0x' || substr(md5('ivfm:' ||
+        |             CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |             vec_id) AS rn
+        |  FROM v WHERE isnew = 0),
+        |seeds AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, ve AS se
+        |          FROM sd0 WHERE rn <= 8),
+        |asg AS (
+        |  SELECT vec_id, isnew, cell FROM (
+        |    SELECT v.vec_id, v.isnew, s.cell,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               [(v.ve[i] - s.se[i]) * (v.ve[i] - s.se[i])
+        |                FOR i IN generate_series(1, len(v.ve))]),
+        |               (a, b) -> a + b) ASC,
+        |             s.cell ASC) AS rn
+        |    FROM v CROSS JOIN seeds s)
+        |  WHERE rn = 1),
+        |cells AS (SELECT cell, CAST(SUM(1 - isnew) AS BIGINT) AS n_base,
+        |                 CAST(SUM(isnew) AS BIGINT) AS n_new
+        |          FROM asg GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+        |             CAST(SUM(n_new) AS BIGINT) AS tn
+        |      FROM cells)
+        |SELECT cell, n_base, n_new,
+        |       CAST(n_base * 1000 // GREATEST(tb, 1) AS BIGINT)
+        |         AS share_base_milli,
+        |       CAST(n_new * 1000 // GREATEST(tn, 1) AS BIGINT)
+        |         AS share_new_milli,
+        |       CAST(n_new * 1000 // GREATEST(n_base, 1) AS BIGINT)
+        |         AS growth_milli,
+        |       CAST(n_new * 1000 // GREATEST(tn, 1)
+        |            - n_base * 1000 // GREATEST(tb, 1) AS BIGINT)
+        |         AS drift_milli
+        |FROM cells CROSS JOIN t ORDER BY cell""".stripMargin) { (s, d) =>
+      graft.operators.IvfMaintenance.routingAudit(
+          T(s, d, "embeddings"), "vec_id", "embedding",
+          isNew = expr("vec_id % 7 = 3"), nCells = 8)
+        .orderBy(col("cell"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

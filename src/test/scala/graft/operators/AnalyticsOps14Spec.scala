@@ -460,6 +460,25 @@ class AnalyticsOps14Spec extends SparkSpec {
     assert(r.getLong(3) == 1000000L && r.getLong(4) == 3000L)
   }
 
+  // ----------------------------------------------- IVF maintenance
+
+  test("ivf maintenance: new batch routes onto base cells, drift sums to ~0") {
+    // 8+ base vectors spread on two axes; new batch clusters near one
+    val base = (0 until 12).map(i =>
+      (i.toLong, Seq(if (i % 2 == 0) 10.0f else -10.0f, i.toFloat / 10), 0L))
+    val fresh = (100 until 106).map(i =>
+      (i.toLong, Seq(10.0f, 0.1f), 1L))
+    val df = (base ++ fresh).toDF("id", "v", "nw")
+    val out = IvfMaintenance.routingAudit(df, "id", "v",
+      isNew = col("nw") === 1L, nCells = 4).collect()
+    assert(out.map(_.getLong(1)).sum == 12L && out.map(_.getLong(2)).sum == 6L)
+    // every new vector lands in a positive-axis cell: one cell holds 6
+    assert(out.map(_.getLong(2)).max == 6L)
+    // shares are milli-normalized: base shares sum to ~1000
+    val baseShares = out.map(_.getLong(3)).sum
+    assert(baseShares >= 990L && baseShares <= 1000L)
+  }
+
   // --------------------------------------------------- sweep id guard
 
   test("sweep: a tie id beyond 1e12 fails loudly instead of mis-ordering") {
