@@ -12675,6 +12675,61 @@ object Queries {
           isNew = expr("vec_id % 7 = 3"), nCells = 8)
         .orderBy(col("cell"))
     },
+
+    // ------------------------------------------------------------------
+    // q243: readability scores — Flesch reading ease and Coleman–Liau
+    // index per doc, the curation quality-signal pair next to the
+    // Gopher ruleset (q115) and LM perplexity (q80): templated/keyword
+    // spam reads absurdly "easy", OCR garbage absurdly "hard". All
+    // counts are heuristics SHARED verbatim by both engines (terminal-
+    // punctuation-run sentences floored at 1, vowel-group syllables
+    // floored at 1 per word, letter/digit chars); the scores are the
+    // classic formulas in per-term floored milli-integer form —
+    // row-local, zero shuffles, the q64/q115 curation-scan shape.
+    q("q243_readability",
+      s"""$mirrorToksCte,
+        |m AS (
+        |  SELECT d.doc_id,
+        |         CAST(len(t.t) AS BIGINT) AS n_words,
+        |         CAST(GREATEST(len(regexp_extract_all(d.text, '[.!?]+')), 1)
+        |              AS BIGINT) AS n_sentences,
+        |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             [CAST(GREATEST(len(regexp_extract_all(w, '[aeiouy]+')),
+        |                   1) AS BIGINT) FOR w IN t.t]),
+        |           (a, b) -> a + b) AS BIGINT) AS n_syllables,
+        |         CAST(length(regexp_replace(d.text, '[^\\p{L}\\p{N}]', '',
+        |              'g')) AS BIGINT) AS n_letters
+        |  FROM documents d JOIN toks t USING (doc_id))
+        |SELECT doc_id, n_words, n_sentences, n_syllables, n_letters,
+        |       CAST(CASE WHEN n_words > 0
+        |            THEN 206835 - (1015 * n_words) // n_sentences
+        |                 - (84600 * n_syllables) // n_words
+        |            ELSE 0 END AS BIGINT) AS fre_milli,
+        |       CAST(CASE WHEN n_words > 0
+        |            THEN (5880 * n_letters) // n_words
+        |                 - (29600 * n_sentences) // n_words - 15800
+        |            ELSE 0 END AS BIGINT) AS cli_milli
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) => {
+      val toks = TextFns.wordTokens(col("text"))
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          TextFns.sentenceCount(col("text")).cast("long")
+            .as("n_sentences"),
+          TextFns.syllableCount(toks).cast("long").as("n_syllables"),
+          TextFns.letterCount(col("text")).cast("long").as("n_letters"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("n_letters"),
+          expr("CASE WHEN n_words > 0" +
+            " THEN 206835 - (1015 * n_words) DIV n_sentences" +
+            " - (84600 * n_syllables) DIV n_words" +
+            " ELSE 0 END").cast("long").as("fre_milli"),
+          expr("CASE WHEN n_words > 0" +
+            " THEN (5880 * n_letters) DIV n_words" +
+            " - (29600 * n_sentences) DIV n_words - 15800" +
+            " ELSE 0 END").cast("long").as("cli_milli"))
+        .orderBy(col("doc_id"))
+    }},
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

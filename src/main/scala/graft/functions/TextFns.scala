@@ -43,6 +43,26 @@ object TextFns {
   def tokenHits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit): _*)))
 
+  /** Sentence count: runs of terminal punctuation, floored at 1 for
+    * non-empty text (the standard readability approximation; pattern is
+    * Java-regex ∩ RE2 so an external oracle mirrors it verbatim). */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+
+  /** Total syllables over lowercased word `tokens`: vowel-group runs
+    * per word, each word floored at 1 (the classic heuristic — exact
+    * dictionary syllabification is neither needed nor portable). */
+  def syllableCount(tokens: Column): Column =
+    aggregate(
+      transform(tokens, w =>
+        greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))),
+          lit(1)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Letter/digit character count (the Coleman–Liau "letters"). */
+  def letterCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\p{L}\\p{N}]", ""))
+
   /** Small per-language stopword lists for the n-gram/stopword
     * language-ID heuristic. Deliberately tiny and deterministic — this
     * is a curation-pipeline triage signal, not a model. */

@@ -479,6 +479,33 @@ class AnalyticsOps14Spec extends SparkSpec {
     assert(baseShares >= 990L && baseShares <= 1000L)
   }
 
+  // ----------------------------------------------------- readability
+
+  test("readability counts: sentences, vowel-group syllables, letters") {
+    import graft.functions.TextFns
+    val df = Seq("Simple words here. Easy to read! Yes?").toDF("text")
+    val r = df.select(
+      TextFns.sentenceCount(col("text")).as("s"),
+      TextFns.syllableCount(TextFns.wordTokens(col("text"))).as("sy"),
+      TextFns.letterCount(col("text")).as("l")).head()
+    assert(r.getInt(0) == 3)
+    // sim-ple(2) words(1) here(2: e...e -> 'e','e'? vowel runs: i, o, e+e
+    // = simple: i,e = 2; words: o = 1; here: e,e = 2; easy: ea,y = 2;
+    // to: 1; read: ea = 1; yes: e = 1  => 10
+    assert(r.getLong(1) == 10L)
+    assert(r.getInt(2) == "Simplewordshere".length +
+      "Easytoread".length + "Yes".length)
+  }
+
+  test("readability: empty-ish text floors guard the formulas") {
+    import graft.functions.TextFns
+    val df = Seq("...").toDF("text")
+    val r = df.select(TextFns.sentenceCount(col("text")).as("s"),
+      TextFns.syllableCount(TextFns.wordTokens(col("text"))).as("sy"))
+      .head()
+    assert(r.getInt(0) == 1 && r.getLong(1) == 0L)
+  }
+
   // --------------------------------------------------- sweep id guard
 
   test("sweep: a tie id beyond 1e12 fails loudly instead of mis-ordering") {
