@@ -79,8 +79,10 @@ object Experiment {
                  value: Column): DataFrame = {
     val src = df.select(variantOf.cast("long").as("_g"),
       period.cast("long").as("_p"), value.cast("long").as("_x"))
-    val split = src.agg(((min(col("_p")) + max(col("_p")) + 1L) / 2L)
-      .cast("long").as("_split"))
+    // integer DIV, not Column `/` (double division) — a caller passing
+    // nanosecond periods would silently round past 2^53 otherwise
+    val split = src.agg(min(col("_p")).as("_mn"), max(col("_p")).as("_mx"))
+      .select(expr("(_mn + _mx + 1) DIV 2").cast("long").as("_split"))
     def cell(g: Int, post: Int, out: String) = Seq(
       sum(when(col("_g") === g.toLong && col("_post") === post.toLong, 1L)
         .otherwise(0L)).cast("long").as(s"n_$out"),
