@@ -1023,4 +1023,47 @@ class ScaleSpec extends SparkSpec {
     assert(q233.contains("BroadcastExchange"),
       "q233's margins must broadcast onto the grid:\n" + q233)
   }
+
+  test("round-14b plan shapes: bucketed growth sums, agg-only screens, seeded routing") {
+    val d = sf("sf0.001")
+    def formatted(name: String): String = {
+      val df = graft.Queries.all(name).fn(spark, d)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // q235 QQ drift: percentile cumsums window per SIDE (the global
+    // pass's single window is value-cardinality-bounded by contract)
+    val q235 = formatted("q235_qq_drift")
+    assert(q235.contains("windowspecdefinition(_s"),
+      "q235's per-side percentile windows must partition by side:\n" +
+        q235)
+    // q238 bot screen: mergeable-only design — ONE hash aggregation,
+    // no window, no join
+    val q238 = formatted("q238_bot_score")
+    assert(!q238.contains("windowspecdefinition") &&
+      !q238.contains("Join"),
+      "q238 must be one mergeable aggregation:\n" + q238)
+    // q239 Heaps fit: BOTH running sums ride the bucketed cumsum —
+    // every window partitions on the bucket key, never corpus-wide
+    val q239 = formatted("q239_heaps_law")
+    assert(q239.contains("windowspecdefinition(_cs_bkt"),
+      "q239's prefix sums must ride the bucketed scheme:\n" + q239)
+    assert(!q239.contains("windowspecdefinition(doc_id"),
+      "q239 must not run a raw corpus-wide window:\n" + q239)
+    // q242 IVF maintenance: the seed pick is a distributed TakeOrdered,
+    // the argmin assignment windows per VECTOR, seeds broadcast
+    val q242 = formatted("q242_ivf_maintenance")
+    assert(q242.contains("TakeOrderedAndProject"),
+      "q242's md5 seed pick must be TakeOrderedAndProject:\n" + q242)
+    assert(q242.contains("windowspecdefinition(_id"),
+      "q242's assignment argmin must window per vector:\n" + q242)
+    assert(q242.contains("BroadcastExchange"),
+      "q242's seed table must broadcast:\n" + q242)
+    // q243 readability: row-local text math — no join, no window, no
+    // shuffle beyond the scan (one pass, the curation-scan shape)
+    val q243 = formatted("q243_readability")
+    assert(!q243.contains("windowspecdefinition") &&
+      !q243.contains("Join"),
+      "q243 must stay a row-local scan:\n" + q243)
+  }
 }
