@@ -12730,6 +12730,44 @@ object Queries {
             " ELSE 0 END").cast("long").as("cli_milli"))
         .orderBy(col("doc_id"))
     }},
+
+    // ------------------------------------------------------------------
+    // x54: STREAMING per-day PSI drift monitor (StreamPsiDrift) — q233's
+    // stability index live, and the one-state-many-metrics demo: the
+    // watermarked (day, bucket) histogram is SHARED VERBATIM with x52's
+    // KS monitor (StreamKsDrift.dailyBuckets); only the batch finisher
+    // differs (sup of cumulative gap vs per-bucket floored-ln terms), so
+    // a deployment running both drift screens pays for one state store.
+    q("x54_stream_psi",
+      """WITH h AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+        |             CAST(FLOOR(value) AS BIGINT) AS b,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT day_ms, CAST(SUM(c) AS BIGINT) AS nday
+        |         FROM h GROUP BY 1),
+        |bk AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM h GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS nall FROM h),
+        |grid AS (SELECT d.day_ms, d.nday, bk.b, bk.cb,
+        |                COALESCE(h.c, 0) AS c
+        |         FROM days d CROSS JOIN bk
+        |         LEFT JOIN h ON h.day_ms = d.day_ms AND h.b = bk.b),
+        |t AS (SELECT day_ms, nday,
+        |        CAST(floor(1000000.0 *
+        |          (CAST(GREATEST(c, 1) AS DOUBLE) / CAST(nday AS DOUBLE)
+        |           - CAST(cb AS DOUBLE) / CAST(nall AS DOUBLE))
+        |          * ln((CAST(GREATEST(c, 1) AS DOUBLE)
+        |                / CAST(nday AS DOUBLE))
+        |               / (CAST(cb AS DOUBLE) / CAST(nall AS DOUBLE))))
+        |          AS BIGINT) AS tm
+        |      FROM grid CROSS JOIN nn)
+        |SELECT CAST(day_ms AS BIGINT) AS day_ms,
+        |       CAST(MAX(nday) AS BIGINT) AS n_day,
+        |       CAST(SUM(tm) AS BIGINT) AS psi_micro
+        |FROM t GROUP BY day_ms ORDER BY day_ms""".stripMargin) { (s, d) =>
+      graft.streaming.StreamPsiDrift.replayParquet(s, d,
+          queryName = "x54_psi")
+        .orderBy(col("day_ms"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

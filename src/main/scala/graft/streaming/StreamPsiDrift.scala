@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming per-day PSI drift monitor — q233's population stability
+  * index as a monitor, and the demonstration that ONE streamed state
+  * serves MANY drift metrics: the watermarked per-(day, bucket)
+  * histogram is exactly [[StreamKsDrift.dailyBuckets]]'s state (shared
+  * verbatim — ≤ ~500 additive longs per open day), and only the
+  * batch-side finisher differs: KS reads the sup of the cumulative
+  * gap, PSI sums the per-bucket (p_day − p_all)·ln(p_day/p_all) terms
+  * (alarm convention: <0.1 stable, >0.25 action). A deployment running
+  * both pays for ONE state store.
+  *
+  * Arithmetic: the q233 discipline — zero-count day-buckets take the
+  * standard one pseudo-count via the full day × bucket grid, each term
+  * individually floored to micro over exact BIGINT counts (the q209
+  * per-term ln rule, no float accumulation across buckets).
+  *
+  * MODE CAVEAT (as [[StreamBenford]]): `complete` mode is the
+  * REPLAY-ONLY choice; a 24/7 deployment runs `update`/`append` with a
+  * maintained reference histogram.
+  */
+object StreamPsiDrift {
+
+  /** Replay the events parquet through the SHARED histogram plan and
+    * finish the per-day PSI batch-side. Output per day:
+    * (day_ms, n_day, psi_micro). */
+  def replayParquet(spark: SparkSession, dir: String,
+                    queryName: String = "stream_psi",
+                    statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val stream = ReplayStage.completeModeStream(spark, dir)
+    ReplayStage.withStatePartitions(spark, statePartitions) {
+      val q = StreamKsDrift
+        .dailyBuckets(graft.sources.Tables.tsNanosNormalized(stream))
+        .writeStream
+        .outputMode("complete")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sink(): DataFrame = spark.table(queryName)
+      .select(col("day_ms").as("day_ms"), col("b").as("b"),
+        col("c").as("c"))
+    val days = sink().groupBy(col("day_ms"))
+      .agg(sum(col("c")).cast("long").as("nday"))
+    val buckets = sink().groupBy(col("b"))
+      .agg(sum(col("c")).cast("long").as("cb"))
+    val nAll = sink().agg(sum(col("c")).cast("long").as("nall"))
+    val grid = days.crossJoin(broadcast(buckets))
+      .join(sink(), Seq("day_ms", "b"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(nAll))
+    grid
+      .withColumn("_tm", expr(
+        """CAST(floor(1000000.0 *
+          | (CAST(GREATEST(c, 1) AS DOUBLE) / CAST(nday AS DOUBLE)
+          |  - CAST(cb AS DOUBLE) / CAST(nall AS DOUBLE))
+          | * ln((CAST(GREATEST(c, 1) AS DOUBLE) / CAST(nday AS DOUBLE))
+          |      / (CAST(cb AS DOUBLE) / CAST(nall AS DOUBLE))))
+          | AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .groupBy(col("day_ms"))
+      .agg(max(col("nday")).cast("long").as("n_day"),
+        sum(col("_tm")).cast("long").as("psi_micro"))
+  }
+}

@@ -34,6 +34,15 @@ class StreamMonitorsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("x54 stream PSI replay: non-negative per day, shared state shape") {
+    val d = sf("sf0.001")
+    val out = StreamPsiDrift.replayParquet(spark, d, queryName = "spec_x54")
+      .orderBy(col("day_ms")).collect()
+    assert(out.nonEmpty)
+    // per-bucket PSI terms are (p-q)ln(p/q) >= 0, so the day sums are
+    out.foreach(r => assert(r.getLong(2) >= 0L, s"psi >= 0: $r"))
+  }
+
   test("x52 stream KS replay: per-day stats are internally consistent") {
     val d = sf("sf0.001")
     val out = StreamKsDrift.replayParquet(spark, d, queryName = "spec_x52")
