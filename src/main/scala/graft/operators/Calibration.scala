@@ -25,10 +25,13 @@ object Calibration {
   def reliabilityBins(df: DataFrame, probMilli: Column, label: Column,
                       bins: Int = 10): DataFrame = {
     require(bins >= 2, s"reliabilityBins: bins=$bins")
-    val w = 1000L / bins
+    // bin = ⌊p·bins/1000⌋ clamped to the top bin — exact equal-width
+    // binning for ANY bin count (the ⌊p/⌊1000/bins⌋⌋ form misbins
+    // boundary values whenever bins ∤ 1000, e.g. bins=3 puts 666 in
+    // bin 2 instead of 1)
     df.select(probMilli.cast("long").as("_p"), label.cast("long").as("_y"))
       .withColumn("_bin",
-        expr(s"least(_p DIV ${w}L, ${bins - 1}L)").cast("long"))
+        expr(s"least(_p * ${bins}L DIV 1000L, ${bins - 1}L)").cast("long"))
       .groupBy(col("_bin").as("bin"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("_p")).cast("long").as("_sp"),
@@ -46,9 +49,12 @@ object Calibration {
     * score-cardinality-bounded and each histogram row lands in every
     * threshold bucket at or below it via a range condition against the
     * broadcast threshold list (|thresholds| × |distinct scores| fanout,
-    * both bounded). F1 in its integer-pure form 2TP/(2TP+FP+FN).
-    * Output: (threshold, tp, fp, fn_, precision_milli, recall_milli,
-    * f1_milli). */
+    * both bounded). EVERY requested threshold appears in the output —
+    * one with no qualifying score reads tp=0, fp=0, fn=all positives
+    * (re-attached from the tiny threshold list after the range-join
+    * aggregation, so the scalable core is untouched). F1 in its
+    * integer-pure form 2TP/(2TP+FP+FN). Output: (threshold, tp, fp,
+    * fn_, precision_milli, recall_milli, f1_milli). */
   def prSweep(df: DataFrame, score: Column, label: Column,
               thresholds: Seq[Long]): DataFrame = {
     require(thresholds.nonEmpty, "prSweep: thresholds empty")
@@ -61,10 +67,14 @@ object Calibration {
         sum(col("_y")).cast("long").as("_cp"))
     val tot = hist.agg(sum(col("_cp")).cast("long").as("_allp"))
     val th = thresholds.sorted.toDF("threshold")
-    hist.join(broadcast(th), col("_v") >= col("threshold"))
+    val counts = hist.join(broadcast(th), col("_v") >= col("threshold"))
       .groupBy(col("threshold"))
       .agg(sum(col("_cp")).cast("long").as("tp"),
         sum(col("_c") - col("_cp")).cast("long").as("fp"))
+    th.join(counts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("tp"), lit(0L)).cast("long").as("tp"),
+        coalesce(col("fp"), lit(0L)).cast("long").as("fp"))
       .crossJoin(broadcast(tot))
       .select(col("threshold"), col("tp"), col("fp"),
         (col("_allp") - col("tp")).cast("long").as("fn_"),

@@ -38,9 +38,15 @@ object Experiment {
         sum(when(col("_g") === 1L, col("_conv")).otherwise(0L))
           .cast("long").as("conv_b"))
       .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
-        expr("conv_a * 1000 DIV n_a").as("rate_a_milli"),
-        expr("conv_b * 1000 DIV n_b").as("rate_b_milli"),
-        expr("conv_a * 1000 DIV n_a - conv_b * 1000 DIV n_b")
+        // every division guarded against an empty variant (all units in
+        // one hash bucket) — ANSI mode raises on x DIV 0, so the rate
+        // and lift columns must degrade to 0 like lift_rel/z do
+        expr("CASE WHEN n_a > 0 THEN conv_a * 1000 DIV n_a ELSE 0 END")
+          .cast("long").as("rate_a_milli"),
+        expr("CASE WHEN n_b > 0 THEN conv_b * 1000 DIV n_b ELSE 0 END")
+          .cast("long").as("rate_b_milli"),
+        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN" +
+          " conv_a * 1000 DIV n_a - conv_b * 1000 DIV n_b ELSE 0 END")
           .cast("long").as("lift_abs_milli"),
         // relative lift (p_a - p_b)/p_b, cross-multiplied exactly;
         // sign-factored because the numerator can be negative and

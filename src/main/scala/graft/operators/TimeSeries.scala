@@ -27,8 +27,10 @@ object TimeSeries {
     * of it (self-calibrating — a drift beyond the historical mean by
     * more than the slack accumulates), alarm when the CUSUM exceeds
     * `hFactor` × mean. Output one row per (key, period): the period
-    * value, cusum, and alarm flag. All integer: means via DIV, the
-    * recurrence over exact deltas. */
+    * value, cusum, and alarm flag. All integer: means and the slack are
+    * SIGN-FACTORED floor divisions (sign(s)·(|s| DIV n) — the portable
+    * truncate-vs-floor parity form, so balance-like NEGATIVE period
+    * values stay engine-identical), the recurrence over exact deltas. */
   def cusumDaily(df: DataFrame, keyCol: String, periodMs: Column,
                  value: Column, slackPct: Long = 10L,
                  hFactor: Long = 3L): DataFrame = {
@@ -39,11 +41,13 @@ object TimeSeries {
     val means = daily.groupBy(col(keyCol))
       .agg(sum(col("x")).cast("long").as("_sm"),
         count(lit(1)).cast("long").as("_nm"))
-      .select(col(keyCol), expr("_sm DIV _nm").as("_mean"))
+      .select(col(keyCol),
+        expr("CAST(sign(_sm) AS BIGINT) * (abs(_sm) DIV _nm)").as("_mean"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("_p"))
       .rowsBetween(Window.unboundedPreceding, 0)
     daily.join(broadcast(means), keyCol)
-      .withColumn("_k", expr(s"_mean + _mean * $slackPct DIV 100"))
+      .withColumn("_k", expr("_mean + CAST(sign(_mean) AS BIGINT)" +
+        s" * (abs(_mean) * $slackPct DIV 100)"))
       .withColumn("_d", col("x") - col("_k"))
       .withColumn("_cum", sum(col("_d")).over(w))
       .withColumn("cusum",
@@ -111,8 +115,9 @@ object TimeSeries {
     * over mean overall period value, in milli-units (1000 = flat).
     * `dow`: 0 = Thursday epoch anchor convention — the caller passes
     * the period's epoch-day so the index is a pure mod (engine-portable;
-    * no locale-dependent date function). Output per (key, dow):
-    * n_periods, mean_c, index_milli. */
+    * no locale-dependent date function). mean_c is a sign-factored
+    * floor division (negative-value-safe, engine-portable). Output per
+    * (key, dow): n_periods, mean_c, index_milli. */
   def dowSeasonality(df: DataFrame, keyCol: String, epochDay: Column,
                      value: Column): DataFrame = {
     val daily = df.select(col(keyCol), epochDay.cast("long").as("_d"),
@@ -128,7 +133,8 @@ object TimeSeries {
         sum(col("_x")).cast("long").as("_s"))
       .join(broadcast(overall), keyCol)
       .select(col(keyCol), col("dow"), col("n_periods"),
-        expr("_s DIV n_periods").as("mean_c"),
+        expr("CAST(sign(_s) AS BIGINT) * (abs(_s) DIV n_periods)")
+          .as("mean_c"),
         // index = (per-dow mean) / (overall mean) = s·nall / (n·sall);
         // the integer cross-product s·1000·nall overflows BIGINT at
         // corpus scale, so the ratio goes through DOUBLE in ONE fixed

@@ -7,9 +7,9 @@ import org.apache.spark.sql.streaming.Trigger
 /** Streaming behavioral bot screen — q238's per-user rate/diversity
   * features maintained live. The batch operator was DESIGNED from
   * mergeable statistics only, and this is the payoff: count, min/max
-  * event time, and a 61-bit event-type presence sketch are each one
-  * built-in streaming aggregate — four longs of state per user, map-side
-  * combined. Distinct-type counting is the one non-mergeable feature;
+  * event time, and a 127-slot event-type presence sketch are each
+  * built-in streaming aggregates — five longs of state per user
+  * (count, min, max, two bit_or mask longs), map-side combined. Distinct-type counting is the one non-mergeable feature;
   * it streams as a 127-slot bit-presence sketch (md5(type) % 127 over
   * TWO bit_or longs) — exact while the observed type vocabulary is
   * collision-free under the hash (5 types here; a 61-slot single-long
