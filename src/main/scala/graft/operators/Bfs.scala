@@ -73,6 +73,42 @@ object Bfs {
     d
   }
 
+  /** Convergence witness for the fixed-round traversal: per round
+    * r = 0..`rounds`, the frontier size (nodes FIRST reached at hop r —
+    * exactly the dist histogram of [[hopDistance]]'s output, zero-
+    * filled from a rounds spine) and the cumulative settled count. A
+    * final-row `frontier = 0` PROVES the fixpoint: nothing was reached
+    * at hop R, so nothing is reachable beyond it and the R-round answer
+    * is the complete reachable set. Costs one bounded aggregation over
+    * the traversal result; the trailing window runs over R+1 rows
+    * (round-count-bounded, not data-bounded). */
+  def frontierTrace(dist: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = dist.sparkSession
+    val spine = spark.range(0, rounds + 1L)
+      .select(col("id").cast("long").as("round"))
+    val hist = dist.groupBy(col("dist").as("round"))
+      .agg(count(lit(1)).cast("long").as("frontier"))
+    spine.join(hist, Seq("round"), "left")
+      .na.fill(0L, Seq("frontier"))
+      .withColumn("settled", sum(col("frontier"))
+        .over(Window.orderBy(col("round"))
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+  }
+
+  /** SQL mirror of [[frontierTrace]] as a CTE over `d$rounds` (append
+    * after [[unrolledSqlCtes]]). Select `round, frontier, settled`
+    * from `fronttrace`. */
+  def traceSqlCte(rounds: Int): String =
+    s"""fronttrace AS (
+       |  SELECT g.round, CAST(COALESCE(h.frontier, 0) AS BIGINT) AS frontier,
+       |         CAST(SUM(COALESCE(h.frontier, 0)) OVER (ORDER BY g.round
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS settled
+       |  FROM (SELECT unnest(generate_series(0, $rounds)) AS round) g
+       |  LEFT JOIN (SELECT dist AS round, CAST(COUNT(*) AS BIGINT) AS frontier
+       |             FROM d$rounds GROUP BY dist) h ON g.round = h.round)""".stripMargin
+
   /** SQL mirror of [[hopDistance]], unrolled: chained CTEs `d0..dR`
     * over caller-supplied CTEs `adj(node, nbr)` (both edge directions)
     * and `seeds(node)`. Select `node, dist` from `d$rounds`. Per-round

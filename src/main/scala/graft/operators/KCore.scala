@@ -29,33 +29,33 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  /** `edges`: (`u`, `v`) undirected, pre-deduped, u ≠ v. Returns
-    * (node, deg) — the nodes surviving `peelRounds` rounds of sub-k
-    * removal, with their degree inside the surviving subgraph. */
-  def core(edges: DataFrame, k: Long, peelRounds: Int): DataFrame = {
+  /** The shared peel loop: per-round edge frames e_0..e_R, each
+    * lineage-truncated (lazy matFlat — see Hits/LabelProp: the round
+    * plan references e three times, degree count + two survivor
+    * semi-joins, so without the LogicalRDD rebuild round r's plan holds
+    * 3^r copies of the input subtree and every AQE stage update
+    * stringifies it). The per-round persist dedups the triple reference
+    * at execution but fills only at the caller's ONE action — a single
+    * job for the whole peel instead of a count job per round. The
+    * caller must unpersist `handles` only AFTER that action (a dropped
+    * never-filled cache re-runs its subtree per consumer, chaining
+    * 3^r). Peak cache holds every round's SHRINKING edge set instead of
+    * two rounds' — the peeled sets decay geometrically on real graphs
+    * and persists spill to disk, the price of k fewer driver
+    * round-trips. */
+  private def peelFrames(edges: DataFrame, k: Long, peelRounds: Int)
+      : (IndexedSeq[DataFrame], Seq[DataFrame]) = {
     require(k >= 1, "core: k must be >= 1")
     require(peelRounds >= 1, "core: peelRounds must be >= 1")
     val spark = edges.sparkSession
-    // Lineage-truncate WITHOUT an eager count (the round-14 lazy
-    // matFlat, see Hits/LabelProp): the round plan references e three
-    // times (degree count + two survivor semi-joins), so without the
-    // LogicalRDD rebuild round r's plan holds 3^r copies of the input
-    // subtree and every AQE stage update stringifies it. The per-round
-    // persist stays (it dedups the triple reference at execution) but
-    // fills only at the ONE action at the end — a single job for the
-    // whole peel instead of a count job per round. Handles release
-    // only after that action (a dropped never-filled cache re-runs its
-    // subtree per consumer, chaining 3^r). Peak cache holds every
-    // round's SHRINKING edge set instead of two rounds' — the peeled
-    // sets decay geometrically on real graphs and persists spill to
-    // disk, the price of k fewer driver round-trips.
     def matFlat(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist()
       (spark.createDataFrame(p.rdd, p.schema), p)
     }
+    val frames = IndexedSeq.newBuilder[DataFrame]
     val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var (e, eHandle) = matFlat(edges)
-    handles += eHandle
+    frames += e; handles += eHandle
     var i = 0
     while (i < peelRounds) {
       val deg = e.select(col("u").as("node"))
@@ -66,15 +66,54 @@ object KCore {
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")))
-      handles += nextHandle
-      e = next; eHandle = nextHandle
+      frames += next; handles += nextHandle
+      e = next
       i += 1
     }
-    val out = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node")))
+    (frames.result(), handles.toSeq)
+  }
+
+  /** `edges`: (`u`, `v`) undirected, pre-deduped, u ≠ v. Returns
+    * (node, deg) — the nodes surviving `peelRounds` rounds of sub-k
+    * removal, with their degree inside the surviving subgraph. */
+  def core(edges: DataFrame, k: Long, peelRounds: Int): DataFrame = {
+    val (frames, handles) = peelFrames(edges, k, peelRounds)
+    val out = frames.last.select(col("u").as("node"))
+      .union(frames.last.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).cast("long").as("dg"))
     val result = graft.Caches.track(out.persist())
     result.count() // the peel's ONE action — fills every round's cache
+    handles.foreach(_.unpersist(blocking = false))
+    result
+  }
+
+  /** Convergence witness for the fixed-round peel (the q144/q149
+    * recall-audit idea applied to iteration): per round r = 0..R, the
+    * surviving node and edge counts plus `removed` = nodes dropped BY
+    * that round. The peel is monotone (survivor sets only shrink), so
+    * `removed = 0` on the final row PROVES rounds ≥ R hit the fixpoint
+    * — the caller-fixed round count of [[core]] is enough, visibly, at
+    * the gated scale. One bounded-size aggregate per round over the
+    * same lazily-persisted frames as [[core]]; the trailing window runs
+    * over R+1 rows (round-count-bounded, not data-bounded). */
+  def peelTrace(edges: DataFrame, k: Long, peelRounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (frames, handles) = peelFrames(edges, k, peelRounds)
+    val rows = frames.zipWithIndex.map { case (e, r) =>
+      // each edge contributes both ends, so COUNT(*) DIV 2 is exact
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .agg(countDistinct(col("node")).cast("long").as("n_nodes"),
+          count(lit(1)).as("_c2"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          expr("_c2 DIV 2").cast("long").as("n_edges"))
+    }
+    val trace = rows.reduce(_.unionByName(_))
+    val w = Window.orderBy(col("round"))
+    val out = trace.withColumn("removed",
+        coalesce(lag(col("n_nodes"), 1).over(w) - col("n_nodes"), lit(0L))
+          .cast("long"))
+    val result = graft.Caches.track(out.persist())
+    result.count() // the trace's ONE action — fills every round's cache
     handles.foreach(_.unpersist(blocking = false))
     result
   }
@@ -99,4 +138,22 @@ object KCore {
            |        SELECT u AS node FROM e$peelRounds
            |        UNION ALL SELECT v FROM e$peelRounds) GROUP BY node)""".stripMargin))
       .mkString(",\n")
+
+  /** SQL mirror of [[peelTrace]]: appends a `trace` CTE to
+    * [[unrolledSqlCtes]] with one row per round. Select
+    * `round, n_nodes, n_edges, removed` from `peeltrace`. */
+  def traceSqlCtes(k: Long, peelRounds: Int): String = {
+    val rows = (0 to peelRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+         |       CAST(COUNT(*) // 2 AS BIGINT) AS n_edges
+         |FROM (SELECT u AS node FROM e$r UNION ALL SELECT v FROM e$r)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    unrolledSqlCtes(k, peelRounds) + s""",
+      |trace AS ($rows),
+      |peeltrace AS (SELECT round, n_nodes, n_edges,
+      |  CAST(COALESCE(LAG(n_nodes) OVER (ORDER BY round) - n_nodes, 0)
+      |       AS BIGINT) AS removed
+      |  FROM trace)""".stripMargin
+  }
 }

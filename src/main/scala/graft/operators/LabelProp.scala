@@ -32,11 +32,20 @@ import org.apache.spark.sql.functions._
   */
 object LabelProp {
 
-  /** `nodes`: one column `node`; `edges`: (`src`, `dst`) UNDIRECTED
-    * pairs, pre-deduped (each pair once, either orientation). Returns
-    * (node, label) after `iterations` synchronous rounds. */
-  def communities(nodes: DataFrame, edges: DataFrame,
-                  iterations: Int): DataFrame = {
+  /** The shared propagation loop: per-round label frames l_0..l_K,
+    * each lineage-truncated (lazy matFlat, see Hits: each round
+    * references the previous labels twice — count join + isolated-node
+    * fallback — so without the LogicalRDD rebuild round k's plan holds
+    * 2^k copies of round 0's, and every AQE stage update stringifies
+    * it). The per-round persist dedups the double reference at
+    * execution but fills only at the caller's ONE action — the whole
+    * loop is a single job instead of one count job per round. The
+    * caller must unpersist `handles` and `owned` only AFTER that
+    * action (a dropped never-filled cache re-runs its subtree once per
+    * consumer, which chains exponentially). */
+  private def propagate(nodes: DataFrame, edges: DataFrame,
+                        iterations: Int)
+      : (IndexedSeq[DataFrame], Seq[DataFrame], Seq[DataFrame]) = {
     require(iterations >= 1, "communities: iterations must be >= 1")
     val spark = nodes.sparkSession
     val ndOwned = nodes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
@@ -46,24 +55,14 @@ object LabelProp {
       .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
       .persist()
     adj.count()
-    // Lineage-truncate WITHOUT an eager count (the round-14 lazy
-    // matFlat, see Hits): each round references the previous labels
-    // twice (count join + isolated-node fallback), so without the
-    // LogicalRDD rebuild round k's plan holds 2^k copies of round 0's —
-    // and every AQE stage update stringifies it (explainString-bound,
-    // not data-bound). The per-round persist stays (it is what dedups
-    // the double reference at execution), but nothing materializes
-    // until the ONE action at the end — the whole loop is a single job
-    // instead of one count job per round. Handles release only AFTER
-    // that action: dropping a never-filled cache would re-run its
-    // subtree once per consumer, which chains exponentially.
     def matFlat(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist()
       (spark.createDataFrame(p.rdd, p.schema), p)
     }
+    val frames = IndexedSeq.newBuilder[DataFrame]
     val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var (l, lHandle) = matFlat(nd.select(col("node"), col("node").as("label")))
-    handles += lHandle
+    frames += l; handles += lHandle
     var i = 0
     while (i < iterations) {
       val cnt = adj.join(l.select(col("node").as("nbr"), col("label")), "nbr")
@@ -76,16 +75,75 @@ object LabelProp {
         .select(col("node"), col("label").as("_best"))
       val (next, nextHandle) = matFlat(l.join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("_best"), col("label")).as("label")))
-      handles += nextHandle
-      l = next; lHandle = nextHandle
+      frames += next; handles += nextHandle
+      l = next
       i += 1
     }
+    val owned = (if (ndOwned) Seq(nd) else Seq.empty) :+ adj
+    (frames.result(), handles.toSeq, owned)
+  }
+
+  /** `nodes`: one column `node`; `edges`: (`src`, `dst`) UNDIRECTED
+    * pairs, pre-deduped (each pair once, either orientation). Returns
+    * (node, label) after `iterations` synchronous rounds. */
+  def communities(nodes: DataFrame, edges: DataFrame,
+                  iterations: Int): DataFrame = {
+    val (frames, handles, owned) = propagate(nodes, edges, iterations)
+    val lHandle = handles.last
     lHandle.count() // the loop's ONE action — fills every round's cache
     handles.filter(_ ne lHandle).foreach(_.unpersist(blocking = false))
-    if (ndOwned) nd.unpersist(blocking = false)
-    adj.unpersist(blocking = false)
+    owned.foreach(_.unpersist(blocking = false))
     graft.Caches.track(lHandle)
-    l // the LogicalRDD rebuild — downstream plans stay constant-depth
+    frames.last // the LogicalRDD rebuild — constant-depth downstream
+  }
+
+  /** Convergence witness for the fixed-round propagation: per round
+    * k = 0..`iterations`, the count of nodes whose label changed vs the
+    * PREVIOUS round (`changed`), vs TWO rounds back (`changed2`), and
+    * the distinct-label (community) count. Two witnesses because
+    * synchronous LPA has two limit behaviors: a trailing `changed = 0`
+    * proves a true fixpoint, while a trailing `changed2 = 0` with
+    * `changed > 0` proves a PERIOD-2 LIMIT CYCLE — each round being a
+    * pure function of the previous labels, l_K = l_{K−2} forces every
+    * later round to repeat with period 2. On bipartite graphs the
+    * cycle is the EXPECTED outcome (labels swap sides every round, the
+    * known pathology of synchronous updates — period ≤ 2 is
+    * characteristic of synchronous majority-like dynamics, cf. Goles &
+    * Olivos 1980 for threshold networks); [[semiSyncCommunities]] is
+    * the converging variant. One node-keyed 1:1 join + bounded
+    * aggregate per round over the same lazily-persisted frames as
+    * [[communities]]; `changed2` is 0 by convention for k < 2. */
+  def convergenceTrace(nodes: DataFrame, edges: DataFrame,
+                       iterations: Int): DataFrame = {
+    val (frames, handles, owned) = propagate(nodes, edges, iterations)
+    val head = frames.head
+      .agg(countDistinct(col("label")).cast("long").as("n_labels"))
+      .select(lit(0L).as("round"), lit(0L).as("changed"),
+        lit(0L).as("changed2"), col("n_labels"))
+    val rows = (1 to iterations).map { k =>
+      val base = frames(k).select(col("node"), col("label"))
+        .join(frames(k - 1).select(col("node"), col("label").as("_prev")),
+          Seq("node"))
+      val withP2 =
+        if (k >= 2)
+          base.join(frames(k - 2)
+            .select(col("node"), col("label").as("_prev2")), Seq("node"))
+        else base.withColumn("_prev2", col("label"))
+      withP2
+        .agg(sum(when(col("label") =!= col("_prev"), 1L).otherwise(0L))
+            .cast("long").as("changed"),
+          sum(when(col("label") =!= col("_prev2"), 1L).otherwise(0L))
+            .cast("long").as("changed2"),
+          countDistinct(col("label")).cast("long").as("n_labels"))
+        .select(lit(k.toLong).as("round"), col("changed"), col("changed2"),
+          col("n_labels"))
+    }
+    val out = (head +: rows).reduce(_.unionByName(_))
+    val result = graft.Caches.track(out.persist())
+    result.count() // the trace's ONE action — fills every round's cache
+    handles.foreach(_.unpersist(blocking = false))
+    owned.foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** SQL mirror of [[communities]], unrolled: chained CTEs `l0..lK`
@@ -111,4 +169,170 @@ object LabelProp {
            |        COALESCE(b.label, p.label) AS label
            |        FROM l${k - 1} p LEFT JOIN b$k b ON p.node = b.node)""".stripMargin
       }).mkString(",\n")
+
+  /** SQL mirror of [[convergenceTrace]]: appends a `lpatrace` CTE to
+    * [[unrolledSqlCtes]] with one row per round. Select
+    * `round, changed, changed2, n_labels` from `lpatrace`. */
+  def traceSqlCtes(iterations: Int): String = {
+    val head =
+      """SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT) AS changed,
+        |       CAST(0 AS BIGINT) AS changed2,
+        |       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels FROM l0""".stripMargin
+    val rows = (1 to iterations).map { k =>
+      val p2 =
+        if (k >= 2)
+          s"""CAST(SUM(CASE WHEN a.label <> c.label THEN 1 ELSE 0 END)
+             |            AS BIGINT)""".stripMargin
+        else "CAST(0 AS BIGINT)"
+      val p2join =
+        if (k >= 2) s"\n|JOIN l${k - 2} c ON a.node = c.node".stripMargin
+        else ""
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |       CAST(SUM(CASE WHEN a.label <> b.label THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS changed,
+         |       $p2 AS changed2,
+         |       CAST(COUNT(DISTINCT a.label) AS BIGINT) AS n_labels
+         |FROM l$k a JOIN l${k - 1} b ON a.node = b.node$p2join""".stripMargin
+    }
+    unrolledSqlCtes(iterations) +
+      s",\nlpatrace AS (${(head +: rows).mkString("\nUNION ALL\n")})"
+  }
+
+  /** Semi-synchronous label propagation (the Cordasco & Gargano 2010
+    * coloring schedule specialized to a 2-colorable graph): half-round
+    * t updates ONLY the nodes of side t % 2 — odd half-rounds side 1,
+    * even side 0 — from their neighbors' current labels, same
+    * most-frequent / smallest-label rule as [[communities]]. On a
+    * bipartite graph (sides = the two partitions, e.g. customers vs
+    * suppliers) neighbors are never updated in the same half-round, so
+    * the label-swap oscillation of the synchronous variant cannot
+    * occur and the propagation genuinely converges (witnessed by
+    * [[semiSyncTrace]]'s trailing changed = 0 half-rounds). Same scale
+    * shape as [[communities]] — one adjacency⨝labels join + keyed
+    * top-1 per half-round, with the count join pre-filtered to the
+    * active side (half the work of a full round).
+    *
+    * `sides`: (node, side) with side ∈ {0, 1}; every graph node must
+    * appear. Returns (node, label) after `halfRounds` half-rounds. */
+  def semiSyncCommunities(sides: DataFrame, edges: DataFrame,
+                          halfRounds: Int): DataFrame = {
+    val (frames, handles, owned) = semiSyncPropagate(sides, edges, halfRounds)
+    val lHandle = handles.last
+    lHandle.count() // the loop's ONE action — fills every round's cache
+    handles.filter(_ ne lHandle).foreach(_.unpersist(blocking = false))
+    owned.foreach(_.unpersist(blocking = false))
+    graft.Caches.track(lHandle)
+    frames.last
+  }
+
+  /** Per-half-round convergence trace of [[semiSyncCommunities]]:
+    * (round, changed, n_labels). TWO trailing changed = 0 rows prove
+    * the fixpoint — one full sweep (both sides) with no update, after
+    * which every later half-round repeats. */
+  def semiSyncTrace(sides: DataFrame, edges: DataFrame,
+                    halfRounds: Int): DataFrame = {
+    val (frames, handles, owned) = semiSyncPropagate(sides, edges, halfRounds)
+    val head = frames.head
+      .agg(countDistinct(col("label")).cast("long").as("n_labels"))
+      .select(lit(0L).as("round"), lit(0L).as("changed"), col("n_labels"))
+    val rows = (1 to halfRounds).map { k =>
+      frames(k).select(col("node"), col("label"))
+        .join(frames(k - 1).select(col("node"), col("label").as("_prev")),
+          Seq("node"))
+        .agg(sum(when(col("label") =!= col("_prev"), 1L).otherwise(0L))
+            .cast("long").as("changed"),
+          countDistinct(col("label")).cast("long").as("n_labels"))
+        .select(lit(k.toLong).as("round"), col("changed"), col("n_labels"))
+    }
+    val out = (head +: rows).reduce(_.unionByName(_))
+    val result = graft.Caches.track(out.persist())
+    result.count() // the trace's ONE action — fills every round's cache
+    handles.foreach(_.unpersist(blocking = false))
+    owned.foreach(_.unpersist(blocking = false))
+    result
+  }
+
+  /** The semi-synchronous loop body (shape of [[propagate]], count
+    * join pre-filtered to the active side; same lazy matFlat / single
+    * caller action / release-after-action discipline). */
+  private def semiSyncPropagate(sides: DataFrame, edges: DataFrame,
+                                halfRounds: Int)
+      : (IndexedSeq[DataFrame], Seq[DataFrame], Seq[DataFrame]) = {
+    require(halfRounds >= 1, "semiSync: halfRounds must be >= 1")
+    val spark = sides.sparkSession
+    val sdOwned = sides.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val sd = if (sdOwned) sides.persist() else sides
+    val adj = edges.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
+      .persist()
+    adj.count()
+    def matFlat(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist()
+      (spark.createDataFrame(p.rdd, p.schema), p)
+    }
+    val frames = IndexedSeq.newBuilder[DataFrame]
+    val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var (l, lHandle) =
+      matFlat(sd.select(col("node"), col("node").as("label")))
+    frames += l; handles += lHandle
+    var t = 1
+    while (t <= halfRounds) {
+      val active = sd.where(col("side") === (t % 2)).select(col("node"))
+      val cnt = adj
+        .join(active, Seq("node"), "left_semi")
+        .join(l.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("label"))
+      val best = cnt.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("node"), col("label").as("_best"))
+      val (next, nextHandle) = matFlat(l.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("_best"), col("label")).as("label")))
+      frames += next; handles += nextHandle
+      l = next
+      t += 1
+    }
+    val owned = (if (sdOwned) Seq(sd) else Seq.empty) :+ adj
+    (frames.result(), handles.toSeq, owned)
+  }
+
+  /** SQL mirror of [[semiSyncCommunities]], unrolled over
+    * caller-supplied CTEs `sides(node, side)` and `adj(node, nbr)`.
+    * Select from `m$halfRounds`. */
+  def semiSyncSqlCtes(halfRounds: Int): String =
+    ("m0 AS MATERIALIZED (SELECT node, node AS label FROM sides)" +:
+      (1 to halfRounds).map { t =>
+        s"""sc$t AS MATERIALIZED (SELECT a.node, l.label, COUNT(*) AS c
+           |        FROM adj a
+           |        JOIN sides s ON s.node = a.node AND s.side = ${t % 2}
+           |        JOIN m${t - 1} l ON a.nbr = l.node
+           |        GROUP BY a.node, l.label),
+           |sb$t AS MATERIALIZED (SELECT node, label FROM (
+           |        SELECT node, label,
+           |               ROW_NUMBER() OVER (PARTITION BY node
+           |                 ORDER BY c DESC, label) AS rn
+           |        FROM sc$t) WHERE rn = 1),
+           |m$t AS MATERIALIZED (SELECT p.node,
+           |        COALESCE(b.label, p.label) AS label
+           |        FROM m${t - 1} p LEFT JOIN sb$t b ON p.node = b.node)""".stripMargin
+      }).mkString(",\n")
+
+  /** SQL mirror of [[semiSyncTrace]]: appends an `sstrace` CTE to
+    * [[semiSyncSqlCtes]]. Select `round, changed, n_labels` from it. */
+  def semiSyncTraceSqlCtes(halfRounds: Int): String = {
+    val head =
+      """SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT) AS changed,
+        |       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels FROM m0""".stripMargin
+    val rows = (1 to halfRounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |       CAST(SUM(CASE WHEN a.label <> b.label THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS changed,
+         |       CAST(COUNT(DISTINCT a.label) AS BIGINT) AS n_labels
+         |FROM m$k a JOIN m${k - 1} b ON a.node = b.node""".stripMargin
+    }
+    semiSyncSqlCtes(halfRounds) +
+      s",\nsstrace AS (${(head +: rows).mkString("\nUNION ALL\n")})"
+  }
 }
