@@ -158,17 +158,45 @@ object ReplayStage {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
   }
 
+  /** State-store provider toggle for the WHOLE streaming suite: every
+    * module starts its query inside [[withStatePartitions]], which
+    * applies `spark.sql.streaming.stateStore.providerClass` from (in
+    * precedence order) the explicit `providerClass` argument or the
+    * `graft.stateStoreProvider` system property. Unset, Spark's default
+    * in-heap HDFSBackedStateStoreProvider runs; set it to
+    * [[RocksDbProvider]] and all 24+ monitors run on RocksDB state —
+    * the 100-TB posture, where per-key state must spill off-heap
+    * instead of growing the executor heap. The provider only changes
+    * WHERE state lives, never what the query emits; the
+    * provider-independence spec replays a chained-stateful query under
+    * both and asserts identical output. */
+  val ProviderConfKey = "spark.sql.streaming.stateStore.providerClass"
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  val ProviderProp = "graft.stateStoreProvider"
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
     * `statePartitions` (a stateful query's state-partition count is
     * fixed at first start; a bounded replay wants a handful, not the
     * session default — a production 24/7 stream would size the session
-    * conf to the cluster and pass None). */
-  def withStatePartitions[A](spark: SparkSession, statePartitions: Option[Int])
+    * conf to the cluster and pass None) and the state-store provider
+    * applied (see [[ProviderConfKey]] above). */
+  def withStatePartitions[A](spark: SparkSession, statePartitions: Option[Int],
+      providerClass: Option[String] = None)
       (body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(ProviderConfKey)
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n))
+    providerClass.orElse(sys.props.get(ProviderProp))
+      .foreach(p => spark.conf.set(ProviderConfKey, p))
     try body
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProvider match {
+        case Some(p) => spark.conf.set(ProviderConfKey, p)
+        case None    => spark.conf.unset(ProviderConfKey)
+      }
+    }
   }
 }
