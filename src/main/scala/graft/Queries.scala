@@ -12936,6 +12936,57 @@ object Queries {
           csEdges(s, d), halfRounds = 12),
         csEdges(s, d))
     },
+
+    // ------------------------------------------------------------------
+    // x55: UPDATE-MODE per-day PSI drift monitor (StreamPsiUpdate) —
+    // the 24/7 posture every complete-mode monitor's MODE CAVEAT
+    // promised: append-mode day windows against a MAINTAINED reference
+    // histogram (the first 14 days, pinned batch-side), with the
+    // watermark genuinely DROPPING late data. The replay stages
+    // on-time rows, then a deliberately late file (event_id % 50 = 0
+    // rows from days before the final day — whole windows below the
+    // advanced watermark), one file per micro-batch; the oracle
+    // witnesses the drop as a plain batch predicate: day counts from
+    // surviving rows only, the reference from ALL rows. A hash match
+    // PROVES the watermark cutoff fired exactly as specified. State is
+    // x52/x54's (day, bucket) histogram VERBATIM at 0 ms delay.
+    q("x55_stream_psi_update",
+      """WITH ev AS (SELECT event_id, epoch_ms(ts) AS ms,
+        |                   CAST(FLOOR(value) AS BIGINT) AS b
+        |            FROM events),
+        |fd AS (SELECT MAX(ms) // 86400000 AS fday FROM ev),
+        |mn AS (SELECT MIN(ms) // 86400000 AS mday FROM ev),
+        |surv AS (SELECT ms // 86400000 AS day, b FROM ev CROSS JOIN fd
+        |         WHERE NOT (event_id % 50 = 0 AND ms // 86400000 < fday)),
+        |h AS (SELECT day * 86400000 AS day_ms, b,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM surv GROUP BY 1, 2),
+        |ref AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb
+        |        FROM ev CROSS JOIN mn
+        |        WHERE ms // 86400000 < mday + 14 GROUP BY 1),
+        |rn AS (SELECT CAST(SUM(cb) AS BIGINT) AS nref FROM ref),
+        |days AS (SELECT day_ms, CAST(SUM(c) AS BIGINT) AS nday
+        |         FROM h GROUP BY 1),
+        |grid AS (SELECT d.day_ms, d.nday, r.b, r.cb, COALESCE(h.c, 0) AS c
+        |         FROM days d CROSS JOIN ref r
+        |         LEFT JOIN h ON h.day_ms = d.day_ms AND h.b = r.b),
+        |t AS (SELECT day_ms, nday,
+        |        CAST(floor(1000000.0 *
+        |          (CAST(GREATEST(c, 1) AS DOUBLE) / CAST(nday AS DOUBLE)
+        |           - CAST(cb AS DOUBLE) / CAST(nref AS DOUBLE))
+        |          * ln((CAST(GREATEST(c, 1) AS DOUBLE)
+        |                / CAST(nday AS DOUBLE))
+        |               / (CAST(cb AS DOUBLE) / CAST(nref AS DOUBLE))))
+        |          AS BIGINT) AS tm
+        |      FROM grid CROSS JOIN rn)
+        |SELECT CAST(day_ms AS BIGINT) AS day_ms,
+        |       CAST(MAX(nday) AS BIGINT) AS n_day,
+        |       CAST(SUM(tm) AS BIGINT) AS psi_micro
+        |FROM t GROUP BY day_ms ORDER BY day_ms""".stripMargin) { (s, d) =>
+      graft.streaming.StreamPsiUpdate.replayParquet(s, d, refDays = 14,
+          queryName = "x55_psi_update")
+        .orderBy(col("day_ms"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

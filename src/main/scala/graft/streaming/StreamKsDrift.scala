@@ -30,12 +30,17 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamKsDrift {
 
-  /** Watermarked per-(day, whole-unit bucket) counts. */
-  def dailyBuckets(events: DataFrame): DataFrame =
+  /** Watermarked per-(day, whole-unit bucket) counts — the ONE state
+    * shape behind x52 (KS), x54 (PSI), and x55 (update-mode PSI with
+    * late-data drops); `delay` is the watermark lateness allowance
+    * (x52/x54's complete-mode replays keep the 1-day default; x55's
+    * append-mode monitor runs at 0 ms so the drop cutoff is exactly
+    * the max event time seen). */
+  def dailyBuckets(events: DataFrame, delay: String = "1 day"): DataFrame =
     events
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
       .withColumn("b", expr("CAST(FLOOR(value) AS BIGINT)"))
-      .withWatermark("event_time", "1 day")
+      .withWatermark("event_time", delay)
       .groupBy(window(col("event_time"), "1 day"), col("b"))
       .agg(count(lit(1)).cast("long").as("c"))
       .select(unix_millis(col("window.start")).as("day_ms"),

@@ -1,0 +1,170 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import scala.jdk.CollectionConverters._
+
+/** The 24/7 posture the x50–x54 MODE CAVEATs describe, made real:
+  * a per-day PSI drift monitor in APPEND mode against a MAINTAINED
+  * REFERENCE histogram, with event-time watermarking actually DROPPING
+  * late data — and an oracle that witnesses the drop.
+  *
+  * How it differs from x54's complete-mode replay:
+  *   - the reference distribution is pinned OUTSIDE the stream (here:
+  *     the batch histogram of the corpus's first `refDays` days — a
+  *     deployment would load yesterday's published reference), so the
+  *     stream never needs to re-emit history: each day window closes
+  *     once, in append mode, when the watermark passes its end;
+  *   - the state is still exactly [[StreamKsDrift.dailyBuckets]]'s
+  *     (shared verbatim, delay 0 ms) — additive (day, bucket) longs;
+  *   - LATE DATA IS DROPPED, and deliberately witnessed: the replay
+  *     stages four time-ordered files (on-time rows → empty gap →
+  *     late rows → sentinel) and processes them one per micro-batch,
+  *     so by the late batch the LATE-EVENT watermark sits at the
+  *     global max event time and every row of the late file — rows
+  *     with `event_id % 50 = 0` from days strictly before the final
+  *     day — arrives below it (the gap batch is what lets the
+  *     late-filter watermark catch up; see the staging comment).
+  *     Whether Spark filters late input by event-time value or by
+  *     window end, both predicates agree on these rows (whole window
+  *     below the watermark), so the drop set is deterministic and the
+  *     DuckDB oracle reproduces it as a plain batch predicate: day
+  *     counts come from surviving rows only, the reference from ALL
+  *     rows (a maintained reference is built from durable batch
+  *     history, not from what the stream happened to keep).
+  *
+  * This replay intentionally BYPASSES [[ReplayStage.readStream]]'s
+  * part-order guard: that guard exists to protect replays that must
+  * not lose rows; here the out-of-order second file IS the fixture.
+  *
+  * PSI arithmetic is the q233/x54 discipline: full day × reference-
+  * bucket grid, zero day-buckets take one pseudo-count, each term
+  * individually floored to micro over exact BIGINT counts. PSI is
+  * computed over the REFERENCE support (buckets with reference mass);
+  * a production gate would add a catch-all novel-value bucket.
+  */
+object StreamPsiUpdate {
+
+  private val DayMs = 86400000L
+  private val DayNs = 86400L * 1000000000L
+
+  /** Stage → replay (append mode, one file per micro-batch) → finish.
+    * Output per closed day: (day_ms, n_day, psi_micro); `n_day` counts
+    * the rows the WATERMARK LET THROUGH, which is the witness — the
+    * oracle's survivor counts must match exactly. */
+  def replayParquet(spark: SparkSession, dir: String, refDays: Int = 14,
+                    queryName: String = "stream_psi_update",
+                    statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val norm = graft.sources.Tables.table(spark, dir, "events")
+    val maxTs = norm.agg(max(col("ts"))).head().getLong(0)
+    val finalDay = maxTs / DayNs
+    // integer day arithmetic only — a DOUBLE division here could
+    // misclassify an exact-midnight row against the oracle's `//`
+    val lateRule = col("event_id") % 50 === 0 &&
+      expr(s"ts DIV $DayNs") < finalDay
+
+    val staged = Files.createTempDirectory("graft_psi_update")
+    try {
+      writePart(norm.where(!lateRule), staged, "00_ontime.parquet", 1000000L)
+      // the empty gap batch matters: Spark filters batch N's late input
+      // with the watermark as of batch N-1's START (and evicts with the
+      // one from its end) — without the gap, the late file would be
+      // judged against the pre-on-time watermark of 0 and merge into
+      // the still-open windows instead of dropping (measured:
+      // numRowsDroppedByWatermark=0 and full day counts without it,
+      // =all late rows with it)
+      writePart(norm.where(lit(false)), staged, "01_gap.parquet", 2000000L)
+      writePart(norm.where(lateRule), staged, "02_late.parquet", 3000000L)
+      val sentinel = norm.sparkSession
+        .createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(-1L, maxTs + 2 * DayNs, -1L)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType))))
+      writePart(sentinel, staged, "zz_sentinel.parquet", 4000000L)
+
+      val stream = spark.readStream.schema(norm.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
+      ReplayStage.withStatePartitions(spark, statePartitions) {
+        val q = StreamKsDrift.dailyBuckets(stream, delay = "0 milliseconds")
+          .writeStream
+          .outputMode("append")
+          .format("memory").queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(staged)
+
+    // reference: ALL rows (durable batch history), first refDays days
+    val minDay = norm.agg(min(col("ts"))).head().getLong(0) / DayNs
+    val ref = norm
+      .where(expr(s"ts DIV $DayNs") < minDay + refDays)
+      .groupBy(expr("CAST(FLOOR(value) AS BIGINT)").as("b"))
+      .agg(count(lit(1)).cast("long").as("cb"))
+    val refN = ref.agg(sum(col("cb")).cast("long").as("nref"))
+
+    // the sentinel's own day never closes (nothing advances the
+    // watermark past it); the cutoff below is defensive determinism.
+    // Fresh attributes per consumer of the memory sink (the x52
+    // discipline: each read mints new exprIds so self-joins resolve).
+    def sink(): DataFrame = spark.table(queryName)
+      .where(col("day_ms") <= finalDay * DayMs)
+      .select(col("day_ms").as("day_ms"), col("b").as("b"), col("c").as("c"))
+    val days = sink().groupBy(col("day_ms"))
+      .agg(sum(col("c")).cast("long").as("nday"))
+    val grid = days.crossJoin(broadcast(ref))
+      .join(sink(), Seq("day_ms", "b"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(refN))
+    grid
+      .withColumn("_tm", expr(
+        """CAST(floor(1000000.0 *
+          | (CAST(GREATEST(c, 1) AS DOUBLE) / CAST(nday AS DOUBLE)
+          |  - CAST(cb AS DOUBLE) / CAST(nref AS DOUBLE))
+          | * ln((CAST(GREATEST(c, 1) AS DOUBLE) / CAST(nday AS DOUBLE))
+          |      / (CAST(cb AS DOUBLE) / CAST(nref AS DOUBLE))))
+          | AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .groupBy(col("day_ms"))
+      .agg(max(col("nday")).cast("long").as("n_day"),
+        sum(col("_tm")).cast("long").as("psi_micro"))
+  }
+
+  /** Write `df` as ONE parquet part named `name` under `dir` with the
+    * given mtime — the replay's processing order is mtime order. */
+  private def writePart(df: DataFrame, dir: Path, name: String,
+                        mtimeMs: Long): Unit = {
+    val scratch = Files.createTempDirectory("graft_psi_part")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(scratch.toString)
+    val s = Files.list(scratch)
+    try s.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        val dst = dir.resolve(name)
+        Files.move(p, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+    finally s.close()
+    deleteRecursively(scratch)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}
