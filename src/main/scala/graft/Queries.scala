@@ -12987,6 +12987,71 @@ object Queries {
           queryName = "x55_psi_update")
         .orderBy(col("day_ms"))
     },
+
+    // ------------------------------------------------------------------
+    // q251: per-nation Theil–Sen trend (Regression.theilSenByGroup) —
+    // the ROBUST counterpart to q203's OLS on the SAME (orderdate,
+    // totalprice) data, directly comparable: slope = median pairwise
+    // Δy/Δx, intercept = median residual. Quadratic by definition, so
+    // groups are hash-capped at 200 (the q232 Kendall md5-gate contract
+    // verbatim, cap mirrored 1:1 in the oracle); slope arithmetic is
+    // sign-factored integer DIV, medians are lower medians with
+    // deterministic id tie-breaks — bit-exact both engines.
+    q("q251_theil_sen",
+      """WITH src AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |         o_orderkey AS id,
+        |         CAST(epoch_ms(o_orderdate) // 86400000 - 10000 AS BIGINT)
+        |           AS x,
+        |         CAST(floor(o_totalprice) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |gs AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS gn
+        |       FROM src GROUP BY 1),
+        |kept AS (SELECT s.* FROM src s JOIN gs USING (nation)
+        |         WHERE CAST(('0x' || substr(md5('tsen:' ||
+        |                 CAST(nation AS VARCHAR) || ':' ||
+        |                 CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |               % 1000000 * gn < 200 * 1000000),
+        |pairs AS (SELECT l.nation, l.id AS ia, r.id AS ib,
+        |            CAST(sign(r.y - l.y) AS BIGINT)
+        |              * CAST(sign(r.x - l.x) AS BIGINT)
+        |              * ((1000000 * abs(r.y - l.y)) // abs(r.x - l.x))
+        |              AS sl
+        |          FROM kept l JOIN kept r
+        |            ON l.nation = r.nation AND l.id < r.id
+        |          WHERE l.x <> r.x),
+        |slm AS (SELECT nation, np AS n_pairs, sl AS slope_micro FROM (
+        |          SELECT nation, sl, ia, ib,
+        |                 ROW_NUMBER() OVER (PARTITION BY nation
+        |                   ORDER BY sl, ia, ib) AS rn,
+        |                 COUNT(*) OVER (PARTITION BY nation) AS np
+        |          FROM pairs) WHERE rn = (np + 1) // 2),
+        |icm AS (SELECT nation, nu AS n_used, n_pairs, slope_micro,
+        |               icv AS intercept_micro FROM (
+        |          SELECT k.nation, s.n_pairs, s.slope_micro, k.id,
+        |                 1000000 * k.y - s.slope_micro * k.x AS icv,
+        |                 ROW_NUMBER() OVER (PARTITION BY k.nation
+        |                   ORDER BY 1000000 * k.y - s.slope_micro * k.x,
+        |                            k.id) AS rn,
+        |                 COUNT(*) OVER (PARTITION BY k.nation) AS nu
+        |          FROM kept k JOIN slm s ON k.nation = s.nation)
+        |        WHERE rn = (nu + 1) // 2)
+        |SELECT nation, CAST(n_used AS BIGINT) AS n_used,
+        |       CAST(n_pairs AS BIGINT) AS n_pairs,
+        |       CAST(slope_micro AS BIGINT) AS slope_micro,
+        |       CAST(intercept_micro AS BIGINT) AS intercept_micro
+        |FROM icm ORDER BY nation""".stripMargin) { (s, d) =>
+      graft.operators.Regression.theilSenByGroup(
+          T(s, d, "orders")
+            .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+            .select(col("c_nationkey").cast("long").as("nation"),
+              col("o_orderkey").as("oid"),
+              expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))" +
+                " DIV 86400000 - 10000").as("x"),
+              floor(col("o_totalprice")).as("y")),
+          "nation", "oid", col("x"), col("y"), cap = 200L)
+        .orderBy(col("nation"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -68,4 +68,75 @@ object Regression {
           "THEN floor(1000.0 * nm * nm / (dx * dy)) ELSE 0 END AS BIGINT)"))
       .drop("dx", "dy", "nm")
   }
+
+  /** Per-group Theil–Sen trend (Theil 1950, Sen 1968) — the ROBUST
+    * counterpart to [[olsByGroup]]: slope = median over all point
+    * pairs of (Δy/Δx), intercept = median of (y − slope·x). A single
+    * wild segment of outliers (29.3% breakdown) barely moves it where
+    * OLS follows the outliers — the pairing for drift diagnostics over
+    * contaminated telemetry.
+    *
+    * Quadratic in group size BY DEFINITION (every pair contributes a
+    * slope), so groups are first hash-capped to ≈`cap` members — the
+    * [[RankStats.kendallByGroup]] contract verbatim: deterministic md5
+    * gate, keep-rate cap/n, the estimator on a uniform subsample is
+    * the same estimator; the in-group pair join is then cap-bounded
+    * (Σ cap² work, never corpus²) and the median windows are keyed per
+    * group over ≤ cap(cap−1)/2 rows.
+    *
+    * Arithmetic: slope_micro = sign-factored (10⁶·|Δy|) DIV |Δx| —
+    * exact BIGINT, identical truncation on both engines (the repo's
+    * sign-factoring rule; Δx = 0 pairs are skipped as is standard).
+    * intercept_micro = median of (10⁶·y − slope_micro·x), exact
+    * BIGINT. Overflow bounds: 10⁶·|Δy| and slope_micro·x must fit
+    * BIGINT — |y| ≲ 9·10¹², |slope·x| ≲ 9·10¹⁸ (documented, ample for
+    * integer-unit telemetry). Medians are the LOWER median with a
+    * deterministic (value, pair/point id) tie-break, bit-reproducible
+    * across engines. Output: (key, n_used, n_pairs, slope_micro,
+    * intercept_micro). `idCol` must be unique within the group. */
+  def theilSenByGroup(df: DataFrame, keyCol: String, idCol: String,
+                      x: Column, y: Column, cap: Long = 200L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 2, s"theilSenByGroup: cap=$cap")
+    val src = df.select(col(keyCol), col(idCol).as("_id"),
+      x.cast("long").as("_x"), y.cast("long").as("_y"))
+    val sizes = src.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("_gn"))
+    val kept = src.join(broadcast(sizes), keyCol)
+      .where(graft.functions.HashFns.md5Hash60(
+          concat_ws(":", lit("tsen"), col(keyCol), col("_id")))
+          % 1000000L * col("_gn") < lit(cap) * 1000000L)
+      .drop("_gn")
+    val l = kept.select(col(keyCol), col("_id").as("_ia"),
+      col("_x").as("_xa"), col("_y").as("_ya"))
+    val r = kept.select(col(keyCol), col("_id").as("_ib"),
+      col("_x").as("_xb"), col("_y").as("_yb"))
+    val pairs = l.join(r, Seq(keyCol))
+      .where(col("_ia") < col("_ib") && col("_xa") =!= col("_xb"))
+      .withColumn("_sl", expr(
+        """CAST(sign(_yb - _ya) AS BIGINT) * CAST(sign(_xb - _xa) AS BIGINT)
+          | * ((1000000 * abs(_yb - _ya)) DIV abs(_xb - _xa))"""
+          .stripMargin.replace("\n", " ")).cast("long"))
+    val wSl = Window.partitionBy(col(keyCol))
+      .orderBy(col("_sl"), col("_ia"), col("_ib"))
+    val wCnt = Window.partitionBy(col(keyCol))
+    val slope = pairs
+      .withColumn("_rn", row_number().over(wSl))
+      .withColumn("_np", count(lit(1)).over(wCnt))
+      .where(col("_rn") === expr("(_np + 1) DIV 2"))
+      .select(col(keyCol), col("_np").cast("long").as("n_pairs"),
+        col("_sl").as("slope_micro"))
+    val resid = kept.join(slope, keyCol)
+      .withColumn("_ic",
+        (lit(1000000L) * col("_y") - col("slope_micro") * col("_x"))
+          .cast("long"))
+    val wIc = Window.partitionBy(col(keyCol))
+      .orderBy(col("_ic"), col("_id"))
+    resid
+      .withColumn("_rn", row_number().over(wIc))
+      .withColumn("_nu", count(lit(1)).over(wCnt))
+      .where(col("_rn") === expr("(_nu + 1) DIV 2"))
+      .select(col(keyCol), col("_nu").cast("long").as("n_used"),
+        col("n_pairs"), col("slope_micro"), col("_ic").as("intercept_micro"))
+  }
 }

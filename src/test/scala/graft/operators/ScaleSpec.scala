@@ -1066,4 +1066,54 @@ class ScaleSpec extends SparkSpec {
       !q243.contains("Join"),
       "q243 must stay a row-local scan:\n" + q243)
   }
+
+  test("round-15 plan shapes: witness traces read caches, modularity stays hash-joined, x55 finisher is windowless") {
+    val d = sf("sf0.001")
+    def formatted(name: String): String = {
+      val df = graft.Queries.all(name).fn(spark, d)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // the trace queries materialize their loops at construction; the
+    // returned plan must be the CONSTANT-DEPTH cache read (lineage
+    // truncated — no unrolled per-round subtrees survive downstream).
+    // Their only window is the trailing per-round lag/cumsum over R+1
+    // rows: round-count-bounded by construction, so an unpartitioned
+    // spec there is deliberate, not a scale bug.
+    Seq("q244_kcore_converge", "q246_lpa_converge", "q249_semisync_converge")
+      .foreach { q =>
+        val plan = formatted(q)
+        assert(plan.contains("InMemoryTableScan"),
+          s"$q must read its persisted trace, not re-derive it:\n" + plan)
+        assert(!plan.contains("HashAggregate") || !plan.contains("Parquet"),
+          s"$q's downstream plan must not re-scan the corpus:\n" + plan)
+      }
+    // q245: the frontier histogram aggregates the CACHED traversal
+    // (hopDistance hands back a lineage-truncated LogicalRDD — an
+    // ExistingRDD scan) — one bounded agg + spine join, never a corpus
+    // re-derivation
+    val q245 = formatted("q245_bfs_converge")
+    assert(q245.contains("Scan ExistingRDD"),
+      "q245 must read the cached hopDistance result:\n" + q245)
+    assert(!q245.contains("Parquet"),
+      "q245's downstream plan must not re-scan the corpus:\n" + q245)
+    // modularity: two labels⨝edges hash joins + one endpoint agg; the
+    // only non-equi join is the 1×1 stat combine (broadcast, not a
+    // CartesianProduct); inputs come from the memoized shared graph
+    Seq("q247_lpa_modularity", "q250_semisync_modularity").foreach { q =>
+      val plan = formatted(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q's 1×1 combine must broadcast:\n" + plan)
+      assert(plan.contains("InMemoryTableScan"),
+        s"$q must reuse the memoized graph/label caches:\n" + plan)
+    }
+    // x55: the post-replay finisher is grid + hash aggs with the
+    // reference histogram broadcast — no window anywhere (the stream
+    // did the per-day work; the finisher must stay bucket-bounded)
+    val x55 = formatted("x55_stream_psi_update")
+    assert(!x55.contains("windowspecdefinition"),
+      "x55's finisher must be windowless:\n" + x55)
+    assert(x55.contains("BroadcastExchange"),
+      "x55's reference histogram must broadcast onto the day grid:\n" + x55)
+  }
 }
