@@ -13052,6 +13052,65 @@ object Queries {
           "nation", "oid", col("x"), col("y"), cap = 200L)
         .orderBy(col("nation"))
     },
+
+    // ------------------------------------------------------------------
+    // q252: isotonic calibration map (Calibration.isotonicBins) — the
+    // PAVA fit over q224's reliability bins by its closed minimax form
+    // (max over left ends of min over right ends of the interval
+    // positive rate), which distributes: no sequential pooling loop,
+    // just bins³-bounded grid joins over exact prefix sums. Shares
+    // q224's self-validating md5 fixture, so the fit should hug the
+    // diagonal and raw_inversion marks the sampling-noise dips PAVA
+    // pools away.
+    q("q252_isotonic",
+      """WITH p AS (
+        |  SELECT CAST(('0x' || substr(md5('cal:' || CAST(vec_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) % 1001 AS pm,
+        |         CASE WHEN CAST(('0x' || substr(md5('lab:' ||
+        |                CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+        |              < CAST(('0x' || substr(md5('cal:' ||
+        |                CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1001
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |b AS (SELECT LEAST(pm * 10 // 1000, 9) AS bin,
+        |             CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(pm) AS BIGINT) AS sp,
+        |             CAST(SUM(y) AS BIGINT) AS np
+        |      FROM p GROUP BY 1),
+        |c AS (SELECT bin, n, sp, np,
+        |        CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |        CAST(SUM(np) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        |      FROM b),
+        |iv AS (SELECT l.bin AS j, r.bin AS k,
+        |              CAST(r.cp - (l.cp - l.np) AS DOUBLE)
+        |                / CAST(r.cn - (l.cn - l.n) AS DOUBLE) AS v
+        |       FROM c l JOIN c r ON l.bin <= r.bin),
+        |mn AS (SELECT i.bin AS ib, iv.j, MIN(iv.v) AS mnv
+        |       FROM b i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+        |       GROUP BY 1, 2),
+        |iso AS (SELECT ib AS bin, MAX(mnv) AS isov FROM mn GROUP BY 1)
+        |SELECT CAST(b.bin AS BIGINT) AS bin, b.n,
+        |       CAST(sp // n AS BIGINT) AS conf_milli,
+        |       CAST(np * 1000 // n AS BIGINT) AS acc_milli,
+        |       CAST(floor(1000000.0 * isov) AS BIGINT) AS iso_micro,
+        |       CAST(CASE WHEN np * 1000 // n <
+        |              LAG(np * 1000 // n) OVER (ORDER BY b.bin)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS raw_inversion
+        |FROM b JOIN iso USING (bin) ORDER BY b.bin""".stripMargin) {
+      (s, d) => {
+        val pm = graft.functions.HashFns.md5Hash60(
+          concat(lit("cal:"), col("vec_id").cast("string"))) % 1001L
+        val lab = graft.functions.HashFns.md5Hash60(
+          concat(lit("lab:"), col("vec_id").cast("string"))) % 1000L
+        val src = T(s, d, "embeddings")
+          .select(pm.as("_pm"), (lab < pm).cast("long").as("_y"))
+        graft.operators.Calibration
+          .isotonicBins(src, col("_pm"), col("_y"), bins = 10)
+          .orderBy(col("bin"))
+      }
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -86,4 +86,68 @@ object Calibration {
           " THEN 2 * tp * 1000 DIV (2 * tp + fp + (_allp - tp))" +
           " ELSE 0 END").cast("long").as("f1_milli"))
   }
+
+  /** Isotonic calibration of the reliability diagram — the PAVA fit
+    * (pool-adjacent-violators) computed by its closed minimax form
+    * (Barlow et al. 1972): iso(i) = max_{j ≤ i} min_{k ≥ i} of the
+    * positive-rate over bins j..k. That form needs no sequential loop,
+    * so it distributes: the histogram is one hash aggregation, prefix
+    * sums ride a window over ≤`bins` rows, and the interval grid /
+    * minimax joins are BINS-CUBED-bounded (10³ rows at the default) —
+    * dimension-bounded like q197's EMD grid, never data-bounded. The
+    * result is the monotone non-decreasing calibration map a score
+    * gate applies before thresholding (q223's sweep assumes scores
+    * are comparable; this is what makes a miscalibrated classifier's
+    * scores comparable).
+    *
+    * Arithmetic: interval rates go through ONE double division in the
+    * same association on both engines (exact BIGINT prefix sums in,
+    * IEEE min/max/floor out — the q181 discipline); `iso_micro` is the
+    * floored micro-unit fit. `raw_inversion` marks bins whose RAW
+    * accuracy dips below the previous bin's — the violations PAVA
+    * pools away (the fit is non-decreasing by construction). Output:
+    * (bin, n, conf_milli, acc_milli, iso_micro, raw_inversion). */
+  def isotonicBins(df: DataFrame, probMilli: Column, label: Column,
+                   bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2, s"isotonicBins: bins=$bins")
+    val hist = df
+      .select(probMilli.cast("long").as("_p"), label.cast("long").as("_y"))
+      .withColumn("_bin",
+        expr(s"least(_p * ${bins}L DIV 1000L, ${bins - 1}L)").cast("long"))
+      .groupBy(col("_bin").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("_p")).cast("long").as("_sp"),
+        sum(col("_y")).cast("long").as("_np"))
+    // every window/join below runs over ≤ bins rows — bounded
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("_cn", sum(col("n")).over(wCum).cast("long"))
+      .withColumn("_cp", sum(col("_np")).over(wCum).cast("long"))
+    val lo = cum.select(col("bin").as("_j"),
+      (col("_cn") - col("n")).as("_cnex"), (col("_cp") - col("_np")).as("_cpex"))
+    val hi = cum.select(col("bin").as("_k"),
+      col("_cn").as("_cnk"), col("_cp").as("_cpk"))
+    val iv = lo.join(hi, col("_j") <= col("_k"))
+      .select(col("_j"), col("_k"),
+        expr("CAST(_cpk - _cpex AS DOUBLE) / CAST(_cnk - _cnex AS DOUBLE)")
+          .as("_v"))
+    val mins = hist.select(col("bin").as("_i"))
+      .join(iv, col("_j") <= col("_i") && col("_k") >= col("_i"))
+      .groupBy(col("_i"), col("_j")).agg(min(col("_v")).as("_mn"))
+    val iso = mins.groupBy(col("_i").as("bin"))
+      .agg(max(col("_mn")).as("_iso"))
+    val wLag = Window.orderBy(col("bin"))
+    hist.join(iso, Seq("bin"))
+      .withColumn("_acc", expr("_np * 1000 DIV n").cast("long"))
+      .withColumn("raw_inversion",
+        when(col("_acc") < lag(col("_acc"), 1).over(wLag), 1L)
+          .otherwise(0L).cast("long"))
+      .select(col("bin"), col("n"),
+        expr("_sp DIV n").cast("long").as("conf_milli"),
+        col("_acc").as("acc_milli"),
+        expr("CAST(floor(1000000.0 * _iso) AS BIGINT)").as("iso_micro"),
+        col("raw_inversion"))
+  }
 }
