@@ -85,15 +85,19 @@ object LabelProp {
 
   /** `nodes`: one column `node`; `edges`: (`src`, `dst`) UNDIRECTED
     * pairs, pre-deduped (each pair once, either orientation). Returns
-    * (node, label) after `iterations` synchronous rounds. */
+    * (node, label) after `iterations` synchronous rounds.
+    * `track = false` keeps the result's persist OUT of the
+    * [[graft.Caches]] registry — for callers that MEMOIZE the fit
+    * across queries (the csEdges convention: the bench's per-query
+    * release must not drop a shared table). */
   def communities(nodes: DataFrame, edges: DataFrame,
-                  iterations: Int): DataFrame = {
+                  iterations: Int, track: Boolean = true): DataFrame = {
     val (frames, handles, owned) = propagate(nodes, edges, iterations)
     val lHandle = handles.last
     lHandle.count() // the loop's ONE action — fills every round's cache
     handles.filter(_ ne lHandle).foreach(_.unpersist(blocking = false))
     owned.foreach(_.unpersist(blocking = false))
-    graft.Caches.track(lHandle)
+    if (track) graft.Caches.track(lHandle)
     frames.last // the LogicalRDD rebuild — constant-depth downstream
   }
 
@@ -215,13 +219,13 @@ object LabelProp {
     * `sides`: (node, side) with side ∈ {0, 1}; every graph node must
     * appear. Returns (node, label) after `halfRounds` half-rounds. */
   def semiSyncCommunities(sides: DataFrame, edges: DataFrame,
-                          halfRounds: Int): DataFrame = {
+                          halfRounds: Int, track: Boolean = true): DataFrame = {
     val (frames, handles, owned) = semiSyncPropagate(sides, edges, halfRounds)
     val lHandle = handles.last
     lHandle.count() // the loop's ONE action — fills every round's cache
     handles.filter(_ ne lHandle).foreach(_.unpersist(blocking = false))
     owned.foreach(_.unpersist(blocking = false))
-    graft.Caches.track(lHandle)
+    if (track) graft.Caches.track(lHandle)
     frames.last
   }
 
