@@ -13121,6 +13121,60 @@ object Queries {
           .orderBy(col("bin"))
       }
     },
+
+    // ------------------------------------------------------------------
+    // q253: per-nation Hodges–Lehmann pseudo-median of account balances
+    // (RobustStats.hodgesLehmann) — the location sibling of q251's
+    // Theil–Sen on q237's data, completing the robust trio
+    // (MAD / trimmed / HL): the median of all Walsh averages under the
+    // q232 hash-cap contract, DIVISION-FREE (pm_half_centi is the
+    // lower median of the exact Walsh sums — the pseudo-median in
+    // half-centi), with the plain median alongside. Balances go
+    // negative; sums and medians are sign-agnostic integers.
+    q("q253_hodges_lehmann",
+      """WITH src AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |               c_custkey AS id,
+        |               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS x
+        |             FROM customer),
+        |gs AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS gn
+        |       FROM src GROUP BY 1),
+        |kept AS (SELECT s.* FROM src s JOIN gs USING (nation)
+        |         WHERE CAST(('0x' || substr(md5('hl:' ||
+        |                 CAST(nation AS VARCHAR) || ':' ||
+        |                 CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |               % 1000000 * gn < 200 * 1000000),
+        |pairs AS (SELECT l.nation, l.id AS ia, r.id AS ib,
+        |                 CAST(l.x + r.x AS BIGINT) AS w
+        |          FROM kept l JOIN kept r
+        |            ON l.nation = r.nation AND l.id <= r.id),
+        |pm AS (SELECT nation, np AS n_pairs, w AS pm_half_centi FROM (
+        |         SELECT nation, w, ia, ib,
+        |                ROW_NUMBER() OVER (PARTITION BY nation
+        |                  ORDER BY w, ia, ib) AS rn,
+        |                COUNT(*) OVER (PARTITION BY nation) AS np
+        |         FROM pairs) WHERE rn = (np + 1) // 2),
+        |md AS (SELECT nation, nu AS n_used, x AS med_centi FROM (
+        |         SELECT nation, x, id,
+        |                ROW_NUMBER() OVER (PARTITION BY nation
+        |                  ORDER BY x, id) AS rn,
+        |                COUNT(*) OVER (PARTITION BY nation) AS nu
+        |         FROM kept) WHERE rn = (nu + 1) // 2)
+        |SELECT md.nation, CAST(n_used AS BIGINT) AS n_used,
+        |       CAST(n_pairs AS BIGINT) AS n_pairs,
+        |       CAST(pm_half_centi AS BIGINT) AS pm_half_centi,
+        |       CAST(med_centi AS BIGINT) AS med_centi
+        |FROM md JOIN pm ON md.nation = pm.nation
+        |ORDER BY md.nation""".stripMargin) { (s, d) =>
+      graft.operators.RobustStats.hodgesLehmann(
+          T(s, d, "customer")
+            .select(col("c_nationkey").cast("long").as("nation"),
+              col("c_custkey").as("cid"),
+              floor(col("c_acctbal") * 100).as("x")),
+          "nation", "cid", col("x"), cap = 200L)
+        .withColumnRenamed("pm_half_unit", "pm_half_centi")
+        .withColumnRenamed("med_unit", "med_centi")
+        .orderBy(col("nation"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

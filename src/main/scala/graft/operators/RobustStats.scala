@@ -101,4 +101,61 @@ object RobustStats {
         min(when(expr("_cum >= (_tot + 1) DIV 2"), col("_v")))
           .cast("long").as("wmed"))
   }
+
+  /** Per-group Hodges–Lehmann pseudo-median (1963) — the location
+    * estimator between the mean (efficient, fragile) and the median
+    * (robust, inefficient): the median of all WALSH AVERAGES
+    * (x_i + x_j)/2 over pairs i ≤ j (singletons included). ~96%
+    * Gaussian efficiency at the median's 29% breakdown — the
+    * location sibling of [[graft.operators.Regression.theilSenByGroup]]
+    * (both are medians over the pair lattice), completing the robust
+    * family next to [[madOutliers]] and [[trimmedMeans]].
+    *
+    * Quadratic by definition, so the q232/q251 hash-cap contract
+    * verbatim: groups subsample to ≈`cap` members through the
+    * deterministic md5 gate (mirrored 1:1 in oracles), the pair join
+    * is cap-bounded, the median windows keyed per group. Arithmetic
+    * is DIVISION-FREE: the output `pm_half_unit` is the lower median
+    * of the exact BIGINT Walsh SUMS x_i + x_j — i.e. the pseudo-median
+    * in HALF-units of the input — with a deterministic (sum, ia, ib)
+    * tie-break; `med_unit` is the group's plain lower median for
+    * side-by-side reading. Bit-exact on any engine. Output:
+    * (key, n_used, n_pairs, pm_half_unit, med_unit). */
+  def hodgesLehmann(df: DataFrame, keyCol: String, idCol: String,
+                    value: Column, cap: Long = 200L): DataFrame = {
+    require(cap >= 1, s"hodgesLehmann: cap=$cap")
+    val src = df.select(col(keyCol), col(idCol).as("_id"),
+      value.cast("long").as("_x"))
+    val sizes = src.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("_gn"))
+    val kept = src.join(broadcast(sizes), keyCol)
+      .where(graft.functions.HashFns.md5Hash60(
+          concat_ws(":", lit("hl"), col(keyCol), col("_id")))
+          % 1000000L * col("_gn") < lit(cap) * 1000000L)
+      .drop("_gn")
+    val l = kept.select(col(keyCol), col("_id").as("_ia"), col("_x").as("_xa"))
+    val r = kept.select(col(keyCol), col("_id").as("_ib"), col("_x").as("_xb"))
+    val pairs = l.join(r, Seq(keyCol)).where(col("_ia") <= col("_ib"))
+      .withColumn("_w", (col("_xa") + col("_xb")).cast("long"))
+    val wW = Window.partitionBy(col(keyCol))
+      .orderBy(col("_w"), col("_ia"), col("_ib"))
+    val wN = Window.partitionBy(col(keyCol))
+    val pm = pairs
+      .withColumn("_rn", row_number().over(wW))
+      .withColumn("_np", count(lit(1)).over(wN))
+      .where(col("_rn") === expr("(_np + 1) DIV 2"))
+      .select(col(keyCol), col("_np").cast("long").as("n_pairs"),
+        col("_w").as("pm_half_unit"))
+    val wX = Window.partitionBy(col(keyCol))
+      .orderBy(col("_x"), col("_id"))
+    val med = kept
+      .withColumn("_rn", row_number().over(wX))
+      .withColumn("_nu", count(lit(1)).over(wN))
+      .where(col("_rn") === expr("(_nu + 1) DIV 2"))
+      .select(col(keyCol), col("_nu").cast("long").as("n_used"),
+        col("_x").as("med_unit"))
+    med.join(pm, keyCol)
+      .select(col(keyCol), col("n_used"), col("n_pairs"),
+        col("pm_half_unit"), col("med_unit"))
+  }
 }
