@@ -1115,5 +1115,25 @@ class ScaleSpec extends SparkSpec {
       "x55's finisher must be windowless:\n" + x55)
     assert(x55.contains("BroadcastExchange"),
       "x55's reference histogram must broadcast onto the day grid:\n" + x55)
+    // q251/q253 pair-lattice estimators: group sizes broadcast onto the
+    // md5 gate, and every median window partitions per GROUP — the
+    // cap-bounded lattice never rides a corpus-wide spec
+    Seq("q251_theil_sen", "q253_hodges_lehmann").foreach { q =>
+      val plan = formatted(q)
+      assert(plan.contains("BroadcastExchange"),
+        s"$q's size table must broadcast onto the gate:\n" + plan)
+      assert(plan.contains("windowspecdefinition(nation"),
+        s"$q's median windows must partition per group:\n" + plan)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q's pair join must stay a keyed equi-join:\n" + plan)
+    }
+    // q252 isotonic: the minimax grid is bins-bounded — its non-equi
+    // joins must be broadcast loops over the tiny bin frames, never a
+    // partitioned CartesianProduct over data
+    val q252 = formatted("q252_isotonic")
+    assert(!q252.contains("CartesianProduct"),
+      "q252's grid joins must broadcast:\n" + q252)
+    assert(q252.contains("BroadcastNestedLoopJoin"),
+      "q252's interval grid is a broadcast loop over ≤bins rows:\n" + q252)
   }
 }
