@@ -87,7 +87,12 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale must not emit
     // malformed JSON ("1,2345")
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    def median(ts: Seq[Double]) = ts(ts.size / 2)
+    // LOWER median: with an even pass count the upper-median element
+    // over-reports (a 2-pass run would headline each query's WORST
+    // pass — cold pass 1 typically runs ~1.5x pass 2); the lower
+    // median keeps an even-count run's headline at the better-half
+    // boundary instead. Odd pass counts are unaffected.
+    def median(ts: Seq[Double]) = ts((ts.size - 1) / 2)
     // a failed query reports null timing and lands in "failed" — its
     // near-zero wall time must not masquerade as a speedup. A query is
     // "failed" only if EVERY iteration failed; partial failures still

@@ -31,6 +31,43 @@ object Queries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Memo-map session key: the session's UUID — collision-free and
+    * stable for the session's lifetime, unlike an identity hash (which
+    * the JVM may reuse after the object is collected, handing a LATER
+    * session a dead memoized plan). First use per context also hooks
+    * application end to drop every memo entry — the fits/frames hold
+    * plans bound to the stopping context, useless (and un-runnable)
+    * afterwards. */
+  private val evictHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // sessionUUID is public bytecode but private[sql] to Scala — one
+  // reflective handle, resolved once
+  private lazy val sessionUuidMethod =
+    classOf[org.apache.spark.sql.classic.SparkSession].getMethod("sessionUUID")
+  private def sessKey(s: SparkSession): String = {
+    val key = sessionUuidMethod.invoke(s).asInstanceOf[String]
+    if (evictHooked.add(key)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          assignedCache.filterInPlace((k, _) => k._1 != key)
+          ldaCache.filterInPlace((k, _) => k._1 != key)
+          w2vCache.filterInPlace((k, _) => k._1 != key)
+          sgnsCache.filterInPlace((k, _) => k._1 != key)
+          lmModelCache.filterInPlace((k, _) => k._1 != key)
+          bpeCache.filterInPlace((k, _) => k._1 != key)
+          dupClusterCache.filterInPlace((k, _) => k._1 != key)
+          csEdgeCache.filterInPlace((k, _) => k._1 != key)
+          lpaFitCache.filterInPlace((k, _) => k._1 != key)
+          coPurchaseCache.filterInPlace((k, _) => k._1 != key)
+          evictHooked.remove(key)
+          ()
+        }
+      })
+    }
+    key
+  }
+
   /** Per-run staging dirs for the write→scan-back queries (q102/q145/
     * q146 stored-media columns, x26 persisted IVF): suffixed with the
     * Spark application id, so concurrent sessions on one host (e.g. a
@@ -67,13 +104,13 @@ object Queries {
     graft.cluster.Clustering.Config(k = 10, seed = 100L, maxIter = 15)
   private val kmeansModels =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.ml.clustering.KMeansModel]()
-  // keyed by (session identity, dir): a DataFrame is bound to its
+  // keyed by (session UUID, dir): a DataFrame is bound to its
   // session — a dir-only key would hand a dead plan to a later session
   // in the same JVM after spark.stop()
   private val assignedCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
   private def assignedEmbeddings(s: SparkSession, d: String): DataFrame =
-    assignedCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    assignedCache.getOrElseUpdate((sessKey(s), d), {
       val model = kmeansModels.getOrElseUpdate(d,
         graft.cluster.Clustering.fit(T(s, d, "embeddings"), kmeansCfg))
       // persisted: the four cluster-analytics queries each run several
@@ -84,10 +121,10 @@ object Queries {
 
   /** Shared text-pipeline + LDA fit per (session, dir) — the topic and
     * coherence queries analyze the same fitted model. */
-  private val ldaCache = scala.collection.concurrent.TrieMap[(Int, String),
+  private val ldaCache = scala.collection.concurrent.TrieMap[(String, String),
     (Array[String], DataFrame, org.apache.spark.ml.clustering.LDAModel)]()
   private def fittedLda(s: SparkSession, d: String) =
-    ldaCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    ldaCache.getOrElseUpdate((sessKey(s), d), {
       val docs = T(s, d, "documents").withColumnRenamed("text", "document_text")
       val (pm, vectorized) = graft.text.TextPipeline.fitTransform(docs,
         graft.text.TextPipeline.Config(minDF = 0.0, maxDF = 1e9))
@@ -99,10 +136,10 @@ object Queries {
     })
 
   /** Shared Word2Vec fit per (session, dir). */
-  private val w2vCache = scala.collection.concurrent.TrieMap[(Int, String),
+  private val w2vCache = scala.collection.concurrent.TrieMap[(String, String),
     org.apache.spark.ml.feature.Word2VecModel]()
   private def fittedW2v(s: SparkSession, d: String) =
-    w2vCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    w2vCache.getOrElseUpdate((sessKey(s), d), {
       val ctx = T(s, d, "documents")
         .select(TextFns.wordTokens(col("text")).as("context_words"))
       graft.embed.Embeddings.train(ctx,
@@ -113,10 +150,10 @@ object Queries {
   /** Shared native-SGNS fit per (session, dir) — x32's model, trained
     * with the reference's semantics (negative sampling + subsampling);
     * minCount bounds the vocab so the driver-held weights stay small. */
-  private val sgnsCache = scala.collection.concurrent.TrieMap[(Int, String),
+  private val sgnsCache = scala.collection.concurrent.TrieMap[(String, String),
     graft.embed.Sgns.Model]()
   private def fittedSgns(s: SparkSession, d: String) =
-    sgnsCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    sgnsCache.getOrElseUpdate((sessKey(s), d), {
       val ctx = T(s, d, "documents")
         .select(TextFns.wordTokens(col("text")).as("context_words"))
       graft.embed.Sgns.fit(ctx,
@@ -127,10 +164,10 @@ object Queries {
   /** Shared q80/x33 bigram-LM fit per (session, dir) — same memoization
     * pattern as the ML fits (count tables persisted, deliberately NOT
     * Caches-tracked so the bench's per-query release keeps them warm). */
-  private val lmModelCache = scala.collection.concurrent.TrieMap[(Int, String),
+  private val lmModelCache = scala.collection.concurrent.TrieMap[(String, String),
     graft.text.NgramLm.Model]()
   private def fittedLm(s: SparkSession, d: String): graft.text.NgramLm.Model =
-    lmModelCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    lmModelCache.getOrElseUpdate((sessKey(s), d), {
       val docs = T(s, d, "documents")
         .select(col("doc_id"), TextFns.wordTokens(col("text")).as("t"))
       val m = graft.text.NgramLm.fit(docs, "doc_id", "t")
@@ -148,11 +185,11 @@ object Queries {
   /** Shared q91/q92 BPE merge list per (session, dir) — q91 emits the
     * merge table, q92 applies it; training twice would bench the
     * 20-round loop twice (the fittedLm convention). */
-  private val bpeCache = scala.collection.concurrent.TrieMap[(Int, String),
+  private val bpeCache = scala.collection.concurrent.TrieMap[(String, String),
     Seq[graft.text.Bpe.Merge]]()
   private val BpeMerges = 20
   private def trainedBpe(s: SparkSession, d: String): Seq[graft.text.Bpe.Merge] =
-    bpeCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    bpeCache.getOrElseUpdate((sessKey(s), d), {
       val words = T(s, d, "documents")
         .select(explode(TextFns.wordTokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -167,9 +204,9 @@ object Queries {
     * (plain persist, deliberately NOT Caches-tracked, so the bench's
     * per-query Caches.release() keeps the shared table warm). */
   private val dupClusterCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
   private def transitiveDupClusters(s: SparkSession, d: String): DataFrame =
-    dupClusterCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    dupClusterCache.getOrElseUpdate((sessKey(s), d), {
       val docs = T(s, d, "documents")
       val prs = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleK = 3, tauNum = TransTauNum, tauDenom = TransTauDenom,
@@ -195,9 +232,9 @@ object Queries {
     * shared table warm). Nodes stay per-query: two unique-key scans
     * with no shuffle, not worth pinning. */
   private val csEdgeCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
   private def csEdges(s: SparkSession, d: String): DataFrame =
-    csEdgeCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    csEdgeCache.getOrElseUpdate((sessKey(s), d), {
       T(s, d, "orders")
         .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
@@ -234,13 +271,13 @@ object Queries {
     * (track = false: a plain persist the bench's per-query release
     * keeps warm). */
   private val lpaFitCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
   private def lpa4Labels(s: SparkSession, d: String): DataFrame =
-    lpaFitCache.getOrElseUpdate((System.identityHashCode(s), d, "sync4"),
+    lpaFitCache.getOrElseUpdate((sessKey(s), d, "sync4"),
       graft.operators.LabelProp.communities(csNodes(s, d), csEdges(s, d),
         iterations = 4, track = false))
   private def ss12Labels(s: SparkSession, d: String): DataFrame =
-    lpaFitCache.getOrElseUpdate((System.identityHashCode(s), d, "ss12"),
+    lpaFitCache.getOrElseUpdate((sessKey(s), d, "ss12"),
       graft.operators.LabelProp.semiSyncCommunities(csSides(s, d),
         csEdges(s, d), halfRounds = 12, track = false))
 
@@ -254,9 +291,9 @@ object Queries {
     * scan + two shuffles, and q158's plan-identity persist could be
     * dropped by q186's tracked release. */
   private val coPurchaseCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
-    coPurchaseCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    coPurchaseCache.getOrElseUpdate((sessKey(s), d), {
       val cp = T(s, d, "orders")
         .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),

@@ -46,14 +46,19 @@ object Modularity {
     val commStats = degByComm.agg(
       count(lit(1)).cast("long").as("n_comm"),
       sum(col("d_c") * col("d_c")).cast("long").as("sum_deg_sq"))
+    // m_edges = 0 guard: an empty edge input would otherwise divide
+    // 0/0 → NaN, and CAST(floor(NaN)) diverges between engines (Spark
+    // nulls, DuckDB errors). Q of an empty graph is defined here as 0,
+    // deterministically, in both the expr and [[sqlCtes]].
     mIntra.crossJoin(commStats) // 1×1
       .select(col("m_edges"), col("n_comm"), col("intra_edges"),
         col("sum_deg_sq"),
-        expr("""CAST(floor(1000.0 *
+        expr("""CASE WHEN m_edges = 0 THEN CAST(0 AS BIGINT)
+          | ELSE CAST(floor(1000.0 *
           | (4.0 * CAST(m_edges AS DOUBLE) * CAST(intra_edges AS DOUBLE)
           |  - CAST(sum_deg_sq AS DOUBLE))
           | / (4.0 * CAST(m_edges AS DOUBLE) * CAST(m_edges AS DOUBLE)))
-          | AS BIGINT)""".stripMargin.replace("\n", " ")).as("q_milli"))
+          | AS BIGINT) END""".stripMargin.replace("\n", " ")).as("q_milli"))
   }
 
   /** SQL mirror of [[newmanQ]] as CTEs over caller-supplied
@@ -72,10 +77,11 @@ object Modularity {
       |cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
       |              CAST(SUM(d_c * d_c) AS BIGINT) AS sum_deg_sq FROM dc),
       |modq AS (SELECT m_edges, n_comm, intra_edges, sum_deg_sq,
-      |  CAST(floor(1000.0 *
+      |  CASE WHEN m_edges = 0 THEN CAST(0 AS BIGINT)
+      |  ELSE CAST(floor(1000.0 *
       |    (4.0 * CAST(m_edges AS DOUBLE) * CAST(intra_edges AS DOUBLE)
       |     - CAST(sum_deg_sq AS DOUBLE))
       |    / (4.0 * CAST(m_edges AS DOUBLE) * CAST(m_edges AS DOUBLE)))
-      |    AS BIGINT) AS q_milli
+      |    AS BIGINT) END AS q_milli
       |  FROM mi CROSS JOIN cs)""".stripMargin
 }

@@ -79,16 +79,21 @@ object StreamPsiUpdate {
       // =all late rows with it)
       writePart(norm.where(lit(false)), staged, "01_gap.parquet", 2000000L)
       writePart(norm.where(lateRule), staged, "02_late.parquet", 3000000L)
-      val sentinel = norm.sparkSession
-        .createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
-          org.apache.spark.sql.Row(-1L, maxTs + 2 * DayNs, -1L)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("event_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("ts",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("user_id",
-              org.apache.spark.sql.types.LongType))))
+      // sentinel built FROM norm.schema (null-fill everything except
+      // ts/event_id), so a source-schema change — rename, reorder, new
+      // column — tracks automatically instead of silently relying on
+      // parquet missing-column→null semantics
+      val sentinelSchema = org.apache.spark.sql.types.StructType(
+        norm.schema.map(_.copy(nullable = true)))
+      val sentinelRow = org.apache.spark.sql.Row.fromSeq(
+        sentinelSchema.map(_.name match {
+          case "ts"       => maxTs + 2 * DayNs
+          case "event_id" => -1L
+          case _          => null
+        }))
+      val sentinel = norm.sparkSession.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](sentinelRow),
+        sentinelSchema)
       writePart(sentinel, staged, "zz_sentinel.parquet", 4000000L)
 
       val stream = spark.readStream.schema(norm.schema)
@@ -103,6 +108,20 @@ object StreamPsiUpdate {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // the drop is the whole point of this replay — assert it fired
+        // rather than silently merging late rows into open windows.
+        // (The staging above leans on two micro-batch internals: the
+        // late-input filter uses the watermark as of the PREVIOUS
+        // batch's start — hence the gap file — and the final day
+        // closes via the post-sentinel no-data batch, i.e.
+        // spark.sql.streaming.noDataMicroBatches.enabled, true by
+        // default. A Spark upgrade that changes either surfaces HERE,
+        // loudly, not as a silent witness change.)
+        val dropped = q.recentProgress.iterator
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+        require(dropped > 0,
+          s"StreamPsiUpdate replay: expected the watermark to drop the " +
+            s"staged late rows, but numRowsDroppedByWatermark = $dropped")
       }
     } finally deleteRecursively(staged)
 
