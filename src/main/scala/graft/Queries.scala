@@ -13212,6 +13212,36 @@ object Queries {
         .withColumnRenamed("med_unit", "med_centi")
         .orderBy(col("nation"))
     },
+
+    // ------------------------------------------------------------------
+    // q254: the TRUE k-core — the 20-round peel q244 PROVES converged
+    // (its trace runs dry at round 13 at sf0.01, 17 at sf0.1/sf1, then
+    // trails removed = 0), registered as core membership: q198's
+    // 4-round contract answers "the 4-round peel", this answers "the
+    // 3-core", with the convergence witness alongside in the registry.
+    // Rounds past the fixpoint are no-ops over empty deltas (the peel
+    // is monotone), so the converged form costs barely more than the
+    // trace that justified it. Shares the memoized co-purchase graph
+    // with q158/q186/q198/q244.
+    q("q254_kcore_full",
+      s"""WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
+        |         epoch_ms(l_shipdate) // 604800000 AS wk
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cell AS (SELECT pk, wk FROM cp GROUP BY pk, wk HAVING COUNT(*) BETWEEN 2 AND 10),
+        |inc AS MATERIALIZED (
+        |  SELECT ck, pk, wk FROM cp JOIN cell USING (pk, wk)),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.ck AS u, b.ck AS v
+        |  FROM inc a JOIN inc b USING (pk, wk)
+        |  WHERE a.ck < b.ck),
+        |${graft.operators.KCore.unrolledSqlCtes(3, 20)}
+        |SELECT node, dg FROM coredeg ORDER BY node""".stripMargin) {
+      (s, d) =>
+        graft.operators.KCore.core(coPurchaseEdges(s, d), k = 3,
+            peelRounds = 20)
+          .orderBy(col("node"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
