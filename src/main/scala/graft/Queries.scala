@@ -12147,10 +12147,25 @@ object Queries {
         |          * ln((CAST(GREATEST(c, 1) AS DOUBLE) / CAST(ns AS DOUBLE))
         |               / (CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))))
         |          AS BIGINT) AS tm
-        |      FROM grid CROSS JOIN nn)
-        |SELECT s AS side, CAST(MAX(ns) AS BIGINT) AS n_side,
-        |       CAST(SUM(tm) AS BIGINT) AS psi_micro
-        |FROM t GROUP BY s ORDER BY side""".stripMargin) { (s, d) =>
+        |      FROM grid CROSS JOIN nn),
+        |nvl AS (SELECT s, CAST(SUM(c) AS BIGINT) AS nv FROM bh
+        |        WHERE b NOT IN (SELECT b FROM bk) GROUP BY 1),
+        |nvs AS (SELECT sd.s, sd.ns, COALESCE(nvl.nv, 0) AS nv
+        |        FROM sd LEFT JOIN nvl USING (s)),
+        |ct AS (SELECT s, nv,
+        |         CASE WHEN nv = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(1000000.0 *
+        |           (CAST(nv AS DOUBLE) / CAST(ns AS DOUBLE)
+        |            - 1.0 / CAST(n AS DOUBLE))
+        |           * ln((CAST(nv AS DOUBLE) / CAST(ns AS DOUBLE))
+        |                / (1.0 / CAST(n AS DOUBLE)))) AS BIGINT) END AS ctm
+        |       FROM nvs CROSS JOIN nn),
+        |a AS (SELECT s, CAST(MAX(ns) AS BIGINT) AS n_side,
+        |        CAST(SUM(tm) AS BIGINT) AS psis
+        |      FROM t GROUP BY s)
+        |SELECT a.s AS side, n_side, CAST(nv AS BIGINT) AS n_novel,
+        |       CAST(psis + ctm AS BIGINT) AS psi_micro
+        |FROM a JOIN ct ON a.s = ct.s ORDER BY side""".stripMargin) { (s, d) =>
       graft.operators.DriftStats.psiBySide(
           T(s, d, "events"), "event_type",
           bucketOf = expr("LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9)"))
@@ -12776,11 +12791,27 @@ object Queries {
         |                / CAST(nday AS DOUBLE))
         |               / (CAST(cb AS DOUBLE) / CAST(nall AS DOUBLE))))
         |          AS BIGINT) AS tm
-        |      FROM grid CROSS JOIN nn)
-        |SELECT CAST(day_ms AS BIGINT) AS day_ms,
-        |       CAST(MAX(nday) AS BIGINT) AS n_day,
-        |       CAST(SUM(tm) AS BIGINT) AS psi_micro
-        |FROM t GROUP BY day_ms ORDER BY day_ms""".stripMargin) { (s, d) =>
+        |      FROM grid CROSS JOIN nn),
+        |nvl AS (SELECT day_ms, CAST(SUM(c) AS BIGINT) AS nv FROM h
+        |        WHERE b NOT IN (SELECT b FROM bk) GROUP BY 1),
+        |nvd AS (SELECT d.day_ms, d.nday, COALESCE(nvl.nv, 0) AS nv
+        |        FROM days d LEFT JOIN nvl USING (day_ms)),
+        |ct AS (SELECT day_ms, nv,
+        |         CASE WHEN nv = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(1000000.0 *
+        |           (CAST(nv AS DOUBLE) / CAST(nday AS DOUBLE)
+        |            - 1.0 / CAST(nall AS DOUBLE))
+        |           * ln((CAST(nv AS DOUBLE)
+        |                 / CAST(nday AS DOUBLE))
+        |                / (1.0 / CAST(nall AS DOUBLE)))) AS BIGINT) END AS ctm
+        |       FROM nvd CROSS JOIN nn),
+        |a AS (SELECT day_ms, CAST(MAX(nday) AS BIGINT) AS n_day,
+        |        CAST(SUM(tm) AS BIGINT) AS psis
+        |      FROM t GROUP BY 1)
+        |SELECT CAST(a.day_ms AS BIGINT) AS day_ms, n_day,
+        |       CAST(nv AS BIGINT) AS n_novel,
+        |       CAST(psis + ctm AS BIGINT) AS psi_micro
+        |FROM a JOIN ct USING (day_ms) ORDER BY day_ms""".stripMargin) { (s, d) =>
       graft.streaming.StreamPsiDrift.replayParquet(s, d,
           queryName = "x54_psi")
         .orderBy(col("day_ms"))
@@ -12996,7 +13027,13 @@ object Queries {
     // witnesses the drop as a plain batch predicate: day counts from
     // surviving rows only, the reference from ALL rows. A hash match
     // PROVES the watermark cutoff fired exactly as specified. State is
-    // x52/x54's (day, bucket) histogram VERBATIM at 0 ms delay.
+    // x52/x54's (day, bucket) histogram VERBATIM at 0 ms delay. Since
+    // round 16 the finisher carries the NOVEL-VALUE catch-all bucket:
+    // surviving day mass outside the pinned reference's support is one
+    // extra PSI term (reference share = one pseudo-count), witnessed
+    // per day as n_novel — REAL here (post-reference days carry values
+    // the first 14 days never saw), structurally zero in q233/x54's
+    // self-referential forms.
     q("x55_stream_psi_update",
       """WITH ev AS (SELECT event_id, epoch_ms(ts) AS ms,
         |                   CAST(FLOOR(value) AS BIGINT) AS b
@@ -13025,11 +13062,27 @@ object Queries {
         |                / CAST(nday AS DOUBLE))
         |               / (CAST(cb AS DOUBLE) / CAST(nref AS DOUBLE))))
         |          AS BIGINT) AS tm
-        |      FROM grid CROSS JOIN rn)
-        |SELECT CAST(day_ms AS BIGINT) AS day_ms,
-        |       CAST(MAX(nday) AS BIGINT) AS n_day,
-        |       CAST(SUM(tm) AS BIGINT) AS psi_micro
-        |FROM t GROUP BY day_ms ORDER BY day_ms""".stripMargin) { (s, d) =>
+        |      FROM grid CROSS JOIN rn),
+        |nvl AS (SELECT day_ms, CAST(SUM(c) AS BIGINT) AS nv FROM h
+        |        WHERE b NOT IN (SELECT b FROM ref) GROUP BY 1),
+        |nvd AS (SELECT d.day_ms, d.nday, COALESCE(nvl.nv, 0) AS nv
+        |        FROM days d LEFT JOIN nvl USING (day_ms)),
+        |ct AS (SELECT day_ms, nv,
+        |         CASE WHEN nv = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(1000000.0 *
+        |           (CAST(nv AS DOUBLE) / CAST(nday AS DOUBLE)
+        |            - 1.0 / CAST(nref AS DOUBLE))
+        |           * ln((CAST(nv AS DOUBLE)
+        |                 / CAST(nday AS DOUBLE))
+        |                / (1.0 / CAST(nref AS DOUBLE)))) AS BIGINT) END AS ctm
+        |       FROM nvd CROSS JOIN rn),
+        |a AS (SELECT day_ms, CAST(MAX(nday) AS BIGINT) AS n_day,
+        |        CAST(SUM(tm) AS BIGINT) AS psis
+        |      FROM t GROUP BY 1)
+        |SELECT CAST(a.day_ms AS BIGINT) AS day_ms, n_day,
+        |       CAST(nv AS BIGINT) AS n_novel,
+        |       CAST(psis + ctm AS BIGINT) AS psi_micro
+        |FROM a JOIN ct USING (day_ms) ORDER BY day_ms""".stripMargin) { (s, d) =>
       graft.streaming.StreamPsiUpdate.replayParquet(s, d, refDays = 14,
           queryName = "x55_psi_update")
         .orderBy(col("day_ms"))

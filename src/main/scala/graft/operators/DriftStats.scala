@@ -154,8 +154,11 @@ object DriftStats {
     * (side, bucket), individually floored to micro-units (q209
     * discipline — no float accumulation across buckets; ln is IEEE
     * correctly-rounded libm on both engines for these argument
-    * magnitudes, and the fixture pins it). Output: (side, n_side,
-    * psi_micro). */
+    * magnitudes, and the fixture pins it). One extra CATCH-ALL bucket
+    * holds side mass outside the reference support (reference share =
+    * one pseudo-count out of n) — structurally empty for this
+    * self-referential form, real for pinned-reference monitors sharing
+    * the finisher shape. Output: (side, n_side, n_novel, psi_micro). */
   def psiBySide(df: DataFrame, sideCol: String, bucketOf: Column): DataFrame = {
     val bh = df.select(col(sideCol).as("_s"), bucketOf.cast("long").as("_b"))
       .groupBy(col("_s"), col("_b"))
@@ -170,7 +173,7 @@ object DriftStats {
     val grid = sides.crossJoin(broadcast(buckets))
       .join(bh, Seq("_s", "_b"), "left").na.fill(0L, Seq("_c"))
       .crossJoin(broadcast(n))
-    grid
+    val inSupport = grid
       .withColumn("term_micro", expr(
         """CAST(floor(1000000.0 *
           | (CAST(GREATEST(_c, 1) AS DOUBLE) / CAST(_ns AS DOUBLE)
@@ -178,8 +181,34 @@ object DriftStats {
           | * ln((CAST(GREATEST(_c, 1) AS DOUBLE) / CAST(_ns AS DOUBLE))
           |      / (CAST(_cb AS DOUBLE) / CAST(_n AS DOUBLE)))) AS BIGINT)"""
           .stripMargin.replace("\n", " ")))
-      .groupBy(col("_s").as("side"))
+      .groupBy(col("_s"))
       .agg(max(col("_ns")).cast("long").as("n_side"),
-        sum(col("term_micro")).cast("long").as("psi_micro"))
+        sum(col("term_micro")).cast("long").as("_psis"))
+    // NOVEL-VALUE CATCH-ALL: side mass in buckets outside the reference
+    // support collapses into one extra bucket whose reference share is
+    // the standard one pseudo-count out of n. With this operator's
+    // self-referential reference (the global mix) the anti-join is
+    // structurally empty, but the catch-all row is part of the PSI
+    // contract — the finisher is shared with monitors whose reference
+    // is PINNED (StreamPsiUpdate), where novel mass is real — so the
+    // term (and its n_novel witness) appears in every mirror.
+    val novel = sides.join(
+      bh.join(buckets, Seq("_b"), "left_anti")
+        .groupBy(col("_s")).agg(sum(col("_c")).cast("long").as("_nv")),
+      Seq("_s"), "left").na.fill(0L, Seq("_nv"))
+    val catchAll = novel.crossJoin(broadcast(n))
+      .withColumn("_ct", expr(
+        """CASE WHEN _nv = 0 THEN CAST(0 AS BIGINT)
+          | ELSE CAST(floor(1000000.0 *
+          | (CAST(_nv AS DOUBLE) / CAST(_ns AS DOUBLE)
+          |  - 1.0 / CAST(_n AS DOUBLE))
+          | * ln((CAST(_nv AS DOUBLE) / CAST(_ns AS DOUBLE))
+          |      / (1.0 / CAST(_n AS DOUBLE)))) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("_s"), col("_nv"), col("_ct"))
+    inSupport.join(catchAll, Seq("_s"))
+      .select(col("_s").as("side"), col("n_side"),
+        col("_nv").as("n_novel"),
+        (col("_psis") + col("_ct")).cast("long").as("psi_micro"))
   }
 }

@@ -27,7 +27,10 @@ object StreamPsiDrift {
 
   /** Replay the events parquet through the SHARED histogram plan and
     * finish the per-day PSI batch-side. Output per day:
-    * (day_ms, n_day, psi_micro). */
+    * (day_ms, n_day, n_novel, psi_micro) — n_novel is the day's mass in
+    * buckets outside the reference support, collapsed into the
+    * catch-all bucket (structurally zero for this self-referential
+    * reference; real for [[StreamPsiUpdate]]'s pinned one). */
   def replayParquet(spark: SparkSession, dir: String,
                     queryName: String = "stream_psi",
                     statePartitions: Option[Int] = Some(8)): DataFrame = {
@@ -54,7 +57,7 @@ object StreamPsiDrift {
       .join(sink(), Seq("day_ms", "b"), "left")
       .na.fill(0L, Seq("c"))
       .crossJoin(broadcast(nAll))
-    grid
+    val inSupport = grid
       .withColumn("_tm", expr(
         """CAST(floor(1000000.0 *
           | (CAST(GREATEST(c, 1) AS DOUBLE) / CAST(nday AS DOUBLE)
@@ -64,6 +67,28 @@ object StreamPsiDrift {
           | AS BIGINT)""".stripMargin.replace("\n", " ")))
       .groupBy(col("day_ms"))
       .agg(max(col("nday")).cast("long").as("n_day"),
-        sum(col("_tm")).cast("long").as("psi_micro"))
+        sum(col("_tm")).cast("long").as("_psis"))
+    // catch-all bucket: day mass outside the reference support, one
+    // pseudo-count of reference share (the DriftStats.psiBySide
+    // contract) — anti-join is structurally empty here (the reference
+    // is the stream's own bucket mix) but the term is part of the
+    // shared finisher shape
+    val novel = days.join(
+      sink().join(buckets.select(col("b")), Seq("b"), "left_anti")
+        .groupBy(col("day_ms")).agg(sum(col("c")).cast("long").as("nv")),
+      Seq("day_ms"), "left").na.fill(0L, Seq("nv"))
+    val catchAll = novel.crossJoin(broadcast(nAll))
+      .withColumn("_ct", expr(
+        """CASE WHEN nv = 0 THEN CAST(0 AS BIGINT)
+          | ELSE CAST(floor(1000000.0 *
+          | (CAST(nv AS DOUBLE) / CAST(nday AS DOUBLE)
+          |  - 1.0 / CAST(nall AS DOUBLE))
+          | * ln((CAST(nv AS DOUBLE) / CAST(nday AS DOUBLE))
+          |      / (1.0 / CAST(nall AS DOUBLE))))
+          | AS BIGINT) END""".stripMargin.replace("\n", " ")))
+      .select(col("day_ms"), col("nv"), col("_ct"))
+    inSupport.join(catchAll, Seq("day_ms"))
+      .select(col("day_ms"), col("n_day"), col("nv").as("n_novel"),
+        (col("_psis") + col("_ct")).cast("long").as("psi_micro"))
   }
 }

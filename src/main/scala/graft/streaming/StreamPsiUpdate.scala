@@ -43,9 +43,13 @@ import scala.jdk.CollectionConverters._
   *
   * PSI arithmetic is the q233/x54 discipline: full day × reference-
   * bucket grid, zero day-buckets take one pseudo-count, each term
-  * individually floored to micro over exact BIGINT counts. PSI is
-  * computed over the REFERENCE support (buckets with reference mass);
-  * a production gate would add a catch-all novel-value bucket.
+  * individually floored to micro over exact BIGINT counts — PLUS the
+  * catch-all NOVEL-VALUE bucket: day mass in buckets with no reference
+  * mass collapses into one extra term whose reference share is the
+  * standard one pseudo-count out of nref (the DriftStats.psiBySide
+  * contract). With a pinned first-`refDays` reference this mass is
+  * real — later days carry values the reference never saw — and the
+  * emitted `n_novel` witnesses it per day.
   */
 object StreamPsiUpdate {
 
@@ -53,9 +57,10 @@ object StreamPsiUpdate {
   private val DayNs = 86400L * 1000000000L
 
   /** Stage → replay (append mode, one file per micro-batch) → finish.
-    * Output per closed day: (day_ms, n_day, psi_micro); `n_day` counts
-    * the rows the WATERMARK LET THROUGH, which is the witness — the
-    * oracle's survivor counts must match exactly. */
+    * Output per closed day: (day_ms, n_day, n_novel, psi_micro);
+    * `n_day` counts the rows the WATERMARK LET THROUGH, which is the
+    * witness — the oracle's survivor counts must match exactly —
+    * and `n_novel` the surviving mass outside the reference support. */
   def replayParquet(spark: SparkSession, dir: String, refDays: Int = 14,
                     queryName: String = "stream_psi_update",
                     statePartitions: Option[Int] = Some(8)): DataFrame = {
@@ -146,7 +151,7 @@ object StreamPsiUpdate {
       .join(sink(), Seq("day_ms", "b"), "left")
       .na.fill(0L, Seq("c"))
       .crossJoin(broadcast(refN))
-    grid
+    val inSupport = grid
       .withColumn("_tm", expr(
         """CAST(floor(1000000.0 *
           | (CAST(GREATEST(c, 1) AS DOUBLE) / CAST(nday AS DOUBLE)
@@ -156,7 +161,27 @@ object StreamPsiUpdate {
           | AS BIGINT)""".stripMargin.replace("\n", " ")))
       .groupBy(col("day_ms"))
       .agg(max(col("nday")).cast("long").as("n_day"),
-        sum(col("_tm")).cast("long").as("psi_micro"))
+        sum(col("_tm")).cast("long").as("_psis"))
+    // catch-all: surviving day mass in buckets the pinned reference
+    // never saw — REAL here (unlike the self-referential monitors'
+    // structurally-empty anti-join), witnessed per day as n_novel
+    val novel = days.join(
+      sink().join(ref.select(col("b")), Seq("b"), "left_anti")
+        .groupBy(col("day_ms")).agg(sum(col("c")).cast("long").as("nv")),
+      Seq("day_ms"), "left").na.fill(0L, Seq("nv"))
+    val catchAll = novel.crossJoin(broadcast(refN))
+      .withColumn("_ct", expr(
+        """CASE WHEN nv = 0 THEN CAST(0 AS BIGINT)
+          | ELSE CAST(floor(1000000.0 *
+          | (CAST(nv AS DOUBLE) / CAST(nday AS DOUBLE)
+          |  - 1.0 / CAST(nref AS DOUBLE))
+          | * ln((CAST(nv AS DOUBLE) / CAST(nday AS DOUBLE))
+          |      / (1.0 / CAST(nref AS DOUBLE))))
+          | AS BIGINT) END""".stripMargin.replace("\n", " ")))
+      .select(col("day_ms"), col("nv"), col("_ct"))
+    inSupport.join(catchAll, Seq("day_ms"))
+      .select(col("day_ms"), col("n_day"), col("nv").as("n_novel"),
+        (col("_psis") + col("_ct")).cast("long").as("psi_micro"))
   }
 
   /** Write `df` as ONE parquet part named `name` under `dir` with the

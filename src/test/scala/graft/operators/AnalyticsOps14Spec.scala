@@ -169,7 +169,8 @@ class AnalyticsOps14Spec extends SparkSpec {
     val df = (Seq.fill(4)(("a", 0L)) ++ Seq.fill(4)(("a", 1L)) ++
       Seq.fill(4)(("b", 0L)) ++ Seq.fill(4)(("b", 1L))).toDF("s", "b")
     val out = DriftStats.psiBySide(df, "s", col("b")).collect()
-    assert(out.forall(_.getLong(2) == 0L))
+    // (side, n_side, n_novel, psi_micro): no novel mass, psi exactly 0
+    assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
   }
 
   test("psi: a zero-count side bucket takes the pseudo-count, psi > 0") {
@@ -177,7 +178,7 @@ class AnalyticsOps14Spec extends SparkSpec {
       Seq.fill(4)(("b", 1L))).toDF("s", "b")
     val out = DriftStats.psiBySide(df, "s", col("b"))
       .orderBy("side").collect()
-    assert(out(0).getLong(2) > 0L) // side a misses bucket 1 entirely
+    assert(out(0).getLong(3) > 0L) // side a misses bucket 1 entirely
   }
 
   // ----------------------------------------------------------- calibration

@@ -82,7 +82,7 @@ class RankStatsPropSpec extends SparkSpec {
       (Seq("a", "b", "c")(rnd.nextInt(3)), rnd.nextInt(8).toLong))
       .toDF("s", "b")
     DriftStats.psiBySide(df, "s", col("b")).collect()
-      .foreach(r => assert(r.getLong(2) >= 0L,
+      .foreach(r => assert(r.getLong(3) >= 0L,
         s"psi must be non-negative: $r"))
   }
 

@@ -40,7 +40,9 @@ class StreamMonitorsSpec extends SparkSpec {
       .orderBy(col("day_ms")).collect()
     assert(out.nonEmpty)
     // per-bucket PSI terms are (p-q)ln(p/q) >= 0, so the day sums are
-    out.foreach(r => assert(r.getLong(2) >= 0L, s"psi >= 0: $r"))
+    out.foreach(r => assert(r.getLong(3) >= 0L, s"psi >= 0: $r"))
+    // self-referential reference: the catch-all is structurally empty
+    out.foreach(r => assert(r.getLong(2) == 0L, s"n_novel == 0: $r"))
   }
 
   test("x52 stream KS replay: per-day stats are internally consistent") {

@@ -34,4 +34,35 @@ class StreamPsiUpdateSpec extends SparkSpec {
     assert(perDay.values.map(_._2).sum > 0,
       "the fixture must actually contain late rows for the witness to bite")
   }
+
+  test("a staged novel-value day lands in the catch-all bucket and moves PSI") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("psiu_novel").toString
+    val dayUs = 86400L * 1000000L
+    val baseUs = 20000L * dayUs // day boundary, exact
+    // 16 days × 100 rows: value 10.0 everywhere EXCEPT day 15, whose
+    // value 99.0 the first-14-day reference never saw. Day 14 is the
+    // in-support control (same shape as the reference); day 15 is the
+    // final day, so the late rule (event_id % 50 = 0, days < final)
+    // still finds rows to drop on earlier days.
+    val rows = for { d <- 0 until 16; i <- 0 until 100 } yield
+      (d * 100L + i, baseUs + d * dayUs + i * 1000000L, i.toLong,
+        "t", if (d == 15) 99.0 else 10.0)
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(ts_us)")).drop("ts_us")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = StreamPsiUpdate.replayParquet(spark, dir, refDays = 14,
+        queryName = "psiu_novel")
+      .orderBy(col("day_ms")).collect()
+    assert(out.length == 16)
+    val control = out(14) // (day_ms, n_day, n_novel, psi_micro)
+    val novelDay = out(15)
+    assert(control.getLong(2) == 0L, s"control day has no novel mass: $control")
+    assert(control.getLong(3) == 0L,
+      s"control day matches the reference exactly, PSI = 0: $control")
+    assert(novelDay.getLong(2) == novelDay.getLong(1),
+      s"every surviving row of the novel day is outside the support: $novelDay")
+    assert(novelDay.getLong(3) > 1000000L,
+      s"PSI must move hard on an all-novel day: $novelDay")
+  }
 }
