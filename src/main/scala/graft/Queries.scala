@@ -435,6 +435,33 @@ object Queries {
        |SELECT d.doc_id, COALESCE(kp.keep, d.doc_id) AS keep_id
        |FROM documents d LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** DuckDB oracle for q255: the incremental-dedup decisions the
+    * persisted index must reproduce — band keys over ALL documents
+    * (corpus ∪ delta, the same [[mirrorBandCtes]] family the index was
+    * built with), the COMBINED bucket cap as a window filter, candidate
+    * pairs restricted to "larger id is a delta doc" (only delta keepers
+    * are emitted; corpus keepers were fixed at index-build time), exact
+    * Jaccard verification, min-partner keeper — one row per DELTA doc. */
+  private val DeltaMod = 5 // delta = doc_id % DeltaMod = 0, ~20% of docs
+  private val IndexCap = 1000
+  private def dedupIndexOracleSql: String =
+    s"""$mirrorBandCtes,
+       |bd AS (SELECT DISTINCT doc_id, bk FROM bands),
+       |kept AS (SELECT doc_id, bk FROM (
+       |    SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS z FROM bd)
+       |  WHERE z <= $IndexCap),
+       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  WHERE b.doc_id % $DeltaMod = 0),
+       |ver AS (SELECT c.a, c.b
+       |  FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
+       |  WHERE len(list_intersect(x.g, y.g)) * $MirrorTauDenom
+       |        >= $MirrorTauNum * (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))),
+       |kp AS (SELECT b AS doc_id, MIN(a) AS keep FROM ver GROUP BY b)
+       |SELECT d.doc_id, COALESCE(kp.keep, d.doc_id) AS keep_id
+       |FROM documents d LEFT JOIN kp USING (doc_id)
+       |WHERE d.doc_id % $DeltaMod = 0 ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for x24: candidate pairs share a band key, verified
     * on the MinHash SIGNATURE-AGREEMENT Jaccard estimator (≥ tau of the
     * slots equal) — exactly the bounded-state test the streaming bucket
@@ -13294,6 +13321,32 @@ object Queries {
         graft.operators.KCore.core(coPurchaseEdges(s, d), k = 3,
             peelRounds = 20)
           .orderBy(col("node"))
+    },
+
+    // ------------------------------------------------------------------
+    // q255: INCREMENTAL dedup against a PERSISTED MinHash-LSH index
+    // (DedupIndex) — the daily-ingest posture q39's full-corpus sweep
+    // can't serve: build the banded index on the corpus (doc_id % 5 ≠
+    // 0), save it partitioned by (_band, band-key bucket), load it
+    // back, and dedup the ~20% delta with partition-pruned band
+    // lookups — the corpus is never rescanned. Same mirrored hash
+    // family as q39, combined-bucket cap mirrored as a window filter;
+    // the oracle reproduces every keep/drop decision on the delta.
+    // DedupIndexSpec holds the delta ≡ full-corpus-restricted witness
+    // on the production xxhash64 family.
+    q("q255_dedup_index_delta", dedupIndexOracleSql) { (s, d) =>
+      val docs = T(s, d, "documents")
+      val dir = Staging.dir(s, "q255_dedup_index")
+      graft.operators.DedupIndex.build(
+          docs.where(col("doc_id") % DeltaMod =!= 0), "doc_id", "text",
+          shingleK = 3, numBands = MirrorBands, rowsPerBand = MirrorRows,
+          seed = MirrorSeed, sqlMirroredHashes = true)
+        .save(dir)
+      graft.operators.DedupIndex.load(s, dir, "doc_id")
+        .deltaDedup(docs.where(col("doc_id") % DeltaMod === 0), "text",
+          tauNum = MirrorTauNum, tauDenom = MirrorTauDenom,
+          maxBucket = IndexCap)
+        .orderBy(col("doc_id"))
     },
   )
 

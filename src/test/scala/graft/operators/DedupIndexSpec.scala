@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The [[DedupIndex]] equivalence contract: a build→save→load→delta
+  * probe must reproduce EXACTLY what the full-corpus [[Dedup.minhashLsh]]
+  * run over (corpus ∪ delta) decides for the delta's ids — same hash
+  * family, same COMBINED bucket cap — and the saved band table must
+  * support static partition pruning (the property that makes the probe
+  * I/O delta-proportional at scale). */
+class DedupIndexSpec extends SparkSpec {
+
+  private val Tau = (1, 2)
+  private val Cap = 50 // small enough to bite at sf0.001
+
+  test("delta dedup equals the full-corpus run restricted to delta ids") {
+    val docs = graft.sources.Tables.table(spark, sf("sf0.001"), "documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val delta = docs.where(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx").toString
+
+    DedupIndex.build(corpus, "doc_id", "text",
+      shingleK = 3, numBands = 4, rowsPerBand = 2, seed = 42L,
+      bandBuckets = 4, idBuckets = 4).save(dir)
+    val loaded = DedupIndex.load(spark, dir, "doc_id")
+    assert(loaded.meta.numBands == 4 && loaded.meta.rowsPerBand == 2 &&
+      !loaded.meta.sqlMirroredHashes, "meta must round-trip")
+
+    val deltaRes = loaded
+      .deltaDedup(delta, "text", tauNum = Tau._1, tauDenom = Tau._2,
+        maxBucket = Cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullRes = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 3, numBands = 4, rowsPerBand = 2,
+        tauNum = Tau._1, tauDenom = Tau._2, seed = 42L, maxBucket = Cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._1 % 5 == 0).toMap
+    graft.Caches.release()
+
+    assert(deltaRes.keySet == fullRes.keySet,
+      "one keeper row per delta doc")
+    val diffs = deltaRes.collect {
+      case (id, k) if fullRes(id) != k => (id, k, fullRes(id))
+    }
+    assert(diffs.isEmpty, s"delta/full keeper mismatches: ${diffs.take(5)}")
+    // the fixture must exercise both outcomes or the test proves nothing
+    assert(deltaRes.exists { case (id, k) => k != id },
+      "some delta doc must have a duplicate")
+    assert(deltaRes.exists { case (id, k) => k == id },
+      "some delta doc must be unique")
+  }
+
+  test("the saved band table prunes statically on (_band, _bkt)") {
+    val docs = graft.sources.Tables.table(spark, sf("sf0.001"), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx_p").toString
+    DedupIndex.build(docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      numBands = 4, rowsPerBand = 2, bandBuckets = 4, idBuckets = 4).save(dir)
+    val loaded = DedupIndex.load(spark, dir, "doc_id")
+    val plan = loaded.bands
+      .where(col("_band") === 0 && col("_bkt") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_band"),
+      s"band probe must be a partition-pruned scan, got:\n$plan")
+    // docs side prunes on the id bucket the same way
+    val dplan = loaded.docs.where(col("_ibkt").isin(0, 2))
+      .queryExecution.executedPlan.toString
+    assert(dplan.contains("PartitionFilters") && dplan.contains("_ibkt"),
+      s"docs probe must be a partition-pruned scan, got:\n$dplan")
+  }
+}
