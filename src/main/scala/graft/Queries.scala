@@ -13348,6 +13348,59 @@ object Queries {
           maxBucket = IndexCap)
         .orderBy(col("doc_id"))
     },
+
+    // ------------------------------------------------------------------
+    // x56: UPDATE-MODE per-day KS drift monitor (StreamKsUpdate) —
+    // x52's 24/7 posture on the generalized staged-late harness
+    // (ReplayStage.lateDropReplay, lifted out of x55): append-mode day
+    // windows over the SAME shared (day, bucket) histogram state at
+    // 0 ms delay, the watermark dropping the staged late rows
+    // (asserted in-harness via numRowsDroppedByWatermark, witnessed by
+    // the oracle's survivor predicate — day counts from surviving rows
+    // only), and the KS finisher against the MAINTAINED first-14-day
+    // reference over the UNION support, so novel day values widen D.
+    q("x56_stream_ks_update",
+      """WITH ev AS (SELECT event_id, epoch_ms(ts) AS ms,
+        |                   CAST(FLOOR(value) AS BIGINT) AS b
+        |            FROM events),
+        |fd AS (SELECT MAX(ms) // 86400000 AS fday FROM ev),
+        |mn AS (SELECT MIN(ms) // 86400000 AS mday FROM ev),
+        |surv AS (SELECT ms // 86400000 AS day, b FROM ev CROSS JOIN fd
+        |         WHERE NOT (event_id % 50 = 0 AND ms // 86400000 < fday)),
+        |h AS (SELECT day * 86400000 AS day_ms, b,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM surv GROUP BY 1, 2),
+        |ref AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb
+        |        FROM ev CROSS JOIN mn
+        |        WHERE ms // 86400000 < mday + 14 GROUP BY 1),
+        |rn AS (SELECT CAST(SUM(cb) AS BIGINT) AS nref FROM ref),
+        |days AS (SELECT day_ms, CAST(SUM(c) AS BIGINT) AS nday
+        |         FROM h GROUP BY 1),
+        |sup AS (SELECT DISTINCT b FROM
+        |          (SELECT b FROM ref UNION ALL SELECT b FROM h)),
+        |grid AS (SELECT d.day_ms, d.nday, s.b,
+        |                COALESCE(r.cb, 0) AS cb, COALESCE(h.c, 0) AS c
+        |         FROM days d CROSS JOIN sup s
+        |         LEFT JOIN ref r ON r.b = s.b
+        |         LEFT JOIN h ON h.day_ms = d.day_ms AND h.b = s.b),
+        |cum AS (SELECT day_ms, nday,
+        |          SUM(c) OVER w AS cd, SUM(cb) OVER w AS cr
+        |        FROM grid
+        |        WINDOW w AS (PARTITION BY day_ms ORDER BY b
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING
+        |                     AND CURRENT ROW)),
+        |a AS (SELECT day_ms, nref, CAST(MAX(nday) AS BIGINT) AS n_day,
+        |        CAST(MAX(abs(cd * nref - cr * nday)) AS BIGINT) AS ks_num
+        |      FROM cum CROSS JOIN rn GROUP BY 1, 2)
+        |SELECT CAST(day_ms AS BIGINT) AS day_ms, n_day, ks_num,
+        |       CAST(floor(1000.0 * CAST(ks_num AS DOUBLE)
+        |            / (CAST(n_day AS DOUBLE) * CAST(nref AS DOUBLE)))
+        |            AS BIGINT) AS ks_milli
+        |FROM a ORDER BY day_ms""".stripMargin) { (s, d) =>
+      graft.streaming.StreamKsUpdate.replayParquet(s, d, refDays = 14,
+          queryName = "x56_ks_update")
+        .orderBy(col("day_ms"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -158,6 +158,93 @@ object ReplayStage {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
   }
 
+  /** Write `df` as ONE parquet part named `name` under `dir` with the
+    * given mtime — a staged replay's processing order is mtime order. */
+  private def writePart(df: DataFrame, dir: Path, name: String,
+                        mtimeMs: Long): Unit = {
+    val scratch = Files.createTempDirectory("graft_replay_part")
+    df.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(scratch.toString)
+    val s = Files.list(scratch)
+    try s.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        val dst = dir.resolve(name)
+        Files.move(p, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+    finally s.close()
+    deleteRecursively(scratch)
+  }
+
+  /** Run an UPDATE/APPEND-mode replay with a WITNESSED late-data drop —
+    * the staging StreamPsiUpdate introduced, shared by every monitor
+    * that wants the 24/7 posture proven: stage four time-ordered parts
+    * (on-time rows → empty gap → the `lateRule` rows → a sentinel two
+    * days past `maxTsNanos`), process one file per micro-batch, run the
+    * caller's stateful `plan` over the stream in `outputMode` into a
+    * memory sink named `queryName`, and REQUIRE that the watermark
+    * dropped rows.
+    *
+    * Staging internals this leans on (measured on Spark 4.1): batch N's
+    * late-input filter uses the watermark as of batch N−1's START — the
+    * empty gap batch is what lets it catch up past the on-time rows —
+    * and the final day closes via the post-sentinel no-data batch
+    * (`spark.sql.streaming.noDataMicroBatches.enabled`, default true).
+    * A Spark upgrade that changes either fails the drop assertion
+    * loudly instead of silently changing the emitted set. The sentinel
+    * is built FROM the source schema (null-fill all columns except
+    * ts/event_id), so schema changes track automatically.
+    *
+    * This deliberately BYPASSES [[readStream]]'s part-order guard: that
+    * guard protects replays that must not lose rows; here the
+    * out-of-order late file IS the fixture. */
+  def lateDropReplay(spark: SparkSession, norm: DataFrame,
+                     lateRule: org.apache.spark.sql.Column, maxTsNanos: Long,
+                     queryName: String, statePartitions: Option[Int],
+                     outputMode: String = "append")
+                    (plan: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val dayNs = 86400L * 1000000000L
+    val staged = Files.createTempDirectory("graft_late_replay")
+    try {
+      writePart(norm.where(!lateRule), staged, "00_ontime.parquet", 1000000L)
+      writePart(norm.where(lit(false)), staged, "01_gap.parquet", 2000000L)
+      writePart(norm.where(lateRule), staged, "02_late.parquet", 3000000L)
+      val sentinelSchema = StructType(norm.schema.map(_.copy(nullable = true)))
+      val sentinelRow = org.apache.spark.sql.Row.fromSeq(
+        sentinelSchema.map(_.name match {
+          case "ts"       => maxTsNanos + 2 * dayNs
+          case "event_id" => -1L
+          case _          => null
+        }))
+      val sentinel = norm.sparkSession.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](sentinelRow),
+        sentinelSchema)
+      writePart(sentinel, staged, "zz_sentinel.parquet", 4000000L)
+
+      val stream = spark.readStream.schema(norm.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
+      withStatePartitions(spark, statePartitions) {
+        val q = plan(stream)
+          .writeStream
+          .outputMode(outputMode)
+          .format("memory").queryName(queryName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val dropped = q.recentProgress.iterator
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+        require(dropped > 0,
+          s"lateDropReplay($queryName): expected the watermark to drop " +
+            s"the staged late rows, but numRowsDroppedByWatermark = $dropped")
+      }
+    } finally deleteRecursively(staged)
+  }
+
   /** State-store provider toggle for the WHOLE streaming suite: every
     * module starts its query inside [[withStatePartitions]], which
     * applies `spark.sql.streaming.stateStore.providerClass` from (in

@@ -24,18 +24,19 @@ import org.apache.spark.sql.streaming.Trigger
   * max|cum_day·n_all − cum_all·n_day|; one double division scales to
   * milli (documented bound n_day·n_all < 2⁶³).
   *
-  * MODE CAVEAT (as [[StreamBenford]]): `complete` mode is the
-  * REPLAY-ONLY choice; a 24/7 deployment runs `update`/`append` with a
-  * maintained reference histogram.
+  * `complete` mode is the REPLAY-ONLY choice; the 24/7 posture —
+  * append-mode day windows, a MAINTAINED reference, late data dropped
+  * by the watermark and witnessed — is implemented over the SAME state
+  * by [[StreamKsUpdate]] (x56).
   */
 object StreamKsDrift {
 
   /** Watermarked per-(day, whole-unit bucket) counts — the ONE state
-    * shape behind x52 (KS), x54 (PSI), and x55 (update-mode PSI with
-    * late-data drops); `delay` is the watermark lateness allowance
-    * (x52/x54's complete-mode replays keep the 1-day default; x55's
-    * append-mode monitor runs at 0 ms so the drop cutoff is exactly
-    * the max event time seen). */
+    * shape behind x52 (KS), x54 (PSI), and the update-mode pair x55
+    * (PSI) / x56 (KS) with late-data drops; `delay` is the watermark
+    * lateness allowance (x52/x54's complete-mode replays keep the
+    * 1-day default; the append-mode monitors run at 0 ms so the drop
+    * cutoff is exactly the max event time seen). */
   def dailyBuckets(events: DataFrame, delay: String = "1 day"): DataFrame =
     events
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))

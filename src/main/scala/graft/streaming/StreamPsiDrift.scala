@@ -19,9 +19,10 @@ import org.apache.spark.sql.streaming.Trigger
   * individually floored to micro over exact BIGINT counts (the q209
   * per-term ln rule, no float accumulation across buckets).
   *
-  * MODE CAVEAT (as [[StreamBenford]]): `complete` mode is the
-  * REPLAY-ONLY choice; a 24/7 deployment runs `update`/`append` with a
-  * maintained reference histogram.
+  * `complete` mode is the REPLAY-ONLY choice; the 24/7 posture —
+  * append-mode day windows, a MAINTAINED reference, late data dropped
+  * by the watermark and witnessed — is implemented over the SAME state
+  * by [[StreamPsiUpdate]] (x55).
   */
 object StreamPsiDrift {
 

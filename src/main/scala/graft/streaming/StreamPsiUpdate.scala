@@ -1,12 +1,7 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path}
-
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
-
-import scala.jdk.CollectionConverters._
 
 /** The 24/7 posture the x50–x54 MODE CAVEATs describe, made real:
   * a per-day PSI drift monitor in APPEND mode against a MAINTAINED
@@ -72,63 +67,13 @@ object StreamPsiUpdate {
     val lateRule = col("event_id") % 50 === 0 &&
       expr(s"ts DIV $DayNs") < finalDay
 
-    val staged = Files.createTempDirectory("graft_psi_update")
-    try {
-      writePart(norm.where(!lateRule), staged, "00_ontime.parquet", 1000000L)
-      // the empty gap batch matters: Spark filters batch N's late input
-      // with the watermark as of batch N-1's START (and evicts with the
-      // one from its end) — without the gap, the late file would be
-      // judged against the pre-on-time watermark of 0 and merge into
-      // the still-open windows instead of dropping (measured:
-      // numRowsDroppedByWatermark=0 and full day counts without it,
-      // =all late rows with it)
-      writePart(norm.where(lit(false)), staged, "01_gap.parquet", 2000000L)
-      writePart(norm.where(lateRule), staged, "02_late.parquet", 3000000L)
-      // sentinel built FROM norm.schema (null-fill everything except
-      // ts/event_id), so a source-schema change — rename, reorder, new
-      // column — tracks automatically instead of silently relying on
-      // parquet missing-column→null semantics
-      val sentinelSchema = org.apache.spark.sql.types.StructType(
-        norm.schema.map(_.copy(nullable = true)))
-      val sentinelRow = org.apache.spark.sql.Row.fromSeq(
-        sentinelSchema.map(_.name match {
-          case "ts"       => maxTs + 2 * DayNs
-          case "event_id" => -1L
-          case _          => null
-        }))
-      val sentinel = norm.sparkSession.createDataFrame(
-        java.util.List.of[org.apache.spark.sql.Row](sentinelRow),
-        sentinelSchema)
-      writePart(sentinel, staged, "zz_sentinel.parquet", 4000000L)
-
-      val stream = spark.readStream.schema(norm.schema)
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged.toString)
-      ReplayStage.withStatePartitions(spark, statePartitions) {
-        val q = StreamKsDrift.dailyBuckets(stream, delay = "0 milliseconds")
-          .writeStream
-          .outputMode("append")
-          .format("memory").queryName(queryName)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        // the drop is the whole point of this replay — assert it fired
-        // rather than silently merging late rows into open windows.
-        // (The staging above leans on two micro-batch internals: the
-        // late-input filter uses the watermark as of the PREVIOUS
-        // batch's start — hence the gap file — and the final day
-        // closes via the post-sentinel no-data batch, i.e.
-        // spark.sql.streaming.noDataMicroBatches.enabled, true by
-        // default. A Spark upgrade that changes either surfaces HERE,
-        // loudly, not as a silent witness change.)
-        val dropped = q.recentProgress.iterator
-          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
-        require(dropped > 0,
-          s"StreamPsiUpdate replay: expected the watermark to drop the " +
-            s"staged late rows, but numRowsDroppedByWatermark = $dropped")
-      }
-    } finally deleteRecursively(staged)
+    // shared staged-late harness (stage → one-file micro-batches →
+    // asserted watermark drop) — see ReplayStage.lateDropReplay for the
+    // micro-batch internals this leans on (gap batch, no-data flush)
+    ReplayStage.lateDropReplay(spark, norm, lateRule, maxTs,
+      queryName, statePartitions) { stream =>
+      StreamKsDrift.dailyBuckets(stream, delay = "0 milliseconds")
+    }
 
     // reference: ALL rows (durable batch history), first refDays days
     val minDay = norm.agg(min(col("ts"))).head().getLong(0) / DayNs
@@ -182,33 +127,5 @@ object StreamPsiUpdate {
     inSupport.join(catchAll, Seq("day_ms"))
       .select(col("day_ms"), col("n_day"), col("nv").as("n_novel"),
         (col("_psis") + col("_ct")).cast("long").as("psi_micro"))
-  }
-
-  /** Write `df` as ONE parquet part named `name` under `dir` with the
-    * given mtime — the replay's processing order is mtime order. */
-  private def writePart(df: DataFrame, dir: Path, name: String,
-                        mtimeMs: Long): Unit = {
-    val scratch = Files.createTempDirectory("graft_psi_part")
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(scratch.toString)
-    val s = Files.list(scratch)
-    try s.iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .foreach { p =>
-        val dst = dir.resolve(name)
-        Files.move(p, dst)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      }
-    finally s.close()
-    deleteRecursively(scratch)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.toSeq.foreach(deleteRecursively)
-      finally s.close()
-    }
-    Files.deleteIfExists(p)
   }
 }

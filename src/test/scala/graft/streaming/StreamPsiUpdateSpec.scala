@@ -64,5 +64,20 @@ class StreamPsiUpdateSpec extends SparkSpec {
       s"every surviving row of the novel day is outside the support: $novelDay")
     assert(novelDay.getLong(3) > 1000000L,
       s"PSI must move hard on an all-novel day: $novelDay")
+
+    // the update-mode KS sibling on the SAME fixture (same shared
+    // harness and state): the control day matches the reference
+    // exactly (D = 0), the all-novel day is maximally separated
+    // (D = 1, since every day value sits beyond the whole reference)
+    val ks = StreamKsUpdate.replayParquet(spark, dir, refDays = 14,
+        queryName = "ksu_novel")
+      .orderBy(col("day_ms")).collect()
+    assert(ks.length == 16)
+    assert(ks(14).getLong(3) == 0L,
+      s"control day: binned KS of identical distributions is 0: ${ks(14)}")
+    assert(ks(15).getLong(3) == 1000L,
+      s"novel day: D = 1 when supports are disjoint: ${ks(15)}")
+    assert(ks(15).getLong(2) == ks(15).getLong(1) * 1400L,
+      s"ks_num saturates at n_day*n_ref: ${ks(15)}")
   }
 }
