@@ -62,6 +62,24 @@ final class DedupIndex private (val spark: SparkSession,
     Seq(meta).toDF().coalesce(1).write.mode("overwrite").json(s"$dir/meta")
   }
 
+  /** Fold an ACCEPTED delta into the saved index at `dir` — the step
+    * that makes the lifecycle a loop: day N's survivors join the corpus
+    * day N+1 probes against. Sketches the delta under THIS index's hash
+    * family and APPENDS to the partitioned tables (new part files
+    * inside existing partition directories — no rewrite of corpus
+    * bytes, so the append costs O(delta), never O(corpus)). The caller
+    * decides what "accepted" means — typically the deltaDedup survivors
+    * (`keep_id = id`), sometimes everything (keep duplicates indexed so
+    * later probes map to the EARLIEST copy). Reload after appending;
+    * this handle's frames still see only the pre-append index. */
+  def append(delta: DataFrame, textCol: String, dir: String): Unit = {
+    val (deltaBands, deltaDocs) = sketch(delta, textCol)
+    deltaBands.write.mode("append")
+      .partitionBy("_band", "_bkt").parquet(s"$dir/bands")
+    deltaDocs.write.mode("append")
+      .partitionBy("_ibkt").parquet(s"$dir/docs")
+  }
+
   /** Dedup `delta` against the indexed corpus AND itself: one row per
     * delta doc, `(idCol, keep_id)` — keep_id is the smallest id among
     * the doc's confirmed duplicates (corpus or delta) with id below its

@@ -51,6 +51,31 @@ class DedupIndexSpec extends SparkSpec {
       "some delta doc must be unique")
   }
 
+  test("append folds a delta into the index: next probe sees corpus ∪ delta") {
+    val docs = graft.sources.Tables.table(spark, sf("sf0.001"), "documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    val d1 = docs.where(col("doc_id") % 5 === 1) // day-1 delta, accepted whole
+    val d2 = docs.where(col("doc_id") % 5 === 0) // day-2 delta, the probe
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx_a").toString
+
+    DedupIndex.build(corpus, "doc_id", "text",
+      shingleK = 3, numBands = 4, rowsPerBand = 2, seed = 42L,
+      bandBuckets = 4, idBuckets = 4).save(dir)
+    DedupIndex.load(spark, dir, "doc_id").append(d1, "text", dir)
+    val deltaRes = DedupIndex.load(spark, dir, "doc_id") // reload post-append
+      .deltaDedup(d2, "text", tauNum = Tau._1, tauDenom = Tau._2,
+        maxBucket = Cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullRes = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 3, numBands = 4, rowsPerBand = 2,
+        tauNum = Tau._1, tauDenom = Tau._2, seed = 42L, maxBucket = Cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._1 % 5 == 0).toMap
+    graft.Caches.release()
+    assert(deltaRes == fullRes,
+      "post-append probe must equal the full-corpus run on the union")
+  }
+
   test("the saved band table prunes statically on (_band, _bkt)") {
     val docs = graft.sources.Tables.table(spark, sf("sf0.001"), "documents")
     val dir = java.nio.file.Files.createTempDirectory("dedup_idx_p").toString
