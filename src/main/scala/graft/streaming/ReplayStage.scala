@@ -276,7 +276,13 @@ object ReplayStage {
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n))
     providerClass.orElse(sys.props.get(ProviderProp))
-      .foreach(p => spark.conf.set(ProviderConfKey, p))
+      .foreach { p =>
+        spark.conf.set(ProviderConfKey, p)
+        // self-documenting A/B runs: the applied provider is visible in
+        // the run log, so a bench JSON can never silently claim a
+        // provider that was not engaged
+        System.err.println(s"[graft] state-store provider = $p")
+      }
     try body
     finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
