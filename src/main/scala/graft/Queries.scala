@@ -13350,6 +13350,34 @@ object Queries {
     },
 
     // ------------------------------------------------------------------
+    // q256: the INDEX-APPEND lifecycle, oracle-witnessed — same
+    // decisions as q255 reached by a DIFFERENT construction: build the
+    // index on 60% of the corpus (doc_id % 5 ∉ {0, 1}), APPEND the
+    // day-1 delta (% 5 = 1), reload, probe the day-2 delta (% 5 = 0).
+    // The oracle is q255's VERBATIM (the appended index must be
+    // indistinguishable from the one-shot 80% build), so a hash match
+    // at every gated scale proves append-then-probe ≡ build-then-probe
+    // — the property that lets a pipeline fold daily survivors in
+    // without ever rebuilding.
+    q("q256_dedup_index_append", dedupIndexOracleSql) { (s, d) =>
+      val docs = T(s, d, "documents")
+      val dir = Staging.dir(s, "q256_dedup_index")
+      graft.operators.DedupIndex.build(
+          docs.where(col("doc_id") % DeltaMod =!= 0
+            && col("doc_id") % DeltaMod =!= 1), "doc_id", "text",
+          shingleK = 3, numBands = MirrorBands, rowsPerBand = MirrorRows,
+          seed = MirrorSeed, sqlMirroredHashes = true)
+        .save(dir)
+      graft.operators.DedupIndex.load(s, dir, "doc_id")
+        .append(docs.where(col("doc_id") % DeltaMod === 1), "text", dir)
+      graft.operators.DedupIndex.load(s, dir, "doc_id")
+        .deltaDedup(docs.where(col("doc_id") % DeltaMod === 0), "text",
+          tauNum = MirrorTauNum, tauDenom = MirrorTauDenom,
+          maxBucket = IndexCap)
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // x56: UPDATE-MODE per-day KS drift monitor (StreamKsUpdate) —
     // x52's 24/7 posture on the generalized staged-late harness
     // (ReplayStage.lateDropReplay, lifted out of x55): append-mode day
