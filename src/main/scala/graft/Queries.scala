@@ -60,6 +60,7 @@ object Queries {
           csEdgeCache.filterInPlace((k, _) => k._1 != key)
           lpaFitCache.filterInPlace((k, _) => k._1 != key)
           coPurchaseCache.filterInPlace((k, _) => k._1 != key)
+          kcoreCache.filterInPlace((k, _) => k._1 != key)
           evictHooked.remove(key)
           ()
         }
@@ -313,6 +314,18 @@ object Queries {
         .distinct()
         .persist()
     })
+
+  /** Shared 20-round k-core peel per (session, dir) — q244 reads the
+    * trace, q254 the converged core, of ONE loop over the memoized
+    * co-purchase graph (the lpaFitCache convention: track = false, a
+    * plain persist the bench's per-query release keeps warm; q198's
+    * 4-round contract stays per-query — a different peel). */
+  private val kcoreCache = scala.collection.concurrent.TrieMap[
+    (String, String), (DataFrame, DataFrame)]()
+  private def kcore20(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    kcoreCache.getOrElseUpdate((sessKey(s), d),
+      graft.operators.KCore.coreWithTrace(coPurchaseEdges(s, d), k = 3,
+        peelRounds = 20, track = false))
 
   /** Shared q63/q74 CTE prefix: document-frequency and co-document
     * counts over the corpus's top-8 tokens (df-desc, lexicographic
@@ -12855,7 +12868,8 @@ object Queries {
     // ran dry and locate exactly where (also showing q198's fixed 4
     // rounds stop short — its answer is the 4-round peel by contract,
     // not the k-core). Shares the memoized co-purchase graph with
-    // q158/q186/q198.
+    // q158/q186/q198 AND the 20-round peel itself with q254 (kcore20
+    // memo: one loop per (session, dir), trace + converged core).
     q("q244_kcore_converge",
       s"""WITH cp AS (
         |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk,
@@ -12871,9 +12885,7 @@ object Queries {
         |${graft.operators.KCore.traceSqlCtes(3, 20)}
         |SELECT round, n_nodes, n_edges, removed FROM peeltrace
         |ORDER BY round""".stripMargin) { (s, d) =>
-      graft.operators.KCore.peelTrace(coPurchaseEdges(s, d), k = 3,
-          peelRounds = 20)
-        .orderBy(col("round"))
+      kcore20(s, d)._2.orderBy(col("round"))
     },
 
     // ------------------------------------------------------------------
@@ -13318,9 +13330,7 @@ object Queries {
         |${graft.operators.KCore.unrolledSqlCtes(3, 20)}
         |SELECT node, dg FROM coredeg ORDER BY node""".stripMargin) {
       (s, d) =>
-        graft.operators.KCore.core(coPurchaseEdges(s, d), k = 3,
-            peelRounds = 20)
-          .orderBy(col("node"))
+        kcore20(s, d)._1.orderBy(col("node"))
     },
 
     // ------------------------------------------------------------------

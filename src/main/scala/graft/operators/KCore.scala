@@ -118,6 +118,44 @@ object KCore {
     result
   }
 
+  /** [[core]] and [[peelTrace]] from ONE peel — the shared-build memo
+    * shape (csEdges/lpaFitCache convention): q244 reads the trace and
+    * q254 the converged core of the SAME 20-round peel, so running the
+    * loop once per (session, dir) instead of once per query halves the
+    * graph-block's heaviest remaining cost. `track = false` gives the
+    * caller a plain persist that survives per-query `Caches.release()`
+    * — required for a long-lived memo: a released output would recompute
+    * through the unpersisted round frames, whose triple-referenced
+    * lineage re-expands 3^r. */
+  def coreWithTrace(edges: DataFrame, k: Long, peelRounds: Int,
+                    track: Boolean = true): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val (frames, handles) = peelFrames(edges, k, peelRounds)
+    val coreOut = frames.last.select(col("u").as("node"))
+      .union(frames.last.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("dg"))
+    val rows = frames.zipWithIndex.map { case (e, r) =>
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .agg(countDistinct(col("node")).cast("long").as("n_nodes"),
+          count(lit(1)).as("_c2"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          expr("_c2 DIV 2").cast("long").as("n_edges"))
+    }
+    val w = Window.orderBy(col("round"))
+    val traceOut = rows.reduce(_.unionByName(_))
+      .withColumn("removed",
+        coalesce(lag(col("n_nodes"), 1).over(w) - col("n_nodes"), lit(0L))
+          .cast("long"))
+    def pin(df: DataFrame): DataFrame =
+      if (track) graft.Caches.track(df.persist()) else df.persist()
+    val core = pin(coreOut)
+    val trace = pin(traceOut)
+    // BOTH actions run before the round handles drop (see peelFrames)
+    core.count(); trace.count()
+    handles.foreach(_.unpersist(blocking = false))
+    (core, trace)
+  }
+
   /** SQL mirror of [[core]], unrolled: chained CTEs `e0..eR` over a
     * caller-supplied CTE `edges(u, v)`; the final degree table is
     * `coredeg`. Select `node, dg` from it. Per-round CTEs are
