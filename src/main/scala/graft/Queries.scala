@@ -457,12 +457,13 @@ object Queries {
     * Jaccard verification, min-partner keeper — one row per DELTA doc. */
   private val DeltaMod = 5 // delta = doc_id % DeltaMod = 0, ~20% of docs
   private val IndexCap = 1000
-  private def dedupIndexOracleSql: String =
+  private def dedupIndexOracleSql: String = dedupIndexOracleSql(IndexCap)
+  private def dedupIndexOracleSql(cap: Long): String =
     s"""$mirrorBandCtes,
        |bd AS (SELECT DISTINCT doc_id, bk FROM bands),
        |kept AS (SELECT doc_id, bk FROM (
        |    SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS z FROM bd)
-       |  WHERE z <= $IndexCap),
+       |  WHERE z <= $cap),
        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
        |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.doc_id < b.doc_id
        |  WHERE b.doc_id % $DeltaMod = 0),
@@ -13438,6 +13439,29 @@ object Queries {
       graft.streaming.StreamKsUpdate.replayParquet(s, d, refDays = 14,
           queryName = "x56_ks_update")
         .orderBy(col("day_ms"))
+    },
+
+    // ------------------------------------------------------------------
+    // x57: the INGEST-DEDUP LOOP live (StreamDeltaDedup) — q255's
+    // lifecycle as a stream: the delta arrives in two id-ordered
+    // micro-batches; each batch probes the persisted index via
+    // foreachBatch (no watermark, no streaming state — the durable
+    // INDEX is the state, shared with the batch path), writes its
+    // keepers to a parquet sink, then APPENDS itself so the next batch
+    // dedups against it. Id-ordered staging makes every cross-batch
+    // pair's smaller id land in the earlier batch, so the union of
+    // per-batch keepers equals the one-shot probe — q255's oracle, the
+    // FOURTH construction of the same decisions (uncapped: a bucket cap
+    // is prefix-dependent across batches, the documented monitor
+    // approximation this mirror deliberately avoids).
+    q("x57_stream_ingest_dedup", dedupIndexOracleSql(Long.MaxValue)) { (s, d) =>
+      graft.streaming.StreamDeltaDedup.replayParquet(s, d,
+          stageDir = Staging.dir(s, "x57_ingest_dedup"),
+          deltaMod = DeltaMod, shingleK = 3, numBands = MirrorBands,
+          rowsPerBand = MirrorRows, seed = MirrorSeed,
+          tauNum = MirrorTauNum, tauDenom = MirrorTauDenom,
+          queryName = "x57_ingest")
+        .orderBy(col("doc_id"))
     },
   )
 

@@ -160,8 +160,8 @@ object ReplayStage {
 
   /** Write `df` as ONE parquet part named `name` under `dir` with the
     * given mtime — a staged replay's processing order is mtime order. */
-  private def writePart(df: DataFrame, dir: Path, name: String,
-                        mtimeMs: Long): Unit = {
+  private[streaming] def writePart(df: DataFrame, dir: Path, name: String,
+                                   mtimeMs: Long): Unit = {
     val scratch = Files.createTempDirectory("graft_replay_part")
     df.coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(scratch.toString)

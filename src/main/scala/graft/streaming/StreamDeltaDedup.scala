@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.DedupIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The ingest-dedup LOOP live — the pipeline [[DedupIndex]] exists for,
+  * run as a stream: the delta arrives in micro-batches; each batch (1)
+  * probes the persisted index for its keeper assignments and (2)
+  * APPENDS itself to the index, so batch k dedups against
+  * corpus ∪ batches 1..k−1 ∪ its own smaller ids. `foreachBatch` is the
+  * right tool (this is a per-batch batch job over an external index —
+  * no watermark, no streaming state; the INDEX is the state, durable
+  * and shared with the batch path), and each batch's keepers land in a
+  * parquet sink — nothing data-proportional touches the driver.
+  *
+  * Exactness contract (the q255 oracle, third construction): the delta
+  * is staged as ID-ORDERED parts (split at the id midpoint, mtime
+  * order = processing order), so every cross-batch duplicate pair has
+  * the earlier batch's doc as the smaller id — exactly the pairs the
+  * one-shot [[DedupIndex.deltaDedup]] of the whole delta scores. The
+  * union of per-batch keepers therefore EQUALS the one-shot run (and
+  * the DuckDB oracle) row for row. Runs UNCAPPED (`maxBucket` = ∞, the
+  * q39 mirror convention): a bucket-size cap is prefix-dependent — a
+  * key under the cap at batch 1 can exceed it once batch 2 lands — so
+  * the capped streamed form is a (documented) monitor approximation,
+  * while this registered mirror proves the pipeline exactly.
+  */
+object StreamDeltaDedup {
+
+  /** Build+save the corpus index under `stageDir/idx`, stream the delta
+    * through probe-then-append in two id-ordered micro-batches, return
+    * one (idCol, keep_id) row per delta doc. */
+  def replayParquet(spark: SparkSession, dir: String, stageDir: String,
+                    deltaMod: Int, shingleK: Int, numBands: Int,
+                    rowsPerBand: Int, seed: Long, tauNum: Int, tauDenom: Int,
+                    queryName: String = "stream_delta_dedup"): DataFrame = {
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % deltaMod =!= 0)
+    val delta = docs.where(col("doc_id") % deltaMod === 0)
+    val idxDir = s"$stageDir/idx"
+    val outDir = s"$stageDir/out_$queryName"
+
+    // fresh result sink per run: the per-batch writer appends, and a
+    // multi-pass bench re-running this query in one application must
+    // not accumulate the previous pass's keepers
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = Files.list(p)
+        try { val it = s.iterator(); while (it.hasNext) deleteRec(it.next()) }
+        finally s.close()
+      }
+      Files.deleteIfExists(p); ()
+    }
+    deleteRec(Paths.get(outDir))
+
+    DedupIndex.build(corpus, "doc_id", "text",
+      shingleK = shingleK, numBands = numBands, rowsPerBand = rowsPerBand,
+      seed = seed, sqlMirroredHashes = true).save(idxDir)
+
+    // id-ordered two-part staging: split at the id midpoint (two tiny
+    // aggregates, no collect of ids) — processing order is mtime order
+    val mm = delta.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val staged = Files.createTempDirectory("graft_ingest_dedup")
+    try {
+      ReplayStage.writePart(delta.where(col("doc_id") <= mid), staged,
+        "00_day1.parquet", 1000000L)
+      ReplayStage.writePart(delta.where(col("doc_id") > mid), staged,
+        "01_day2.parquet", 2000000L)
+
+      val stream = spark.readStream.schema(delta.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val idx = DedupIndex.load(spark, idxDir, "doc_id")
+          idx.deltaDedup(batch, "text", tauNum = tauNum,
+              tauDenom = tauDenom, maxBucket = Int.MaxValue)
+            .write.mode("append").parquet(outDir)
+          idx.append(batch, "text", idxDir)
+          graft.Caches.release() // the probe's per-batch scratch persists
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .queryName(queryName)
+        .start()
+      q.awaitTermination()
+    } finally {
+      val s = Files.list(staged)
+      try s.iterator().forEachRemaining(p => Files.deleteIfExists(p))
+      finally s.close()
+      Files.deleteIfExists(staged)
+      ()
+    }
+    spark.read.schema("doc_id BIGINT, keep_id BIGINT").parquet(outDir)
+      .select(col("doc_id"), col("keep_id"))
+  }
+}

@@ -76,6 +76,51 @@ class DedupIndexSpec extends SparkSpec {
       "post-append probe must equal the full-corpus run on the union")
   }
 
+  test("randomized corpora: delta ≡ full-corpus restricted, any split") {
+    import spark.implicits._
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (seed <- Seq(11, 23, 37)) {
+      val rnd = new scala.util.Random(seed)
+      // 60 docs with planted duplicate pressure: half are copies of an
+      // earlier doc with 0–2 word edits, so near-dups cross any split
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until 60).foreach { i =>
+        if (i > 0 && rnd.nextBoolean()) {
+          val base = texts(rnd.nextInt(i)).split(" ")
+          (0 until rnd.nextInt(3)).foreach { _ =>
+            base(rnd.nextInt(base.length)) = words(rnd.nextInt(words.length))
+          }
+          texts += base.mkString(" ")
+        } else {
+          texts += Seq.fill(8 + rnd.nextInt(6))(
+            words(rnd.nextInt(words.length))).mkString(" ")
+        }
+      }
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+      val m = 2 + rnd.nextInt(3) // random split modulus 2..4
+      val corpus = docs.where(col("doc_id") % m =!= 0)
+      val delta = docs.where(col("doc_id") % m === 0)
+      val dir = java.nio.file.Files.createTempDirectory(s"dedup_idx_r$seed")
+        .toString
+      DedupIndex.build(corpus, "doc_id", "text",
+        shingleK = 2, numBands = 4, rowsPerBand = 2, seed = seed,
+        bandBuckets = 4, idBuckets = 4).save(dir)
+      val deltaRes = DedupIndex.load(spark, dir, "doc_id")
+        .deltaDedup(delta, "text", tauNum = Tau._1, tauDenom = Tau._2,
+          maxBucket = 20) // tight cap: the combined-size rule must bite
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fullRes = Dedup.minhashLsh(docs, "doc_id", "text",
+          shingleK = 2, numBands = 4, rowsPerBand = 2,
+          tauNum = Tau._1, tauDenom = Tau._2, seed = seed, maxBucket = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .filter(_._1 % m == 0).toMap
+      graft.Caches.release()
+      assert(deltaRes == fullRes, s"seed $seed mod $m: delta/full diverged")
+    }
+  }
+
   test("the saved band table prunes statically on (_band, _bkt)") {
     val docs = graft.sources.Tables.table(spark, sf("sf0.001"), "documents")
     val dir = java.nio.file.Files.createTempDirectory("dedup_idx_p").toString
