@@ -73,6 +73,25 @@ object Bench {
       Caches.release()
       if (ok) Some(elapsed) else None
     }
+    // HOST-DRIFT CANARY: this host's background load drifts a full run
+    // up to ~1.3x between same-day windows. A fixed cheap-but-diverse
+    // 10-query subset is timed once BEFORE pass 1 and once AFTER the
+    // last pass; canary_ratio = post/pre lands in the JSON, so "the
+    // window drifted" is a measured annotation on the artifact instead
+    // of a narrative reconstruction from other runs. Skipped for subset
+    // runs (SPARK_GRAFT_ONLY — ab_bench's controlled windows are short
+    // enough not to need it) and disableable via SPARK_GRAFT_CANARY=0.
+    val canaryNames = Seq("q06_filter_range", "q07_rename_prefix",
+      "q32_antijoin", "q48_pivot_crosstab", "q59_latest_by_key",
+      "q89_semantic_dedup", "q125_crawl_delta", "q130_distinct_ngrams",
+      "q138_domain_kl", "q164_hopping_window")
+    val canaryOn = only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_CANARY", "1") != "0"
+    def canaryPass(): Option[Double] =
+      if (!canaryOn) None
+      else Some(canaryNames.flatMap(n =>
+        SparkEntry.queries.get(n).flatMap(fn => run1(n, fn))).sum)
+    val canaryPre = canaryPass()
     val passes: Seq[Seq[(String, Option[Double])]] = (1 to iters).map { p =>
       val ts = selected.map { case (name, fn) => (name, run1(name, fn)) }
       System.err.println(String.format(java.util.Locale.ROOT,
@@ -80,6 +99,7 @@ object Bench {
         Double.box(ts.flatMap(_._2).sum)))
       ts
     }
+    val canaryPost = canaryPass()
     val byName = passes.flatten.groupBy(_._1)
     val results = selected.map { case (name, _) =>
       (name, byName(name).flatMap(_._2).sorted)
@@ -87,12 +107,15 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale must not emit
     // malformed JSON ("1,2345")
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    // LOWER median: with an even pass count the upper-median element
-    // over-reports (a 2-pass run would headline each query's WORST
-    // pass — cold pass 1 typically runs ~1.5x pass 2); the lower
-    // median keeps an even-count run's headline at the better-half
-    // boundary instead. Odd pass counts are unaffected.
-    def median(ts: Seq[Double]) = ts((ts.size - 1) / 2)
+    // TRUE median: odd pass counts take the middle element; even counts
+    // average the two middle elements. (Round 16 used the lower median,
+    // which flipped a 2-pass run's bias from pessimistic — the upper
+    // median headlines the cold pass — to optimistic; the midpoint is
+    // the unbiased convention and leaves the headline n=3 runs
+    // unchanged.)
+    def median(ts: Seq[Double]) =
+      if (ts.size % 2 == 1) ts(ts.size / 2)
+      else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
     // a failed query reports null timing and lands in "failed" — its
     // near-zero wall time must not masquerade as a speedup. A query is
     // "failed" only if EVERY iteration failed; partial failures still
@@ -110,7 +133,13 @@ object Bench {
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     val passTotals = passes.map(p => fmt(p.flatMap(_._2).sum))
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"pass_totals":$passTotals,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+    val canary = (canaryPre, canaryPost) match {
+      case (Some(a), Some(b)) if a > 0 =>
+        s""","canary_pre_sec":${fmt(a)},"canary_post_sec":${fmt(b)}""" +
+          s""","canary_ratio":${fmt(b / a)}"""
+      case _ => ""
+    }
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"pass_totals":$passTotals,"failed":$failed,"flaky":$flaky$canary,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: the driver's stdout scrape has
     // twice recorded `"parsed": null` when sbt noise interleaved with

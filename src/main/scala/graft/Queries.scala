@@ -41,11 +41,31 @@ object Queries {
   private val evictHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   // sessionUUID is public bytecode but private[sql] to Scala — one
-  // reflective handle, resolved once
-  private lazy val sessionUuidMethod =
-    classOf[org.apache.spark.sql.classic.SparkSession].getMethod("sessionUUID")
+  // reflective handle, resolved once. It is also a Spark INTERNAL
+  // (classic.SparkSession): a Spark upgrade that moves/renames it, or a
+  // non-classic session (e.g. Connect), must DEGRADE to a synthetic
+  // per-session key — weakly held so it dies with the session, exactly
+  // like the UUID — instead of failing every memoized query.
+  private lazy val sessionUuidMethod: Option[java.lang.reflect.Method] =
+    try Some(classOf[org.apache.spark.sql.classic.SparkSession]
+      .getMethod("sessionUUID"))
+    catch { case _: Throwable => None }
+  private val synthKeys =
+    new java.util.WeakHashMap[SparkSession, String]()
   private def sessKey(s: SparkSession): String = {
-    val key = sessionUuidMethod.invoke(s).asInstanceOf[String]
+    val key = sessionUuidMethod
+      .flatMap { m =>
+        try Some(m.invoke(s).asInstanceOf[String])
+        catch { case _: Throwable => None }
+      }
+      .getOrElse(synthKeys.synchronized {
+        var k = synthKeys.get(s)
+        if (k == null) {
+          k = "synth-" + java.util.UUID.randomUUID().toString
+          synthKeys.put(s, k)
+        }
+        k
+      })
     if (evictHooked.add(key)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(

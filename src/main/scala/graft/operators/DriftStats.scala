@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   * size). */
 object DriftStats {
 
+  /** Pass-through that RAISES on a NULL bucket value — shared by
+    * [[psiBySide]] and the pinned-reference PSI monitors
+    * (StreamPsiDrift/StreamPsiUpdate), whose grid/anti-join pair would
+    * otherwise count NULL mass twice (pseudo-count AND novel). Applied
+    * after grouping, so the check costs one expression per bucket row. */
+  def nullBucketGuard(b: Column, where: String): Column =
+    when(b.isNull, raise_error(lit(
+      s"$where: NULL bucket — a bucketer emitted NULL, which the " +
+        "grid/novel join pair would double-count; filter or map NULLs " +
+        "to a sentinel bucket upstream"))).otherwise(b)
+
   /** Two-sample KS for EVERY unordered pair of `sideCol` values over
     * integral `value`: D = max_v |ECDF_a(v) − ECDF_b(v)|. Output per
     * pair: (side_a, side_b, n_a, n_b, ks_num = max|cum_a·n_b −
@@ -160,9 +171,17 @@ object DriftStats {
     * self-referential form, real for pinned-reference monitors sharing
     * the finisher shape. Output: (side, n_side, n_novel, psi_micro). */
   def psiBySide(df: DataFrame, sideCol: String, bucketOf: Column): DataFrame = {
+    // A NULL bucket would be double-mishandled downstream: it fails the
+    // grid equi-join (its side cell silently takes the pseudo-count) AND
+    // the left_anti novel-support join (the same mass also lands in
+    // n_novel). No bucketer in the repo emits NULL, so fail loudly at
+    // the one row that would corrupt the score rather than guess which
+    // of the two wrong treatments the caller wanted. Checked on the
+    // GROUPED frame (≤ sides × buckets rows, not per input row).
     val bh = df.select(col(sideCol).as("_s"), bucketOf.cast("long").as("_b"))
       .groupBy(col("_s"), col("_b"))
       .agg(count(lit(1)).cast("long").as("_c"))
+      .withColumn("_b", nullBucketGuard(col("_b"), "psiBySide"))
     val sides = bh.groupBy(col("_s"))
       .agg(sum(col("_c")).cast("long").as("_ns"))
     val buckets = bh.groupBy(col("_b"))

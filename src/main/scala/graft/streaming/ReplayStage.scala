@@ -43,13 +43,44 @@ object ReplayStage {
     finally s.close()
   }
 
+  /** One sentinel row built FROM the source schema — shared by
+    * [[stageEvents]] and [[lateDropReplay]], so an events-table schema
+    * change (rename, reorder, new required column) tracks automatically
+    * in EVERY replay instead of silently null-filling via the parquet
+    * missing-column path (the round-15/16 advice item, now closed for
+    * both staging paths). Integer id columns named `user_id`/`event_id`
+    * carry −1 (the value downstream `user_id >= 0` filters key on); `ts`
+    * carries `tsNanos` converted to the field's physical type (bigint
+    * nanos or timestamp); everything else is null. */
+  private[streaming] def sentinelFrame(spark: SparkSession,
+      schema: StructType, tsNanos: Long): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val nullable = StructType(schema.map(_.copy(nullable = true)))
+    val row = org.apache.spark.sql.Row.fromSeq(nullable.map { f =>
+      (f.name, f.dataType) match {
+        case ("ts", LongType)                     => tsNanos
+        case ("user_id" | "event_id", LongType)   => -1L
+        case ("user_id" | "event_id", IntegerType) => -1
+        case _                                    => null
+      }
+    })
+    val base = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](row), nullable)
+    schema("ts").dataType match {
+      case t @ (TimestampType | TimestampNTZType) =>
+        base.withColumn("ts",
+          org.apache.spark.sql.functions
+            .expr(s"timestamp_micros($tsNanos DIV 1000)").cast(t))
+      case _ => base
+    }
+  }
+
   /** Stage `dir/events.parquet` (file or directory of parts) for
     * streaming replay with a sentinel `leadNs` nanoseconds after the
-    * max event time. The sentinel carries `ts` in the SAME physical
-    * type as the source files so the explicit reader schema covers
-    * both. */
+    * max event time. The sentinel is built from the SOURCE schema
+    * ([[sentinelFrame]]) and carries `ts` in the same physical type as
+    * the source files so the explicit reader schema covers both. */
   def stageEvents(spark: SparkSession, dir: String, leadNs: Long): Staged = {
-    import spark.implicits._
     val src = s"$dir/events.parquet"
     val srcRaw = spark.read.parquet(src)
     val schema = srcRaw.schema
@@ -66,17 +97,8 @@ object ReplayStage {
       Files.createSymbolicLink(replay.resolve(f"events_$i%04d.parquet"), p)
     }
 
-    val sentinelTsNanos = maxTsNanos + leadNs
+    val sentinelDf = sentinelFrame(spark, schema, maxTsNanos + leadNs)
     val scratch = Files.createTempDirectory("graft_sentinel")
-    val sentinelRaw =
-      Seq((-1L, -1L, sentinelTsNanos)).toDF("user_id", "event_id", "ts")
-    val sentinelDf = schema("ts").dataType match {
-      case t @ (TimestampType | TimestampNTZType) =>
-        sentinelRaw.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)")
-            .cast(t))
-      case _ => sentinelRaw
-    }
     sentinelDf.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
     val target = replay.resolve("zz_sentinel.parquet")
     listDir(scratch)
@@ -194,8 +216,9 @@ object ReplayStage {
     * (`spark.sql.streaming.noDataMicroBatches.enabled`, default true).
     * A Spark upgrade that changes either fails the drop assertion
     * loudly instead of silently changing the emitted set. The sentinel
-    * is built FROM the source schema (null-fill all columns except
-    * ts/event_id), so schema changes track automatically.
+    * is built FROM the source schema ([[sentinelFrame]]: −1 ids, `ts`
+    * past the horizon, all else null), so schema changes track
+    * automatically.
     *
     * This deliberately BYPASSES [[readStream]]'s part-order guard: that
     * guard protects replays that must not lose rows; here the
@@ -212,17 +235,8 @@ object ReplayStage {
       writePart(norm.where(!lateRule), staged, "00_ontime.parquet", 1000000L)
       writePart(norm.where(lit(false)), staged, "01_gap.parquet", 2000000L)
       writePart(norm.where(lateRule), staged, "02_late.parquet", 3000000L)
-      val sentinelSchema = StructType(norm.schema.map(_.copy(nullable = true)))
-      val sentinelRow = org.apache.spark.sql.Row.fromSeq(
-        sentinelSchema.map(_.name match {
-          case "ts"       => maxTsNanos + 2 * dayNs
-          case "event_id" => -1L
-          case _          => null
-        }))
-      val sentinel = norm.sparkSession.createDataFrame(
-        java.util.List.of[org.apache.spark.sql.Row](sentinelRow),
-        sentinelSchema)
-      writePart(sentinel, staged, "zz_sentinel.parquet", 4000000L)
+      writePart(sentinelFrame(spark, norm.schema, maxTsNanos + 2 * dayNs),
+        staged, "zz_sentinel.parquet", 4000000L)
 
       val stream = spark.readStream.schema(norm.schema)
         .option("pathGlobFilter", "*.parquet")

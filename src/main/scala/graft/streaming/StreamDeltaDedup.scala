@@ -61,6 +61,19 @@ object StreamDeltaDedup {
     DedupIndex.build(corpus, "doc_id", "text",
       shingleK = shingleK, numBands = numBands, rowsPerBand = rowsPerBand,
       seed = seed, sqlMirroredHashes = true).save(idxDir)
+    // a fresh build starts a fresh append history: stale markers from a
+    // previous pass in the same JVM must not suppress this run's appends
+    if (Files.isDirectory(Paths.get(idxDir))) {
+      val s = Files.list(Paths.get(idxDir))
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("_appended_"))
+            Files.deleteIfExists(p)
+        }
+      } finally s.close()
+    }
 
     // id-ordered two-part staging: split at the id midpoint (two tiny
     // aggregates, no collect of ids) — processing order is mtime order
@@ -78,13 +91,25 @@ object StreamDeltaDedup {
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(staged.toString)
+      // IDEMPOTENT per-batch side effects: foreachBatch may re-deliver a
+      // batch after a failure (and this replay runs on a temp
+      // checkpoint, so nothing else dedups retries). The keeper rows go
+      // to a batchId-NAMED subdir with overwrite — a retry rewrites the
+      // same subdir instead of appending duplicates — and the index
+      // append is guarded by a batchId marker file, so a retry never
+      // folds the same delta in twice (which would desync the persisted
+      // index from the one-shot oracle).
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val idx = DedupIndex.load(spark, idxDir, "doc_id")
           idx.deltaDedup(batch, "text", tauNum = tauNum,
               tauDenom = tauDenom, maxBucket = Int.MaxValue)
-            .write.mode("append").parquet(outDir)
-          idx.append(batch, "text", idxDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+          val marker = Paths.get(idxDir, s"_appended_$batchId")
+          if (!Files.exists(marker)) {
+            idx.append(batch, "text", idxDir)
+            Files.createFile(marker)
+          }
           graft.Caches.release() // the probe's per-batch scratch persists
           ()
         }
@@ -99,7 +124,9 @@ object StreamDeltaDedup {
       Files.deleteIfExists(staged)
       ()
     }
-    spark.read.schema("doc_id BIGINT, keep_id BIGINT").parquet(outDir)
+    spark.read.schema("doc_id BIGINT, keep_id BIGINT")
+      .option("recursiveFileLookup", "true") // per-batch subdirs
+      .parquet(outDir)
       .select(col("doc_id"), col("keep_id"))
   }
 }

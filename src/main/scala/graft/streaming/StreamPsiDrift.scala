@@ -46,8 +46,12 @@ object StreamPsiDrift {
         .start()
       q.awaitTermination()
     }
+    // null-bucket guard: a NULL b would silently split between the grid
+    // pseudo-count and the novel anti-join — fail loudly instead
     def sink(): DataFrame = spark.table(queryName)
-      .select(col("day_ms").as("day_ms"), col("b").as("b"),
+      .select(col("day_ms").as("day_ms"),
+        graft.operators.DriftStats
+          .nullBucketGuard(col("b"), "StreamPsiDrift").as("b"),
         col("c").as("c"))
     val days = sink().groupBy(col("day_ms"))
       .agg(sum(col("c")).cast("long").as("nday"))

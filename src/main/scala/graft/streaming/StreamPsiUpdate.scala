@@ -89,7 +89,10 @@ object StreamPsiUpdate {
     // discipline: each read mints new exprIds so self-joins resolve).
     def sink(): DataFrame = spark.table(queryName)
       .where(col("day_ms") <= finalDay * DayMs)
-      .select(col("day_ms").as("day_ms"), col("b").as("b"), col("c").as("c"))
+      .select(col("day_ms").as("day_ms"),
+        graft.operators.DriftStats
+          .nullBucketGuard(col("b"), "StreamPsiUpdate").as("b"),
+        col("c").as("c"))
     val days = sink().groupBy(col("day_ms"))
       .agg(sum(col("c")).cast("long").as("nday"))
     val grid = days.crossJoin(broadcast(ref))
