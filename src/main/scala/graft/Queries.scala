@@ -13474,6 +13474,39 @@ object Queries {
     // FOURTH construction of the same decisions (uncapped: a bucket cap
     // is prefix-dependent across batches, the documented monitor
     // approximation this mirror deliberately avoids).
+    // ------------------------------------------------------------------
+    // q257: the COMPACTION step of the index lifecycle, oracle-witnessed
+    // — the maintenance gap daily appends create: build on 60% of the
+    // corpus, fold the day-1 delta in as TWO separate appends (so
+    // partition dirs accumulate part files the way a real daily cadence
+    // does), COMPACT every multi-file partition down to one file, then
+    // probe the day-2 delta. The oracle is q255/q256's VERBATIM: a
+    // compacted index must be bit-for-bit indistinguishable from the
+    // one-shot build at probe time — compaction only rewrites the file
+    // layout, never a row. DedupIndexSpec holds the audit-count witness
+    // (files shrink) alongside; the A/B artifact holds the listing win.
+    q("q257_dedup_index_compact", dedupIndexOracleSql) { (s, d) =>
+      val docs = T(s, d, "documents")
+      val dir = Staging.dir(s, "q257_dedup_index")
+      graft.operators.DedupIndex.build(
+          docs.where(col("doc_id") % DeltaMod =!= 0
+            && col("doc_id") % DeltaMod =!= 1), "doc_id", "text",
+          shingleK = 3, numBands = MirrorBands, rowsPerBand = MirrorRows,
+          seed = MirrorSeed, sqlMirroredHashes = true)
+        .save(dir)
+      val idx0 = graft.operators.DedupIndex.load(s, dir, "doc_id")
+      // two half-deltas (%10 ∈ {1, 6} partitions %5 = 1) — two append
+      // generations of part files per touched partition
+      idx0.append(docs.where(col("doc_id") % 10 === 1), "text", dir)
+      idx0.append(docs.where(col("doc_id") % 10 === 6), "text", dir)
+      graft.operators.DedupIndex.compact(s, dir, maxFilesPerPartition = 1)
+      graft.operators.DedupIndex.load(s, dir, "doc_id")
+        .deltaDedup(docs.where(col("doc_id") % DeltaMod === 0), "text",
+          tauNum = MirrorTauNum, tauDenom = MirrorTauDenom,
+          maxBucket = IndexCap)
+        .orderBy(col("doc_id"))
+    },
+
     q("x57_stream_ingest_dedup", dedupIndexOracleSql(Long.MaxValue)) { (s, d) =>
       graft.streaming.StreamDeltaDedup.replayParquet(s, d,
           stageDir = Staging.dir(s, "x57_ingest_dedup"),

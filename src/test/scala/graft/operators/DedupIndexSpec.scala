@@ -121,6 +121,51 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites only crowded partitions and changes no probe result") {
+    val docs = graft.sources.Tables.table(spark, sf("sf0.001"), "documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    val d2 = docs.where(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx_c").toString
+
+    DedupIndex.build(corpus, "doc_id", "text",
+      shingleK = 3, numBands = 4, rowsPerBand = 2, seed = 42L,
+      bandBuckets = 4, idBuckets = 4).save(dir)
+    val idx = DedupIndex.load(spark, dir, "doc_id")
+    // two append generations — the daily cadence that crowds partitions
+    idx.append(docs.where(col("doc_id") % 10 === 1), "text", dir)
+    idx.append(docs.where(col("doc_id") % 10 === 6), "text", dir)
+
+    val auditBefore = DedupIndex.audit(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(auditBefore.exists(_._3 > 1),
+      "fixture must accumulate multi-file partitions or the test is vacuous")
+    val before = DedupIndex.load(spark, dir, "doc_id")
+      .deltaDedup(d2, "text", tauNum = Tau._1, tauDenom = Tau._2,
+        maxBucket = Cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+
+    val stats = DedupIndex.compact(spark, dir, maxFilesPerPartition = 1)
+    assert(stats.nonEmpty && stats.forall(s =>
+      s.filesAfter == 1 && s.filesBefore > 1),
+      s"compact must rewrite exactly the crowded partitions: $stats")
+    val auditAfter = DedupIndex.audit(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(auditAfter.forall(_._3 == 1L),
+      s"every partition must be single-file after compact: " +
+        s"${auditAfter.filter(_._3 > 1).toSeq}")
+    // same partitions exist (compact moves bytes, never partitions)
+    assert(auditAfter.map(a => (a._1, a._2)).toSet ==
+      auditBefore.map(a => (a._1, a._2)).toSet)
+
+    val after = DedupIndex.load(spark, dir, "doc_id")
+      .deltaDedup(d2, "text", tauNum = Tau._1, tauDenom = Tau._2,
+        maxBucket = Cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    assert(after == before, "probe-after-compact must equal probe-before")
+  }
+
   test("the saved band table prunes statically on (_band, _bkt)") {
     val docs = graft.sources.Tables.table(spark, sf("sf0.001"), "documents")
     val dir = java.nio.file.Files.createTempDirectory("dedup_idx_p").toString
