@@ -496,6 +496,46 @@ object Queries {
        |FROM documents d LEFT JOIN kp USING (doc_id)
        |WHERE d.doc_id % $DeltaMod = 0 ORDER BY doc_id""".stripMargin
 
+  /** DuckDB oracle for q258/q259: the incremental SEMANTIC-dedup
+    * decisions the persisted cell index must reproduce — q89's orthant
+    * cells with a τ=0.30 cosine gate (same left-to-right float fold) over
+    * ALL embeddings (corpus ∪ delta), candidate pairs restricted to
+    * "larger id is a delta doc" (only delta keepers are emitted; corpus
+    * keepers were fixed at index-build time), min-partner keeper — one
+    * row per DELTA doc. Shared VERBATIM by the one-shot build (q258)
+    * and the append lifecycle (q259): a hash match on both proves
+    * append-then-probe ≡ build-then-probe for the embedding index. */
+  private def semDedupIndexOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |  FROM embeddings),
+       |bk AS (
+       |  SELECT vec_id,
+       |         (CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END
+       |        + CASE WHEN v[2] >= 0 THEN 4 ELSE 0 END
+       |        + CASE WHEN v[3] >= 0 THEN 2 ELSE 0 END
+       |        + CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+       |  FROM e),
+       |n AS (
+       |  SELECT vec_id, sqrt(list_reduce([x*x FOR x IN v], (a,b) -> a+b))
+       |           AS nrm, v FROM e),
+       |u AS (
+       |  SELECT vec_id, CASE WHEN nrm = 0 THEN v ELSE [x/nrm FOR x IN v] END
+       |           AS v FROM n),
+       |p AS (
+       |  SELECT x.vec_id AS ai, y.vec_id AS bi
+       |  FROM u x JOIN bk bx USING (vec_id)
+       |  JOIN bk byy ON bx.bucket = byy.bucket
+       |  JOIN u y ON y.vec_id = byy.vec_id AND x.vec_id < y.vec_id
+       |  WHERE y.vec_id % $DeltaMod = 0
+       |    AND list_reduce(
+       |          [x.v[i]*y.v[i] FOR i IN generate_series(1, len(x.v))],
+       |          (a,b) -> a+b) >= 0.30),
+       |kp AS (SELECT bi AS vec_id, MIN(ai) AS keep FROM p GROUP BY bi)
+       |SELECT em.vec_id, COALESCE(kp.keep, em.vec_id) AS keep_id
+       |FROM embeddings em LEFT JOIN kp USING (vec_id)
+       |WHERE em.vec_id % $DeltaMod = 0 ORDER BY vec_id""".stripMargin
+
   /** DuckDB oracle for x24: candidate pairs share a band key, verified
     * on the MinHash SIGNATURE-AGREEMENT Jaccard estimator (≥ tau of the
     * slots equal) — exactly the bounded-state test the streaming bucket
@@ -13505,6 +13545,58 @@ object Queries {
           tauNum = MirrorTauNum, tauDenom = MirrorTauDenom,
           maxBucket = IndexCap)
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q258: INCREMENTAL SEMANTIC dedup against a PERSISTED cell index
+    // (SemDedupIndex) — the composition round 16 left on the table:
+    // IvfIndex's cell-partitioned corpus layout + DedupIndex's
+    // build→save→load→deltaDedup lifecycle, applied to SemDeDup (Abbas
+    // et al. 2023). Build normalizes + cell-assigns the corpus (vec_id
+    // % 5 ≠ 0) ONCE under q89's engine-portable orthant router (axis
+    // signs of the first 4 components), saves it partitionBy(_cell),
+    // and the ~20% delta probe reads ONLY its touched cell directories
+    // (statically pruned). Same cosine gate and min-id keeper as
+    // q89 but at τ=0.30 (richer decision surface on the synthetic
+    // embeddings: ~30 confirmed delta pairs at sf0.001 vs 1 at τ=0.40);
+    // the oracle reproduces every keep/drop decision on the delta.
+    // SemDedupIndexSpec holds the delta ≡ full-corpus witness on BOTH
+    // routers (orthant and the production KMeans) plus a biting
+    // combined-cell cap.
+    q("q258_semdedup_index_delta", semDedupIndexOracleSql) { (s, d) =>
+      val e = T(s, d, "embeddings")
+      val dir = Staging.dir(s, "q258_semdedup_index")
+      graft.operators.SemDedupIndex.buildOrthant(
+          e.where(col("vec_id") % DeltaMod =!= 0), "vec_id", "embedding",
+          bits = 4)
+        .save(dir)
+      graft.operators.SemDedupIndex.load(s, dir, "vec_id")
+        .deltaDedup(e.where(col("vec_id") % DeltaMod === 0), "embedding",
+          tau = 0.30)
+        .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q259: the semantic index APPEND lifecycle, oracle-witnessed —
+    // q256's construction on the embedding index: build on 60% (vec_id
+    // % 5 ∉ {0, 1}), APPEND the day-1 delta (% 5 = 1) as O(delta) part
+    // files inside the cell directories, reload, probe the day-2 delta
+    // (% 5 = 0) under q258's VERBATIM oracle: an appended index must be
+    // indistinguishable from the one-shot 80% build.
+    q("q259_semdedup_index_append", semDedupIndexOracleSql) { (s, d) =>
+      val e = T(s, d, "embeddings")
+      val dir = Staging.dir(s, "q259_semdedup_index")
+      graft.operators.SemDedupIndex.buildOrthant(
+          e.where(col("vec_id") % DeltaMod =!= 0
+            && col("vec_id") % DeltaMod =!= 1), "vec_id", "embedding",
+          bits = 4)
+        .save(dir)
+      graft.operators.SemDedupIndex.load(s, dir, "vec_id")
+        .append(e.where(col("vec_id") % DeltaMod === 1), "embedding", dir)
+      graft.operators.SemDedupIndex.load(s, dir, "vec_id")
+        .deltaDedup(e.where(col("vec_id") % DeltaMod === 0), "embedding",
+          tau = 0.30)
+        .orderBy(col("vec_id"))
     },
 
     q("x57_stream_ingest_dedup", dedupIndexOracleSql(Long.MaxValue)) { (s, d) =>

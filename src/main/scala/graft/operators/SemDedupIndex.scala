@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted semantic-dedup index for INCREMENTAL embedding dedup — the
+  * durable form of [[Dedup.semanticDedup]] (SemDeDup, Abbas et al.
+  * 2023, arXiv:2303.09540), composed from the repo's two existing
+  * incremental patterns: [[IvfIndex]]'s cell-partitioned corpus layout
+  * (router + `partitionBy(_cell)` parquet, so a probe is a statically
+  * partition-pruned scan) and [[DedupIndex]]'s
+  * build→save→load→deltaDedup→append lifecycle.
+  *
+  * [[Dedup.semanticDedup]] re-normalizes and re-pairs the whole corpus
+  * per call; this index normalizes and cell-assigns the corpus ONCE.
+  * `save` writes `dir/corpus` as `(id, _nv)` rows partitioned by
+  * `_cell`; a delta probe collects its own touched cells (≤ the router
+  * cell count — a CONFIG bound, not a data bound) and pushes them as a
+  * literal filter, so corpus I/O is proportional to the cells the delta
+  * touches, not to corpus size. `append` adds the delta's rows as new
+  * part files inside existing cell directories — O(delta), never a
+  * corpus rewrite (compaction cadence: the [[DedupIndex.compact]]
+  * pattern applies unchanged to any partitionBy layout).
+  *
+  * Two routers, one lifecycle:
+  *  - `orthant`: the axis-sign orthant of the first `bits` embedding
+  *    components (axis-aligned hyperplane LSH — q89's engine-portable
+  *    cell function), fully SQL-mirrorable, so the registered
+  *    lifecycle entries (q258/q259) hash-check every keep/drop
+  *    decision against DuckDB;
+  *  - `kmeans`: a persisted Spark ML KMeans router (the SemDeDup
+  *    paper's own construction and [[IvfIndex]]'s), covered by the
+  *    SemDedupIndexSpec delta ≡ full-corpus property (float-centroid
+  *    routing is not SQL-expressible; the decision logic is identical
+  *    and shared).
+  *
+  * Equivalence contract (SemDedupIndexSpec): `load(dir).deltaDedup(
+  * delta)` equals `Dedup.semanticDedup(corpus ∪ delta)` under the same
+  * router and cap, restricted to the delta's ids — the cell-size cap
+  * sees the COMBINED (corpus + delta) cell population, so the kept-cell
+  * set matches the full run's.
+  *
+  * Reference intent: UMassCDS/IHOP-Reddit dedups monthly dumps whole
+  * (`ihop/import_data.py`); this is the 100 TB posture for its
+  * embedding-similarity analyses — sketch once, append per delta,
+  * probe pruned. */
+final class SemDedupIndex private (val spark: SparkSession,
+                                   val corpus: DataFrame,
+                                   val idCol: String,
+                                   val meta: SemDedupIndex.Meta,
+                                   router: Option[KMeansModel]) {
+  import SemDedupIndex._
+
+  /** Normalize + cell-assign a frame under THIS index's router — the
+    * probe-side counterpart of the build sketch. */
+  private def assign(df: DataFrame, vecCol: String): DataFrame =
+    meta.routerType match {
+      case "orthant" =>
+        df.select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_nv"),
+          orthantCell(col(vecCol), meta.orthantBits).as("_cell"))
+      case "kmeans" =>
+        import org.apache.spark.ml.functions.array_to_vector
+        val m = router.getOrElse(throw new IllegalStateException(
+          "kmeans index loaded without its router"))
+        m.setPredictionCol("_cell")
+          .transform(df.select(col(idCol), col(vecCol))
+            .withColumn("_features",
+              array_to_vector(VectorFns.toDoubles(col(vecCol)))))
+          .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_nv"),
+            col("_cell"))
+      case t => throw new IllegalArgumentException(s"router type $t")
+    }
+
+  /** Persist the cell-partitioned corpus + router + meta (overwrites). */
+  def save(dir: String): Unit = {
+    corpus.write.mode("overwrite").partitionBy("_cell")
+      .parquet(s"$dir/corpus")
+    router.foreach(_.write.overwrite().save(s"$dir/router"))
+    import spark.implicits._
+    Seq(meta).toDF().coalesce(1).write.mode("overwrite").json(s"$dir/meta")
+  }
+
+  /** Fold an ACCEPTED delta into the saved index at `dir`: assign under
+    * this index's router, append part files inside the touched cell
+    * directories — O(delta) adds, no corpus rewrite. Reload after
+    * appending; this handle still sees the pre-append corpus. */
+  def append(delta: DataFrame, vecCol: String, dir: String): Unit =
+    assign(delta, vecCol).write.mode("append").partitionBy("_cell")
+      .parquet(s"$dir/corpus")
+
+  /** Dedup `delta` against the indexed corpus AND itself: one row per
+    * delta doc, `(idCol, keep_id)` — keep_id is the smallest id among
+    * confirmed duplicates (cosine ≥ `tau`, cell-local pairs) with id
+    * below its own, else itself — [[Dedup.semanticDedup]]'s contract
+    * restricted to the delta.
+    *
+    * @param maxCell cap on the COMBINED (corpus + delta) cell size —
+    *   [[Dedup.semanticDedup]]'s `maxBucket` guard on the union: a
+    *   degenerate cell yields no candidates, on the same kept-cell set
+    *   the full run would use. */
+  def deltaDedup(delta: DataFrame, vecCol: String, tau: Double,
+                 maxCell: Int = Int.MaxValue): DataFrame = {
+    graft.functions.NativeFns.register(spark)
+    val deltaN = graft.Caches.persist(assign(delta, vecCol))
+
+    // STATIC partition pruning: the delta's touched cells — a driver
+    // collect bounded by the router's cell count (config, not data)
+    val touched = deltaN.select(col("_cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = graft.Caches.persist(
+      corpus.where(col("_cell").isin(touched: _*))
+        .select(col(idCol), col("_nv"), col("_cell")))
+
+    // combined cell size: corpus-side + delta-side population — the
+    // cap must see the union or a cell kept here but dropped by the
+    // full run (or vice versa) would desync the two
+    val corpusK = pruned.select(col("_cell"), col(idCol), lit(0).as("_side"))
+    val deltaK = deltaN.select(col("_cell"), col(idCol), lit(1).as("_side"))
+    val kept = graft.Caches.persist(
+      corpusK.unionByName(deltaK)
+        .withColumn("_csz",
+          count(lit(1)).over(Window.partitionBy(col("_cell"))))
+        .where(col("_csz") <= maxCell)
+        .select(col("_cell"), col(idCol), col("_side")))
+
+    // cell-local bare-key pairs, larger id must be a delta doc (only
+    // delta keepers are emitted; corpus keepers were fixed at build)
+    val l = kept.select(col("_cell"), col(idCol).as("a"))
+    val r = kept.where(col("_side") === 1)
+      .select(col("_cell"), col(idCol).as("b"))
+    val candidates = l.join(r, Seq("_cell"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+
+    // vectors re-attach per candidate (the embeddingCosine discipline:
+    // bare keys through the self-join, wide arrays only afterwards) —
+    // corpus side from the already-pruned scan, delta side from the
+    // probe sketch
+    val anyV = pruned.select(col(idCol), col("_nv"))
+      .unionByName(deltaN.select(col(idCol), col("_nv")))
+    val da = anyV.select(col(idCol).as("a"), col("_nv").as("_na"))
+    val db = deltaN.select(col(idCol).as("b"), col("_nv").as("_nb"))
+    val pairs = candidates.join(da, "a").join(db, "b")
+      .where(graft.functions.NativeFns.dot(col("_na"), col("_nb")) >= tau)
+      .select(col("a"), col("b"))
+
+    Dedup.keeperFromPairs(delta.select(col(idCol)), idCol, pairs)
+  }
+}
+
+object SemDedupIndex {
+
+  /** Router + layout parameters, persisted with the index so a probe
+    * can never route differently than the build did. */
+  final case class Meta(routerType: String, orthantBits: Int,
+                        nlist: Int, seed: Long, cellIter: Int)
+
+  /** Axis-sign orthant of the first `bits` components — q89's
+    * engine-portable cell function (axis-aligned hyperplane LSH),
+    * ≤ 2^bits cells. */
+  private[operators] def orthantCell(vec: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(vec, i + 1) >= 0, lit(1 << (bits - 1 - i)))
+        .otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+
+  /** Build with the deterministic orthant router (SQL-mirrorable — the
+    * oracle-backed lifecycle path). */
+  def buildOrthant(corpus: DataFrame, idCol: String, vecCol: String,
+                   bits: Int = 4): SemDedupIndex = {
+    val meta = Meta("orthant", bits, 0, 0L, 0)
+    val assigned = corpus.select(col(idCol),
+      VectorFns.l2Normalize(col(vecCol)).as("_nv"),
+      orthantCell(col(vecCol), bits).as("_cell"))
+    new SemDedupIndex(corpus.sparkSession, assigned, idCol, meta, None)
+  }
+
+  /** Build with a KMeans router (the SemDeDup paper's construction,
+    * [[IvfIndex]]'s routing) — persisted via Spark ML so a reload
+    * routes identically. */
+  def buildKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+                  nlist: Int = 16, seed: Long = 11L,
+                  cellIter: Int = 8): SemDedupIndex = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val meta = Meta("kmeans", 0, nlist, seed, cellIter)
+    val corpusV = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_features", array_to_vector(VectorFns.toDoubles(col(vecCol))))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("_features").setMaxIter(cellIter)
+      .setPredictionCol("_cell").fit(corpusV)
+    val assigned = model.transform(corpusV)
+      .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_nv"),
+        col("_cell"))
+    new SemDedupIndex(corpus.sparkSession, assigned, idCol, meta, Some(model))
+  }
+
+  /** Load a saved index; the corpus scan stays lazy (and cell-pruned at
+    * probe time). */
+  def load(spark: SparkSession, dir: String, idCol: String): SemDedupIndex = {
+    val m = spark.read.json(s"$dir/meta").head()
+    val meta = Meta(m.getAs[String]("routerType"),
+      m.getAs[Long]("orthantBits").toInt, m.getAs[Long]("nlist").toInt,
+      m.getAs[Long]("seed"), m.getAs[Long]("cellIter").toInt)
+    val router =
+      if (meta.routerType == "kmeans")
+        Some(KMeansModel.load(s"$dir/router"))
+      else None
+    new SemDedupIndex(spark, spark.read.parquet(s"$dir/corpus"),
+      idCol, meta, router)
+  }
+}
