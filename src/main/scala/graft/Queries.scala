@@ -13608,6 +13608,88 @@ object Queries {
           queryName = "x57_ingest")
         .orderBy(col("doc_id"))
     },
+
+    // ------------------------------------------------------------------
+    // x58: UPDATE-MODE per-type CUSUM drift monitor (StreamCusumUpdate)
+    // — x51's 24/7 posture on the shared staged-late harness, the
+    // conversion its MODE CAVEAT promised: append-mode (type, day)
+    // windows over the additive value-cent sum state at 0 ms delay,
+    // the watermark dropping the staged late rows (asserted in-harness,
+    // witnessed by the oracle's survivor predicate), and the batch
+    // TimeSeries.cusumDaily finisher VERBATIM over the closed daily
+    // rows — q226's recurrence, self-calibrated on the survivor series.
+    q("x58_stream_cusum_update",
+      """WITH ev AS (SELECT event_type, event_id, epoch_ms(ts) AS ms,
+        |                   value
+        |            FROM events),
+        |fd AS (SELECT MAX(ms) // 86400000 AS fday FROM ev),
+        |surv AS (SELECT event_type, ms, value FROM ev CROSS JOIN fd
+        |         WHERE NOT (event_id % 50 = 0 AND ms // 86400000 < fday)),
+        |daily AS (
+        |  SELECT event_type, (ms // 86400000) * 86400000 AS p,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS x
+        |  FROM surv GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |        CAST(CAST(sign(SUM(x)) AS BIGINT)
+        |             * (abs(CAST(SUM(x) AS BIGINT))
+        |                // CAST(COUNT(*) AS BIGINT)) AS BIGINT) AS mean
+        |      FROM daily GROUP BY 1),
+        |cm AS (SELECT d.event_type, d.p, d.x, m.mean,
+        |         SUM(d.x - (m.mean + CAST(sign(m.mean) AS BIGINT)
+        |                    * (abs(m.mean) * 10 // 100))) OVER (
+        |           PARTITION BY d.event_type ORDER BY d.p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM daily d JOIN m USING (event_type)),
+        |f AS (SELECT event_type, p, x, mean,
+        |        cum - LEAST(0, MIN(cum) OVER (
+        |          PARTITION BY event_type ORDER BY p
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |          AS cusum
+        |      FROM cm)
+        |SELECT event_type, CAST(p AS BIGINT) AS period_ms, x,
+        |       CAST(cusum AS BIGINT) AS cusum,
+        |       CAST(cusum > mean * 3 AS BIGINT) AS alarm
+        |FROM f ORDER BY event_type, period_ms""".stripMargin) { (s, d) =>
+      graft.streaming.StreamCusumUpdate.replayParquet(s, d,
+          queryName = "x58_cusum_update")
+        .orderBy(col("event_type"), col("period_ms"))
+    },
+
+    // ------------------------------------------------------------------
+    // x59: UPDATE-MODE behavioral bot screen (StreamBotUpdate) — x53's
+    // 24/7 posture: the global per-user screen restated as append-mode
+    // per-(user, day) windows (state the watermark can EVICT — x53's
+    // complete-mode replay holds every user forever), closed daily
+    // partials merged per user downstream. Every feature is mergeable
+    // by design (count/min/max/bit_or), so merge-of-partials ≡
+    // aggregate-of-survivors — which is what the survivor-restricted
+    // q238-shape oracle checks, COUNT(DISTINCT) against the 127-slot
+    // presence sketch included. Late drops asserted and witnessed.
+    q("x59_stream_bot_update",
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |                   epoch_ms(ts) AS ms, epoch_ns(ts) AS ns
+        |            FROM events),
+        |fd AS (SELECT MAX(ms) // 86400000 AS fday FROM ev),
+        |surv AS (SELECT user_id, event_type, ns FROM ev CROSS JOIN fd
+        |         WHERE NOT (event_id % 50 = 0 AND ms // 86400000 < fday)),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        CAST((MAX(ns) - MIN(ns)) // 1000000000 AS BIGINT)
+        |          AS span_s,
+        |        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |      FROM surv GROUP BY 1)
+        |SELECT user_id, n_events, span_s, n_types,
+        |       CAST(n_events * 60000 // GREATEST(span_s, 1) AS BIGINT)
+        |         AS rate_milli,
+        |       CAST((n_events * 60000 // GREATEST(span_s, 1)) // n_types
+        |            AS BIGINT) AS score,
+        |       CAST((n_events * 60000 // GREATEST(span_s, 1)) // n_types
+        |            > 100000 AND n_events >= 20 AS BIGINT) AS bot
+        |FROM a ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.streaming.StreamBotUpdate.replayParquet(s, d,
+          queryName = "x59_bot_update")
+        .orderBy(col("user_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

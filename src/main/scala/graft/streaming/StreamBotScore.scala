@@ -19,10 +19,12 @@ import org.apache.spark.sql.streaming.Trigger
   * on this corpus; a deployment nearing dozens of types sizes the
   * sketch up or splits the key).
   *
-  * MODE CAVEAT: the per-user screen has no event-time window — state is
-  * user-cardinality-bounded (documented), and `complete` mode is the
-  * REPLAY-ONLY choice; a 24/7 deployment runs update mode with a state
-  * TTL on idle users.
+  * `complete` mode is the REPLAY-ONLY choice here (the windowless
+  * per-user state is user-cardinality-bounded and never evicted); the
+  * 24/7 posture — per-(user, day) windows the watermark CAN evict,
+  * closed partials merged downstream, late data dropped and witnessed —
+  * is implemented over the same mergeable features by
+  * [[StreamBotUpdate]] (x59).
   */
 object StreamBotScore {
 

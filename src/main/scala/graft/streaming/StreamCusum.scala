@@ -15,11 +15,10 @@ import org.apache.spark.sql.streaming.Trigger
   * each row to itself), so stream ≡ batch is structural: the replay
   * shares q226's oracle word for word.
   *
-  * MODE CAVEAT (as [[StreamBenford]]): `complete` mode is the
-  * REPLAY-ONLY choice; a 24/7 deployment runs `update`/`append`, lets
-  * the watermark evict closed days, and recomputes the CUSUM tail over
-  * the trailing alarm horizon (the recurrence only needs the running
-  * cum and its min — both maintainable incrementally downstream).
+  * `complete` mode is the REPLAY-ONLY choice here; the 24/7 posture —
+  * append-mode (type, day) windows, late data dropped by the watermark
+  * and witnessed — is implemented over the SAME additive state by
+  * [[StreamCusumUpdate]] (x58).
   */
 object StreamCusum {
 
