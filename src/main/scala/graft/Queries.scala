@@ -13690,6 +13690,59 @@ object Queries {
           queryName = "x59_bot_update")
         .orderBy(col("user_id"))
     },
+
+    // ------------------------------------------------------------------
+    // x60: the ingest-dedup loop under the EARLIEST-SEEN keeper
+    // contract (StreamDeltaDedupArrival) — x57 without its id-ordered
+    // staging caveat: batches are staged by a portable arrival hash
+    // DECORRELATED from ids (documents has no event time; the hash
+    // stands in for it), and keeper(d) = min over (batch, id) among
+    // d's confirmed duplicates seen no later — corpus rank −1, earlier
+    // batches by their recorded seen-map entry, within-batch by id.
+    // The probe uses deltaPairs(anyIndexedPartner = true): an indexed
+    // partner was seen strictly earlier whatever its id. The oracle
+    // reproduces the contract as min_by(partner, (rank, id)) over the
+    // same mirrored LSH+verify pairs — 7 of the 100 sf0.01 delta
+    // keepers differ from the id-ordered contract's, so the ranking
+    // logic (not just the pair set) is what the hash match witnesses.
+    q("x60_stream_ingest_dedup_arrival",
+      s"""$mirrorBandCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % $DeltaMod = 0 OR b.doc_id % $DeltaMod = 0),
+         |ver AS (SELECT c.a, c.b
+         |  FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
+         |  WHERE len(list_intersect(x.g, y.g)) * $MirrorTauDenom
+         |        >= $MirrorTauNum
+         |           * (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))),
+         |sym AS (SELECT a AS p, b AS d FROM ver
+         |        UNION ALL SELECT b AS p, a AS d FROM ver),
+         |rk AS (SELECT doc_id,
+         |         CASE WHEN doc_id % $DeltaMod <> 0 THEN -1
+         |              WHEN (CAST(('0x' || substr(md5('arr:' ||
+         |                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |                    % 2) = 0 THEN 0 ELSE 1 END AS r
+         |       FROM documents),
+         |qq AS (SELECT s.d, s.p, rp.r AS rp FROM sym s
+         |       JOIN rk rp ON rp.doc_id = s.p
+         |       JOIN rk rd ON rd.doc_id = s.d
+         |       WHERE s.d % $DeltaMod = 0
+         |         AND (rp.r < rd.r OR (rp.r = rd.r AND s.p < s.d))),
+         |kp AS (SELECT d AS doc_id,
+         |         min_by(p, (rp + 1) * 10000000000000 + p) AS keep
+         |       FROM qq GROUP BY d)
+         |SELECT dd.doc_id, COALESCE(kp.keep, dd.doc_id) AS keep_id
+         |FROM documents dd LEFT JOIN kp USING (doc_id)
+         |WHERE dd.doc_id % $DeltaMod = 0 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        graft.streaming.StreamDeltaDedupArrival.replayParquet(s, d,
+            stageDir = Staging.dir(s, "x60_ingest_arrival"),
+            deltaMod = DeltaMod, shingleK = 3, numBands = MirrorBands,
+            rowsPerBand = MirrorRows, seed = MirrorSeed,
+            tauNum = MirrorTauNum, tauDenom = MirrorTauDenom,
+            queryName = "x60_ingest_arrival")
+          .orderBy(col("doc_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -92,7 +92,23 @@ final class DedupIndex private (val spark: SparkSession,
     *   full-corpus run would use. */
   def deltaDedup(delta: DataFrame, textCol: String,
                  tauNum: Int = 7, tauDenom: Int = 10,
-                 maxBucket: Int = 1000): DataFrame = {
+                 maxBucket: Int = 1000): DataFrame =
+    Dedup.keeperFromPairs(delta.select(col(idCol)), idCol,
+      deltaPairs(delta, textCol, tauNum, tauDenom, maxBucket))
+
+  /** The verified duplicate PAIRS behind [[deltaDedup]] — `(a, b)`
+    * rows, `b` always a delta doc. With the default
+    * `anyIndexedPartner = false`, `a < b` (the min-id keeper's
+    * candidate rule); with `true`, an INDEXED partner qualifies
+    * regardless of id (within-delta pairs still require `a < b`) —
+    * the pair set an earliest-SEEN keeper contract needs, where
+    * "already in the index" means "seen strictly earlier" whatever the
+    * ids say (the arrival-ordered ingest loop, x60). Exposed so keeper
+    * policies beyond min-id can rank partners themselves. */
+  def deltaPairs(delta: DataFrame, textCol: String,
+                 tauNum: Int = 7, tauDenom: Int = 10,
+                 maxBucket: Int = 1000,
+                 anyIndexedPartner: Boolean = false): DataFrame = {
     val (deltaBands0, deltaDocs) = sketch(delta, textCol)
     // both the probe filter and two candidate sides read these
     val deltaBands = graft.Caches.persist(deltaBands0)
@@ -124,14 +140,21 @@ final class DedupIndex private (val spark: SparkSession,
     val keptP = graft.Caches.persist(
       unioned.select(col("_band"), col("_bkey"), col(idCol), col("_side")))
 
-    // candidates: the LARGER id must be a delta doc (only delta keepers
+    // candidates: the b side must be a delta doc (only delta keepers
     // are emitted; a corpus doc's keeper is the index's concern, fixed
-    // at build time) — pairs (x, d), x corpus-or-delta, d delta, x < d
-    val l = keptP.select(col("_band"), col("_bkey"), col(idCol).as("a"))
+    // at build time). Default rule: pairs (x, d), x corpus-or-delta,
+    // x < d. anyIndexedPartner: an indexed x (side 0 — corpus or an
+    // earlier-appended delta, i.e. seen strictly earlier) also pairs
+    // when x > d; index ids are disjoint from delta ids, so x ≠ d.
+    val l = keptP.select(col("_band"), col("_bkey"), col(idCol).as("a"),
+      col("_side").as("_sa"))
     val r = keptP.where(col("_side") === 1)
       .select(col("_band"), col("_bkey"), col(idCol).as("b"))
+    val pairRule =
+      if (anyIndexedPartner) col("_sa") === 0 || col("a") < col("b")
+      else col("a") < col("b")
     val candidates = l.join(r, Seq("_band", "_bkey"))
-      .where(col("a") < col("b"))
+      .where(pairRule)
       .select(col("a"), col("b")).distinct()
 
     // verification shingles: delta side from the probe sketch; corpus
@@ -153,8 +176,7 @@ final class DedupIndex private (val spark: SparkSession,
       .where(col("_inter") * tauDenom >=
         lit(tauNum) * (col("_na") + col("_nb") - col("_inter")))
       .select(col("a"), col("b"))
-
-    Dedup.keeperFromPairs(delta.select(col(idCol)), idCol, verified)
+    verified
   }
 }
 

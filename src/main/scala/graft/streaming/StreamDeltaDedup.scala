@@ -28,6 +28,12 @@ import org.apache.spark.sql.streaming.Trigger
   * key under the cap at batch 1 can exceed it once batch 2 lands — so
   * the capped streamed form is a (documented) monitor approximation,
   * while this registered mirror proves the pipeline exactly.
+  *
+  * A production ingest arriving in EVENT-TIME order (where a later
+  * batch can carry a smaller id) wants the earliest-SEEN keeper
+  * contract instead — implemented and oracle-mirrored by
+  * [[StreamDeltaDedupArrival]] (x60), which removes the id-ordering
+  * dependence by ranking partners on (batch, id).
   */
 object StreamDeltaDedup {
 
