@@ -13599,6 +13599,33 @@ object Queries {
         .orderBy(col("vec_id"))
     },
 
+    // ------------------------------------------------------------------
+    // q260: COMPACTION for the semantic index too — q257's maintenance
+    // story applied to SemDedupIndex via the SHARED
+    // PartitionMaintenance machinery (one compact/audit implementation,
+    // two index layouts), so the new index does not reopen the gap the
+    // round-16 verdict flagged for DedupIndex: build on 60%, fold the
+    // day-1 delta in as TWO appends, compact every multi-file cell to
+    // one file, probe the day-2 delta under q258/q259's VERBATIM
+    // oracle — compaction rewrites layout, never a row.
+    q("q260_semdedup_index_compact", semDedupIndexOracleSql) { (s, d) =>
+      val e = T(s, d, "embeddings")
+      val dir = Staging.dir(s, "q260_semdedup_index")
+      graft.operators.SemDedupIndex.buildOrthant(
+          e.where(col("vec_id") % DeltaMod =!= 0
+            && col("vec_id") % DeltaMod =!= 1), "vec_id", "embedding",
+          bits = 4)
+        .save(dir)
+      val idx0 = graft.operators.SemDedupIndex.load(s, dir, "vec_id")
+      idx0.append(e.where(col("vec_id") % 10 === 1), "embedding", dir)
+      idx0.append(e.where(col("vec_id") % 10 === 6), "embedding", dir)
+      graft.operators.SemDedupIndex.compact(s, dir, maxFilesPerPartition = 1)
+      graft.operators.SemDedupIndex.load(s, dir, "vec_id")
+        .deltaDedup(e.where(col("vec_id") % DeltaMod === 0), "embedding",
+          tau = 0.30)
+        .orderBy(col("vec_id"))
+    },
+
     q("x57_stream_ingest_dedup", dedupIndexOracleSql(Long.MaxValue)) { (s, d) =>
       graft.streaming.StreamDeltaDedup.replayParquet(s, d,
           stageDir = Staging.dir(s, "x57_ingest_dedup"),

@@ -197,6 +197,27 @@ object SemDedupIndex {
     new SemDedupIndex(corpus.sparkSession, assigned, idCol, meta, Some(model))
   }
 
+  private def tables(dir: String) = Seq(("corpus", s"$dir/corpus", 1))
+
+  /** Maintenance audit of a saved index at `dir`: one row per cell
+    * directory with its part-file count and byte size — every
+    * [[SemDedupIndex.append]] adds part files inside existing cell
+    * directories, the same listing-cost growth [[DedupIndex.audit]]
+    * watches. Shared machinery:
+    * [[graft.sources.PartitionMaintenance]]. */
+  def audit(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.PartitionMaintenance.audit(spark, tables(dir))
+
+  /** Rewrite cells whose part-file count exceeds `maxFilesPerPartition`
+    * down to ONE file each — O(touched cells) only.
+    * Probe-after-compact ≡ probe-before is the registered q260
+    * contract (same oracle as q258/q259) plus the SemDedupIndexSpec
+    * property. */
+  def compact(spark: SparkSession, dir: String, maxFilesPerPartition: Int = 4)
+      : Seq[graft.sources.PartitionMaintenance.CompactStats] =
+    graft.sources.PartitionMaintenance.compact(spark, tables(dir),
+      maxFilesPerPartition)
+
   /** Load a saved index; the corpus scan stays lazy (and cell-pruned at
     * probe time). */
   def load(spark: SparkSession, dir: String, idCol: String): SemDedupIndex = {

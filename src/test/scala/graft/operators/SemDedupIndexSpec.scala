@@ -109,6 +109,43 @@ class SemDedupIndexSpec extends SparkSpec {
     assert(uncapped != fullRes, "fixture cap must bite")
   }
 
+  test("compact rewrites only crowded cells and changes no probe result") {
+    val e = graft.sources.Tables.table(spark, sf("sf0.001"), "embeddings")
+    val corpus = e.where(col("vec_id") % 5 =!= 0 && col("vec_id") % 5 =!= 1)
+    val d2 = e.where(col("vec_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_c").toString
+
+    SemDedupIndex.buildOrthant(corpus, "vec_id", "embedding", bits = 4)
+      .save(dir)
+    val idx = SemDedupIndex.load(spark, dir, "vec_id")
+    idx.append(e.where(col("vec_id") % 10 === 1), "embedding", dir)
+    idx.append(e.where(col("vec_id") % 10 === 6), "embedding", dir)
+
+    val auditBefore = SemDedupIndex.audit(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(auditBefore.exists(_._2 > 1),
+      "fixture must accumulate multi-file cells or the test is vacuous")
+    val before = SemDedupIndex.load(spark, dir, "vec_id")
+      .deltaDedup(d2, "embedding", tau = Tau)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+
+    val stats = SemDedupIndex.compact(spark, dir, maxFilesPerPartition = 1)
+    assert(stats.nonEmpty && stats.forall(s =>
+      s.filesAfter == 1 && s.filesBefore > 1))
+    val auditAfter = SemDedupIndex.audit(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(auditAfter.forall(_._2 == 1L), "single-file cells after compact")
+    assert(auditAfter.map(_._1).toSet == auditBefore.map(_._1).toSet,
+      "compact moves bytes, never cells")
+
+    val after = SemDedupIndex.load(spark, dir, "vec_id")
+      .deltaDedup(d2, "embedding", tau = Tau)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    assert(after == before, "probe-after-compact must equal probe-before")
+  }
+
   test("the saved corpus prunes statically on _cell") {
     val e = graft.sources.Tables.table(spark, sf("sf0.001"), "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("semdedup_p").toString
