@@ -13770,6 +13770,100 @@ object Queries {
             queryName = "x60_ingest_arrival")
           .orderBy(col("doc_id"))
     },
+
+    // ------------------------------------------------------------------
+    // x61: UPDATE-MODE per-hour HLL cardinality monitor
+    // (StreamHllUpdate) — x37's 24/7 posture on the staged-late
+    // harness: append-mode hour windows over the 64-longs-per-open-hour
+    // register state at 0 ms delay, late drops asserted and witnessed;
+    // q129's register math, integer harmonic sum, and the published
+    // small-range correction finish over the closed hours, with the
+    // exact-distinct witness rebuilt from the survivor set.
+    q("x61_stream_hll_update",
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+        |            FROM events),
+        |fd AS (SELECT MAX(ms) // 86400000 AS fday FROM ev),
+        |surv AS (SELECT user_id, ms FROM ev CROSS JOIN fd
+        |         WHERE NOT (event_id % 50 = 0 AND ms // 86400000 < fday)),
+        |h AS (
+        |  SELECT (ms // 3600000) * 3600000 AS bucket_ms, user_id,
+        |         CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) AS h
+        |  FROM surv),
+        |b AS (SELECT bucket_ms, h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (
+        |  SELECT bucket_ms, bucket,
+        |         MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END)
+        |           AS rho
+        |  FROM b GROUP BY bucket_ms, bucket),
+        |s AS (
+        |  SELECT bucket_ms,
+        |         CAST(SUM(CAST(1 AS BIGINT) << (55 - rho)) AS BIGINT)
+        |           AS present_sum,
+        |         COUNT(*) AS nb FROM r GROUP BY bucket_ms),
+        |ex AS (SELECT (ms // 3600000) * 3600000 AS bucket_ms,
+        |              CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |                AS true_distinct
+        |       FROM surv GROUP BY 1),
+        |fin AS (
+        |  SELECT bucket_ms,
+        |         CAST(present_sum + (64 - nb) * (CAST(1 AS BIGINT) << 55)
+        |              AS BIGINT) AS sum_inv_int,
+        |         ((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE))
+        |           * CAST(36028797018963968 AS DOUBLE))
+        |           / CAST(present_sum + (64 - nb) * (CAST(1 AS BIGINT) << 55)
+        |                  AS DOUBLE) AS hll_est,
+        |         64 - nb AS v
+        |  FROM s)
+        |SELECT fin.bucket_ms, fin.sum_inv_int, fin.hll_est,
+        |       CAST(CASE WHEN fin.hll_est <= CAST(160 AS DOUBLE) AND fin.v > 0
+        |            THEN floor(CAST(1000 AS DOUBLE) * (CAST(64 AS DOUBLE)
+        |                 * ln(CAST(64 AS DOUBLE) / CAST(fin.v AS DOUBLE))))
+        |            ELSE floor(CAST(1000 AS DOUBLE) * fin.hll_est) END
+        |            AS BIGINT) AS est_milli,
+        |       ex.true_distinct
+        |FROM fin JOIN ex USING (bucket_ms)
+        |ORDER BY bucket_ms""".stripMargin) { (s, d) =>
+      graft.streaming.StreamHllUpdate.replayParquet(s, d,
+          queryName = "x61_hll_update")
+        .orderBy(col("bucket_ms"))
+    },
+
+    // ------------------------------------------------------------------
+    // x62: UPDATE-MODE per-day Benford drift monitor
+    // (StreamBenfordUpdate) — x50's 24/7 posture on the staged-late
+    // harness: append-mode day windows over the nine-longs-per-open-day
+    // digit-count state at 0 ms delay, late drops asserted and
+    // witnessed by the survivor predicate; shares vs the compile-time
+    // constants finished over the closed days.
+    q("x62_stream_benford_update", {
+      val exp = (1 to 9).map(dg =>
+        s"($dg, ${graft.streaming.StreamBenford.expMilli(dg)})").mkString(", ")
+      s"""WITH e(digit, exp_milli) AS (VALUES $exp),
+        |ev AS (SELECT event_id, epoch_ms(ts) AS ms, value FROM events),
+        |fd AS (SELECT MAX(ms) // 86400000 AS fday FROM ev),
+        |surv AS (SELECT ms, value FROM ev CROSS JOIN fd
+        |         WHERE NOT (event_id % 50 = 0 AND ms // 86400000 < fday)),
+        |o AS (SELECT (ms // 86400000) * 86400000 AS day_ms,
+        |        CAST(substr(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR),
+        |             1, 1) AS BIGINT) AS digit
+        |      FROM surv WHERE value >= 1),
+        |a AS (SELECT day_ms, digit, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM o GROUP BY 1, 2),
+        |t AS (SELECT day_ms, CAST(SUM(n) AS BIGINT) AS tot
+        |      FROM a GROUP BY 1)
+        |SELECT a.day_ms, a.digit, a.n,
+        |       CAST(a.n * 1000 // t.tot AS BIGINT) AS obs_milli,
+        |       CAST(e.exp_milli AS BIGINT) AS exp_milli,
+        |       CAST(abs(a.n * 1000 // t.tot - e.exp_milli) AS BIGINT)
+        |         AS dev_milli
+        |FROM a JOIN t ON a.day_ms = t.day_ms JOIN e ON a.digit = e.digit
+        |ORDER BY a.day_ms, a.digit""".stripMargin
+    }) { (s, d) =>
+      graft.streaming.StreamBenfordUpdate.replayParquet(s, d,
+          queryName = "x62_benford_update")
+        .orderBy(col("day_ms"), col("digit"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

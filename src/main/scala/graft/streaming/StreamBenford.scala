@@ -14,10 +14,10 @@ import org.apache.spark.sql.streaming.Trigger
   * starts synthesizing values, its digit distribution snaps away from
   * log10(1 + 1/d) long before any aggregate total looks wrong.
   *
-  * MODE CAVEAT (same as [[StreamCms]]): `complete` mode is the
-  * REPLAY-ONLY choice for the one-shot AvailableNow replay; a 24/7
-  * deployment runs `update`/`append` and lets the watermark evict
-  * closed days.
+  * `complete` mode is the REPLAY-ONLY choice here; the 24/7 posture —
+  * append-mode day windows, late data dropped by the watermark and
+  * witnessed — is implemented over the SAME nine-longs state by
+  * [[StreamBenfordUpdate]] (x62).
   */
 object StreamBenford {
 
@@ -25,14 +25,22 @@ object StreamBenford {
     * interpolated into both engines (no runtime logs to disagree on). */
   def expMilli(d: Int): Long = math.floor(1000 * math.log10(1.0 + 1.0 / d)).toLong
 
-  /** Watermarked per-(day, leading digit) counts over values ≥ 1. */
-  def dailyDigitCounts(events: DataFrame): DataFrame =
+  /** Watermarked per-(day, leading digit) counts over values ≥ 1. The
+    * `event_id = -1` escape keeps [[ReplayStage.lateDropReplay]]'s
+    * sentinel row (value NULL) flowing through to the watermark node —
+    * filtered out here it could never advance the watermark and the
+    * final day would never close in append mode; its NULL digit lands
+    * in the sentinel's own never-closing window, so it can't surface.
+    * No real event carries id −1; complete-mode replays stage no
+    * sentinel, so x50's plan is unchanged. */
+  def dailyDigitCounts(events: DataFrame,
+                       delay: String = "1 day"): DataFrame =
     events
-      .where(col("value") >= 1)
+      .where(col("value") >= 1 || col("event_id") === -1)
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
       .withColumn("digit", expr(
         "CAST(substr(CAST(CAST(FLOOR(value) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"))
-      .withWatermark("event_time", "1 day")
+      .withWatermark("event_time", delay)
       .groupBy(window(col("event_time"), "1 day"), col("digit"))
       .agg(count(lit(1)).cast("long").as("n"))
       .select(unix_millis(col("window.start")).as("day_ms"),

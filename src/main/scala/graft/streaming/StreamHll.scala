@@ -20,21 +20,21 @@ import org.apache.spark.sql.streaming.Trigger
   * pipelines and re-max — the estimate finalizer is a plain batch agg
   * over whatever register set you hand it.
   *
-  * MODE CAVEAT: watermark eviction (the bounded-state contract above)
-  * holds in `update`/`append` output modes — the production choice for
-  * a long-running stream (registers land per window as it updates or
-  * closes; downstream re-max merges them). In `complete` mode Spark
-  * retains ALL windows' state and the memory sink all rows; that is
-  * what [[replayParquet]] deliberately uses for its ONE-SHOT
-  * AvailableNow replay, where "all windows" is the finite replay
-  * output and append would withhold the last watermark-open hours.
+  * `complete` mode is the REPLAY-ONLY choice here (it keeps every
+  * window so the one-shot finalizer sees the whole horizon; append
+  * would withhold the last watermark-open hours of a sentinel-less
+  * replay). The 24/7 posture — append-mode hour windows, watermark
+  * eviction actually bounding state, late data dropped and witnessed —
+  * is implemented over the SAME register state by [[StreamHllUpdate]]
+  * (x61).
   */
 object StreamHll {
 
   /** Per-hour HLL registers from a streaming events frame whose `ts`
     * is BIGINT nanoseconds. Register math mirrors q129 exactly:
     * 60-bit md5 hash, bucket = h % 64, ρ = 55 − bitlength(h ≫ 6). */
-  def hourlyRegisters(events: DataFrame): DataFrame = {
+  def hourlyRegisters(events: DataFrame,
+                      delay: String = "1 hour"): DataFrame = {
     val h = graft.functions.HashFns.md5Hash60(
       concat(lit("hll:"), col("user_id").cast("string")))
     events
@@ -44,7 +44,7 @@ object StreamHll {
       .withColumn("_w", shiftright(col("_h"), 6))
       .withColumn("rho", when(col("_w") === 0, lit(55))
         .otherwise(lit(55) - length(bin(col("_w")))))
-      .withWatermark("event_time", "1 hour")
+      .withWatermark("event_time", delay)
       .groupBy(window(col("event_time"), "1 hour"), col("bucket"))
       .agg(max(col("rho")).as("rho"))
       .select(unix_millis(col("window.start")).as("bucket_ms"),
