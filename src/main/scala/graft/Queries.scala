@@ -13864,6 +13864,141 @@ object Queries {
           queryName = "x62_benford_update")
         .orderBy(col("day_ms"), col("digit"))
     },
+
+    // ------------------------------------------------------------------
+    // x63: UPDATE-MODE per-hour count-min frequency monitor
+    // (StreamCmsUpdate) — x38's 24/7 posture on the staged-late
+    // harness: append-mode hour windows over the d×w counter state at
+    // 0 ms delay, late drops asserted and witnessed; q126's position
+    // math and the min-over-rows estimator finish over the closed
+    // hours, probe set and exact witness rebuilt from the survivors.
+    q("x63_stream_cms_update",
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+        |            FROM events),
+        |fd AS (SELECT MAX(ms) // 86400000 AS fday FROM ev),
+        |surv AS (SELECT user_id, ms FROM ev CROSS JOIN fd
+        |         WHERE NOT (event_id % 50 = 0 AND ms // 86400000 < fday)),
+        |h AS (SELECT (ms // 3600000) * 3600000 AS bucket_ms, user_id
+        |      FROM surv),
+        |pos AS (
+        |  SELECT bucket_ms, user_id, g.i,
+        |         CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':'
+        |              || CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 16 AS p
+        |  FROM h CROSS JOIN generate_series(0, 2) AS g(i)),
+        |sk AS (SELECT bucket_ms, i, p, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM pos GROUP BY bucket_ms, i, p),
+        |probes AS (SELECT DISTINCT user_id FROM h WHERE user_id < 20),
+        |pp AS (
+        |  SELECT pr.user_id, g.i,
+        |         CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':'
+        |              || CAST(pr.user_id AS VARCHAR)),1,15)) AS BIGINT) % 16 AS p
+        |  FROM probes pr CROSS JOIN generate_series(0, 2) AS g(i)),
+        |wins AS (SELECT DISTINCT bucket_ms FROM h),
+        |est AS (
+        |  SELECT w.bucket_ms, pp.user_id,
+        |         MIN(COALESCE(sk.c, 0)) AS est_cnt
+        |  FROM wins w CROSS JOIN pp
+        |  LEFT JOIN sk ON sk.bucket_ms = w.bucket_ms AND sk.i = pp.i AND sk.p = pp.p
+        |  GROUP BY w.bucket_ms, pp.user_id),
+        |ex AS (SELECT bucket_ms, user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        |       FROM h WHERE user_id < 20 GROUP BY bucket_ms, user_id)
+        |SELECT est.bucket_ms, est.user_id, CAST(est.est_cnt AS BIGINT) AS est_cnt,
+        |       CAST(COALESCE(ex.true_cnt, 0) AS BIGINT) AS true_cnt
+        |FROM est LEFT JOIN ex ON ex.bucket_ms = est.bucket_ms
+        |                     AND ex.user_id = est.user_id
+        |ORDER BY est.bucket_ms, est.user_id""".stripMargin) { (s, d) =>
+      graft.streaming.StreamCmsUpdate.replayParquet(s, d,
+          queryName = "x63_cms_update")
+        .orderBy(col("bucket_ms"), col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // x64: UPDATE-MODE per-day sampled-quantile monitor
+    // (StreamQuantileUpdate) — x39's 24/7 posture on the staged-late
+    // harness: append-mode day windows over the ≤ k-pairs bottom-k
+    // sample state at 0 ms delay, late drops asserted and witnessed (a
+    // late-dropped event can never be sampled — the oracle samples
+    // survivors only); rank estimator + exact-rank audit over closed
+    // days. The sentinel's NULL value coalesces to 0 row-locally
+    // before the stateful aggregate (a FILTER there would push below
+    // the watermark node and the final day could never close).
+    q("x64_stream_quantile_update",
+      """WITH ev AS (SELECT event_id, epoch_ms(ts) AS ms, value
+        |            FROM events),
+        |fd AS (SELECT MAX(ms) // 86400000 AS fday FROM ev),
+        |surv AS (SELECT event_id, ms, value FROM ev CROSS JOIN fd
+        |         WHERE NOT (event_id % 50 = 0 AND ms // 86400000 < fday)),
+        |e AS (
+        |  SELECT (ms // 86400000) * 86400000 AS bucket_ms,
+        |         CAST(floor(value * 100) AS BIGINT) AS v,
+        |         CAST(('0x' || substr(md5('qsm:' || CAST(event_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+        |  FROM surv),
+        |smp AS (
+        |  SELECT bucket_ms, v FROM (
+        |    SELECT bucket_ms, v,
+        |           row_number() OVER (PARTITION BY bucket_ms ORDER BY h, v) AS rn
+        |    FROM e) WHERE rn <= 128),
+        |m AS (SELECT bucket_ms, CAST(COUNT(*) AS BIGINT) AS m FROM smp GROUP BY bucket_ms),
+        |srk AS (SELECT bucket_ms, v,
+        |               row_number() OVER (PARTITION BY bucket_ms ORDER BY v) AS r
+        |        FROM smp),
+        |pcts(pct) AS (VALUES (50), (90), (99)),
+        |est AS (
+        |  SELECT m.bucket_ms, p.pct, srk.v AS est_v
+        |  FROM m CROSS JOIN pcts p
+        |  JOIN srk ON srk.bucket_ms = m.bucket_ms AND srk.r = (p.pct * m.m + 99) // 100),
+        |xn AS (SELECT bucket_ms, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY bucket_ms),
+        |xrk AS (SELECT bucket_ms, v,
+        |               row_number() OVER (PARTITION BY bucket_ms ORDER BY v, h) AS r
+        |        FROM e),
+        |ex AS (
+        |  SELECT xn.bucket_ms, p.pct, xrk.v AS exact_v
+        |  FROM xn CROSS JOIN pcts p
+        |  JOIN xrk ON xrk.bucket_ms = xn.bucket_ms AND xrk.r = (p.pct * xn.n + 99) // 100)
+        |SELECT est.bucket_ms, CAST(est.pct AS BIGINT) AS pct, est.est_v, ex.exact_v,
+        |       (1000 * abs(est.est_v - ex.exact_v)) // greatest(abs(ex.exact_v), 1) AS err_milli
+        |FROM est JOIN ex ON ex.bucket_ms = est.bucket_ms AND ex.pct = est.pct
+        |ORDER BY est.bucket_ms, pct""".stripMargin) { (s, d) =>
+      graft.streaming.StreamQuantileUpdate.replayParquet(s, d,
+          queryName = "x64_qsm_update")
+        .orderBy(col("bucket_ms"), col("pct"))
+    },
+
+    // ------------------------------------------------------------------
+    // x65: UPDATE-MODE per-day weighted sample
+    // (StreamWeightedSampleUpdate) — x40's 24/7 posture on the
+    // staged-late harness: append-mode day windows over the ≤ k A-ES
+    // top-ticket state at 0 ms delay, late drops asserted and
+    // witnessed structurally (a late-dropped event can never be
+    // sampled; the oracle ranks tickets over survivors only); the
+    // audit recomputes weight + ticket row-locally from the selected
+    // ids. With x58–x65 every streaming monitor family now has its
+    // 24/7 update-mode form — zero complete-mode-only monitors remain.
+    q("x65_stream_wes_update",
+      """WITH ev AS (SELECT event_id, epoch_ms(ts) AS ms FROM events),
+        |fd AS (SELECT MAX(ms) // 86400000 AS fday FROM ev),
+        |surv AS (SELECT event_id, ms FROM ev CROSS JOIN fd
+        |         WHERE NOT (event_id % 50 = 0 AND ms // 86400000 < fday)),
+        |e AS (
+        |  SELECT (ms // 86400000) * 86400000 AS bucket_ms, event_id,
+        |         1 + event_id % 4 AS wt
+        |  FROM surv),
+        |t AS (
+        |  SELECT bucket_ms, event_id, wt,
+        |    list_max([CAST(('0x' || substr(md5('wes:' || CAST(event_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+        |              FOR j IN generate_series(1, CAST(wt AS INT))]) AS ticket
+        |  FROM e),
+        |r AS (
+        |  SELECT bucket_ms, event_id, wt, ticket,
+        |         row_number() OVER (PARTITION BY bucket_ms ORDER BY ticket DESC, event_id) AS rk
+        |  FROM t)
+        |SELECT bucket_ms, event_id, CAST(wt AS BIGINT) AS wt, ticket
+        |FROM r WHERE rk <= 32
+        |ORDER BY bucket_ms, ticket DESC, event_id""".stripMargin) { (s, d) =>
+      graft.streaming.StreamWeightedSampleUpdate.replayParquet(s, d,
+          queryName = "x65_wes_update")
+        .orderBy(col("bucket_ms"), col("ticket").desc, col("event_id"))
+    },
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -19,11 +19,10 @@ import org.apache.spark.sql.streaming.Trigger
   * streams from many pipelines and re-sum — the estimator is a plain
   * batch min-over-rows against whatever counter set you hand it.
   *
-  * MODE CAVEAT (same as [[StreamHll]]): watermark eviction holds in
-  * `update`/`append` output modes — the production choice. `complete`
-  * mode retains all windows and is what [[replayParquet]] deliberately
-  * uses for its ONE-SHOT AvailableNow replay, where "all windows" is
-  * the finite replay output.
+  * `complete` mode is the REPLAY-ONLY choice here; the 24/7 posture —
+  * append-mode hour windows, watermark eviction actually bounding
+  * state, late data dropped and witnessed — is implemented over the
+  * SAME counter state by [[StreamCmsUpdate]] (x63).
   */
 object StreamCms {
 
@@ -41,13 +40,14 @@ object StreamCms {
     * BIGINT nanoseconds, keyed by `user_id`. Position math mirrors
     * q126 exactly: p_i = md5_60(i ':' key) % w for i in 0..d−1.
     * Output: (bucket_ms, i, p, c). */
-  def hourlyCounters(events: DataFrame): DataFrame = {
+  def hourlyCounters(events: DataFrame,
+                     delay: String = "1 hour"): DataFrame = {
     events
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
       .withColumn("ip", explode(array((0 until Depth).map(i =>
         struct(lit(i).as("i"),
           cmsPos(i, col("user_id").cast("string")).as("p"))): _*)))
-      .withWatermark("event_time", "1 hour")
+      .withWatermark("event_time", delay)
       .groupBy(window(col("event_time"), "1 hour"),
         col("ip.i").as("i"), col("ip.p").as("p"))
       .agg(count(lit(1)).as("c"))

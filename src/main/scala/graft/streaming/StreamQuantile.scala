@@ -24,11 +24,10 @@ import org.apache.spark.sql.streaming.Trigger
   * deterministic (md5 of the event id), so an external SQL oracle
   * replays the exact same sample and the exact same estimates.
   *
-  * MODE CAVEAT (same as [[StreamCms]]): watermark eviction holds in
-  * `update`/`append` output modes — the production choice. `complete`
-  * mode retains all windows and is what [[replayParquet]] deliberately
-  * uses for its ONE-SHOT AvailableNow replay, where "all windows" is
-  * the finite replay output.
+  * `complete` mode is the REPLAY-ONLY choice here; the 24/7 posture —
+  * append-mode day windows, late data dropped and witnessed — is
+  * implemented over the SAME bottom-k state by
+  * [[StreamQuantileUpdate]] (x64).
   */
 object StreamQuantile {
 
@@ -47,13 +46,14 @@ object StreamQuantile {
     * (hash, value) pairs per day window. Caller must have
     * `NativeFns.register`ed the session. Output: (bucket_ms, sample:
     * array<bigint>). */
-  def dailySamples(events: DataFrame): DataFrame =
+  def dailySamples(events: DataFrame,
+                   delay: String = "1 day"): DataFrame =
     events
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
       .withColumn("v", floor(col("value") * 100).cast("long"))
       .withColumn("h", graft.functions.HashFns.md5Hash60(
         concat(lit("qsm:"), col("event_id").cast("string"))))
-      .withWatermark("event_time", "1 day")
+      .withWatermark("event_time", delay)
       .groupBy(window(col("event_time"), "1 day"))
       .agg(graft.functions.NativeFns.bottomK(col("v"), col("h"), SampleK)
         .as("sample"))

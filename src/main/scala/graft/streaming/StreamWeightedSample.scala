@@ -26,11 +26,10 @@ import org.apache.spark.sql.streaming.Trigger
   * pure functions of the event id, so the post-close audit recomputes
   * them row-locally — no join back to the stream.
   *
-  * MODE CAVEAT (same as [[StreamCms]]): watermark eviction holds in
-  * `update`/`append` output modes — the production choice. `complete`
-  * mode retains all windows and is what [[replayParquet]] deliberately
-  * uses for its ONE-SHOT AvailableNow replay, where "all windows" is
-  * the finite replay output.
+  * `complete` mode is the REPLAY-ONLY choice here; the 24/7 posture —
+  * append-mode day windows, late data dropped and witnessed (a
+  * late-dropped event can never be sampled) — is implemented over the
+  * SAME top-k-ticket state by [[StreamWeightedSampleUpdate]] (x65).
   */
 object StreamWeightedSample {
 
@@ -58,13 +57,14 @@ object StreamWeightedSample {
     * event_id LIMIT k` per window. Caller must have
     * `NativeFns.register`ed the session. Output: (bucket_ms, sample:
     * array<bigint> of selected event ids). */
-  def dailySamples(events: DataFrame): DataFrame =
+  def dailySamples(events: DataFrame,
+                   delay: String = "1 day"): DataFrame =
     events
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
       .withColumn("_wt", weight(col("event_id")))
       .withColumn("_neg",
         lit(Long.MaxValue) - ticket(col("event_id"), col("_wt")))
-      .withWatermark("event_time", "1 day")
+      .withWatermark("event_time", delay)
       .groupBy(window(col("event_time"), "1 day"))
       .agg(graft.functions.NativeFns.bottomK(col("event_id"), col("_neg"),
         SampleK).as("sample"))
