@@ -89,8 +89,16 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_CANARY", "1") != "0"
     def canaryPass(): Option[Double] =
       if (!canaryOn) None
-      else Some(canaryNames.flatMap(n =>
-        SparkEntry.queries.get(n).flatMap(fn => run1(n, fn))).sum)
+      else {
+        // discard one untimed warm loop first: the canary compares the
+        // HOST's speed on a fixed WARM workload, and without this the
+        // pre-run measures JIT/codegen warm-up instead of drift (first
+        // artifact showed pre 14.8 s vs post 5.4 s on a quiet host)
+        canaryNames.foreach(n =>
+          SparkEntry.queries.get(n).foreach(fn => { run1(n, fn); () }))
+        Some(canaryNames.flatMap(n =>
+          SparkEntry.queries.get(n).flatMap(fn => run1(n, fn))).sum)
+      }
     val canaryPre = canaryPass()
     val passes: Seq[Seq[(String, Option[Double])]] = (1 to iters).map { p =>
       val ts = selected.map { case (name, fn) => (name, run1(name, fn)) }
