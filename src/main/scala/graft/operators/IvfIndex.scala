@@ -89,6 +89,30 @@ final class IvfIndex private (val router: KMeansModel,
       .partitionBy("_cell")
       .parquet(s"$dir/corpus")
   }
+
+  /** Fold a new ingest batch into the saved index at `dir` WITHOUT a
+    * refit — q242's maintenance regime made durable: route the batch
+    * onto THIS index's existing cells (`router.transform`, no
+    * retraining), normalize, and append part files inside the touched
+    * cell directories — O(batch) adds, no corpus rewrite. The
+    * [[IvfMaintenance.routingAudit]] occupancy/drift report is the
+    * alarm that eventually triggers a refit; until then appends keep
+    * the serving index current. Reload after appending; this handle
+    * still sees the pre-append corpus. The lifecycle mirrors
+    * [[DedupIndex.append]]/[[SemDedupIndex.append]] — all three
+    * persisted indexes share the build→save→load→probe→append→compact
+    * shape, with [[compact]]/[[audit]] on the shared
+    * [[graft.sources.PartitionMaintenance]] machinery. */
+  def append(batch: DataFrame, vecCol: String, dir: String): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    router.setPredictionCol("_cell")
+      .transform(batch.select(col(idCol), col(vecCol))
+        .withColumn("_features",
+          array_to_vector(VectorFns.toDoubles(col(vecCol)))))
+      .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_cnv"),
+        col("_cell"))
+      .write.mode("append").partitionBy("_cell").parquet(s"$dir/corpus")
+  }
 }
 
 object IvfIndex {
@@ -118,6 +142,24 @@ object IvfIndex {
                    else assigned0.persist()
     new IvfIndex(model, assigned, idCol, owned = Some(assigned))
   }
+
+  private def tables(dir: String) = Seq(("corpus", s"$dir/corpus", 1))
+
+  /** Maintenance audit of a saved index at `dir`: one row per cell
+    * directory with its part-file count and byte size — the
+    * listing-cost companion of [[IvfMaintenance.routingAudit]]'s
+    * occupancy report. Shared machinery:
+    * [[graft.sources.PartitionMaintenance]]. */
+  def audit(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.PartitionMaintenance.audit(spark, tables(dir))
+
+  /** Rewrite cells whose part-file count exceeds `maxFilesPerPartition`
+    * down to ONE file each — O(touched cells); search-after-compact ≡
+    * search-before (IvfIndexSpec property). */
+  def compact(spark: SparkSession, dir: String, maxFilesPerPartition: Int = 4)
+      : Seq[graft.sources.PartitionMaintenance.CompactStats] =
+    graft.sources.PartitionMaintenance.compact(spark, tables(dir),
+      maxFilesPerPartition)
 
   /** Load a saved index; the corpus scan stays lazy (and cell-pruned
     * at search time). */

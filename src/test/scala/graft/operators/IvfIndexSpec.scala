@@ -42,4 +42,55 @@ class IvfIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("_cell"),
       s"corpus scan should carry a _cell partition filter:\n$plan")
   }
+
+  test("append routes on existing cells (no refit); compact preserves search") {
+    val d = sf("sf0.001")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val a = emb.where(col("vec_id") % 3 =!= 0) // the built corpus
+    val b = emb.where(col("vec_id") % 3 === 0) // the appended ingest batch
+    val qs = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_a").toString
+
+    val idx = IvfIndex.build(a, "vec_id", "embedding", nlist = 8)
+    idx.save(dir)
+    // fold b in as TWO append generations (the daily cadence)
+    val loaded0 = IvfIndex.load(spark, dir, "vec_id")
+    loaded0.append(b.where(col("vec_id") % 6 === 0), "embedding", dir)
+    loaded0.append(b.where(col("vec_id") % 6 === 3), "embedding", dir)
+
+    // the appended corpus must equal assigning A ∪ B under the SAME
+    // persisted router — append may never refit, drop, or re-route
+    import org.apache.spark.ml.functions.array_to_vector
+    val router = org.apache.spark.ml.clustering.KMeansModel
+      .load(s"$dir/router").setPredictionCol("_c")
+    val expected = router.transform(emb.withColumn("_features",
+        array_to_vector(graft.functions.VectorFns.toDoubles(col("embedding")))))
+      .select(col("vec_id"), col("_c")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val onDisk = spark.read.parquet(s"$dir/corpus")
+      .select(col("vec_id"), col("_cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(onDisk == expected,
+      "post-append corpus must equal the fixed-router assignment of A ∪ B")
+
+    // a planted B-side result must be reachable post-append
+    val post = asRows(IvfIndex.load(spark, dir, "vec_id")
+      .search(qs, "query_id", "embedding", k = 5, nprobe = 8))
+    assert(post.exists(_._3 % 3 == 0),
+      "appended vectors must be searchable (some top-5 hit from B)")
+
+    // compact: crowded cells shrink to one file, search is unchanged
+    val auditBefore = IvfIndex.audit(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(auditBefore.exists(_._2 > 1), "fixture must crowd some cell")
+    val stats = IvfIndex.compact(spark, dir, maxFilesPerPartition = 1)
+    assert(stats.nonEmpty && stats.forall(_.filesAfter == 1))
+    val auditAfter = IvfIndex.audit(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(auditAfter.forall(_._2 == 1L))
+    val postCompact = asRows(IvfIndex.load(spark, dir, "vec_id")
+      .search(qs, "query_id", "embedding", k = 5, nprobe = 8))
+    assert(postCompact == post, "search-after-compact must equal before")
+  }
 }
