@@ -1,0 +1,147 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The maintenance layer's deployment contract: audit/compact run
+  * through the Hadoop [[org.apache.hadoop.fs.FileSystem]] resolved from
+  * the table root's own URI (an explicit `file://` handle must
+  * reproduce the bare-path results row for row), a wrong root fails
+  * loudly instead of reporting a healthy-looking empty listing, compact
+  * splits oversized partitions by a byte target instead of funneling
+  * them through one file, and an interrupted manifest-guarded swap is
+  * recovered — forward when every added file landed, backward when the
+  * adds are partial — so duplicate rows can never survive a
+  * re-compact. */
+class PartitionMaintenanceSpec extends SparkSpec {
+
+  /** A one-level hive table with `parts` append generations in each of
+    * two k= partitions; returns (root, rows per partition). */
+  private def fixture(parts: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pm_fix").toString
+    (0 until parts).foreach { g =>
+      (0 until 10).map(i => (g * 10L + i, i % 2))
+        .toDF("id", "k")
+        .repartition(1)
+        .write.mode("append").partitionBy("k").parquet(dir)
+    }
+    dir
+  }
+
+  private def tables(dir: String) = Seq(("t", dir, 1))
+
+  test("a file:// Hadoop handle reproduces the bare-path audit " +
+    "path-for-path and compact behaves identically through it") {
+    val dir = fixture(parts = 3)
+    val bare = PartitionMaintenance.audit(spark, tables(dir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val viaFs = PartitionMaintenance.audit(spark, Seq(("t", s"file://$dir", 1)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(bare == viaFs,
+      s"file:// audit must equal the bare-path audit: $bare vs $viaFs")
+    assert(bare.forall(_._3 == 3L), "fixture: 3 append generations each")
+
+    val before = spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    val stats = PartitionMaintenance.compact(spark,
+      Seq(("t", s"file://$dir", 1)), maxFilesPerPartition = 1)
+    assert(stats.size == 2 && stats.forall(s =>
+      s.filesBefore == 3 && s.filesAfter == 1), s"stats: $stats")
+    val after = spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == before, "compact through file:// must not change rows")
+    assert(PartitionMaintenance.audit(spark, tables(dir))
+      .collect().forall(_.getLong(2) == 1L))
+  }
+
+  test("a missing table root fails loudly instead of auditing empty") {
+    val gone = "/tmp/definitely_not_a_graft_table_" +
+      java.util.UUID.randomUUID()
+    val e = intercept[IllegalArgumentException] {
+      PartitionMaintenance.audit(spark, Seq(("t", gone, 1))).collect()
+    }
+    assert(e.getMessage.contains("does not exist"))
+    intercept[IllegalArgumentException] {
+      PartitionMaintenance.compact(spark, Seq(("t", gone, 1)), 1)
+    }
+    ()
+  }
+
+  test("compact is size-aware: a partition above the byte target is " +
+    "rewritten into multiple files, none above ~target each") {
+    val dir = fixture(parts = 4)
+    val bytes = PartitionMaintenance.audit(spark, tables(dir))
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    // pick a target that forces >1 output file for every partition
+    val target = bytes.values.min / 2
+    val stats = PartitionMaintenance.compact(spark, tables(dir),
+      maxFilesPerPartition = 1, targetBytesPerFile = target)
+    assert(stats.size == 2 && stats.forall(_.filesAfter > 1),
+      s"an over-target partition must split into multiple files: $stats")
+    val audit = PartitionMaintenance.audit(spark, tables(dir))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    stats.foreach(s => assert(audit(s.partition) == s.filesAfter.toLong,
+      s"reported filesAfter must match the on-disk listing: $s"))
+    assert(spark.read.parquet(dir).count() == 40L)
+  }
+
+  test("an interrupted swap with all adds landed is rolled FORWARD: " +
+    "the replaced originals are deleted, rows deduplicate") {
+    import org.apache.hadoop.fs.Path
+    val dir = fixture(parts = 2)
+    val leaf = new java.io.File(dir, "k=0")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val originals = leaf.listFiles().filter(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    // simulate the crash window: the compacted copy moved in, originals
+    // NOT yet deleted, manifest still present
+    val addName = "compacted-crash-part00000.parquet"
+    java.nio.file.Files.copy(originals.head.toPath,
+      new java.io.File(leaf, addName).toPath)
+    val manifest = new java.io.File(leaf, "_compact_manifest_crash")
+    java.nio.file.Files.write(manifest.toPath,
+      (s"add:$addName\n" + s"del:${originals.head.getName}\n").getBytes)
+    // the partition now double-counts the first original's rows
+    assert(spark.read.parquet(dir).count() == 25L)
+
+    val stats = PartitionMaintenance.compact(spark, tables(dir),
+      maxFilesPerPartition = 1)
+    assert(!manifest.exists, "recovery must consume the manifest")
+    assert(spark.read.parquet(dir).count() == 20L,
+      "the replaced original must be gone — duplicates must not be " +
+        "rewritten into the compacted file")
+    assert(spark.read.parquet(dir).select(col("id")).distinct().count() == 20L)
+    assert(stats.forall(_.filesAfter == 1))
+    assert(!fs.exists(new Path(s"$dir/k=0/${originals.head.getName}")))
+  }
+
+  test("an interrupted swap with partial adds is rolled BACK: the " +
+    "partial adds are deleted, the originals survive untouched") {
+    val dir = fixture(parts = 2)
+    val leaf = new java.io.File(dir, "k=1")
+    // manifest names TWO adds; only one landed before the crash
+    val addName = "compacted-crash2-part00000.parquet"
+    val original = leaf.listFiles().filter(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+    java.nio.file.Files.copy(original.toPath,
+      new java.io.File(leaf, addName).toPath)
+    val manifest = new java.io.File(leaf, "_compact_manifest_crash2")
+    java.nio.file.Files.write(manifest.toPath,
+      (s"add:$addName\nadd:compacted-crash2-part00001.parquet\n" +
+        s"del:${original.getName}\n").getBytes)
+    // a .tmp manifest remnant must be swept too
+    val tmp = new java.io.File(leaf, "_compact_manifest_dead.tmp")
+    java.nio.file.Files.write(tmp.toPath, "add:x\n".getBytes)
+
+    PartitionMaintenance.compact(spark, tables(dir),
+      maxFilesPerPartition = 1)
+    assert(!manifest.exists && !tmp.exists)
+    assert(!new java.io.File(leaf, addName).exists,
+      "the partial add must be rolled back")
+    assert(spark.read.parquet(dir).count() == 20L)
+    assert(spark.read.parquet(dir).select(col("id")).distinct().count() == 20L)
+  }
+}
