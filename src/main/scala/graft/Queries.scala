@@ -536,6 +536,86 @@ object Queries {
        |FROM embeddings em LEFT JOIN kp USING (vec_id)
        |WHERE em.vec_id % $DeltaMod = 0 ORDER BY vec_id""".stripMargin
 
+  /** DuckDB oracle for q261: the full IVF index lifecycle —
+    * build → append → compact → search — under the deterministic q144
+    * quantizer ([[graft.operators.IvfIndex.buildSeeded]]): seed
+    * centroids are the 8 BUILD-corpus (60%) vectors first in md5 order,
+    * the post-append corpus (80%) is cell-assigned by row-local argmin
+    * d2 against those FIXED seeds (append never refits — the property
+    * this oracle witnesses), queries are a bounded day-2 sample, probes
+    * rank cells by d2 (asc, cell asc), and the top-5 per query orders
+    * by cosine of L2-normalized vectors (desc, id asc). All float math
+    * is the left-to-right fold family (list_prepend(0.0) + list_reduce)
+    * both engines share bit-for-bit. Compaction is layout-only, so the
+    * same SQL pins the compacted search too. */
+  private def ivfLifecycleOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS ve
+       |  FROM embeddings),
+       |base AS (
+       |  SELECT vec_id, ve FROM v
+       |  WHERE vec_id % $DeltaMod <> 0 AND vec_id % $DeltaMod <> 1),
+       |sd0 AS (
+       |  SELECT vec_id, ve,
+       |         row_number() OVER (
+       |           ORDER BY CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT),
+       |                    vec_id) AS rn
+       |  FROM base),
+       |seeds AS (SELECT CAST(rn - 1 AS INT) AS cell, ve AS se
+       |          FROM sd0 WHERE rn <= 8),
+       |corp AS (SELECT vec_id, ve FROM v WHERE vec_id % $DeltaMod <> 0),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT c.vec_id, s.cell,
+       |           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |               [(c.ve[i] - s.se[i]) * (c.ve[i] - s.se[i])
+       |                FOR i IN generate_series(1, len(c.ve))]), (a,b) -> a+b) ASC,
+       |             s.cell ASC) AS rn
+       |    FROM corp c CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |cn AS (
+       |  SELECT vec_id,
+       |         CASE WHEN nrm = 0 THEN ve ELSE [x/nrm FOR x IN ve] END AS cv
+       |  FROM (SELECT vec_id, ve,
+       |               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                 [x*x FOR x IN ve]), (a,b) -> a+b)) AS nrm
+       |        FROM corp)),
+       |qs AS (SELECT vec_id AS query_id, ve AS qe FROM v
+       |       WHERE vec_id % $DeltaMod = 0 AND vec_id < 200),
+       |qn AS (
+       |  SELECT query_id,
+       |         CASE WHEN nrm = 0 THEN qe ELSE [x/nrm FOR x IN qe] END AS qv
+       |  FROM (SELECT query_id, qe,
+       |               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                 [x*x FOR x IN qe]), (a,b) -> a+b)) AS nrm
+       |        FROM qs)),
+       |pr AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, s.cell,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |               [(q.qe[i] - s.se[i]) * (q.qe[i] - s.se[i])
+       |                FOR i IN generate_series(1, len(q.qe))]), (a,b) -> a+b) ASC,
+       |             s.cell ASC) AS prk
+       |    FROM qs q CROSS JOIN seeds s)
+       |  WHERE prk <= 2),
+       |sc AS (
+       |  SELECT n.query_id, m.vec_id,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           [n.qv[i] * m.cv[i] FOR i IN generate_series(1, len(n.qv))]),
+       |           (a,b) -> a+b) AS cos
+       |  FROM qn n
+       |  JOIN pr p ON p.query_id = n.query_id
+       |  JOIN asg a ON a.cell = p.cell
+       |  JOIN cn m ON m.vec_id = a.vec_id)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id
+       |FROM (SELECT query_id, vec_id,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id ASC) AS rk
+       |      FROM sc)
+       |WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB oracle for x24: candidate pairs share a band key, verified
     * on the MinHash SIGNATURE-AGREEMENT Jaccard estimator (≥ tau of the
     * slots equal) — exactly the bounded-state test the streaming bucket
@@ -13624,6 +13704,43 @@ object Queries {
         .deltaDedup(e.where(col("vec_id") % DeltaMod === 0), "embedding",
           tau = 0.30)
         .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q261: the IVF index lifecycle, oracle-witnessed — the entry that
+    // finishes the three-index symmetry (q256/q257 minhash bands,
+    // q259/q260 semantic cells, this for ANN): build the index on 60%
+    // of the embeddings under the DETERMINISTIC q144 quantizer
+    // (IvfIndex.buildSeeded — md5-ordered seed centroids, row-local
+    // argmin assignment; production uses the KMeans router on the same
+    // search/append/compact code), fold the day-1 delta in as TWO
+    // appends (no refit — batches route onto the FIXED cells), compact
+    // every crowded cell via the shared PartitionMaintenance machinery,
+    // then search a bounded day-2 query sample at nprobe=2/k=5. The
+    // oracle reproduces seed pick, assignment, probe ranking, and the
+    // normalized-cosine top-5 — append-then-compact-then-search must be
+    // indistinguishable from assigning the 80% corpus one-shot.
+    // IvfIndexSpec holds the KMeans-router append/compact properties.
+    q("q261_ivf_index_lifecycle", ivfLifecycleOracleSql) { (s, d) =>
+      val e = T(s, d, "embeddings")
+      val dir = Staging.dir(s, "q261_ivf_index")
+      graft.operators.IvfIndex.buildSeeded(
+          e.where(col("vec_id") % DeltaMod =!= 0
+            && col("vec_id") % DeltaMod =!= 1), "vec_id", "embedding",
+          nlist = 8)
+        .save(dir)
+      val idx0 = graft.operators.IvfIndex.load(s, dir, "vec_id")
+      idx0.append(e.where(col("vec_id") % 10 === 1), "embedding", dir)
+      idx0.append(e.where(col("vec_id") % 10 === 6), "embedding", dir)
+      graft.operators.IvfIndex.compact(s, dir, maxFilesPerPartition = 1)
+      graft.operators.IvfIndex.load(s, dir, "vec_id")
+        .search(e.where(col("vec_id") % DeltaMod === 0
+              && col("vec_id") < 200)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"))
+        .orderBy(col("query_id"), col("rank"))
     },
 
     q("x57_stream_ingest_dedup", dedupIndexOracleSql(Long.MaxValue)) { (s, d) =>

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * corpus that is searched repeatedly. `build` fits the KMeans router
   * once and `save` persists BOTH halves of the index:
   *
-  *  - the router (`KMeansModel`, Spark ML persistence) under
-  *    `dir/router`;
+  *  - the router under `dir/router` (Spark ML `KMeansModel`
+  *    persistence) or `dir/seeded_router` (a tiny centroid parquet —
+  *    see [[IvfIndex.buildSeeded]]);
   *  - the cell-assigned, L2-normalized corpus under `dir/corpus`,
   *    written `partitionBy(_cell)` — each cell is its own directory,
   *    so a probe of `nprobe` cells becomes a partition-pruned scan
@@ -30,8 +31,19 @@ import org.apache.spark.sql.functions._
   * deterministic `(cosine desc, id asc)` tie-break) as the transient
   * operator, so a persisted index returns exactly what `ivfTopK` with
   * the same router would.
+  *
+  * Two router families, the [[SemDedupIndex]] dual-router pattern:
+  * [[IvfIndex.build]] fits a production KMeans router (float fit — not
+  * SQL-expressible, spec-verified); [[IvfIndex.buildSeeded]] uses the
+  * q144 deterministic quantizer (seed centroids = the `nlist` corpus
+  * vectors first in md5 order, row-local argmin assignment with the
+  * left-to-right d2 fold), so the WHOLE lifecycle —
+  * build → append → compact → search — is reproducible in DuckDB and
+  * can sit behind an oracle-backed registry entry (q261). The router
+  * only changes how vectors land in cells; search, append, compact are
+  * router-agnostic.
   */
-final class IvfIndex private (val router: KMeansModel,
+final class IvfIndex private (val router: IvfIndex.Router,
                               val corpus: DataFrame,
                               val idCol: String,
                               owned: Option[DataFrame] = None) {
@@ -47,8 +59,7 @@ final class IvfIndex private (val router: KMeansModel,
   private def centroids: DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    router.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("_cell", "_centroid")
+    router.centers.toSeq.toDF("_cell", "_centroid")
   }
 
   /** Top-k cosine neighbors per query over the `nprobe` nearest cells.
@@ -84,7 +95,7 @@ final class IvfIndex private (val router: KMeansModel,
 
   /** Persist both halves of the index (overwrites `dir`). */
   def save(dir: String): Unit = {
-    router.write.overwrite().save(s"$dir/router")
+    router.save(dir)
     corpus.write.mode("overwrite")
       .partitionBy("_cell")
       .parquet(s"$dir/corpus")
@@ -92,30 +103,77 @@ final class IvfIndex private (val router: KMeansModel,
 
   /** Fold a new ingest batch into the saved index at `dir` WITHOUT a
     * refit — q242's maintenance regime made durable: route the batch
-    * onto THIS index's existing cells (`router.transform`, no
-    * retraining), normalize, and append part files inside the touched
-    * cell directories — O(batch) adds, no corpus rewrite. The
-    * [[IvfMaintenance.routingAudit]] occupancy/drift report is the
-    * alarm that eventually triggers a refit; until then appends keep
-    * the serving index current. Reload after appending; this handle
-    * still sees the pre-append corpus. The lifecycle mirrors
-    * [[DedupIndex.append]]/[[SemDedupIndex.append]] — all three
-    * persisted indexes share the build→save→load→probe→append→compact
-    * shape, with [[compact]]/[[audit]] on the shared
+    * onto THIS index's existing cells (no retraining), normalize, and
+    * append part files inside the touched cell directories — O(batch)
+    * adds, no corpus rewrite. The [[IvfMaintenance.routingAudit]]
+    * occupancy/drift report is the alarm that eventually triggers a
+    * refit; until then appends keep the serving index current. Reload
+    * after appending; this handle still sees the pre-append corpus. The
+    * lifecycle mirrors [[DedupIndex.append]]/[[SemDedupIndex.append]] —
+    * all three persisted indexes share the
+    * build→save→load→probe→append→compact shape, with
+    * [[compact]]/[[audit]] on the shared
     * [[graft.sources.PartitionMaintenance]] machinery. */
-  def append(batch: DataFrame, vecCol: String, dir: String): Unit = {
-    import org.apache.spark.ml.functions.array_to_vector
-    router.setPredictionCol("_cell")
-      .transform(batch.select(col(idCol), col(vecCol))
-        .withColumn("_features",
-          array_to_vector(VectorFns.toDoubles(col(vecCol)))))
-      .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_cnv"),
-        col("_cell"))
+  def append(batch: DataFrame, vecCol: String, dir: String): Unit =
+    router.assign(batch, idCol, vecCol)
       .write.mode("append").partitionBy("_cell").parquet(s"$dir/corpus")
-  }
 }
 
 object IvfIndex {
+
+  /** Cell router: how a vector lands in a cell. Implementations must
+    * assign IDENTICALLY at build and append time (append never refits),
+    * and expose the centroid table `search` ranks probes against. */
+  sealed trait Router {
+    /** (cell, centroid) pairs — nlist rows, driver-resident. */
+    def centers: Array[(Int, Array[Double])]
+    /** (idCol, _cnv = L2-normalized vector, _cell) for every row. */
+    def assign(df: DataFrame, idCol: String, vecCol: String): DataFrame
+    def save(dir: String): Unit
+  }
+
+  /** Production router: a fitted Spark ML KMeans model. */
+  final class KMeansRouter(val model: KMeansModel) extends Router {
+    def centers: Array[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    def assign(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      import org.apache.spark.ml.functions.array_to_vector
+      model.setPredictionCol("_cell")
+        .transform(df.select(col(idCol), col(vecCol))
+          .withColumn("_features",
+            array_to_vector(VectorFns.toDoubles(col(vecCol)))))
+        .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_cnv"),
+          col("_cell"))
+    }
+    def save(dir: String): Unit = model.write.overwrite().save(s"$dir/router")
+  }
+
+  /** Deterministic router (the q144 quantizer): fixed centroid arrays,
+    * row-local broadcast argmin with the left-to-right d2 fold and the
+    * (d2 asc, cell asc) tie-break — every decision SQL-expressible, so
+    * the full index lifecycle can be oracle-witnessed. */
+  final class SeededRouter(spark: SparkSession,
+                           val centers: Array[(Int, Array[Double])])
+      extends Router {
+    def assign(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      import spark.implicits._
+      val cents = centers.toSeq.toDF("_cell", "_centroid")
+      df.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(cents))
+        .withColumn("_d2", VectorFns.sqDist(col(vecCol), col("_centroid")))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col(idCol))
+            .orderBy(col("_d2").asc, col("_cell").asc)))
+        .where(col("_rn") === 1)
+        .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_cnv"),
+          col("_cell"))
+    }
+    def save(dir: String): Unit = {
+      import spark.implicits._
+      centers.toSeq.toDF("_cell", "_centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/seeded_router")
+    }
+  }
 
   /** Fit the cell router and assign the corpus.
     * @param cellIter small on purpose: cells are a routing partition,
@@ -135,12 +193,38 @@ object IvfIndex {
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
       .setMaxIter(cellIter).setPredictionCol("_cell")
     val model = km.fit(corpusV)
-    val assigned0 = model.transform(corpusV)
-      .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_cnv"), col("_cell"))
+    val router = new KMeansRouter(model)
+    val assigned0 = router.assign(corpus, idCol, vecCol)
     // assignment runs once; save/search both read it
     val assigned = if (track) graft.Caches.persist(assigned0)
                    else assigned0.persist()
-    new IvfIndex(model, assigned, idCol, owned = Some(assigned))
+    new IvfIndex(router, assigned, idCol, owned = Some(assigned))
+  }
+
+  /** Build under the DETERMINISTIC quantizer: seed centroids are the
+    * `nlist` corpus vectors first in `md5("ivf:" || id)` order (ties by
+    * id — the [[Pq]] md5-ordered-sample regime, no float fit), cells
+    * assigned by row-local argmin d2. Every decision is reproducible in
+    * plain SQL — the router variant the oracle-backed q261 lifecycle
+    * entry runs on; production indexes use [[build]]'s KMeans router
+    * (same search/append/compact code). */
+  def buildSeeded(corpus: DataFrame, idCol: String, vecCol: String,
+                  nlist: Int = 8): IvfIndex = {
+    val spark = corpus.sparkSession
+    // distributed TakeOrdered top-nlist by md5, never a corpus window
+    val seedRows = corpus.select(col(idCol),
+        VectorFns.toDoubles(col(vecCol)).as("_ve"))
+      .withColumn("_h", graft.functions.HashFns.md5Hash60(
+        concat(lit("ivf:"), col(idCol).cast("string"))))
+      .orderBy(col("_h"), col(idCol)).limit(nlist)
+      .collect()
+    val centers = seedRows.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Double](1).toArray)
+    }
+    val router = new SeededRouter(spark, centers)
+    val assigned = graft.Caches.persist(
+      router.assign(corpus, idCol, vecCol))
+    new IvfIndex(router, assigned, idCol, owned = Some(assigned))
   }
 
   private def tables(dir: String) = Seq(("corpus", s"$dir/corpus", 1))
@@ -154,16 +238,27 @@ object IvfIndex {
     graft.sources.PartitionMaintenance.audit(spark, tables(dir))
 
   /** Rewrite cells whose part-file count exceeds `maxFilesPerPartition`
-    * down to ONE file each — O(touched cells); search-after-compact ≡
-    * search-before (IvfIndexSpec property). */
+    * — O(touched cells); search-after-compact ≡ search-before
+    * (IvfIndexSpec property; q261's oracle pins it for the seeded
+    * lifecycle). */
   def compact(spark: SparkSession, dir: String, maxFilesPerPartition: Int = 4)
       : Seq[graft.sources.PartitionMaintenance.CompactStats] =
     graft.sources.PartitionMaintenance.compact(spark, tables(dir),
       maxFilesPerPartition)
 
   /** Load a saved index; the corpus scan stays lazy (and cell-pruned
-    * at search time). */
-  def load(spark: SparkSession, dir: String, idCol: String): IvfIndex =
-    new IvfIndex(KMeansModel.load(s"$dir/router"),
-      spark.read.parquet(s"$dir/corpus"), idCol)
+    * at search time). Detects the router family from the layout. */
+  def load(spark: SparkSession, dir: String, idCol: String): IvfIndex = {
+    val seededPath = new org.apache.hadoop.fs.Path(s"$dir/seeded_router")
+    val fs = seededPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val router: Router =
+      if (fs.exists(seededPath)) {
+        val centers = spark.read.parquet(seededPath.toString)
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        new SeededRouter(spark, centers)
+      } else new KMeansRouter(KMeansModel.load(s"$dir/router"))
+    new IvfIndex(router, spark.read.parquet(s"$dir/corpus"), idCol)
+  }
 }

@@ -93,4 +93,44 @@ class IvfIndexSpec extends SparkSpec {
       .search(qs, "query_id", "embedding", k = 5, nprobe = 8))
     assert(postCompact == post, "search-after-compact must equal before")
   }
+
+  test("seeded router: load auto-detects the family, centers and " +
+    "search round-trip, append routes onto the FIXED cells") {
+    val d = sf("sf0.001")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val a = emb.where(col("vec_id") % 3 =!= 0)
+    val b = emb.where(col("vec_id") % 3 === 0)
+    val qs = emb.where(col("vec_id") < 15)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_seed").toString
+
+    val idx = IvfIndex.buildSeeded(a, "vec_id", "embedding", nlist = 8)
+    val pre = asRows(idx.search(qs, "query_id", "embedding", k = 5, nprobe = 3))
+    idx.save(dir)
+    assert(new java.io.File(s"$dir/seeded_router").isDirectory,
+      "seeded router must persist under its own layout")
+
+    val loaded = IvfIndex.load(spark, dir, "vec_id")
+    assert(loaded.router.isInstanceOf[IvfIndex.SeededRouter],
+      "load must detect the seeded family from the layout")
+    assert(loaded.router.centers.map(_._1).toSeq == (0 until 8) &&
+      loaded.router.centers.zip(idx.router.centers).forall {
+        case ((ci, cv), (bi, bv)) => ci == bi && cv.toSeq == bv.toSeq
+      }, "centers must round-trip bit-for-bit")
+    assert(asRows(loaded.search(qs, "query_id", "embedding",
+      k = 5, nprobe = 3)) == pre)
+
+    // append = assignment under the SAME centers; the on-disk corpus
+    // must equal assigning A ∪ B one-shot with the loaded router
+    loaded.append(b, "embedding", dir)
+    val expected = loaded.router.assign(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("_cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val onDisk = spark.read.parquet(s"$dir/corpus")
+      .select(col("vec_id"), col("_cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(onDisk == expected,
+      "post-append corpus must equal the fixed-router assignment of A ∪ B")
+    graft.Caches.release()
+  }
 }
