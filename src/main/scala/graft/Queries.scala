@@ -13872,9 +13872,10 @@ object Queries {
          |       JOIN rk rd ON rd.doc_id = s.d
          |       WHERE s.d % $DeltaMod = 0
          |         AND (rp.r < rd.r OR (rp.r = rd.r AND s.p < s.d))),
-         |kp AS (SELECT d AS doc_id,
-         |         min_by(p, (rp + 1) * 10000000000000 + p) AS keep
-         |       FROM qq GROUP BY d)
+         |kp AS (SELECT d AS doc_id, p AS keep FROM (
+         |         SELECT d, p, row_number() OVER (
+         |           PARTITION BY d ORDER BY rp, p) AS krn FROM qq)
+         |       WHERE krn = 1)
          |SELECT dd.doc_id, COALESCE(kp.keep, dd.doc_id) AS keep_id
          |FROM documents dd LEFT JOIN kp USING (doc_id)
          |WHERE dd.doc_id % $DeltaMod = 0 ORDER BY doc_id""".stripMargin) {

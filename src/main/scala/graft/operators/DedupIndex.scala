@@ -80,6 +80,29 @@ final class DedupIndex private (val spark: SparkSession,
       .partitionBy("_ibkt").parquet(s"$dir/docs")
   }
 
+  /** [[append]] as an IDEMPOTENT unit keyed by `tag` — the form a
+    * `foreachBatch` retry loop needs: the delta's part files are staged
+    * first, then published under deterministic `ingest-<tag>-…` names
+    * with any previous attempt at the same tag swept away
+    * ([[graft.sources.PartitionMaintenance.publishTagged]]). Re-running
+    * after a crash at ANY point converges to exactly one copy of the
+    * batch in the index, so a completion marker written AFTER this call
+    * carries no double-append window. */
+  def appendTagged(delta: DataFrame, textCol: String, dir: String,
+                   tag: String): Unit = {
+    val (deltaBands, deltaDocs) = sketch(delta, textCol)
+    val stagedBands = s"$dir/.staging_bands_$tag"
+    val stagedDocs = s"$dir/.staging_docs_$tag"
+    deltaBands.write.mode("overwrite")
+      .partitionBy("_band", "_bkt").parquet(stagedBands)
+    deltaDocs.write.mode("overwrite")
+      .partitionBy("_ibkt").parquet(stagedDocs)
+    graft.sources.PartitionMaintenance.publishTagged(spark,
+      stagedBands, s"$dir/bands", depth = 2, tag = tag)
+    graft.sources.PartitionMaintenance.publishTagged(spark,
+      stagedDocs, s"$dir/docs", depth = 1, tag = tag)
+  }
+
   /** Dedup `delta` against the indexed corpus AND itself: one row per
     * delta doc, `(idCol, keep_id)` — keep_id is the smallest id among
     * the doc's confirmed duplicates (corpus or delta) with id below its
@@ -220,7 +243,11 @@ object DedupIndex {
                         seed: Long, bandBuckets: Int, idBuckets: Int,
                         sqlMirroredHashes: Boolean)
 
-  private def idBucket(id: org.apache.spark.sql.Column, idBuckets: Int) =
+  /** The docs-table id bucket — shared with the arrival-ingest seen-map
+    * so BOTH durable per-doc tables ride the same partition layout and
+    * the same PartitionMaintenance surface. */
+  private[graft] def idBucket(id: org.apache.spark.sql.Column,
+                              idBuckets: Int) =
     pmod(xxhash64(id.cast("string")), lit(idBuckets.toLong)).cast("int")
 
   /** The [[Dedup.minhashLsh]] sketch pipeline (same hash family, same

@@ -152,6 +152,49 @@ object PartitionMaintenance {
     }
   }
 
+  /** IDEMPOTENT tagged append for a hive-partitioned table: publish the
+    * staged partitioned write at `stagedDir` (same partitionBy layout,
+    * `depth` key=value levels) into the live table at `tableDir`, every
+    * published file named `ingest-<tag>-…`. A PREVIOUS publish of the
+    * same tag — complete or cut short by a crash — is swept first (the
+    * deterministic name prefix makes old copies findable), so re-running
+    * the unit after any failure converges to exactly one copy of the
+    * batch: the retry-safety a `foreachBatch` index append needs, where
+    * a marker written after a completed `mode("append")` leaves a crash
+    * window that double-appends (the round-17 advice item). Driver-side
+    * work is bounded by the table's CONFIG partition count. The staged
+    * dir is consumed (deleted) on success. */
+  def publishTagged(spark: SparkSession, stagedDir: String,
+                    tableDir: String, depth: Int, tag: String): Unit = {
+    require(tag.nonEmpty && !tag.exists(c => c == '/' || c == '-'),
+      s"publishTagged: tag must be path-safe and dash-free: '$tag'")
+    val (fs, root) = fsFor(spark, tableDir)
+    val (sfs, staged) = fsFor(spark, stagedDir)
+    require(fs.getUri == sfs.getUri,
+      s"publishTagged: staging $staged must live on the table's " +
+        s"FileSystem ${fs.getUri} so the publish is a rename, not a copy")
+    val prefix = s"ingest-$tag-"
+    // sweep: any file from a previous attempt at THIS tag goes first
+    leafPartitions(fs, "publish", root, depth).foreach { leaf =>
+      partFiles(fs, leaf).filter(_.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+    // publish: move staged parts under deterministic tag names, creating
+    // partition dirs the table has not seen yet (new band keys / cells)
+    leafPartitions(fs, "staged", staged, depth).foreach { sl =>
+      val rel = relative(staged, sl)
+      val dst = new Path(root, rel)
+      fs.mkdirs(dst)
+      partFiles(fs, sl).zipWithIndex.foreach { case (st, i) =>
+        require(fs.rename(st.getPath,
+          new Path(dst, f"$prefix$i%05d.parquet")),
+          s"publishTagged: could not move ${st.getPath} into $dst")
+      }
+    }
+    fs.delete(staged, true)
+    ()
+  }
+
   /** One row per partition directory: (table, partition, files, bytes)
     * — the number a maintenance job alarms on is `files`. An
     * interrupted compact swap surfaces here too: its duplicate copies

@@ -64,6 +64,21 @@ object ReplayStage {
         case _                                    => null
       }
     })
+    // a schema drift (id rename, ts type change) must FAIL the replay,
+    // not null-fill the sentinel: consumers key on `user_id >= 0` /
+    // `event_id === -1` escapes, and a null id would silently change
+    // which rows survive instead of failing the advertised loud way
+    require(nullable.exists(f =>
+      (f.name == "user_id" || f.name == "event_id") &&
+        (f.dataType == LongType || f.dataType == IntegerType)),
+      s"sentinelFrame: schema has no integer user_id/event_id column " +
+        s"to carry the -1 sentinel id — got ${schema.simpleString}")
+    require(schema("ts").dataType == LongType ||
+      schema("ts").dataType == TimestampType ||
+      schema("ts").dataType == TimestampNTZType,
+      s"sentinelFrame: unhandled ts type ${schema("ts").dataType} — the " +
+        "sentinel would carry a null event time and never advance the " +
+        "watermark")
     val base = spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](row), nullable)
     schema("ts").dataType match {

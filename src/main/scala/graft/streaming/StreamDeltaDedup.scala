@@ -18,8 +18,9 @@ import org.apache.spark.sql.streaming.Trigger
   * parquet sink — nothing data-proportional touches the driver.
   *
   * Exactness contract (the q255 oracle, third construction): the delta
-  * is staged as ID-ORDERED parts (split at the id midpoint, mtime
-  * order = processing order), so every cross-batch duplicate pair has
+  * is staged as ID-ORDERED parts (id range cut into `numBatches` equal
+  * spans, mtime order = processing order), so every cross-batch
+  * duplicate pair has
   * the earlier batch's doc as the smaller id — exactly the pairs the
   * one-shot [[DedupIndex.deltaDedup]] of the whole delta scores. The
   * union of per-batch keepers therefore EQUALS the one-shot run (and
@@ -38,12 +39,15 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamDeltaDedup {
 
   /** Build+save the corpus index under `stageDir/idx`, stream the delta
-    * through probe-then-append in two id-ordered micro-batches, return
-    * one (idCol, keep_id) row per delta doc. */
+    * through probe-then-append in `numBatches` id-ordered micro-batches
+    * (id range split into equal spans — for n=2 exactly the historical
+    * midpoint split), return one (idCol, keep_id) row per delta doc. */
   def replayParquet(spark: SparkSession, dir: String, stageDir: String,
                     deltaMod: Int, shingleK: Int, numBands: Int,
                     rowsPerBand: Int, seed: Long, tauNum: Int, tauDenom: Int,
-                    queryName: String = "stream_delta_dedup"): DataFrame = {
+                    queryName: String = "stream_delta_dedup",
+                    numBatches: Int = 2): DataFrame = {
+    require(numBatches >= 1, s"numBatches=$numBatches")
     val docs = graft.sources.Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val corpus = docs.where(col("doc_id") % deltaMod =!= 0)
@@ -81,17 +85,24 @@ object StreamDeltaDedup {
       } finally s.close()
     }
 
-    // id-ordered two-part staging: split at the id midpoint (two tiny
-    // aggregates, no collect of ids) — processing order is mtime order
+    // id-ordered N-part staging: split the id range into equal spans
+    // (two tiny aggregates, no collect of ids) — processing order is
+    // mtime order. For numBatches=2 the single cut lo+(hi−lo)/2 equals
+    // the historical midpoint (lo+hi)/2 (sum and difference share
+    // parity), so the registered 2-batch mirror is byte-identical.
     val mm = delta.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
       .head()
-    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val cuts = (1 until numBatches).map(i => lo + (hi - lo) * i / numBatches)
+    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
     val staged = Files.createTempDirectory("graft_ingest_dedup")
     try {
-      ReplayStage.writePart(delta.where(col("doc_id") <= mid), staged,
-        "00_day1.parquet", 1000000L)
-      ReplayStage.writePart(delta.where(col("doc_id") > mid), staged,
-        "01_day2.parquet", 2000000L)
+      (0 until numBatches).foreach { i =>
+        ReplayStage.writePart(
+          delta.where(col("doc_id") > bounds(i)
+            && col("doc_id") <= bounds(i + 1)),
+          staged, f"$i%02d_day.parquet", (i + 1) * 1000000L)
+      }
 
       val stream = spark.readStream.schema(delta.schema)
         .option("pathGlobFilter", "*.parquet")
@@ -102,9 +113,10 @@ object StreamDeltaDedup {
       // checkpoint, so nothing else dedups retries). The keeper rows go
       // to a batchId-NAMED subdir with overwrite — a retry rewrites the
       // same subdir instead of appending duplicates — and the index
-      // append is guarded by a batchId marker file, so a retry never
-      // folds the same delta in twice (which would desync the persisted
-      // index from the one-shot oracle).
+      // fold is appendTagged, an idempotent published unit whose retry
+      // sweeps its own previous attempt: a crash between the fold and
+      // the marker cannot double-append (the marker is a skip
+      // fast-path, not the correctness gate).
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val idx = DedupIndex.load(spark, idxDir, "doc_id")
@@ -113,7 +125,7 @@ object StreamDeltaDedup {
             .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
           val marker = Paths.get(idxDir, s"_appended_$batchId")
           if (!Files.exists(marker)) {
-            idx.append(batch, "text", idxDir)
+            idx.appendTagged(batch, "text", idxDir, tag = s"b$batchId")
             Files.createFile(marker)
           }
           graft.Caches.release() // the probe's per-batch scratch persists

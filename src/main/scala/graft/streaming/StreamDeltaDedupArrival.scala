@@ -18,7 +18,7 @@ import org.apache.spark.sql.streaming.Trigger
   * confirmed duplicates seen no later than d (corpus docs rank batch
   * −1; within a batch, smaller id = earlier). This module implements
   * that contract and its oracle reproduces it as a plain batch
-  * `min_by(partner, (rank, id))` — removing the caveat by changing the
+  * (rank, id) row-order argmin — removing the caveat by changing the
   * CONTRACT to the arrival-robust one rather than constraining the
   * staging.
   *
@@ -26,36 +26,76 @@ import org.apache.spark.sql.streaming.Trigger
   * PAIRS ([[DedupIndex.deltaPairs]] with `anyIndexedPartner = true` —
   * an indexed partner was seen strictly earlier whatever its id), rank
   * each partner (in-batch → k, in the seen-map → its recorded batch,
-  * else −1 = corpus), take the struct-min partner per doc, then append
-  * the batch to the index AND to the seen-map (both marker-guarded,
-  * idempotent under foreachBatch retries; keeper rows land in
-  * batchId-named subdirs with overwrite). The seen-map is a parquet
-  * (doc_id, seen) table appended O(batch) per batch — the only state
-  * beyond the index itself, and like the index it is durable and
-  * executor-resident; nothing data-proportional touches the driver.
+  * else −1 = corpus), take the struct-min partner per doc, then fold
+  * the batch into the index AND the seen-map. Both folds are
+  * RETRY-IDEMPOTENT as published units: the index via
+  * [[DedupIndex.appendTagged]] and the seen-map via the same
+  * `ingest-<tag>` publish ([[graft.sources.PartitionMaintenance
+  * .publishTagged]]), so a foreachBatch redelivery after a crash at ANY
+  * point converges to one copy of the batch — no marker-creation window
+  * can double-append (the round-17 advice item; the `_appended_` marker
+  * is now only a skip fast-path). Keeper rows land in batchId-named
+  * subdirs with overwrite.
   *
-  * The delta is staged as two ARRIVAL-ordered parts keyed by a portable
-  * hash (`md5('arr:' || doc_id) % 2` — the documents table carries no
-  * event time, and a hash decorrelates batch order from id order, which
-  * is exactly what makes the contract non-vacuous: at sf0.01 seven of
-  * the hundred delta keepers differ from the id-ordered contract's).
-  * Runs UNCAPPED like x57 (a bucket cap is prefix-dependent across
-  * batches). */
+  * The seen-map is a parquet (doc_id, seen) table written
+  * `partitionBy(_ibkt)` — the SAME id-bucket layout as the index's docs
+  * table, so at daily cadence its listing growth is curable by the same
+  * [[graft.sources.PartitionMaintenance]] compact that maintains the
+  * index (it would otherwise accrete one file generation per batch
+  * forever — the disease the indexes were cured of in round 17).
+  * [[auditSeen]]/[[compactSeen]] expose that surface; compaction is
+  * layout-only, so probes after it are identical (spec-pinned).
+  *
+  * The delta is staged as `numBatches` ARRIVAL-ordered parts keyed by a
+  * portable hash (`md5('arr:' || doc_id) % numBatches` — the documents
+  * table carries no event time, and a hash decorrelates batch order
+  * from id order, which is exactly what makes the contract non-vacuous:
+  * at sf0.01 with 2 batches, seven of the hundred delta keepers differ
+  * from the id-ordered contract's). N ≥ 3 exercises cross-batch keeper
+  * chains (a duplicate seen in batches 0 AND 2 but not 1) that two
+  * batches cannot — the ingest-replay spec gates one with planted
+  * duplicates. Runs UNCAPPED like x57 (a bucket cap is prefix-dependent
+  * across batches). */
 object StreamDeltaDedupArrival {
 
+  /** Maintenance surface for a seen-map at `dir` (one `_ibkt` level —
+    * the docs-table layout). */
+  def seenTables(dir: String): Seq[(String, String, Int)] =
+    Seq(("seen", dir, 1))
+
+  def auditSeen(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.PartitionMaintenance.audit(spark, seenTables(dir))
+
+  def compactSeen(spark: SparkSession, dir: String,
+                  maxFilesPerPartition: Int = 4)
+      : Seq[graft.sources.PartitionMaintenance.CompactStats] =
+    graft.sources.PartitionMaintenance.compact(spark, seenTables(dir),
+      maxFilesPerPartition)
+
   /** Build+save the corpus index under `stageDir/idx`, stream the delta
-    * through probe-then-append in two arrival-ordered micro-batches,
-    * return one (doc_id, keep_id) row per delta doc under the
-    * earliest-seen contract. */
+    * through probe-then-append in `numBatches` arrival-ordered
+    * micro-batches, return one (doc_id, keep_id) row per delta doc
+    * under the earliest-seen contract. */
   def replayParquet(spark: SparkSession, dir: String, stageDir: String,
                     deltaMod: Int, shingleK: Int, numBands: Int,
                     rowsPerBand: Int, seed: Long, tauNum: Int, tauDenom: Int,
-                    queryName: String = "stream_delta_dedup_arrival")
-      : DataFrame = {
+                    queryName: String = "stream_delta_dedup_arrival",
+                    numBatches: Int = 2): DataFrame = {
     val docs = graft.sources.Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val corpus = docs.where(col("doc_id") % deltaMod =!= 0)
     val delta = docs.where(col("doc_id") % deltaMod === 0)
+    replayFrames(spark, corpus, delta, stageDir, shingleK, numBands,
+      rowsPerBand, seed, tauNum, tauDenom, queryName, numBatches)
+  }
+
+  /** [[replayParquet]] over caller-provided corpus/delta frames — the
+    * entry the N≥3 planted-chain spec drives with synthetic documents. */
+  def replayFrames(spark: SparkSession, corpus: DataFrame, delta: DataFrame,
+                   stageDir: String, shingleK: Int, numBands: Int,
+                   rowsPerBand: Int, seed: Long, tauNum: Int, tauDenom: Int,
+                   queryName: String, numBatches: Int): DataFrame = {
+    require(numBatches >= 1, s"numBatches=$numBatches")
     val idxDir = s"$stageDir/idx"
     val outDir = s"$stageDir/out_$queryName"
     val seenDir = s"$stageDir/seen_$queryName"
@@ -75,6 +115,8 @@ object StreamDeltaDedupArrival {
     DedupIndex.build(corpus, "doc_id", "text",
       shingleK = shingleK, numBands = numBands, rowsPerBand = rowsPerBand,
       seed = seed, sqlMirroredHashes = true).save(idxDir)
+    val idx0 = DedupIndex.load(spark, idxDir, "doc_id")
+    val idBuckets = idx0.meta.idBuckets
     if (Files.isDirectory(Paths.get(idxDir))) {
       val s = Files.list(Paths.get(idxDir))
       try {
@@ -86,21 +128,24 @@ object StreamDeltaDedupArrival {
         }
       } finally s.close()
     }
-    // empty seen-map so batch 0's read has a table to miss against
+    // empty PARTITIONED seen-map (only _SUCCESS lands — no part files,
+    // no root/partition layout conflict) so batch 0 has a table to miss
+    // against; every later fold adds _ibkt=K dirs
     spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id BIGINT, seen BIGINT"))
-      .write.mode("overwrite").parquet(seenDir)
+          "doc_id BIGINT, seen BIGINT, _ibkt INT"))
+      .write.mode("overwrite").partitionBy("_ibkt").parquet(seenDir)
 
     // arrival key: portable hash, deliberately DECORRELATED from ids
     val arrB = pmod(graft.functions.HashFns.md5Hash60(
-      concat(lit("arr:"), col("doc_id").cast("string"))), lit(2L))
+      concat(lit("arr:"), col("doc_id").cast("string"))),
+      lit(numBatches.toLong))
     val staged = Files.createTempDirectory("graft_ingest_arrival")
     try {
-      ReplayStage.writePart(delta.where(arrB === 0), staged,
-        "00_day1.parquet", 1000000L)
-      ReplayStage.writePart(delta.where(arrB === 1), staged,
-        "01_day2.parquet", 2000000L)
+      (0 until numBatches).foreach { i =>
+        ReplayStage.writePart(delta.where(arrB === i), staged,
+          f"$i%02d_day.parquet", (i + 1) * 1000000L)
+      }
 
       val stream = spark.readStream.schema(delta.schema)
         .option("pathGlobFilter", "*.parquet")
@@ -113,7 +158,7 @@ object StreamDeltaDedupArrival {
             tauDenom = tauDenom, maxBucket = Int.MaxValue,
             anyIndexedPartner = true)
           val seen = spark.read
-            .schema("doc_id BIGINT, seen BIGINT").parquet(seenDir)
+            .schema("doc_id BIGINT, seen BIGINT, _ibkt INT").parquet(seenDir)
             .select(col("doc_id").as("a"), col("seen").as("_rs"))
           val inBatch = batch.select(col("doc_id").as("a"),
             lit(1).as("_inb"))
@@ -134,11 +179,20 @@ object StreamDeltaDedupArrival {
             .select(col("doc_id"),
               coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
             .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+          // fold the batch in: index AND seen-map, each an idempotent
+          // tagged unit (a retry sweeps its own previous attempt), so
+          // the marker below is a skip fast-path, not a correctness
+          // gate — there is no crash window that double-appends
           val marker = Paths.get(idxDir, s"_appended_$batchId")
           if (!Files.exists(marker)) {
-            idx.append(batch, "text", idxDir)
-            batch.select(col("doc_id"), lit(batchId).as("seen"))
-              .write.mode("append").parquet(seenDir)
+            idx.appendTagged(batch, "text", idxDir, tag = s"b$batchId")
+            val seenStaging = s"$seenDir/.staging_seen_b$batchId"
+            batch.select(col("doc_id"), lit(batchId).as("seen"),
+                DedupIndex.idBucket(col("doc_id"), idBuckets).as("_ibkt"))
+              .write.mode("overwrite").partitionBy("_ibkt")
+              .parquet(seenStaging)
+            graft.sources.PartitionMaintenance.publishTagged(spark,
+              seenStaging, seenDir, depth = 1, tag = s"b$batchId")
             Files.createFile(marker)
           }
           graft.Caches.release()

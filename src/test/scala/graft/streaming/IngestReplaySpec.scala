@@ -1,0 +1,162 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.DedupIndex
+import org.apache.spark.sql.functions._
+
+/** The ingest-loop properties two micro-batches cannot witness, plus
+  * the retry/maintenance hardening of the per-batch folds:
+  *
+  *  - N = 3 arrival-ordered batches with a PLANTED cross-batch
+  *    duplicate chain (copies in batches 0 and 2, none in 1) where the
+  *    earliest-SEEN keeper provably differs from the min-id keeper;
+  *  - N = 3 id-ordered batches reproduce the one-shot delta dedup
+  *    (the x57 contract, beyond its registered 2-batch form);
+  *  - the seen-map is a bucketed, compactable table: multi-batch runs
+  *    accrete file generations, audit reports them, compact flattens
+  *    them without changing a row;
+  *  - appendTagged is retry-idempotent: re-running a batch fold (the
+  *    crash-before-marker window) converges to exactly one copy. */
+class IngestReplaySpec extends SparkSpec {
+
+  private val ChainText =
+    "the quick brown fox jumps over the lazy dog while seven wizards " +
+      "brew identical duplicated content for the planted chain"
+
+  /** Arrival bucket of an id under the module's staging hash. */
+  private def buckets(n: Int, ids: Seq[Long]): Map[Long, Long] = {
+    import spark.implicits._
+    ids.toDF("doc_id")
+      .withColumn("b", pmod(graft.functions.HashFns.md5Hash60(
+        concat(lit("arr:"), col("doc_id").cast("string"))), lit(n.toLong)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("N=3 arrival replay: a chain seen in batches 0 and 2 (absent " +
+    "in 1) keeps the batch-0 copy even though a batch-2 copy has the " +
+    "smaller id") {
+    import spark.implicits._
+    val bk = buckets(3, 0L until 3000L)
+    def pick(b: Long, pred: Long => Boolean) =
+      bk.collect { case (id, bb) if bb == b && pred(id) => id }.min
+    val c = pick(2, _ => true)            // batch 2, smallest available id
+    val b = pick(2, _ > c)                // batch 2, larger id than c
+    val a = pick(0, _ > b)                // batch 0, LARGEST id of the three
+    assert(c < b && b < a, s"fixture ids must order c<b<a: $c $b $a")
+
+    val fillers = (0L until 3000L).filterNot(Set(a, b, c))
+      .filter(id => bk(id) == 1).take(5) // batch-1 docs, all unique text
+    val delta = (Seq(a, b, c).map(id => (id, ChainText)) ++
+      fillers.map(id => (id, s"unique filler number $id with words " +
+        s"alpha$id beta$id gamma$id delta$id epsilon$id")))
+      .toDF("doc_id", "text")
+    val corpus = (10000L until 10008L)
+      .map(id => (id, s"corpus background doc $id carrying tokens " +
+        s"red$id green$id blue$id cyan$id magenta$id")).toDF("doc_id", "text")
+
+    val stage = java.nio.file.Files.createTempDirectory("ingest_n3").toString
+    val out = StreamDeltaDedupArrival.replayFrames(spark, corpus, delta,
+        stage, shingleK = 3, numBands = 4, rowsPerBand = 2, seed = 42L,
+        tauNum = 7, tauDenom = 10, queryName = "n3_arrival", numBatches = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+
+    assert(out.keySet == delta.select("doc_id").collect()
+      .map(_.getLong(0)).toSet, "one keeper row per delta doc")
+    assert(out(a) == a, "the batch-0 copy is the earliest seen — keeper")
+    assert(out(b) == a && out(c) == a,
+      s"batch-2 copies must keep the batch-0 partner: ${out(b)}, ${out(c)}")
+    // non-vacuous: the min-id contract would have kept c (< a) for b
+    assert(c < a, "fixture must make earliest-seen ≠ min-id")
+    fillers.foreach(id => assert(out(id) == id, "fillers are unique"))
+  }
+
+  test("N=3 id-ordered replay equals the one-shot delta dedup (x57 " +
+    "contract beyond two batches)") {
+    val d = sf("sf0.001")
+    val stage = java.nio.file.Files.createTempDirectory("ingest_x57n3")
+    val streamed = StreamDeltaDedup.replayParquet(spark, d,
+        stageDir = stage.toString, deltaMod = 5, shingleK = 3,
+        numBands = 4, rowsPerBand = 2, seed = 42L, tauNum = 7,
+        tauDenom = 10, queryName = "n3_ordered", numBatches = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+
+    val docs = graft.sources.Tables.table(spark, d, "documents")
+      .select(col("doc_id"), col("text"))
+    val idxDir = java.nio.file.Files.createTempDirectory("ingest_ref")
+    DedupIndex.build(docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        shingleK = 3, numBands = 4, rowsPerBand = 2, seed = 42L,
+        sqlMirroredHashes = true)
+      .save(idxDir.toString)
+    val oneShot = DedupIndex.load(spark, idxDir.toString, "doc_id")
+      .deltaDedup(docs.where(col("doc_id") % 5 === 0), "text",
+        tauNum = 7, tauDenom = 10, maxBucket = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    assert(streamed == oneShot,
+      "3-batch id-ordered keepers must equal the one-shot probe")
+  }
+
+  test("the seen-map accretes per-batch generations, audits, and " +
+    "compacts without changing a row") {
+    val d = sf("sf0.001")
+    val stage = java.nio.file.Files.createTempDirectory("ingest_seen")
+    StreamDeltaDedupArrival.replayParquet(spark, d,
+      stageDir = stage.toString, deltaMod = 5, shingleK = 3,
+      numBands = 4, rowsPerBand = 2, seed = 42L, tauNum = 7,
+      tauDenom = 10, queryName = "seen_maint", numBatches = 3)
+    graft.Caches.release()
+    val seenDir = s"$stage/seen_seen_maint"
+
+    val audit = StreamDeltaDedupArrival.auditSeen(spark, seenDir)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(audit.nonEmpty && audit.forall(_._1.startsWith("_ibkt=")),
+      s"seen-map must be _ibkt-partitioned: ${audit.toSeq}")
+    assert(audit.exists(_._2 > 1),
+      "a 3-batch run must crowd some bucket or the test is vacuous")
+
+    val before = spark.read
+      .schema("doc_id BIGINT, seen BIGINT, _ibkt INT").parquet(seenDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stats = StreamDeltaDedupArrival.compactSeen(spark, seenDir,
+      maxFilesPerPartition = 1)
+    assert(stats.nonEmpty && stats.forall(_.filesBefore > 1))
+    assert(StreamDeltaDedupArrival.auditSeen(spark, seenDir)
+      .collect().forall(_.getLong(2) == 1L))
+    val after = spark.read
+      .schema("doc_id BIGINT, seen BIGINT, _ibkt INT").parquet(seenDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before,
+      "compact is layout-only — the seen-map rows (and therefore every " +
+        "downstream keeper probe) must be identical")
+  }
+
+  test("appendTagged retry converges: re-running a batch fold leaves " +
+    "exactly one copy in the index") {
+    val d = sf("sf0.001")
+    val docs = graft.sources.Tables.table(spark, d, "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("tag_retry").toString
+    DedupIndex.build(docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      shingleK = 3, numBands = 4, rowsPerBand = 2, seed = 42L).save(dir)
+    val idx = DedupIndex.load(spark, dir, "doc_id")
+    val batch = docs.where(col("doc_id") % 5 === 0)
+
+    idx.appendTagged(batch, "text", dir, tag = "b0")
+    def snapshot() = (
+      spark.read.parquet(s"$dir/bands")
+        .groupBy().count().head().getLong(0),
+      spark.read.parquet(s"$dir/docs")
+        .groupBy().count().head().getLong(0))
+    val once = snapshot()
+    // the crash-before-marker window: the unit re-runs in full
+    idx.appendTagged(batch, "text", dir, tag = "b0")
+    assert(snapshot() == once,
+      "a retried fold must sweep its previous attempt, not double-append")
+    // a DIFFERENT tag is a new batch and must add rows
+    idx.appendTagged(batch.limit(3), "text", dir, tag = "b1")
+    assert(snapshot() != once, "a new tag appends for real")
+    graft.Caches.release()
+  }
+}
