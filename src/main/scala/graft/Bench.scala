@@ -141,10 +141,32 @@ object Bench {
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     val passTotals = passes.map(p => fmt(p.flatMap(_._2).sum))
       .mkString("[", ",", "]")
+    // CROSS-ARTIFACT drift (the first-class number): the within-run
+    // post/pre ratio carries a ~0.6 JIT/page-cache ramp baseline on an
+    // idle host (README-documented), so window-to-window drift is
+    // measured pre-to-pre against the PREVIOUS committed artifact —
+    // pass its path via SPARK_GRAFT_PREV_BENCH and canary_vs_prev =
+    // thisPre / prevPre lands in the JSON (1.0 = same-speed window).
+    // The within-run canary_ratio stays as a secondary diagnostic.
+    val prevPre = sys.env.get("SPARK_GRAFT_PREV_BENCH").flatMap { p =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+        """"canary_pre_sec":([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not read prev bench $p: " +
+          e.getMessage)
+        None
+      }
+    }
     val canary = (canaryPre, canaryPost) match {
       case (Some(a), Some(b)) if a > 0 =>
         s""","canary_pre_sec":${fmt(a)},"canary_post_sec":${fmt(b)}""" +
-          s""","canary_ratio":${fmt(b / a)}"""
+          s""","canary_ratio":${fmt(b / a)}""" +
+          prevPre.filter(_ > 0).map(pp =>
+            s""","canary_prev_pre_sec":${fmt(pp)}""" +
+              s""","canary_vs_prev":${fmt(a / pp)}""").getOrElse("")
       case _ => ""
     }
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"pass_totals":$passTotals,"failed":$failed,"flaky":$flaky$canary,"sf":"$sfDir"}"""

@@ -536,6 +536,47 @@ object Queries {
        |FROM embeddings em LEFT JOIN kp USING (vec_id)
        |WHERE em.vec_id % $DeltaMod = 0 ORDER BY vec_id""".stripMargin
 
+  /** DuckDB oracle for x60/x66: the EARLIEST-SEEN ingest keeper
+    * contract over `numBatches` arrival-ordered micro-batches —
+    * verified duplicate pairs from the mirrored LSH+Jaccard family,
+    * partner rank = −1 for corpus docs (seen before every batch) and
+    * the staging hash bucket (`md5('arr:'||id) % numBatches`) for delta
+    * docs, keeper(d) = the (rank, id) row-order argmin among partners
+    * seen no later than d (earlier rank, or same rank with smaller id).
+    * Batch-count-parameterized: x60 gates n=2, x66 gates n=3 — the
+    * cross-batch chain case (partner in batch 0 beating a smaller-id
+    * partner in batch 2) only n ≥ 3 exercises. */
+  private def arrivalIngestOracleSql(numBatches: Int): String =
+    s"""$mirrorBandCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id % $DeltaMod = 0 OR b.doc_id % $DeltaMod = 0),
+       |ver AS (SELECT c.a, c.b
+       |  FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
+       |  WHERE len(list_intersect(x.g, y.g)) * $MirrorTauDenom
+       |        >= $MirrorTauNum
+       |           * (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))),
+       |sym AS (SELECT a AS p, b AS d FROM ver
+       |        UNION ALL SELECT b AS p, a AS d FROM ver),
+       |rk AS (SELECT doc_id,
+       |         CASE WHEN doc_id % $DeltaMod <> 0 THEN -1
+       |              ELSE (CAST(('0x' || substr(md5('arr:' ||
+       |                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |                    % $numBatches) END AS r
+       |       FROM documents),
+       |qq AS (SELECT s.d, s.p, rp.r AS rp FROM sym s
+       |       JOIN rk rp ON rp.doc_id = s.p
+       |       JOIN rk rd ON rd.doc_id = s.d
+       |       WHERE s.d % $DeltaMod = 0
+       |         AND (rp.r < rd.r OR (rp.r = rd.r AND s.p < s.d))),
+       |kp AS (SELECT d AS doc_id, p AS keep FROM (
+       |         SELECT d, p, row_number() OVER (
+       |           PARTITION BY d ORDER BY rp, p) AS krn FROM qq)
+       |       WHERE krn = 1)
+       |SELECT dd.doc_id, COALESCE(kp.keep, dd.doc_id) AS keep_id
+       |FROM documents dd LEFT JOIN kp USING (doc_id)
+       |WHERE dd.doc_id % $DeltaMod = 0 ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for q261: the full IVF index lifecycle —
     * build → append → compact → search — under the deterministic q144
     * quantizer ([[graft.operators.IvfIndex.buildSeeded]]): seed
@@ -13849,36 +13890,7 @@ object Queries {
     // same mirrored LSH+verify pairs — 7 of the 100 sf0.01 delta
     // keepers differ from the id-ordered contract's, so the ranking
     // logic (not just the pair set) is what the hash match witnesses.
-    q("x60_stream_ingest_dedup_arrival",
-      s"""$mirrorBandCtes,
-         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-         |  WHERE a.doc_id % $DeltaMod = 0 OR b.doc_id % $DeltaMod = 0),
-         |ver AS (SELECT c.a, c.b
-         |  FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
-         |  WHERE len(list_intersect(x.g, y.g)) * $MirrorTauDenom
-         |        >= $MirrorTauNum
-         |           * (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))),
-         |sym AS (SELECT a AS p, b AS d FROM ver
-         |        UNION ALL SELECT b AS p, a AS d FROM ver),
-         |rk AS (SELECT doc_id,
-         |         CASE WHEN doc_id % $DeltaMod <> 0 THEN -1
-         |              WHEN (CAST(('0x' || substr(md5('arr:' ||
-         |                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-         |                    % 2) = 0 THEN 0 ELSE 1 END AS r
-         |       FROM documents),
-         |qq AS (SELECT s.d, s.p, rp.r AS rp FROM sym s
-         |       JOIN rk rp ON rp.doc_id = s.p
-         |       JOIN rk rd ON rd.doc_id = s.d
-         |       WHERE s.d % $DeltaMod = 0
-         |         AND (rp.r < rd.r OR (rp.r = rd.r AND s.p < s.d))),
-         |kp AS (SELECT d AS doc_id, p AS keep FROM (
-         |         SELECT d, p, row_number() OVER (
-         |           PARTITION BY d ORDER BY rp, p) AS krn FROM qq)
-         |       WHERE krn = 1)
-         |SELECT dd.doc_id, COALESCE(kp.keep, dd.doc_id) AS keep_id
-         |FROM documents dd LEFT JOIN kp USING (doc_id)
-         |WHERE dd.doc_id % $DeltaMod = 0 ORDER BY doc_id""".stripMargin) {
+    q("x60_stream_ingest_dedup_arrival", arrivalIngestOracleSql(2)) {
       (s, d) =>
         graft.streaming.StreamDeltaDedupArrival.replayParquet(s, d,
             stageDir = Staging.dir(s, "x60_ingest_arrival"),
@@ -13886,6 +13898,26 @@ object Queries {
             rowsPerBand = MirrorRows, seed = MirrorSeed,
             tauNum = MirrorTauNum, tauDenom = MirrorTauDenom,
             queryName = "x60_ingest_arrival")
+          .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // x66: x60 at THREE arrival batches — the oracle-witnessed form of
+    // the cross-batch keeper-chain case two batches cannot exercise
+    // (IngestReplaySpec plants one synthetically; this entry gates the
+    // same ranking on the real documents table at every driver scale):
+    // a partner seen in batch 0 must win over a smaller-id partner in
+    // batch 2, and a batch-1 doc's rank must sit strictly between. Same
+    // staging hash (% 3), same earliest-seen contract, same
+    // batch-count-parameterized oracle as x60.
+    q("x66_stream_ingest_dedup_arrival_n3", arrivalIngestOracleSql(3)) {
+      (s, d) =>
+        graft.streaming.StreamDeltaDedupArrival.replayParquet(s, d,
+            stageDir = Staging.dir(s, "x66_ingest_arrival_n3"),
+            deltaMod = DeltaMod, shingleK = 3, numBands = MirrorBands,
+            rowsPerBand = MirrorRows, seed = MirrorSeed,
+            tauNum = MirrorTauNum, tauDenom = MirrorTauDenom,
+            queryName = "x66_ingest_arrival_n3", numBatches = 3)
           .orderBy(col("doc_id"))
     },
 
