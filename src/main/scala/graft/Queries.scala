@@ -13922,6 +13922,41 @@ object Queries {
     },
 
     // ------------------------------------------------------------------
+    // x67: the SEMANTIC ingest-dedup loop live (StreamSemDedup) — x57's
+    // streamed lifecycle for the embedding index: id-ordered
+    // micro-batches probe the persisted SemDedupIndex via foreachBatch,
+    // write keepers to a parquet sink, and fold themselves in with
+    // appendTagged (retry-idempotent). Id-ordered staging makes every
+    // cross-batch pair's smaller id land in the earlier batch, so the
+    // union of per-batch keepers equals the one-shot probe — q258/q259/
+    // q260's VERBATIM oracle, the semantic family's FIFTH construction.
+    // With x57 and this entry, both dedup indexes run the live loop.
+    q("x67_stream_semantic_dedup", semDedupIndexOracleSql) { (s, d) =>
+      graft.streaming.StreamSemDedup.replayParquet(s, d,
+          stageDir = Staging.dir(s, "x67_sem_ingest"),
+          deltaMod = DeltaMod, bits = 4, tau = 0.30,
+          queryName = "x67_sem_ingest")
+        .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // x68: the ANN index's ingest loop live (StreamIvfIngest) — q261's
+    // lifecycle as a stream: day-1 vectors arrive in arrival-hash
+    // micro-batches (id-decorrelated — appends are route-on-fixed-cells
+    // and must not care about order), each folded in with appendTagged,
+    // then the index is compacted IN-LOOP and the day-2 sample searched.
+    // The oracle is q261's VERBATIM: streamed fold ≡ batched fold ≡
+    // one-shot 80% assignment at search time. With x57/x67/x68 all
+    // THREE persisted indexes run their append lifecycle live.
+    q("x68_stream_ivf_ingest", ivfLifecycleOracleSql) { (s, d) =>
+      graft.streaming.StreamIvfIngest.replayParquet(s, d,
+          stageDir = Staging.dir(s, "x68_ivf_ingest"),
+          deltaMod = DeltaMod, nlist = 8, k = 5, nprobe = 2,
+          queryIdBound = 200L, queryName = "x68_ivf_ingest")
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ------------------------------------------------------------------
     // x61: UPDATE-MODE per-hour HLL cardinality monitor
     // (StreamHllUpdate) — x37's 24/7 posture on the staged-late
     // harness: append-mode hour windows over the 64-longs-per-open-hour

@@ -117,6 +117,19 @@ final class IvfIndex private (val router: IvfIndex.Router,
   def append(batch: DataFrame, vecCol: String, dir: String): Unit =
     router.assign(batch, idCol, vecCol)
       .write.mode("append").partitionBy("_cell").parquet(s"$dir/corpus")
+
+  /** [[append]] as an IDEMPOTENT unit keyed by `tag` — the
+    * [[DedupIndex.appendTagged]] pattern for the ANN index: a
+    * foreachBatch retry sweeps its own previous `ingest-<tag>` files
+    * before republishing, so no crash point can double-append. */
+  def appendTagged(batch: DataFrame, vecCol: String, dir: String,
+                   tag: String): Unit = {
+    val staging = s"$dir/.staging_corpus_$tag"
+    router.assign(batch, idCol, vecCol).write.mode("overwrite")
+      .partitionBy("_cell").parquet(staging)
+    graft.sources.PartitionMaintenance.publishTagged(
+      corpus.sparkSession, staging, s"$dir/corpus", depth = 1, tag = tag)
+  }
 }
 
 object IvfIndex {

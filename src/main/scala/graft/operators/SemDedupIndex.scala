@@ -91,6 +91,19 @@ final class SemDedupIndex private (val spark: SparkSession,
     assign(delta, vecCol).write.mode("append").partitionBy("_cell")
       .parquet(s"$dir/corpus")
 
+  /** [[append]] as an IDEMPOTENT unit keyed by `tag` — the
+    * [[DedupIndex.appendTagged]] pattern for the semantic index: a
+    * foreachBatch retry sweeps its own previous `ingest-<tag>` files
+    * before republishing, so no crash point can double-append. */
+  def appendTagged(delta: DataFrame, vecCol: String, dir: String,
+                   tag: String): Unit = {
+    val staging = s"$dir/.staging_corpus_$tag"
+    assign(delta, vecCol).write.mode("overwrite").partitionBy("_cell")
+      .parquet(staging)
+    graft.sources.PartitionMaintenance.publishTagged(spark, staging,
+      s"$dir/corpus", depth = 1, tag = tag)
+  }
+
   /** Dedup `delta` against the indexed corpus AND itself: one row per
     * delta doc, `(idCol, keep_id)` — keep_id is the smallest id among
     * confirmed duplicates (cosine ≥ `tau`, cell-local pairs) with id

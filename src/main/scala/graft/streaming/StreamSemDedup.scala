@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.SemDedupIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The SEMANTIC ingest-dedup loop live — [[StreamDeltaDedup]] (x57) for
+  * the embedding index: micro-batches of new vectors probe the
+  * persisted [[SemDedupIndex]] via foreachBatch (no watermark, no
+  * streaming state — the durable cell-partitioned INDEX is the state,
+  * shared with the batch path), write their keeper assignments to a
+  * parquet sink, then fold themselves in so the next batch dedups
+  * against corpus ∪ earlier batches. With x57 (minhash bands) and this
+  * module, ALL the persisted dedup indexes run in the live loop, not
+  * just the batch lifecycle.
+  *
+  * Exactness contract (q258's oracle, the semantic family's FIFTH
+  * construction): the delta is staged as ID-ORDERED parts (id range cut
+  * into `numBatches` equal spans, mtime order = processing order), so
+  * every cross-batch duplicate pair has the earlier batch's vector as
+  * the smaller id — exactly the pairs the one-shot
+  * [[SemDedupIndex.deltaDedup]] scores. The union of per-batch keepers
+  * therefore EQUALS the one-shot run (and the DuckDB oracle) row for
+  * row. Runs uncapped (the x57 convention: a cell cap is
+  * prefix-dependent across batches).
+  *
+  * Retry safety: the per-batch fold is [[SemDedupIndex.appendTagged]]
+  * — an idempotent published unit — so the `_appended_` marker is a
+  * skip fast-path, and keeper rows land in batchId-named overwrite
+  * subdirs. */
+object StreamSemDedup {
+
+  /** Build+save the orthant corpus index under `stageDir/idx`, stream
+    * the delta through probe-then-append in `numBatches` id-ordered
+    * micro-batches, return one (vec_id, keep_id) row per delta vector. */
+  def replayParquet(spark: SparkSession, dir: String, stageDir: String,
+                    deltaMod: Int, bits: Int, tau: Double,
+                    queryName: String = "stream_sem_dedup",
+                    numBatches: Int = 2): DataFrame = {
+    require(numBatches >= 1, s"numBatches=$numBatches")
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.where(col("vec_id") % deltaMod =!= 0)
+    val delta = emb.where(col("vec_id") % deltaMod === 0)
+    val idxDir = s"$stageDir/idx"
+    val outDir = s"$stageDir/out_$queryName"
+
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = Files.list(p)
+        try { val it = s.iterator(); while (it.hasNext) deleteRec(it.next()) }
+        finally s.close()
+      }
+      Files.deleteIfExists(p); ()
+    }
+    deleteRec(Paths.get(outDir)) // fresh sink per run (multi-pass bench)
+
+    SemDedupIndex.buildOrthant(corpus, "vec_id", "embedding", bits = bits)
+      .save(idxDir)
+    // fresh build = fresh append history: stale markers from a previous
+    // pass in the same JVM must not suppress this run's folds
+    if (Files.isDirectory(Paths.get(idxDir))) {
+      val s = Files.list(Paths.get(idxDir))
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("_appended_"))
+            Files.deleteIfExists(p)
+        }
+      } finally s.close()
+    }
+
+    // id-ordered N-part staging (the x57 split, see StreamDeltaDedup)
+    val mm = delta.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+      .head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val cuts = (1 until numBatches).map(i => lo + (hi - lo) * i / numBatches)
+    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+    val staged = Files.createTempDirectory("graft_sem_ingest")
+    try {
+      (0 until numBatches).foreach { i =>
+        ReplayStage.writePart(
+          delta.where(col("vec_id") > bounds(i)
+            && col("vec_id") <= bounds(i + 1)),
+          staged, f"$i%02d_day.parquet", (i + 1) * 1000000L)
+      }
+
+      val stream = spark.readStream.schema(delta.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val idx = SemDedupIndex.load(spark, idxDir, "vec_id")
+          idx.deltaDedup(batch, "embedding", tau = tau)
+            .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+          val marker = Paths.get(idxDir, s"_appended_$batchId")
+          if (!Files.exists(marker)) {
+            idx.appendTagged(batch, "embedding", idxDir, tag = s"b$batchId")
+            Files.createFile(marker)
+          }
+          graft.Caches.release()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .queryName(queryName)
+        .start()
+      q.awaitTermination()
+    } finally {
+      val s = Files.list(staged)
+      try s.iterator().forEachRemaining(p => Files.deleteIfExists(p))
+      finally s.close()
+      Files.deleteIfExists(staged)
+      ()
+    }
+    spark.read.schema("vec_id BIGINT, keep_id BIGINT")
+      .option("recursiveFileLookup", "true")
+      .parquet(outDir)
+      .select(col("vec_id"), col("keep_id"))
+  }
+}
