@@ -35,6 +35,11 @@ import org.apache.spark.sql.streaming.Trigger
   * contract instead — implemented and oracle-mirrored by
   * [[StreamDeltaDedupArrival]] (x60), which removes the id-ordering
   * dependence by ranking partners on (batch, id).
+  *
+  * Deployment note: the index folds (appendTagged → publishTagged) are
+  * FS-generic and retry-idempotent — the production-grade core. The
+  * staging (temp dirs, crafted mtimes) and the `_appended_` skip
+  * markers are replay-harness conveniences, deliberately local.
   */
 object StreamDeltaDedup {
 

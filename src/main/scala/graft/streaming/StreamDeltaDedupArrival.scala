@@ -46,6 +46,15 @@ import org.apache.spark.sql.streaming.Trigger
   * [[auditSeen]]/[[compactSeen]] expose that surface; compaction is
   * layout-only, so probes after it are identical (spec-pinned).
   *
+  * Deployment note: the PRODUCTION-GRADE pieces here — the index folds
+  * (appendTagged → publishTagged) and the seen-map writes/maintenance —
+  * run on the Hadoop FileSystem resolved from their own paths and work
+  * on any scheme. The REPLAY-HARNESS pieces (temp-dir staging with
+  * crafted mtimes, java.nio `_appended_` skip markers, per-run sink
+  * resets) are deliberately local: they exist to stage a deterministic
+  * fixture for the oracle, not to ship; a production loop gets retry
+  * safety from the folds' idempotence alone.
+  *
   * The delta is staged as `numBatches` ARRIVAL-ordered parts keyed by a
   * portable hash (`md5('arr:' || doc_id) % numBatches` — the documents
   * table carries no event time, and a hash decorrelates batch order
