@@ -118,6 +118,73 @@ class PartitionMaintenanceSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"$dir/k=0/${originals.head.getName}")))
   }
 
+  test("depth-2 (bands-layout) tables compact through file:// too, " +
+    "manifest-guarded, with partitions preserved") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pm_d2").toString
+    (0 until 3).foreach { g =>
+      (0 until 12).map(i => (g * 12L + i, i % 2, i % 3))
+        .toDF("id", "a", "b")
+        .repartition(1)
+        .write.mode("append").partitionBy("a", "b").parquet(dir)
+    }
+    val t = Seq(("t2", s"file://$dir", 2))
+    val before = PartitionMaintenance.audit(spark, t)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(before.size == 6 && before.values.forall(_ == 3L),
+      s"fixture: 2x3 leaves, 3 generations each: $before")
+    val rows = spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+
+    val stats = PartitionMaintenance.compact(spark, t,
+      maxFilesPerPartition = 1)
+    assert(stats.size == 6 && stats.forall(s =>
+      s.filesBefore == 3 && s.filesAfter == 1 &&
+        s.partition.count(_ == '/') == 1), s"stats: $stats")
+    val after = PartitionMaintenance.audit(spark, t)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(after.keySet == before.keySet && after.values.forall(_ == 1L))
+    assert(spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == rows,
+      "depth-2 compact must not change a row")
+  }
+
+  test("publishTagged sweeps an orphaned partial publish of the same " +
+    "tag before republishing — the retry converges from any state") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("pm_pub").toString
+    (0 until 10).map(i => (i.toLong, i % 2)).toDF("id", "k")
+      .repartition(1).write.mode("overwrite").partitionBy("k").parquet(table)
+    // a previous attempt's orphan under the SAME tag, in a partition
+    // the retry's staged write also touches
+    val leaf = new java.io.File(table, "k=0")
+    val orphanSrc = leaf.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(orphanSrc.toPath,
+      new java.io.File(leaf, "ingest-bx-99999.parquet").toPath)
+    assert(spark.read.parquet(table).count() == 15L, "orphan doubles k=0")
+
+    val staging = java.nio.file.Files.createTempDirectory("pm_stage").toString
+    (10 until 14).map(i => (i.toLong, i % 2)).toDF("id", "k")
+      .repartition(1).write.mode("overwrite").partitionBy("k")
+      .parquet(staging)
+    PartitionMaintenance.publishTagged(spark, staging, table,
+      depth = 1, tag = "bx")
+    val ids = spark.read.parquet(table).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 14L),
+      s"orphan swept + staged batch published exactly once: $ids")
+    assert(!new java.io.File(staging).exists,
+      "the staging dir is consumed on success")
+    // a second identical publish from a re-staged copy also converges
+    (10 until 14).map(i => (i.toLong, i % 2)).toDF("id", "k")
+      .repartition(1).write.mode("overwrite").partitionBy("k")
+      .parquet(staging)
+    PartitionMaintenance.publishTagged(spark, staging, table,
+      depth = 1, tag = "bx")
+    assert(spark.read.parquet(table).count() == 14L)
+  }
+
   test("an interrupted swap with partial adds is rolled BACK: the " +
     "partial adds are deleted, the originals survive untouched") {
     val dir = fixture(parts = 2)
