@@ -119,6 +119,12 @@ class IvfIndexSpec extends SparkSpec {
       }, "centers must round-trip bit-for-bit")
     assert(asRows(loaded.search(qs, "query_id", "embedding",
       k = 5, nprobe = 3)) == pre)
+    // the seeded corpus rides the same partitionBy(_cell) layout, so a
+    // probe scan must prune statically exactly like the KMeans path
+    val plan = loaded.corpus.where(col("_cell").isin(0, 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_cell"),
+      s"seeded-corpus probe must be partition-pruned, got:\n$plan")
 
     // append = assignment under the SAME centers; the on-disk corpus
     // must equal assigning A ∪ B one-shot with the loaded router
