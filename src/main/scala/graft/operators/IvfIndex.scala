@@ -145,6 +145,20 @@ object IvfIndex {
     def save(dir: String): Unit
   }
 
+  /** Delete the OTHER router family's artifact before saving this one:
+    * [[load]] detects the family from the layout, so a stale
+    * `seeded_router` (or `router`) left behind by a previous build of
+    * the other family would be preferred over (or shadow) the one just
+    * written — silently routing probes against centroids that do not
+    * match the corpus's cell assignment. */
+  private def clearOtherRouter(dir: String, other: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$other")
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
   /** Production router: a fitted Spark ML KMeans model. */
   final class KMeansRouter(val model: KMeansModel) extends Router {
     def centers: Array[(Int, Array[Double])] =
@@ -158,7 +172,10 @@ object IvfIndex {
         .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_cnv"),
           col("_cell"))
     }
-    def save(dir: String): Unit = model.write.overwrite().save(s"$dir/router")
+    def save(dir: String): Unit = {
+      clearOtherRouter(dir, "seeded_router")
+      model.write.overwrite().save(s"$dir/router")
+    }
   }
 
   /** Deterministic router (the q144 quantizer): fixed centroid arrays,
@@ -182,6 +199,7 @@ object IvfIndex {
           col("_cell"))
     }
     def save(dir: String): Unit = {
+      clearOtherRouter(dir, "router")
       import spark.implicits._
       centers.toSeq.toDF("_cell", "_centroid").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/seeded_router")

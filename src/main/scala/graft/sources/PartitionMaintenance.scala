@@ -173,8 +173,22 @@ object PartitionMaintenance {
     require(fs.getUri == sfs.getUri,
       s"publishTagged: staging $staged must live on the table's " +
         s"FileSystem ${fs.getUri} so the publish is a rename, not a copy")
+    // completion marker at the TABLE ROOT (compact never touches the
+    // root, only partition dirs): once it exists, the unit is durably
+    // done and a retry is a pure no-op — crucially, this stays true
+    // even after a later compact folds the ingest-<tag> files into
+    // compacted-* names, where the sweep-by-prefix below would find
+    // nothing and a markerless retry would re-append the whole batch.
+    // The residual window (publish complete, marker not yet written,
+    // compact runs, THEN the retry arrives) falls under compact's
+    // documented quiescence requirement.
+    val published = new Path(root, s"_published_$tag")
+    if (fs.exists(published)) {
+      fs.delete(staged, true) // consume the re-staged copy
+      return
+    }
     val prefix = s"ingest-$tag-"
-    // sweep: any file from a previous attempt at THIS tag goes first
+    // sweep: any file from a previous INCOMPLETE attempt at THIS tag
     leafPartitions(fs, "publish", root, depth).foreach { leaf =>
       partFiles(fs, leaf).filter(_.getPath.getName.startsWith(prefix))
         .foreach(st => fs.delete(st.getPath, false))
@@ -191,6 +205,7 @@ object PartitionMaintenance {
           s"publishTagged: could not move ${st.getPath} into $dst")
       }
     }
+    fs.create(published, true).close()
     fs.delete(staged, true)
     ()
   }
@@ -239,11 +254,17 @@ object PartitionMaintenance {
       leafPartitions(fs, name, root, depth).flatMap { leaf =>
         recoverLeaf(fs, leaf)
         val before = partFiles(fs, leaf)
-        if (before.size <= maxFilesPerPartition) None
+        val bytes = before.map(_.getLen).sum
+        val nOut = math.max(1L,
+          (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+        // skip when the partition is already at (or under) its OPTIMAL
+        // file count: a partition whose byte-targeted output count
+        // exceeds maxFilesPerPartition would otherwise be fully
+        // rewritten on EVERY maintenance run while never getting
+        // "better" — the alarm threshold and the layout target are
+        // different numbers, and the rewrite trigger must respect both
+        if (before.size <= math.max(maxFilesPerPartition, nOut)) None
         else {
-          val bytes = before.map(_.getLen).sum
-          val nOut = math.max(1L,
-            (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
           // scratch INSIDE the leaf (dot-prefixed: invisible to Spark
           // listings and to partFiles) — same FileSystem, so the swap
           // move below is a rename, never a copy

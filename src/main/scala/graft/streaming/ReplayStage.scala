@@ -26,14 +26,36 @@ object ReplayStage {
     def cleanup(): Unit = deleteRecursively(dir)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[streaming] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       val s = Files.list(p)
       try s.iterator().asScala.toSeq.foreach(deleteRecursively)
       finally s.close()
     }
     Files.deleteIfExists(p)
+    ()
   }
+
+  /** Delete a replay module's `_appended_*` skip markers under a just
+    * rebuilt index dir — a fresh build starts a fresh append history,
+    * and a stale marker from a previous pass in the same JVM would
+    * suppress this run's folds (the multi-pass bench discipline).
+    * Shared by all four ingest-loop modules. */
+  private[streaming] def sweepAppendMarkers(idxDir: String): Unit = {
+    val p = Paths.get(idxDir)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("_appended_"))
+        .foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+
+  /** Delete a staged replay dir's parts and the dir itself — the
+    * finally-cleanup every finite-file replay runs. */
+  private[streaming] def cleanupStaged(staged: Path): Unit =
+    deleteRecursively(staged)
 
   /** `Files.list` holds an open directory fd until closed — always
     * drain inside try/finally. */

@@ -63,32 +63,15 @@ object StreamDeltaDedup {
     // fresh result sink per run: the per-batch writer appends, and a
     // multi-pass bench re-running this query in one application must
     // not accumulate the previous pass's keepers
-    def deleteRec(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        val s = Files.list(p)
-        try { val it = s.iterator(); while (it.hasNext) deleteRec(it.next()) }
-        finally s.close()
-      }
-      Files.deleteIfExists(p); ()
-    }
-    deleteRec(Paths.get(outDir))
+
+    ReplayStage.deleteRecursively(Paths.get(outDir))
 
     DedupIndex.build(corpus, "doc_id", "text",
       shingleK = shingleK, numBands = numBands, rowsPerBand = rowsPerBand,
       seed = seed, sqlMirroredHashes = true).save(idxDir)
     // a fresh build starts a fresh append history: stale markers from a
     // previous pass in the same JVM must not suppress this run's appends
-    if (Files.isDirectory(Paths.get(idxDir))) {
-      val s = Files.list(Paths.get(idxDir))
-      try {
-        val it = s.iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.startsWith("_appended_"))
-            Files.deleteIfExists(p)
-        }
-      } finally s.close()
-    }
+    ReplayStage.sweepAppendMarkers(idxDir)
 
     // id-ordered N-part staging: split the id range into equal spans
     // (two tiny aggregates, no collect of ids) — processing order is
@@ -140,13 +123,7 @@ object StreamDeltaDedup {
         .queryName(queryName)
         .start()
       q.awaitTermination()
-    } finally {
-      val s = Files.list(staged)
-      try s.iterator().forEachRemaining(p => Files.deleteIfExists(p))
-      finally s.close()
-      Files.deleteIfExists(staged)
-      ()
-    }
+    } finally ReplayStage.cleanupStaged(staged)
     spark.read.schema("doc_id BIGINT, keep_id BIGINT")
       .option("recursiveFileLookup", "true") // per-batch subdirs
       .parquet(outDir)

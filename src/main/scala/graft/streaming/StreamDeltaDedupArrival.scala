@@ -81,6 +81,35 @@ object StreamDeltaDedupArrival {
     graft.sources.PartitionMaintenance.compact(spark, seenTables(dir),
       maxFilesPerPartition)
 
+  /** The earliest-seen keeper for one micro-batch, from the verified
+    * pair set: rank each partner `a` — this batch → `batchId` (via the
+    * `inBatch` membership frame), an earlier batch → its `seen` entry
+    * (`_rs`), the corpus → −1 — and take the (rank, id) struct-min per
+    * batch doc `b` among QUALIFIED partners: rank < batchId, or same
+    * rank with `a < b`. The qualification filter is what makes this
+    * correct under foreachBatch REDELIVERY: after a crash between the
+    * index fold and the marker, the retried batch's own rows are
+    * already indexed, so `deltaPairs(anyIndexedPartner = true)` emits
+    * them as side-0 partners regardless of id (including a larger-id
+    * same-batch copy, and the trivial self-pair) — those all carry
+    * rank = batchId via `inBatch` and fail the filter, restoring
+    * exactly the first-delivery pair semantics. On a first delivery the
+    * filter passes every pair (indexed partners rank < batchId;
+    * within-batch pairs carry a < b by deltaPairs' rule), so it is
+    * behavior-neutral there. */
+  private[streaming] def keeperForBatch(pairs: DataFrame, seen: DataFrame,
+      inBatch: DataFrame, batchId: Long): DataFrame =
+    pairs
+      .join(seen, Seq("a"), "left")
+      .join(inBatch, Seq("a"), "left")
+      .withColumn("_ra", when(col("_inb").isNotNull, lit(batchId))
+        .otherwise(coalesce(col("_rs"), lit(-1L))))
+      .where(col("_ra") < lit(batchId) ||
+        (col("_ra") === lit(batchId) && col("a") < col("b")))
+      .groupBy(col("b"))
+      .agg(min(struct(col("_ra"), col("a"))).as("_m"))
+      .select(col("b").as("doc_id"), col("_m.a").as("keep_id"))
+
   /** Build+save the corpus index under `stageDir/idx`, stream the delta
     * through probe-then-append in `numBatches` arrival-ordered
     * micro-batches, return one (doc_id, keep_id) row per delta doc
@@ -109,34 +138,17 @@ object StreamDeltaDedupArrival {
     val outDir = s"$stageDir/out_$queryName"
     val seenDir = s"$stageDir/seen_$queryName"
 
-    def deleteRec(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        val s = Files.list(p)
-        try { val it = s.iterator(); while (it.hasNext) deleteRec(it.next()) }
-        finally s.close()
-      }
-      Files.deleteIfExists(p); ()
-    }
+
     // fresh sinks per run (multi-pass bench discipline, see x57)
-    deleteRec(Paths.get(outDir))
-    deleteRec(Paths.get(seenDir))
+    ReplayStage.deleteRecursively(Paths.get(outDir))
+    ReplayStage.deleteRecursively(Paths.get(seenDir))
 
     DedupIndex.build(corpus, "doc_id", "text",
       shingleK = shingleK, numBands = numBands, rowsPerBand = rowsPerBand,
       seed = seed, sqlMirroredHashes = true).save(idxDir)
     val idx0 = DedupIndex.load(spark, idxDir, "doc_id")
     val idBuckets = idx0.meta.idBuckets
-    if (Files.isDirectory(Paths.get(idxDir))) {
-      val s = Files.list(Paths.get(idxDir))
-      try {
-        val it = s.iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.startsWith("_appended_"))
-            Files.deleteIfExists(p)
-        }
-      } finally s.close()
-    }
+    ReplayStage.sweepAppendMarkers(idxDir)
     // empty PARTITIONED seen-map (only _SUCCESS lands — no part files,
     // no root/partition layout conflict) so batch 0 has a table to miss
     // against; every later fold adds _ibkt=K dirs
@@ -171,18 +183,7 @@ object StreamDeltaDedupArrival {
             .select(col("doc_id").as("a"), col("seen").as("_rs"))
           val inBatch = batch.select(col("doc_id").as("a"),
             lit(1).as("_inb"))
-          // partner rank: this batch → k; an earlier batch → its seen
-          // entry; the corpus → −1. All three are strictly ≤ k, and
-          // within-batch pairs carry a < b, so every pair qualifies
-          // under (rank, id) < (k, b) — the keeper is the struct-min.
-          val keep = pairs
-            .join(seen, Seq("a"), "left")
-            .join(inBatch, Seq("a"), "left")
-            .withColumn("_ra", when(col("_inb").isNotNull, lit(batchId))
-              .otherwise(coalesce(col("_rs"), lit(-1L))))
-            .groupBy(col("b"))
-            .agg(min(struct(col("_ra"), col("a"))).as("_m"))
-            .select(col("b").as("doc_id"), col("_m.a").as("keep_id"))
+          val keep = keeperForBatch(pairs, seen, inBatch, batchId)
           batch.select(col("doc_id"))
             .join(keep, Seq("doc_id"), "left")
             .select(col("doc_id"),
@@ -211,13 +212,7 @@ object StreamDeltaDedupArrival {
         .queryName(queryName)
         .start()
       q.awaitTermination()
-    } finally {
-      val s = Files.list(staged)
-      try s.iterator().forEachRemaining(p => Files.deleteIfExists(p))
-      finally s.close()
-      Files.deleteIfExists(staged)
-      ()
-    }
+    } finally ReplayStage.cleanupStaged(staged)
     spark.read.schema("doc_id BIGINT, keep_id BIGINT")
       .option("recursiveFileLookup", "true")
       .parquet(outDir)

@@ -44,17 +44,7 @@ object StreamIvfIngest {
 
     IvfIndex.buildSeeded(base, "vec_id", "embedding", nlist = nlist)
       .save(idxDir)
-    if (Files.isDirectory(Paths.get(idxDir))) {
-      val s = Files.list(Paths.get(idxDir))
-      try {
-        val it = s.iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.startsWith("_appended_"))
-            Files.deleteIfExists(p)
-        }
-      } finally s.close()
-    }
+    ReplayStage.sweepAppendMarkers(idxDir)
 
     // arrival-hash staging: order-decorrelated from ids on purpose —
     // the appends must not care
@@ -86,13 +76,7 @@ object StreamIvfIngest {
         .queryName(queryName)
         .start()
       q.awaitTermination()
-    } finally {
-      val s = Files.list(staged)
-      try s.iterator().forEachRemaining(p => Files.deleteIfExists(p))
-      finally s.close()
-      Files.deleteIfExists(staged)
-      ()
-    }
+    } finally ReplayStage.cleanupStaged(staged)
     IvfIndex.compact(spark, idxDir, maxFilesPerPartition = 1)
     IvfIndex.load(spark, idxDir, "vec_id")
       .search(emb.where(col("vec_id") % deltaMod === 0

@@ -48,31 +48,14 @@ object StreamSemDedup {
     val idxDir = s"$stageDir/idx"
     val outDir = s"$stageDir/out_$queryName"
 
-    def deleteRec(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        val s = Files.list(p)
-        try { val it = s.iterator(); while (it.hasNext) deleteRec(it.next()) }
-        finally s.close()
-      }
-      Files.deleteIfExists(p); ()
-    }
-    deleteRec(Paths.get(outDir)) // fresh sink per run (multi-pass bench)
+
+    ReplayStage.deleteRecursively(Paths.get(outDir)) // fresh sink per run (multi-pass bench)
 
     SemDedupIndex.buildOrthant(corpus, "vec_id", "embedding", bits = bits)
       .save(idxDir)
     // fresh build = fresh append history: stale markers from a previous
     // pass in the same JVM must not suppress this run's folds
-    if (Files.isDirectory(Paths.get(idxDir))) {
-      val s = Files.list(Paths.get(idxDir))
-      try {
-        val it = s.iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.startsWith("_appended_"))
-            Files.deleteIfExists(p)
-        }
-      } finally s.close()
-    }
+    ReplayStage.sweepAppendMarkers(idxDir)
 
     // id-ordered N-part staging (the x57 split, see StreamDeltaDedup)
     val mm = delta.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
@@ -110,13 +93,7 @@ object StreamSemDedup {
         .queryName(queryName)
         .start()
       q.awaitTermination()
-    } finally {
-      val s = Files.list(staged)
-      try s.iterator().forEachRemaining(p => Files.deleteIfExists(p))
-      finally s.close()
-      Files.deleteIfExists(staged)
-      ()
-    }
+    } finally ReplayStage.cleanupStaged(staged)
     spark.read.schema("vec_id BIGINT, keep_id BIGINT")
       .option("recursiveFileLookup", "true")
       .parquet(outDir)

@@ -138,5 +138,21 @@ class IvfIndexSpec extends SparkSpec {
     assert(onDisk == expected,
       "post-append corpus must equal the fixed-router assignment of A ∪ B")
     graft.Caches.release()
+
+    // rebuilding into the same dir with the OTHER router family must
+    // not leave a stale artifact for load to prefer: a leftover
+    // seeded_router would silently shadow the new KMeans router and
+    // route probes against centroids that no longer match the corpus
+    IvfIndex.build(emb, "vec_id", "embedding", nlist = 8).save(dir)
+    assert(!new java.io.File(s"$dir/seeded_router").exists,
+      "saving a KMeans router must clear the stale seeded artifact")
+    assert(IvfIndex.load(spark, dir, "vec_id").router
+      .isInstanceOf[IvfIndex.KMeansRouter])
+    IvfIndex.buildSeeded(emb, "vec_id", "embedding", nlist = 8).save(dir)
+    assert(!new java.io.File(s"$dir/router").exists,
+      "saving a seeded router must clear the stale KMeans artifact")
+    assert(IvfIndex.load(spark, dir, "vec_id").router
+      .isInstanceOf[IvfIndex.SeededRouter])
+    graft.Caches.release()
   }
 }

@@ -75,17 +75,28 @@ class PartitionMaintenanceSpec extends SparkSpec {
     val dir = fixture(parts = 4)
     val bytes = PartitionMaintenance.audit(spark, tables(dir))
       .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
-    // pick a target that forces >1 output file for every partition
-    val target = bytes.values.min / 2
+    // a target of half the partition size → optimal layout = 2 files
+    // (> 1, < the 4 on disk, so the rewrite both triggers and splits)
+    val target = bytes.values.max / 2
     val stats = PartitionMaintenance.compact(spark, tables(dir),
       maxFilesPerPartition = 1, targetBytesPerFile = target)
-    assert(stats.size == 2 && stats.forall(_.filesAfter > 1),
+    assert(stats.size == 2 && stats.forall(s =>
+      s.filesBefore == 4 && s.filesAfter > 1),
       s"an over-target partition must split into multiple files: $stats")
     val audit = PartitionMaintenance.audit(spark, tables(dir))
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     stats.foreach(s => assert(audit(s.partition) == s.filesAfter.toLong,
       s"reported filesAfter must match the on-disk listing: $s"))
     assert(spark.read.parquet(dir).count() == 40L)
+    // already-optimal layouts are NOT perpetually rewritten: with a
+    // tiny byte target the optimal count exceeds what's on disk, so the
+    // skip threshold (max of the alarm count and the byte-targeted
+    // count) must leave the partition alone instead of rewriting the
+    // same bytes on every maintenance run
+    val again = PartitionMaintenance.compact(spark, tables(dir),
+      maxFilesPerPartition = 1, targetBytesPerFile = 1L)
+    assert(again.isEmpty,
+      s"an at-or-under-optimal partition must not be rewritten: $again")
   }
 
   test("an interrupted swap with all adds landed is rolled FORWARD: " +
@@ -183,6 +194,22 @@ class PartitionMaintenanceSpec extends SparkSpec {
     PartitionMaintenance.publishTagged(spark, staging, table,
       depth = 1, tag = "bx")
     assert(spark.read.parquet(table).count() == 14L)
+
+    // the retry-AFTER-COMPACT case: compaction folds the ingest-bx
+    // files into compacted-* names, so the sweep-by-prefix would find
+    // nothing — the _published_bx root marker (which compact never
+    // touches) must make the retry a no-op instead of a double-append
+    PartitionMaintenance.compact(spark, Seq(("t", table, 1)),
+      maxFilesPerPartition = 1)
+    (10 until 14).map(i => (i.toLong, i % 2)).toDF("id", "k")
+      .repartition(1).write.mode("overwrite").partitionBy("k")
+      .parquet(staging)
+    PartitionMaintenance.publishTagged(spark, staging, table,
+      depth = 1, tag = "bx")
+    assert(spark.read.parquet(table).count() == 14L,
+      "a retry after compaction must not re-append the batch")
+    assert(!new java.io.File(staging).exists,
+      "the skipped retry still consumes its staging")
   }
 
   test("an interrupted swap with partial adds is rolled BACK: the " +

@@ -132,6 +132,44 @@ class IngestReplaySpec extends SparkSpec {
         "downstream keeper probe) must be identical")
   }
 
+  test("keeperForBatch is correct under foreachBatch REDELIVERY: with " +
+    "the batch already folded into the index, keepers equal the " +
+    "first-delivery run") {
+    val d = sf("sf0.001")
+    val docs = graft.sources.Tables.table(spark, d, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("redeliver").toString
+    DedupIndex.build(corpus, "doc_id", "text",
+      shingleK = 3, numBands = 4, rowsPerBand = 2, seed = 42L).save(dir)
+
+    import spark.implicits._
+    val emptySeen = Seq.empty[(Long, Long)].toDF("a", "_rs")
+    val inBatch = batch.select(col("doc_id").as("a"), lit(1).as("_inb"))
+    def keepers(idx: DedupIndex) = StreamDeltaDedupArrival.keeperForBatch(
+        idx.deltaPairs(batch, "text", tauNum = 7, tauDenom = 10,
+          maxBucket = Int.MaxValue, anyIndexedPartner = true),
+        emptySeen, inBatch, batchId = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val first = keepers(DedupIndex.load(spark, dir, "doc_id"))
+    graft.Caches.release()
+    assert(first.nonEmpty, "fixture must produce keeper rows")
+    // the crash window: the fold completed, the marker did not — the
+    // redelivered batch now probes an index CONTAINING ITSELF, so
+    // deltaPairs emits the batch's own copies as indexed partners
+    // (any id, self-pairs included); the qualification filter must
+    // discard exactly those
+    DedupIndex.load(spark, dir, "doc_id")
+      .appendTagged(batch, "text", dir, tag = "b0")
+    val redelivered = keepers(DedupIndex.load(spark, dir, "doc_id"))
+    graft.Caches.release()
+    assert(redelivered == first,
+      "redelivery keepers must equal first-delivery keepers — a " +
+        "larger-id same-batch copy must never become keep_id")
+  }
+
   test("appendTagged retry converges: re-running a batch fold leaves " +
     "exactly one copy in the index") {
     val d = sf("sf0.001")
