@@ -13909,7 +13909,10 @@ object Queries {
     // a partner seen in batch 0 must win over a smaller-id partner in
     // batch 2, and a batch-1 doc's rank must sit strictly between. Same
     // staging hash (% 3), same earliest-seen contract, same
-    // batch-count-parameterized oracle as x60.
+    // batch-count-parameterized oracle as x60. The seen-map is
+    // compacted IN-LOOP between batches 2 and 3 (the x68 pattern:
+    // maintenance inside the oracle-gated loop) — layout-only, so the
+    // unchanged oracle is the compaction-neutrality witness.
     q("x66_stream_ingest_dedup_arrival_n3", arrivalIngestOracleSql(3)) {
       (s, d) =>
         graft.streaming.StreamDeltaDedupArrival.replayParquet(s, d,
@@ -13917,7 +13920,8 @@ object Queries {
             deltaMod = DeltaMod, shingleK = 3, numBands = MirrorBands,
             rowsPerBand = MirrorRows, seed = MirrorSeed,
             tauNum = MirrorTauNum, tauDenom = MirrorTauDenom,
-            queryName = "x66_ingest_arrival_n3", numBatches = 3)
+            queryName = "x66_ingest_arrival_n3", numBatches = 3,
+            compactSeenAfterBatch = Some(1L))
           .orderBy(col("doc_id"))
     },
 

@@ -57,6 +57,26 @@ object ReplayStage {
   private[streaming] def cleanupStaged(staged: Path): Unit =
     deleteRecursively(staged)
 
+  /** Run `fold` unless this (idxDir, batchId) already ran — the
+    * `_appended_` skip fast-path shared by the four ingest-loop replay
+    * modules ([[StreamDeltaDedup]], [[StreamDeltaDedupArrival]],
+    * [[StreamSemDedup]], [[StreamIvfIngest]]). The marker is HARNESS
+    * machinery, not a correctness gate: every fold inside is an
+    * idempotent tagged publish (`appendTagged`/`publishTagged`), so a
+    * crash between the fold and the marker write converges on retry
+    * anyway; the marker only skips the re-publish work on the
+    * fast path. Pairs with [[sweepAppendMarkers]], which clears stale
+    * markers when the index is rebuilt in the same JVM. */
+  private[streaming] def foldOncePerBatch(idxDir: String, batchId: Long)
+                                         (fold: => Unit): Unit = {
+    val marker = Paths.get(idxDir, s"_appended_$batchId")
+    if (!Files.exists(marker)) {
+      fold
+      Files.createFile(marker)
+      ()
+    }
+  }
+
   /** `Files.list` holds an open directory fd until closed — always
     * drain inside try/finally. */
   private def listDir(p: Path): Seq[Path] = {

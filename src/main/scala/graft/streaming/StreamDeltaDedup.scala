@@ -111,10 +111,8 @@ object StreamDeltaDedup {
           idx.deltaDedup(batch, "text", tauNum = tauNum,
               tauDenom = tauDenom, maxBucket = Int.MaxValue)
             .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-          val marker = Paths.get(idxDir, s"_appended_$batchId")
-          if (!Files.exists(marker)) {
+          ReplayStage.foldOncePerBatch(idxDir, batchId) {
             idx.appendTagged(batch, "text", idxDir, tag = s"b$batchId")
-            Files.createFile(marker)
           }
           graft.Caches.release() // the probe's per-batch scratch persists
           ()

@@ -118,21 +118,28 @@ object StreamDeltaDedupArrival {
                     deltaMod: Int, shingleK: Int, numBands: Int,
                     rowsPerBand: Int, seed: Long, tauNum: Int, tauDenom: Int,
                     queryName: String = "stream_delta_dedup_arrival",
-                    numBatches: Int = 2): DataFrame = {
+                    numBatches: Int = 2,
+                    compactSeenAfterBatch: Option[Long] = None): DataFrame = {
     val docs = graft.sources.Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val corpus = docs.where(col("doc_id") % deltaMod =!= 0)
     val delta = docs.where(col("doc_id") % deltaMod === 0)
     replayFrames(spark, corpus, delta, stageDir, shingleK, numBands,
-      rowsPerBand, seed, tauNum, tauDenom, queryName, numBatches)
+      rowsPerBand, seed, tauNum, tauDenom, queryName, numBatches,
+      compactSeenAfterBatch)
   }
 
   /** [[replayParquet]] over caller-provided corpus/delta frames — the
-    * entry the N≥3 planted-chain spec drives with synthetic documents. */
+    * entry the N≥3 planted-chain spec drives with synthetic documents.
+    * @param compactSeenAfterBatch run [[compactSeen]] inside the loop
+    *   right after this batch's fold — the in-loop maintenance step
+    *   (x66 passes `Some(1)`: compaction lands between batches 2 and 3
+    *   and the unchanged oracle witnesses it changed nothing). */
   def replayFrames(spark: SparkSession, corpus: DataFrame, delta: DataFrame,
                    stageDir: String, shingleK: Int, numBands: Int,
                    rowsPerBand: Int, seed: Long, tauNum: Int, tauDenom: Int,
-                   queryName: String, numBatches: Int): DataFrame = {
+                   queryName: String, numBatches: Int,
+                   compactSeenAfterBatch: Option[Long] = None): DataFrame = {
     require(numBatches >= 1, s"numBatches=$numBatches")
     val idxDir = s"$stageDir/idx"
     val outDir = s"$stageDir/out_$queryName"
@@ -191,10 +198,9 @@ object StreamDeltaDedupArrival {
             .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
           // fold the batch in: index AND seen-map, each an idempotent
           // tagged unit (a retry sweeps its own previous attempt), so
-          // the marker below is a skip fast-path, not a correctness
-          // gate — there is no crash window that double-appends
-          val marker = Paths.get(idxDir, s"_appended_$batchId")
-          if (!Files.exists(marker)) {
+          // the marker is a skip fast-path, not a correctness gate —
+          // there is no crash window that double-appends
+          ReplayStage.foldOncePerBatch(idxDir, batchId) {
             idx.appendTagged(batch, "text", idxDir, tag = s"b$batchId")
             val seenStaging = s"$seenDir/.staging_seen_b$batchId"
             batch.select(col("doc_id"), lit(batchId).as("seen"),
@@ -203,8 +209,12 @@ object StreamDeltaDedupArrival {
               .parquet(seenStaging)
             graft.sources.PartitionMaintenance.publishTagged(spark,
               seenStaging, seenDir, depth = 1, tag = s"b$batchId")
-            Files.createFile(marker)
           }
+          // in-loop seen-map maintenance (x68 compacts its index the
+          // same way): layout-only — the registered oracle is unchanged,
+          // so a green gate doubles as the compaction-neutrality proof
+          if (compactSeenAfterBatch.contains(batchId))
+            compactSeen(spark, seenDir, maxFilesPerPartition = 1)
           graft.Caches.release()
           ()
         }

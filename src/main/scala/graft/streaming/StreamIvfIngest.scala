@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import graft.operators.IvfIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -64,10 +64,8 @@ object StreamIvfIngest {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val idx = IvfIndex.load(spark, idxDir, "vec_id")
-          val marker = Paths.get(idxDir, s"_appended_$batchId")
-          if (!Files.exists(marker)) {
+          ReplayStage.foldOncePerBatch(idxDir, batchId) {
             idx.appendTagged(batch, "embedding", idxDir, tag = s"b$batchId")
-            Files.createFile(marker)
           }
           graft.Caches.release()
           ()

@@ -81,10 +81,8 @@ object StreamSemDedup {
           val idx = SemDedupIndex.load(spark, idxDir, "vec_id")
           idx.deltaDedup(batch, "embedding", tau = tau)
             .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-          val marker = Paths.get(idxDir, s"_appended_$batchId")
-          if (!Files.exists(marker)) {
+          ReplayStage.foldOncePerBatch(idxDir, batchId) {
             idx.appendTagged(batch, "embedding", idxDir, tag = s"b$batchId")
-            Files.createFile(marker)
           }
           graft.Caches.release()
           ()
