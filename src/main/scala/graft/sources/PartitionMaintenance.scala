@@ -36,7 +36,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * swap (delete the replaced parts); any added file missing → roll back
   * (delete the partial adds; the originals are intact). Duplicated rows
   * can therefore never silently survive a re-compact — the failure mode
-  * the pre-manifest move-then-delete ordering allowed. */
+  * the pre-manifest move-then-delete ordering allowed.
+  *
+  * Retention: [[publishTagged]] records each completed batch at the
+  * table root (a `_published_<tag>` marker). So the root listing does
+  * not grow one file per ingest batch forever, [[compact]] begins by
+  * [[foldPublishedMarkers]]-ing the markers into ONE versioned
+  * `_ptags-*` manifest (crash-safe: new manifest published before old
+  * records deleted, so the union never loses a tag and retry
+  * idempotence is preserved across the fold). Compact also refuses to
+  * fold `ingest-<tag>-*` files whose tag has no published record —
+  * they are a crashed markerless publish, carried forward under their
+  * original names so the inbound retry's sweep still finds them (the
+  * alternative renames them into `compacted-*` and the retry
+  * re-appends the batch). Crashed-before-publish staging dirs are
+  * swept by [[sweepStaging]] on an age horizon. */
 object PartitionMaintenance {
 
   /** One [[compact]] decision per rewritten partition directory. */
@@ -50,6 +64,12 @@ object PartitionMaintenance {
 
   private val ManifestPrefix = "_compact_manifest_"
   private val ScratchPrefix = ".compact_tmp_"
+  private val PublishedMarkerPrefix = "_published_"
+  // versioned published-tags manifest at the table root: `-` never
+  // occurs in a tag (publishTagged rejects it), so the prefix cannot
+  // collide with any `_published_<tag>` marker name
+  private val PublishedTagsPrefix = "_ptags-"
+  private val StagingPrefix = ".staging_"
 
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -106,18 +126,20 @@ object PartitionMaintenance {
     manifest
   }
 
+  private def readUtf8(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   private def readManifest(fs: FileSystem,
                            manifest: Path): (Seq[String], Seq[String]) = {
-    val in = fs.open(manifest)
-    val text =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val lines = readUtf8(fs, manifest).split("\n").toSeq.filter(_.nonEmpty)
     (lines.collect { case l if l.startsWith("add:") => l.drop(4) },
       lines.collect { case l if l.startsWith("del:") => l.drop(4) })
   }
@@ -152,6 +174,93 @@ object PartitionMaintenance {
     }
   }
 
+  // ---- durable published-tag record ------------------------------
+
+  /** Every tag with a durable "published" record at `root`: the union
+    * of per-tag `_published_<tag>` marker files and the lines of every
+    * versioned `_ptags-*` manifest ([[foldPublishedMarkers]] moves tags
+    * from the former into the latter without ever dropping the record).
+    * One bounded root listing. */
+  def publishedTags(fs: FileSystem, root: Path): Set[String] =
+    listStatus(fs, root).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(PublishedTagsPrefix) && st.isFile)
+        readUtf8(fs, st.getPath).split("\n").iterator.filter(_.nonEmpty)
+      else if (n.startsWith(PublishedMarkerPrefix) && st.isFile)
+        Iterator.single(n.stripPrefix(PublishedMarkerPrefix))
+      else Iterator.empty
+    }.toSet
+
+  /** Fold the per-tag `_published_<tag>` markers at `tableDir`'s root
+    * into ONE versioned `_ptags-<uuid>` manifest — the retention step
+    * that keeps root-listing cost flat under a long-running ingest loop
+    * (one zero-byte marker per batch, forever, was the same
+    * listing-growth disease this module cures inside partition dirs).
+    * Crash-safe by ordering: the new manifest is atomically published
+    * (write-to-tmp + rename) BEFORE any marker or superseded manifest
+    * is deleted, so at every crash point the union [[publishedTags]]
+    * reads still contains every published tag — a retry of a folded tag
+    * remains a no-op, the idempotence guarantee intact. Runs
+    * automatically at the start of [[compact]] for each table; also
+    * callable on its own cadence. Returns the folded marker count. */
+  def foldPublishedMarkers(spark: SparkSession, tableDir: String): Int = {
+    val (fs, root) = fsFor(spark, tableDir)
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"foldPublishedMarkers: $root does not exist or is not a directory")
+    val entries = listStatus(fs, root)
+    // stale tmp from a crashed fold: its tags are still in the markers
+    // and old manifests it never got to delete — safe to drop
+    entries.filter(st => st.getPath.getName.startsWith(PublishedTagsPrefix)
+        && st.getPath.getName.endsWith(".tmp"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val markers = entries.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.startsWith(PublishedMarkerPrefix) && !n.endsWith(".tmp")
+    }
+    val oldManifests = entries.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.startsWith(PublishedTagsPrefix) && !n.endsWith(".tmp")
+    }
+    if (markers.isEmpty && oldManifests.size <= 1) return 0
+    val tags = (oldManifests.flatMap(st =>
+        readUtf8(fs, st.getPath).split("\n").toSeq.filter(_.nonEmpty)) ++
+      markers.map(_.getPath.getName.stripPrefix(PublishedMarkerPrefix)))
+      .distinct.sorted
+    val manifest = new Path(root,
+      s"$PublishedTagsPrefix${java.util.UUID.randomUUID()}")
+    val tmp = new Path(root, manifest.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(tags.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, manifest),
+      s"foldPublishedMarkers: could not publish $manifest")
+    // only now is it safe to drop the superseded records
+    (markers ++ oldManifests).foreach(st => fs.delete(st.getPath, false))
+    markers.size
+  }
+
+  /** Delete `.staging_*` entries under `dir` older than
+    * `olderThanMillis` — the crashed-before-publish leftovers of
+    * [[publishTagged]] staging writes (a COMPLETED publish consumes its
+    * staging dir; only a dead attempt leaves one). Age-gated so an
+    * in-flight attempt's staging is never swept: pick a horizon past
+    * the longest plausible stage-write plus retry lag. Returns the
+    * swept names. */
+  def sweepStaging(spark: SparkSession, dir: String,
+                   olderThanMillis: Long): Seq[String] = {
+    val (fs, root) = fsFor(spark, dir)
+    if (!fs.exists(root)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    listStatus(fs, root).filter { st =>
+      st.getPath.getName.startsWith(StagingPrefix) &&
+        st.getModificationTime < cutoff
+    }.map { st =>
+      fs.delete(st.getPath, true)
+      st.getPath.getName
+    }
+  }
+
   /** IDEMPOTENT tagged append for a hive-partitioned table: publish the
     * staged partitioned write at `stagedDir` (same partitionBy layout,
     * `depth` key=value levels) into the live table at `tableDir`, every
@@ -173,17 +282,20 @@ object PartitionMaintenance {
     require(fs.getUri == sfs.getUri,
       s"publishTagged: staging $staged must live on the table's " +
         s"FileSystem ${fs.getUri} so the publish is a rename, not a copy")
-    // completion marker at the TABLE ROOT (compact never touches the
-    // root, only partition dirs): once it exists, the unit is durably
-    // done and a retry is a pure no-op — crucially, this stays true
-    // even after a later compact folds the ingest-<tag> files into
-    // compacted-* names, where the sweep-by-prefix below would find
-    // nothing and a markerless retry would re-append the whole batch.
-    // The residual window (publish complete, marker not yet written,
-    // compact runs, THEN the retry arrives) falls under compact's
-    // documented quiescence requirement.
-    val published = new Path(root, s"_published_$tag")
-    if (fs.exists(published)) {
+    // completion record at the TABLE ROOT (compact never touches the
+    // root, only partition dirs): once the tag is recorded — as a
+    // `_published_<tag>` marker or a [[foldPublishedMarkers]] manifest
+    // line — the unit is durably done and a retry is a pure no-op.
+    // This stays true even after a later compact folds the
+    // ingest-<tag> files into compacted-* names, where the
+    // sweep-by-prefix below would find nothing. The converse crash
+    // window (publish complete, marker NOT yet written, compact runs,
+    // then the retry arrives) is closed on compact's side: it refuses
+    // to fold ingest files whose tag has no published record, so the
+    // sweep below always finds a markerless batch under its original
+    // names and replaces it — no crash point can double-append.
+    val published = new Path(root, s"$PublishedMarkerPrefix$tag")
+    if (publishedTags(fs, root).contains(tag)) {
       fs.delete(staged, true) // consume the re-staged copy
       return
     }
@@ -251,9 +363,25 @@ object PartitionMaintenance {
       s"compact: targetBytesPerFile=$targetBytesPerFile")
     tables.flatMap { case (name, dir, depth) =>
       val (fs, root) = fsFor(spark, dir)
+      // retention first: fold the per-batch `_published_<tag>` markers
+      // into one manifest (flat root listing), then read the published
+      // record ONCE for the whole table
+      foldPublishedMarkers(spark, dir)
+      val recorded = publishedTags(fs, root)
       leafPartitions(fs, name, root, depth).flatMap { leaf =>
         recoverLeaf(fs, leaf)
-        val before = partFiles(fs, leaf)
+        val all = partFiles(fs, leaf)
+        // an `ingest-<tag>-*` file whose tag has NO published record is
+        // a publish that crashed before its marker landed: folding it
+        // into a compacted-* name would strand the inbound retry's
+        // sweep-by-prefix and re-append the whole batch. Carry such
+        // files forward untouched — the retry finds and replaces them,
+        // and once its marker lands a later compact folds them.
+        val (carried, before) = all.partition { st =>
+          val n = st.getPath.getName
+          n.startsWith("ingest-") &&
+            !recorded.contains(n.stripPrefix("ingest-").takeWhile(_ != '-'))
+        }
         val bytes = before.map(_.getLen).sum
         val nOut = math.max(1L,
           (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
@@ -263,7 +391,10 @@ object PartitionMaintenance {
         // rewritten on EVERY maintenance run while never getting
         // "better" — the alarm threshold and the layout target are
         // different numbers, and the rewrite trigger must respect both
-        if (before.size <= math.max(maxFilesPerPartition, nOut)) None
+        // (carried files are part of the partition's file count but not
+        // of the achievable optimum)
+        if (all.size <= math.max(maxFilesPerPartition,
+              nOut + carried.size) || before.isEmpty) None
         else {
           // scratch INSIDE the leaf (dot-prefixed: invisible to Spark
           // listings and to partFiles) — same FileSystem, so the swap
@@ -273,8 +404,12 @@ object PartitionMaintenance {
           // coalesce, not repartition: caps the output file count
           // without shuffling; reading `bytes` worth of parquet yields
           // ≥ nOut input splits at any sane maxPartitionBytes, and if
-          // it yields fewer the partition was small enough for fewer
-          spark.read.parquet(leaf.toString).coalesce(nOut)
+          // it yields fewer the partition was small enough for fewer.
+          // Read the FOLDABLE files by name, not the leaf dir — carried
+          // (unpublished-ingest) files must not be duplicated into the
+          // compacted output
+          spark.read.parquet(before.map(_.getPath.toString): _*)
+            .coalesce(nOut)
             .write.mode("overwrite").parquet(scratch.toString)
           val compactedSrc = listStatus(fs, scratch)
             .filter(st => st.isFile &&
@@ -298,7 +433,7 @@ object PartitionMaintenance {
           fs.delete(manifest, false)
           fs.delete(scratch, true)
           Some(CompactStats(name, relative(root, leaf),
-            before.size, adds.size))
+            all.size, adds.size + carried.size))
         }
       }
     }

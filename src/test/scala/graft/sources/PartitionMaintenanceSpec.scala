@@ -212,6 +212,146 @@ class PartitionMaintenanceSpec extends SparkSpec {
       "the skipped retry still consumes its staging")
   }
 
+  test("compact refuses to fold a MARKERLESS publish: the crashed " +
+    "batch is carried forward under its ingest names and the retry " +
+    "still converges to exactly one copy") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("pm_carry").toString
+    (0 until 10).map(i => (i.toLong, i % 2)).toDF("id", "k")
+      .repartition(1).write.mode("overwrite").partitionBy("k").parquet(table)
+    val staging = java.nio.file.Files.createTempDirectory("pm_cs").toString
+    def stage(lo: Int, hi: Int): Unit =
+      (lo until hi).map(i => (i.toLong, i % 2)).toDF("id", "k")
+        .repartition(1).write.mode("overwrite").partitionBy("k")
+        .parquet(staging)
+
+    stage(10, 14)
+    PartitionMaintenance.publishTagged(spark, staging, table,
+      depth = 1, tag = "ba")
+    stage(14, 18)
+    PartitionMaintenance.publishTagged(spark, staging, table,
+      depth = 1, tag = "bb")
+    // simulate the residual crash window: publish of bb COMPLETED (all
+    // renames landed) but the process died before the marker write
+    assert(new java.io.File(table, "_published_bb").delete())
+
+    // compact between the crash and the retry — the exact sequence the
+    // round-18 quiescence caveat deferred: scheduled maintenance runs
+    // before the stream restarts
+    val stats = PartitionMaintenance.compact(spark, Seq(("t", table, 1)),
+      maxFilesPerPartition = 1)
+    assert(stats.nonEmpty)
+    val leafFiles = Seq("k=0", "k=1").flatMap(k =>
+      new java.io.File(table, k).listFiles().toSeq.map(_.getName))
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+    assert(leafFiles.count(_.startsWith("ingest-bb-")) == 2,
+      s"the markerless batch must keep its ingest names: $leafFiles")
+    assert(!leafFiles.exists(_.startsWith("ingest-ba-")),
+      s"the RECORDED batch must fold into compacted names: $leafFiles")
+    assert(spark.read.parquet(table).count() == 18L,
+      "carry-forward must not duplicate or drop the crashed batch's rows")
+
+    // the inbound retry finds its own files by prefix and republishes
+    stage(14, 18)
+    PartitionMaintenance.publishTagged(spark, staging, table,
+      depth = 1, tag = "bb")
+    val ids = spark.read.parquet(table).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 18L),
+      s"retry after carry-forward converges to one copy: $ids")
+    // and once recorded, a later compact MAY fold it
+    PartitionMaintenance.compact(spark, Seq(("t", table, 1)),
+      maxFilesPerPartition = 1)
+    assert(spark.read.parquet(table).count() == 18L)
+    assert(PartitionMaintenance.audit(spark, Seq(("t", table, 1)))
+      .collect().forall(_.getLong(2) == 1L),
+      "post-record compact folds everything down to one file per leaf")
+  }
+
+  test("compact folds the per-batch root markers into ONE manifest — " +
+    "root listing stays bounded and folded tags remain retry-no-ops") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("pm_fold").toString
+    (0 until 10).map(i => (i.toLong, i % 2)).toDF("id", "k")
+      .repartition(1).write.mode("overwrite").partitionBy("k").parquet(table)
+    val staging = java.nio.file.Files.createTempDirectory("pm_fs").toString
+    val n = 6
+    (0 until n).foreach { b =>
+      (10 + 2 * b until 12 + 2 * b).map(i => (i.toLong, i % 2))
+        .toDF("id", "k").repartition(1).write.mode("overwrite")
+        .partitionBy("k").parquet(staging)
+      PartitionMaintenance.publishTagged(spark, staging, table,
+        depth = 1, tag = s"b$b")
+    }
+    def rootEntries() = new java.io.File(table).listFiles().toSeq
+      .map(_.getName).filterNot(n => n.startsWith("k=") || n == "_SUCCESS")
+    assert(rootEntries().count(_.startsWith("_published_")) == n,
+      s"fixture: one marker per batch: ${rootEntries()}")
+
+    PartitionMaintenance.compact(spark, Seq(("t", table, 1)),
+      maxFilesPerPartition = 1)
+    val after = rootEntries()
+    assert(after.count(_.startsWith("_ptags-")) == 1 &&
+      !after.exists(_.startsWith("_published_")),
+      s"markers must fold into exactly one manifest: $after")
+
+    // idempotence survives the fold: a retry of EVERY folded tag is a
+    // no-op (consumes its staging, appends nothing)
+    (0 until n).foreach { b =>
+      (10 + 2 * b until 12 + 2 * b).map(i => (i.toLong, i % 2))
+        .toDF("id", "k").repartition(1).write.mode("overwrite")
+        .partitionBy("k").parquet(staging)
+      PartitionMaintenance.publishTagged(spark, staging, table,
+        depth = 1, tag = s"b$b")
+    }
+    assert(spark.read.parquet(table).count() == (10 + 2 * n).toLong,
+      "no folded tag may re-append")
+    // a second fold cycle does not grow the root: N more batches, one
+    // compact, still one manifest
+    (n until 2 * n).foreach { b =>
+      (10 + 2 * b until 12 + 2 * b).map(i => (i.toLong, i % 2))
+        .toDF("id", "k").repartition(1).write.mode("overwrite")
+        .partitionBy("k").parquet(staging)
+      PartitionMaintenance.publishTagged(spark, staging, table,
+        depth = 1, tag = s"b$b")
+    }
+    PartitionMaintenance.compact(spark, Seq(("t", table, 1)),
+      maxFilesPerPartition = 1)
+    assert(rootEntries().count(_.startsWith("_ptags-")) == 1 &&
+      !rootEntries().exists(_.startsWith("_published_")),
+      s"root listing must stay bounded across fold cycles: ${rootEntries()}")
+    assert(spark.read.parquet(table).select("id").distinct().count()
+      == (10 + 4 * n).toLong)
+  }
+
+  test("sweepStaging deletes only aged .staging_* leftovers, never a " +
+    "fresh in-flight attempt") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pm_sweep").toString
+    def mkStaging(name: String, ageMs: Long): Unit = {
+      (0 until 4).map(i => (i.toLong, i % 2)).toDF("id", "k")
+        .repartition(1).write.mode("overwrite").partitionBy("k")
+        .parquet(s"$dir/$name")
+      val t = System.currentTimeMillis() - ageMs
+      assert(new java.io.File(dir, name).setLastModified(t))
+    }
+    mkStaging(".staging_bands_dead", ageMs = 120000L)
+    mkStaging(".staging_docs_dead", ageMs = 120000L)
+    mkStaging(".staging_bands_live", ageMs = 0L)
+
+    val swept = PartitionMaintenance.sweepStaging(spark, dir,
+      olderThanMillis = 60000L)
+    assert(swept.toSet == Set(".staging_bands_dead", ".staging_docs_dead"),
+      s"swept: $swept")
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left == Set(".staging_bands_live"),
+      s"the fresh attempt must survive: $left")
+    // a missing dir is a quiet no-op (retention runs on a cadence; the
+    // index may not exist yet)
+    assert(PartitionMaintenance.sweepStaging(spark,
+      s"$dir/nope_${java.util.UUID.randomUUID()}", 0L).isEmpty)
+  }
+
   test("an interrupted swap with partial adds is rolled BACK: the " +
     "partial adds are deleted, the originals survive untouched") {
     val dir = fixture(parts = 2)
