@@ -588,8 +588,12 @@ object Queries {
     * by cosine of L2-normalized vectors (desc, id asc). All float math
     * is the left-to-right fold family (list_prepend(0.0) + list_reduce)
     * both engines share bit-for-bit. Compaction is layout-only, so the
-    * same SQL pins the compacted search too. */
-  private def ivfLifecycleOracleSql: String =
+    * same SQL pins the compacted search too.
+    * @param queryBound day-2 sample cutoff: q261/x68 gate the
+    *   broadcast `search` at 200; q262 gates the distributed
+    *   `searchBulk` at 2000 (10× the queries, same contract — the
+    *   bulk path must return exactly what the broadcast path would). */
+  private def ivfLifecycleOracleSql(queryBound: Long = 200L): String =
     s"""WITH v AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS ve
        |  FROM embeddings),
@@ -623,7 +627,7 @@ object Queries {
        |                 [x*x FOR x IN ve]), (a,b) -> a+b)) AS nrm
        |        FROM corp)),
        |qs AS (SELECT vec_id AS query_id, ve AS qe FROM v
-       |       WHERE vec_id % $DeltaMod = 0 AND vec_id < 200),
+       |       WHERE vec_id % $DeltaMod = 0 AND vec_id < $queryBound),
        |qn AS (
        |  SELECT query_id,
        |         CASE WHEN nrm = 0 THEN qe ELSE [x/nrm FOR x IN qe] END AS qv
@@ -13762,7 +13766,7 @@ object Queries {
     // normalized-cosine top-5 — append-then-compact-then-search must be
     // indistinguishable from assigning the 80% corpus one-shot.
     // IvfIndexSpec holds the KMeans-router append/compact properties.
-    q("q261_ivf_index_lifecycle", ivfLifecycleOracleSql) { (s, d) =>
+    q("q261_ivf_index_lifecycle", ivfLifecycleOracleSql()) { (s, d) =>
       val e = T(s, d, "embeddings")
       val dir = Staging.dir(s, "q261_ivf_index")
       graft.operators.IvfIndex.buildSeeded(
@@ -13777,6 +13781,41 @@ object Queries {
       graft.operators.IvfIndex.load(s, dir, "vec_id")
         .search(e.where(col("vec_id") % DeltaMod === 0
               && col("vec_id") < 200)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // q262: the DISTRIBUTED bulk-search path over the same persisted
+    // lifecycle — q261 with the broadcast-query contract lifted.
+    // `search` broadcasts the probe side (right for request-sized query
+    // sets: zero corpus bytes move); a backfill joining millions of
+    // queries against the index cannot broadcast, so `searchBulk`
+    // routes queries onto cells with the SAME row-local nearestCells
+    // ranking and runs corpus ⋈ probes as a salted shuffle join —
+    // no BroadcastExchange on either side (plan-pinned in
+    // IvfIndexSpec), nlist·saltFactor-way parallelism instead of the
+    // nlist-way a bare _cell key would cap at. The oracle is the q261
+    // lifecycle SQL at a 10× query bound: the bulk plan must return
+    // row-for-row what the broadcast plan (and DuckDB) returns.
+    q("q262_ivf_bulk_search", ivfLifecycleOracleSql(2000L)) { (s, d) =>
+      val e = T(s, d, "embeddings")
+      val dir = Staging.dir(s, "q262_ivf_bulk")
+      graft.operators.IvfIndex.buildSeeded(
+          e.where(col("vec_id") % DeltaMod =!= 0
+            && col("vec_id") % DeltaMod =!= 1), "vec_id", "embedding",
+          nlist = 8)
+        .save(dir)
+      val idx0 = graft.operators.IvfIndex.load(s, dir, "vec_id")
+      idx0.append(e.where(col("vec_id") % 10 === 1), "embedding", dir)
+      idx0.append(e.where(col("vec_id") % 10 === 6), "embedding", dir)
+      graft.operators.IvfIndex.compact(s, dir, maxFilesPerPartition = 1)
+      graft.operators.IvfIndex.load(s, dir, "vec_id")
+        .searchBulk(e.where(col("vec_id") % DeltaMod === 0
+              && col("vec_id") < 2000)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "query_id", "embedding", k = 5, nprobe = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -13952,7 +13991,7 @@ object Queries {
     // The oracle is q261's VERBATIM: streamed fold ≡ batched fold ≡
     // one-shot 80% assignment at search time. With x57/x67/x68 all
     // THREE persisted indexes run their append lifecycle live.
-    q("x68_stream_ivf_ingest", ivfLifecycleOracleSql) { (s, d) =>
+    q("x68_stream_ivf_ingest", ivfLifecycleOracleSql()) { (s, d) =>
       graft.streaming.StreamIvfIngest.replayParquet(s, d,
           stageDir = Staging.dir(s, "x68_ivf_ingest"),
           deltaMod = DeltaMod, nlist = 8, k = 5, nprobe = 2,

@@ -55,42 +55,91 @@ final class IvfIndex private (val router: IvfIndex.Router,
     * `track` parameter on [[IvfIndex.build]]. */
   def close(): Unit = owned.foreach(_.unpersist(blocking = false))
 
-  /** Centroid table as plain arrays (tiny — nlist rows). */
-  private def centroids: DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    router.centers.toSeq.toDF("_cell", "_centroid")
-  }
+  /** (qidCol, _qnv, _cell) — one row per (query, probed cell), cells
+    * ranked ROW-LOCALLY against the broadcast centroid literals
+    * ([[IvfIndex.Router.nearestCells]]): no shuffle, no window, no
+    * crossJoin — the probe-ranking stage is map-only for any query
+    * cardinality. */
+  private def probeRows(queries: DataFrame, qidCol: String, vecCol: String,
+                        nprobe: Int): DataFrame =
+    queries.select(col(qidCol),
+      VectorFns.l2Normalize(col(vecCol)).as("_qnv"),
+      explode(router.nearestCells(col(vecCol), nprobe)).as("_cell"))
 
-  /** Top-k cosine neighbors per query over the `nprobe` nearest cells.
-    * @param queries (qidCol, vecCol) rows — must be broadcast-sized. */
-  def search(queries: DataFrame, qidCol: String, vecCol: String,
-             k: Int, nprobe: Int = 4): DataFrame = {
-    graft.functions.NativeFns.register(corpus.sparkSession)
-    val qc = broadcast(queries.select(col(qidCol), col(vecCol).as("_qv")))
-      .crossJoin(broadcast(centroids))
-      .withColumn("_cdist", VectorFns.sqDist(col("_qv"), col("_centroid")))
-    val wq = Window.partitionBy(col(qidCol)).orderBy(col("_cdist").asc, col("_cell").asc)
-    val probes = qc.withColumn("_pr", row_number().over(wq))
-      .where(col("_pr") <= nprobe)
-      .select(col(qidCol), VectorFns.l2Normalize(col("_qv")).as("_qnv"), col("_cell"))
-    // Materialize the probed cell ids (≤ |queries|·nprobe ≤ nlist of
-    // them — a driver-side collect bounded by the router size, not the
-    // data) and push them as a literal IN filter: on the partitioned
-    // corpus this is STATIC partition pruning — the scan lists only the
-    // probed cell directories (visible as PartitionFilters), no reliance
-    // on dynamic-partition-pruning kicking in for the broadcast join.
-    val probed = graft.Caches.persist(probes)
-    val cells = probed.select(col("_cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val pruned = corpus.where(col("_cell").isin(cells: _*))
-    val scored = pruned.join(broadcast(probed), Seq("_cell"))
-      .where(col(qidCol) =!= col(idCol))
-      .withColumn("_cos", graft.functions.NativeFns.dot(col("_qnv"), col("_cnv")))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("_cos").desc, col(idCol).asc)
+  /** The probed cell ids as literals — ≤ nlist DISTINCT values whatever
+    * the query count, so the driver-side collect is bounded by the
+    * router size, never the data. Pushed as an IN filter, this is
+    * STATIC partition pruning on the `partitionBy(_cell)` corpus: the
+    * scan lists only the probed cell directories (visible as
+    * PartitionFilters), no reliance on dynamic-partition-pruning
+    * kicking in at runtime. */
+  private def probedCells(probed: DataFrame): Seq[Int] =
+    probed.select(col("_cell")).distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Shared scoring tail: native dot on normalized vectors, top-k per
+    * query with the deterministic `(cosine desc, id asc)` tie-break. */
+  private def topK(scored: DataFrame, qidCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("_cos").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col("_cos").as("cosine"))
+  }
+
+  /** Top-k cosine neighbors per query over the `nprobe` nearest cells.
+    * @param queries (qidCol, vecCol) rows — must be broadcast-sized
+    *   (the probe side is broadcast to the pruned corpus scan, so no
+    *   corpus byte moves); for query sets beyond broadcast size use
+    *   [[searchBulk]], which shuffles instead. */
+  def search(queries: DataFrame, qidCol: String, vecCol: String,
+             k: Int, nprobe: Int = 4): DataFrame = {
+    graft.functions.NativeFns.register(corpus.sparkSession)
+    val probed = graft.Caches.persist(
+      probeRows(queries, qidCol, vecCol, nprobe))
+    val pruned = corpus.where(col("_cell").isin(probedCells(probed): _*))
+    val scored = pruned.join(broadcast(probed), Seq("_cell"))
+      .where(col(qidCol) =!= col(idCol))
+      .withColumn("_cos", graft.functions.NativeFns.dot(col("_qnv"), col("_cnv")))
+    topK(scored, qidCol, k)
+  }
+
+  /** [[search]] for query sets that do NOT fit a broadcast — the bulk
+    * serving path: millions of queries are routed onto cells by the
+    * same row-local [[IvfIndex.Router.nearestCells]] ranking, then
+    * corpus ⋈ queries runs per `_cell` as a SHUFFLE join (explicit
+    * merge hint — no BroadcastExchange on either side, plan-pinned in
+    * IvfIndexSpec), and the identical `(cosine desc, id asc)` top-k
+    * window finishes per query. Returns exactly what [[search]]
+    * returns for the same inputs.
+    *
+    * `_cell` alone has ≤ nlist distinct values — a shuffle keyed on it
+    * caps parallelism at nlist and concentrates hot cells on single
+    * tasks. The join is therefore SALTED: corpus rows get a
+    * deterministic id-hash salt in `[0, saltFactor)`, probe rows are
+    * replicated across all `saltFactor` salt values, and the join key
+    * is `(_cell, _salt)` — nlist·saltFactor-way parallelism for the
+    * cost of replicating the (narrow) probe rows. Static partition
+    * pruning on the corpus scan still applies: the DISTINCT probed
+    * cell list stays ≤ nlist however many queries there are. */
+  def searchBulk(queries: DataFrame, qidCol: String, vecCol: String,
+                 k: Int, nprobe: Int = 4, saltFactor: Int = 8): DataFrame = {
+    require(saltFactor >= 1, s"searchBulk: saltFactor=$saltFactor")
+    graft.functions.NativeFns.register(corpus.sparkSession)
+    val probed = graft.Caches.persist(
+      probeRows(queries, qidCol, vecCol, nprobe))
+    val pruned = corpus.where(col("_cell").isin(probedCells(probed): _*))
+    val salted = pruned.withColumn("_salt",
+      pmod(xxhash64(col(idCol).cast("string")), lit(saltFactor.toLong))
+        .cast("int"))
+    val replicated = probed.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    val scored = salted.join(replicated.hint("merge"), Seq("_cell", "_salt"))
+      .where(col(qidCol) =!= col(idCol))
+      .withColumn("_cos", graft.functions.NativeFns.dot(col("_qnv"), col("_cnv")))
+      // shed the wide vector columns BEFORE the per-query shuffle: the
+      // top-k window moves only (qid, id, cos) rows
+      .select(col(qidCol), col(idCol), col("_cos"))
+    topK(scored, qidCol, k)
   }
 
   /** Persist both halves of the index (overwrites `dir`). */
@@ -143,6 +192,28 @@ object IvfIndex {
     /** (idCol, _cnv = L2-normalized vector, _cell) for every row. */
     def assign(df: DataFrame, idCol: String, vecCol: String): DataFrame
     def save(dir: String): Unit
+
+    /** The `nprobe` nearest cells for a vector, ROW-LOCALLY: the
+      * centroids ride the plan as literals (nlist of them — a router
+      * config, not data), each row sorts its (d2, cell) pairs with the
+      * same `(d2 asc, cell asc)` tie-break the crossJoin+window form
+      * used, and takes the prefix. No shuffle at ANY query or corpus
+      * cardinality — the fix for the round-18 advice item where
+      * SeededRouter.assign forced a |corpus|×nlist shuffle through a
+      * per-id window while the KMeans path was map-only. d2 is the
+      * same left-to-right [[VectorFns.sqDist]] fold as before, so the
+      * selection (and every downstream oracle) is bit-identical. */
+    final def nearestCells(vec: org.apache.spark.sql.Column,
+                           nprobe: Int): org.apache.spark.sql.Column = {
+      val cents = array(centers.toIndexedSeq.map { case (c, ce) =>
+        struct(typedlit(ce).as("ce"), lit(c).as("cell")) }: _*)
+      graft.functions.ExprUtils.bind(VectorFns.toDoubles(vec)) { vd =>
+        val sorted = array_sort(transform(cents, c =>
+          struct(VectorFns.sqDist(vd, c.getField("ce")).as("d2"),
+            c.getField("cell").as("cell"))))
+        transform(slice(sorted, 1, nprobe), s => s.getField("cell"))
+      }
+    }
   }
 
   /** Delete the OTHER router family's artifact before saving this one:
@@ -179,25 +250,20 @@ object IvfIndex {
   }
 
   /** Deterministic router (the q144 quantizer): fixed centroid arrays,
-    * row-local broadcast argmin with the left-to-right d2 fold and the
+    * row-local argmin with the left-to-right d2 fold and the
     * (d2 asc, cell asc) tie-break — every decision SQL-expressible, so
-    * the full index lifecycle can be oracle-witnessed. */
+    * the full index lifecycle can be oracle-witnessed. Assignment is
+    * [[Router.nearestCells]] at nprobe = 1: MAP-ONLY, matching the
+    * KMeans path (the previous crossJoin+per-id-window form shuffled
+    * |corpus|×nlist rows by id — the round-18 advice item). Selection
+    * is unchanged (same d2 fold, same tie-break), so q261/x68 gate the
+    * rewrite under their verbatim oracles. */
   final class SeededRouter(spark: SparkSession,
                            val centers: Array[(Int, Array[Double])])
       extends Router {
-    def assign(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-      import spark.implicits._
-      val cents = centers.toSeq.toDF("_cell", "_centroid")
-      df.select(col(idCol), col(vecCol))
-        .crossJoin(broadcast(cents))
-        .withColumn("_d2", VectorFns.sqDist(col(vecCol), col("_centroid")))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy(col(idCol))
-            .orderBy(col("_d2").asc, col("_cell").asc)))
-        .where(col("_rn") === 1)
-        .select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_cnv"),
-          col("_cell"))
-    }
+    def assign(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col(idCol), VectorFns.l2Normalize(col(vecCol)).as("_cnv"),
+        element_at(nearestCells(col(vecCol), 1), 1).as("_cell"))
     def save(dir: String): Unit = {
       clearOtherRouter(dir, "router")
       import spark.implicits._

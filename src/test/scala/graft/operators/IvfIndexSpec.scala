@@ -94,6 +94,50 @@ class IvfIndexSpec extends SparkSpec {
     assert(postCompact == post, "search-after-compact must equal before")
   }
 
+  test("searchBulk ≡ search row-for-row for BOTH router families, " +
+    "with no BroadcastExchange anywhere in the bulk plan") {
+    val d = sf("sf0.001")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    // the FULL table as queries — the shape the broadcast contract
+    // exists for; also exercises self-exclusion on every row
+    val qs = emb.select(col("vec_id").as("query_id"), col("embedding"))
+
+    Seq(
+      "kmeans" -> IvfIndex.build(emb, "vec_id", "embedding", nlist = 8),
+      "seeded" -> IvfIndex.buildSeeded(emb, "vec_id", "embedding", nlist = 8)
+    ).foreach { case (fam, idx) =>
+      val viaSearch = asRows(
+        idx.search(qs, "query_id", "embedding", k = 5, nprobe = 3))
+      // cosine ties between DIFFERENT ids resolve identically (id asc)
+      // in both plans, so set equality here is row-for-row equality
+      val viaBulk = asRows(
+        idx.searchBulk(qs, "query_id", "embedding", k = 5, nprobe = 3,
+          saltFactor = 4))
+      assert(viaBulk == viaSearch,
+        s"$fam: bulk plan must return exactly the broadcast plan's rows")
+      idx.close()
+      graft.Caches.release()
+    }
+
+    // plan pin: the bulk path must never broadcast — not the query
+    // side (the contract being lifted), not anything else. Executed
+    // (post-AQE) plan, so a runtime demotion to broadcast would fail
+    // here too.
+    val dir = java.nio.file.Files.createTempDirectory("ivf_bulk").toString
+    IvfIndex.buildSeeded(emb, "vec_id", "embedding", nlist = 8).save(dir)
+    val bulk = IvfIndex.load(spark, dir, "vec_id")
+      .searchBulk(qs, "query_id", "embedding", k = 5, nprobe = 3)
+    bulk.collect()
+    val plan = bulk.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"searchBulk must not broadcast either join side:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"the probe join must be the hinted shuffle (sort-merge) join:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("_cell"),
+      s"static cell pruning must survive the bulk plan:\n$plan")
+    graft.Caches.release()
+  }
+
   test("seeded router: load auto-detects the family, centers and " +
     "search round-trip, append routes onto the FIXED cells") {
     val d = sf("sf0.001")
