@@ -132,6 +132,147 @@ class IngestReplaySpec extends SparkSpec {
         "downstream keeper probe) must be identical")
   }
 
+  test("N=3 id-ordered SEMANTIC replay equals the one-shot delta dedup " +
+    "(x67 contract beyond two batches, on the real tables)") {
+    import graft.operators.SemDedupIndex
+    val d = sf("sf0.001")
+    val stage = java.nio.file.Files.createTempDirectory("sem_n3")
+    val streamed = StreamSemDedup.replayParquet(spark, d,
+        stageDir = stage.toString, deltaMod = 10, bits = 4, tau = 0.30,
+        queryName = "sem_n3", numBatches = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val idxDir = java.nio.file.Files.createTempDirectory("sem_ref").toString
+    SemDedupIndex.buildOrthant(emb.where(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", bits = 4).save(idxDir)
+    val oneShot = SemDedupIndex.load(spark, idxDir, "vec_id")
+      .deltaDedup(emb.where(col("vec_id") % 10 === 0), "embedding",
+        tau = 0.30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    assert(streamed.nonEmpty && streamed == oneShot,
+      "3-batch semantic keepers must equal the one-shot probe")
+  }
+
+  test("N=3 IVF ingest replay equals the 2-batch registered form and " +
+    "the batch lifecycle (x68 contract: batch count must not matter)") {
+    import graft.operators.IvfIndex
+    val d = sf("sf0.001")
+    def run(n: Int) = {
+      val stage = java.nio.file.Files.createTempDirectory(s"ivf_n$n")
+      val rows = StreamIvfIngest.replayParquet(spark, d,
+          stageDir = stage.toString, deltaMod = 10, nlist = 8, k = 5,
+          nprobe = 2, queryIdBound = 200L, queryName = s"ivf_n$n",
+          numBatches = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      graft.Caches.release()
+      rows
+    }
+    val n3 = run(3)
+    assert(n3.nonEmpty && n3 == run(2),
+      "route-on-fixed-cells appends must make the batch count invisible")
+
+    // and the streamed fold ≡ the batched lifecycle (q261's shape with
+    // the day-1 delta folded in ONE append)
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_batch").toString
+    IvfIndex.buildSeeded(emb.where(col("vec_id") % 10 =!= 0
+        && col("vec_id") % 10 =!= 1), "vec_id", "embedding", nlist = 8)
+      .save(dir)
+    IvfIndex.load(spark, dir, "vec_id")
+      .append(emb.where(col("vec_id") % 10 === 1), "embedding", dir)
+    IvfIndex.compact(spark, dir, maxFilesPerPartition = 1)
+    val batched = IvfIndex.load(spark, dir, "vec_id")
+      .search(emb.where(col("vec_id") % 10 === 0 && col("vec_id") < 200)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", "embedding", k = 5, nprobe = 2)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.Caches.release()
+    assert(n3 == batched, "streamed fold ≡ batched fold at search time")
+  }
+
+  test("the PRODUCTION KMeans router runs the live ingest loop: " +
+    "streamed appendTagged ×3 ≡ one batch fold under the same saved " +
+    "router, and a rebuild with the other family round-trips") {
+    import graft.operators.IvfIndex
+    val d = sf("sf0.001")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.where(col("vec_id") % 10 =!= 0
+      && col("vec_id") % 10 =!= 1)
+    val day1 = emb.where(col("vec_id") % 10 === 1)
+    val qs = emb.where(col("vec_id") % 10 === 0 && col("vec_id") < 200)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val dirA = java.nio.file.Files.createTempDirectory("km_live").toString
+    val dirB = java.nio.file.Files.createTempDirectory("km_batch").toString
+
+    // ONE router fit, saved to both dirs — the comparison isolates the
+    // fold path (streamed vs batched), not KMeans refit determinism
+    val built = IvfIndex.build(base, "vec_id", "embedding", nlist = 8)
+    built.save(dirA)
+    built.save(dirB)
+    built.close()
+    ReplayStage.sweepAppendMarkers(dirA)
+
+    // streamed: 3 arrival-hash micro-batches, each load()ing the index
+    // (the family-detection path round-18's stale-router bug hid in),
+    // folding via appendTagged, then in-loop compaction
+    StreamIvfIngest.streamFold(spark, dirA, day1, numBatches = 3,
+      queryName = "km_live_loop")
+    IvfIndex.compact(spark, dirA, maxFilesPerPartition = 1)
+    // batched: the same delta in ONE append
+    IvfIndex.load(spark, dirB, "vec_id").append(day1, "embedding", dirB)
+    IvfIndex.compact(spark, dirB, maxFilesPerPartition = 1)
+
+    val loadedA = IvfIndex.load(spark, dirA, "vec_id")
+    assert(loadedA.router.isInstanceOf[IvfIndex.KMeansRouter],
+      "per-batch load must detect the KMeans family")
+    def cells(dir: String) = spark.read.parquet(s"$dir/corpus")
+      .select(col("vec_id"), col("_cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(dirA) == cells(dirB),
+      "streamed ×3 and batched ×1 folds must land every vector in the " +
+        "same cell — appends route on the FIXED saved centroids")
+    def searched(dir: String) = IvfIndex.load(spark, dir, "vec_id")
+      .search(qs, "query_id", "embedding", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(searched(dirA) == searched(dirB),
+      "search over the streamed index ≡ search over the batched index")
+    graft.Caches.release()
+
+    // rebuild-with-other-family round trip THROUGH the live loop: run
+    // the KMeans replay into a stage dir, then the seeded replay into
+    // the SAME dir — each rebuild must clear the other family's
+    // artifact or load serves stale centroids (the round-18 bug)
+    val reuse = java.nio.file.Files
+      .createTempDirectory("km_roundtrip").toString
+    val viaKm = StreamIvfIngest.replayParquet(spark, d,
+        stageDir = reuse, deltaMod = 10, nlist = 8, k = 5, nprobe = 2,
+        queryIdBound = 200L, queryName = "km_replay", numBatches = 2,
+        kmeansRouter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaKm.nonEmpty)
+    assert(IvfIndex.load(spark, s"$reuse/idx", "vec_id").router
+      .isInstanceOf[IvfIndex.KMeansRouter])
+    graft.Caches.release()
+    val viaSeeded = StreamIvfIngest.replayParquet(spark, d,
+        stageDir = reuse, deltaMod = 10, nlist = 8, k = 5, nprobe = 2,
+        queryIdBound = 200L, queryName = "seeded_after_km", numBatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fresh = IvfIndex.load(spark, s"$reuse/idx", "vec_id")
+    assert(fresh.router.isInstanceOf[IvfIndex.SeededRouter],
+      "rebuilding seeded over a KMeans index must not leave the stale " +
+        "family for load to prefer")
+    assert(viaSeeded.nonEmpty)
+    graft.Caches.release()
+  }
+
   test("keeperForBatch is correct under foreachBatch REDELIVERY: with " +
     "the batch already folded into the index, keepers equal the " +
     "first-delivery run") {
