@@ -52,11 +52,39 @@ final class DedupIndex private (val spark: SparkSession,
   private def sketch(df: DataFrame, textCol: String): (DataFrame, DataFrame) =
     DedupIndex.sketch(df, idCol, textCol, meta)
 
-  /** Persist both halves + the hash-family metadata (overwrites). */
+  /** The probe-side sketch of `delta`, persisted for REUSE across a
+    * probe and a fold — the streamed ingest loop's per-batch shape is
+    * probe-then-append, and [[deltaPairs]] + [[appendTagged]] each
+    * re-ran the tokenize→shingle→md5→minhash pipeline on the same batch
+    * (its dominant CPU) before this existed. Both frames register in
+    * [[graft.Caches]]; pass them to the `…Sketched` variants. Values
+    * are deterministic, so sharing changes no decision. */
+  private[graft] def sketched(delta: DataFrame,
+                              textCol: String): (DataFrame, DataFrame) = {
+    val (b, d) = sketch(delta, textCol)
+    (graft.Caches.persist(b), graft.Caches.persist(d))
+  }
+
+  /** Persist both halves + the hash-family metadata (overwrites).
+    *
+    * Both writes CLUSTER rows by their partition key first: without the
+    * repartition every write task holding rows of a partition value
+    * opens its own file there, so a `partitionBy` write from T tasks
+    * over P directories lands up to T·P part files (measured: 3,800
+    * bands + 938 docs parts after one save + one append at sf0.1,
+    * local[32] — clustered it is ONE per touched directory per
+    * generation, ≤ 256 + 32 there) whose open/commit cost dominates the save
+    * and whose listing cost taxes every later probe and compact (guide
+    * §6 "small files hurt twice"). Clustered, each directory gets the
+    * files of the tasks that own its key — one per directory here, with
+    * write parallelism = the CONFIG partition count (bands:
+    * numBands·bandBuckets = 128 ≥ any local core count; a hot-cell
+    * straggler at cluster scale is bounded by compact's size-aware
+    * rewrite). */
   def save(dir: String): Unit = {
-    bands.write.mode("overwrite")
+    bands.repartition(col("_band"), col("_bkt")).write.mode("overwrite")
       .partitionBy("_band", "_bkt").parquet(s"$dir/bands")
-    docs.write.mode("overwrite")
+    docs.repartition(col("_ibkt")).write.mode("overwrite")
       .partitionBy("_ibkt").parquet(s"$dir/docs")
     import spark.implicits._
     Seq(meta).toDF().coalesce(1).write.mode("overwrite").json(s"$dir/meta")
@@ -74,9 +102,11 @@ final class DedupIndex private (val spark: SparkSession,
     * this handle's frames still see only the pre-append index. */
   def append(delta: DataFrame, textCol: String, dir: String): Unit = {
     val (deltaBands, deltaDocs) = sketch(delta, textCol)
-    deltaBands.write.mode("append")
+    // clustered like save: one part file per touched partition per
+    // append generation instead of one per (task, partition)
+    deltaBands.repartition(col("_band"), col("_bkt")).write.mode("append")
       .partitionBy("_band", "_bkt").parquet(s"$dir/bands")
-    deltaDocs.write.mode("append")
+    deltaDocs.repartition(col("_ibkt")).write.mode("append")
       .partitionBy("_ibkt").parquet(s"$dir/docs")
   }
 
@@ -91,11 +121,19 @@ final class DedupIndex private (val spark: SparkSession,
   def appendTagged(delta: DataFrame, textCol: String, dir: String,
                    tag: String): Unit = {
     val (deltaBands, deltaDocs) = sketch(delta, textCol)
+    appendTaggedSketched(deltaBands, deltaDocs, dir, tag)
+  }
+
+  /** [[appendTagged]] over an already-built sketch (see [[sketched]]). */
+  private[graft] def appendTaggedSketched(deltaBands: DataFrame,
+      deltaDocs: DataFrame, dir: String, tag: String): Unit = {
     val stagedBands = s"$dir/.staging_bands_$tag"
     val stagedDocs = s"$dir/.staging_docs_$tag"
-    deltaBands.write.mode("overwrite")
+    // clustered like save — and the publish below renames every staged
+    // part serially on the driver, so fewer parts is a direct win twice
+    deltaBands.repartition(col("_band"), col("_bkt")).write.mode("overwrite")
       .partitionBy("_band", "_bkt").parquet(stagedBands)
-    deltaDocs.write.mode("overwrite")
+    deltaDocs.repartition(col("_ibkt")).write.mode("overwrite")
       .partitionBy("_ibkt").parquet(stagedDocs)
     graft.sources.PartitionMaintenance.publishTagged(spark,
       stagedBands, s"$dir/bands", depth = 2, tag = tag)
@@ -119,6 +157,15 @@ final class DedupIndex private (val spark: SparkSession,
     Dedup.keeperFromPairs(delta.select(col(idCol)), idCol,
       deltaPairs(delta, textCol, tauNum, tauDenom, maxBucket))
 
+  /** [[deltaDedup]] over an already-built sketch (see [[sketched]]) —
+    * `deltaIds` carries the delta's id column for the keeper join. */
+  private[graft] def deltaDedupSketched(deltaIds: DataFrame,
+      deltaBands: DataFrame, deltaDocs: DataFrame,
+      tauNum: Int, tauDenom: Int, maxBucket: Int): DataFrame =
+    Dedup.keeperFromPairs(deltaIds.select(col(idCol)), idCol,
+      deltaPairsSketched(deltaBands, deltaDocs, tauNum, tauDenom,
+        maxBucket, anyIndexedPartner = false))
+
   /** The verified duplicate PAIRS behind [[deltaDedup]] — `(a, b)`
     * rows, `b` always a delta doc. With the default
     * `anyIndexedPartner = false`, `a < b` (the min-id keeper's
@@ -132,11 +179,16 @@ final class DedupIndex private (val spark: SparkSession,
                  tauNum: Int = 7, tauDenom: Int = 10,
                  maxBucket: Int = 1000,
                  anyIndexedPartner: Boolean = false): DataFrame = {
-    val (deltaBands0, deltaDocs) = sketch(delta, textCol)
-    // both the probe filter and two candidate sides read these
-    val deltaBands = graft.Caches.persist(deltaBands0)
-    val deltaDocsP = graft.Caches.persist(deltaDocs)
+    val (deltaBands, deltaDocsP) = sketched(delta, textCol)
+    deltaPairsSketched(deltaBands, deltaDocsP, tauNum, tauDenom,
+      maxBucket, anyIndexedPartner)
+  }
 
+  /** [[deltaPairs]] over an already-built (and persisted) sketch — the
+    * probe half of the shared-sketch pattern (see [[sketched]]). */
+  private[graft] def deltaPairsSketched(deltaBands: DataFrame,
+      deltaDocsP: DataFrame, tauNum: Int, tauDenom: Int,
+      maxBucket: Int, anyIndexedPartner: Boolean): DataFrame = {
     // STATIC partition pruning: the delta's touched (_band, _bkt)
     // pairs — driver-collect bounded by numBands·bandBuckets (config,
     // not data) — pushed as a literal predicate so the bands scan

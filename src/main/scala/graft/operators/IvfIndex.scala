@@ -107,9 +107,10 @@ final class IvfIndex private (val router: IvfIndex.Router,
     * serving path: millions of queries are routed onto cells by the
     * same row-local [[IvfIndex.Router.nearestCells]] ranking, then
     * corpus ⋈ queries runs per `_cell` as a SHUFFLE join (explicit
-    * merge hint — no BroadcastExchange on either side, plan-pinned in
-    * IvfIndexSpec), and the identical `(cosine desc, id asc)` top-k
-    * window finishes per query. Returns exactly what [[search]]
+    * shuffled-hash hint — no BroadcastExchange on either side and no
+    * sort of either side, plan-pinned in IvfIndexSpec), and the
+    * identical `(cosine desc, id asc)` top-k window finishes per
+    * query. Returns exactly what [[search]]
     * returns for the same inputs.
     *
     * `_cell` alone has ≤ nlist distinct values — a shuffle keyed on it
@@ -133,7 +134,14 @@ final class IvfIndex private (val router: IvfIndex.Router,
         .cast("int"))
     val replicated = probed.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit): _*)))
-    val scored = salted.join(replicated.hint("merge"), Seq("_cell", "_salt"))
+    // SHUFFLE_HASH, not merge: neither side needs a sort — the (narrow,
+    // deliberately replicated) probe side builds the per-partition hash
+    // table, the corpus side streams (guide §3.1: shuffled hash beats
+    // sort-merge when one side is moderately small per partition; salt
+    // keeps every build slice at |probes|·nprobe/(nlist·saltFactor)).
+    // Still no BroadcastExchange on either side (plan-pinned).
+    val scored = salted.join(replicated.hint("shuffle_hash"),
+        Seq("_cell", "_salt"))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("_cos", graft.functions.NativeFns.dot(col("_qnv"), col("_cnv")))
       // shed the wide vector columns BEFORE the per-query shuffle: the
@@ -142,10 +150,13 @@ final class IvfIndex private (val router: IvfIndex.Router,
     topK(scored, qidCol, k)
   }
 
-  /** Persist both halves of the index (overwrites `dir`). */
+  /** Persist both halves of the index (overwrites `dir`). The corpus is
+    * CLUSTERED by `_cell` before the partitioned write — one part per
+    * cell dir instead of one per (task, cell); see [[DedupIndex.save]]
+    * for the measured small-file counts this avoids (guide §6). */
   def save(dir: String): Unit = {
     router.save(dir)
-    corpus.write.mode("overwrite")
+    corpus.repartition(col("_cell")).write.mode("overwrite")
       .partitionBy("_cell")
       .parquet(s"$dir/corpus")
   }
@@ -164,7 +175,7 @@ final class IvfIndex private (val router: IvfIndex.Router,
     * [[compact]]/[[audit]] on the shared
     * [[graft.sources.PartitionMaintenance]] machinery. */
   def append(batch: DataFrame, vecCol: String, dir: String): Unit =
-    router.assign(batch, idCol, vecCol)
+    router.assign(batch, idCol, vecCol).repartition(col("_cell"))
       .write.mode("append").partitionBy("_cell").parquet(s"$dir/corpus")
 
   /** [[append]] as an IDEMPOTENT unit keyed by `tag` — the
@@ -174,7 +185,8 @@ final class IvfIndex private (val router: IvfIndex.Router,
   def appendTagged(batch: DataFrame, vecCol: String, dir: String,
                    tag: String): Unit = {
     val staging = s"$dir/.staging_corpus_$tag"
-    router.assign(batch, idCol, vecCol).write.mode("overwrite")
+    router.assign(batch, idCol, vecCol).repartition(col("_cell"))
+      .write.mode("overwrite")
       .partitionBy("_cell").parquet(staging)
     graft.sources.PartitionMaintenance.publishTagged(
       corpus.sparkSession, staging, s"$dir/corpus", depth = 1, tag = tag)

@@ -74,9 +74,14 @@ final class SemDedupIndex private (val spark: SparkSession,
       case t => throw new IllegalArgumentException(s"router type $t")
     }
 
-  /** Persist the cell-partitioned corpus + router + meta (overwrites). */
+  /** Persist the cell-partitioned corpus + router + meta (overwrites).
+    * Rows are CLUSTERED by `_cell` first — without the repartition a
+    * T-task write over C cell dirs lands up to T·C part files whose
+    * open/listing cost taxes the save and every pruned probe after it
+    * (guide §6; see [[DedupIndex.save]] for the measured counts). */
   def save(dir: String): Unit = {
-    corpus.write.mode("overwrite").partitionBy("_cell")
+    corpus.repartition(col("_cell")).write.mode("overwrite")
+      .partitionBy("_cell")
       .parquet(s"$dir/corpus")
     router.foreach(_.write.overwrite().save(s"$dir/router"))
     import spark.implicits._
@@ -88,7 +93,8 @@ final class SemDedupIndex private (val spark: SparkSession,
     * directories — O(delta) adds, no corpus rewrite. Reload after
     * appending; this handle still sees the pre-append corpus. */
   def append(delta: DataFrame, vecCol: String, dir: String): Unit =
-    assign(delta, vecCol).write.mode("append").partitionBy("_cell")
+    assign(delta, vecCol).repartition(col("_cell")).write.mode("append")
+      .partitionBy("_cell")
       .parquet(s"$dir/corpus")
 
   /** [[append]] as an IDEMPOTENT unit keyed by `tag` — the
@@ -98,7 +104,8 @@ final class SemDedupIndex private (val spark: SparkSession,
   def appendTagged(delta: DataFrame, vecCol: String, dir: String,
                    tag: String): Unit = {
     val staging = s"$dir/.staging_corpus_$tag"
-    assign(delta, vecCol).write.mode("overwrite").partitionBy("_cell")
+    assign(delta, vecCol).repartition(col("_cell")).write.mode("overwrite")
+      .partitionBy("_cell")
       .parquet(staging)
     graft.sources.PartitionMaintenance.publishTagged(spark, staging,
       s"$dir/corpus", depth = 1, tag = tag)

@@ -340,6 +340,36 @@ object PartitionMaintenance {
     rows.toDF("table", "partition", "files", "bytes")
   }
 
+  /** Run `f` over `items` on a bounded thread pool, preserving input
+    * order in the result. Each rewrite in [[compact]] is an independent
+    * 1-to-4-task Spark job over ONE partition directory; submitting
+    * them serially leaves the cluster idle for the scheduling +
+    * planning latency of every job (guide §2.6 "overlap independent
+    * jobs" — the next job's tasks back-fill executors the previous
+    * job's tail freed). Leaves are disjoint directories, so the
+    * per-leaf FS work never races. */
+  private def inParallel[A, B](items: Seq[A], parallelism: Int)
+                              (f: A => B): Seq[B] =
+    if (items.size <= 1 || parallelism <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      try {
+        val futures = items.map { a =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            def call(): B = f(a)
+          })
+        }
+        try futures.map(_.get())
+        catch {
+          // surface the leaf's own failure, not the pool wrapper —
+          // require() messages stay readable at call sites
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      } finally { pool.shutdown(); () }
+    }
+
   /** Rewrite partitions whose part-file count exceeds
     * `maxFilesPerPartition` — strictly O(touched): only crowded
     * partition directories are read and rewritten (each is a
@@ -352,10 +382,17 @@ object PartitionMaintenance {
     * object doc): a crash at any point is resolved by the recovery pass
     * the next compact runs — duplicates can never become permanent.
     * Like any non-transactional table rewrite, run quiesced or behind a
-    * table-format transaction in production. */
+    * table-format transaction in production.
+    *
+    * `maxConcurrentRewrites` leaf rewrites run at once (each is a tiny
+    * independent Spark job; serial submission was measured to spend
+    * most of compact's wall-clock on per-job scheduling latency with
+    * the cluster idle — guide §2.6). Leaves are disjoint directories,
+    * so concurrency never races the swap discipline. */
   def compact(spark: SparkSession, tables: Seq[(String, String, Int)],
               maxFilesPerPartition: Int,
-              targetBytesPerFile: Long = DefaultTargetBytesPerFile)
+              targetBytesPerFile: Long = DefaultTargetBytesPerFile,
+              maxConcurrentRewrites: Int = 8)
       : Seq[CompactStats] = {
     require(maxFilesPerPartition >= 1,
       s"compact: maxFilesPerPartition=$maxFilesPerPartition")
@@ -368,7 +405,8 @@ object PartitionMaintenance {
       // record ONCE for the whole table
       foldPublishedMarkers(spark, dir)
       val recorded = publishedTags(fs, root)
-      leafPartitions(fs, name, root, depth).flatMap { leaf =>
+      val leaves = leafPartitions(fs, name, root, depth)
+      inParallel(leaves, maxConcurrentRewrites) { leaf =>
         recoverLeaf(fs, leaf)
         val all = partFiles(fs, leaf)
         // an `ingest-<tag>-*` file whose tag has NO published record is
@@ -435,7 +473,7 @@ object PartitionMaintenance {
           Some(CompactStats(name, relative(root, leaf),
             all.size, adds.size + carried.size))
         }
-      }
+      }.flatten
     }
   }
 }

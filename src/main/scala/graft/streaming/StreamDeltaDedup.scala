@@ -108,11 +108,17 @@ object StreamDeltaDedup {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val idx = DedupIndex.load(spark, idxDir, "doc_id")
-          idx.deltaDedup(batch, "text", tauNum = tauNum,
+          // sketch ONCE per batch: the probe and the fold below share
+          // the persisted tokenize→shingle→minhash frames instead of
+          // each re-running the batch's dominant CPU (DedupIndex
+          // sketched/…Sketched — values deterministic, decisions
+          // unchanged)
+          val (bs, ds) = idx.sketched(batch, "text")
+          idx.deltaDedupSketched(batch, bs, ds, tauNum = tauNum,
               tauDenom = tauDenom, maxBucket = Int.MaxValue)
             .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
           ReplayStage.foldOncePerBatch(idxDir, batchId) {
-            idx.appendTagged(batch, "text", idxDir, tag = s"b$batchId")
+            idx.appendTaggedSketched(bs, ds, idxDir, tag = s"b$batchId")
           }
           graft.Caches.release() // the probe's per-batch scratch persists
           ()

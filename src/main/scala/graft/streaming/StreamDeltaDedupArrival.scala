@@ -182,7 +182,10 @@ object StreamDeltaDedupArrival {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val idx = DedupIndex.load(spark, idxDir, "doc_id")
-          val pairs = idx.deltaPairs(batch, "text", tauNum = tauNum,
+          // sketch ONCE per batch; probe and fold share it (see
+          // StreamDeltaDedup — same shared-sketch pattern)
+          val (bs, ds) = idx.sketched(batch, "text")
+          val pairs = idx.deltaPairsSketched(bs, ds, tauNum = tauNum,
             tauDenom = tauDenom, maxBucket = Int.MaxValue,
             anyIndexedPartner = true)
           val seen = spark.read
@@ -201,10 +204,14 @@ object StreamDeltaDedupArrival {
           // the marker is a skip fast-path, not a correctness gate —
           // there is no crash window that double-appends
           ReplayStage.foldOncePerBatch(idxDir, batchId) {
-            idx.appendTagged(batch, "text", idxDir, tag = s"b$batchId")
+            idx.appendTaggedSketched(bs, ds, idxDir, tag = s"b$batchId")
             val seenStaging = s"$seenDir/.staging_seen_b$batchId"
+            // clustered by the partition key like every index write:
+            // one part per touched _ibkt dir per batch, and the publish
+            // below renames each part serially on the driver
             batch.select(col("doc_id"), lit(batchId).as("seen"),
                 DedupIndex.idBucket(col("doc_id"), idBuckets).as("_ibkt"))
+              .repartition(col("_ibkt"))
               .write.mode("overwrite").partitionBy("_ibkt")
               .parquet(seenStaging)
             graft.sources.PartitionMaintenance.publishTagged(spark,

@@ -131,8 +131,9 @@ class IvfIndexSpec extends SparkSpec {
     val plan = bulk.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastExchange"),
       s"searchBulk must not broadcast either join side:\n$plan")
-    assert(plan.contains("SortMergeJoin"),
-      s"the probe join must be the hinted shuffle (sort-merge) join:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the probe join must be the hinted shuffled-hash join (no sort " +
+        s"of either side, probe side builds):\n$plan")
     assert(plan.contains("PartitionFilters") && plan.contains("_cell"),
       s"static cell pruning must survive the bulk plan:\n$plan")
     graft.Caches.release()
