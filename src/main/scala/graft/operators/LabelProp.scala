@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Community detection by synchronous label propagation (Raghavan,
@@ -22,15 +21,30 @@ import org.apache.spark.sql.functions._
   * identical computation.
   *
   * Scale design: one adjacency⨝labels hash join + one (node, label)
-  * count aggregation + one per-node top-1 (row_number over a KEYED
-  * window — state is one group's label histogram, never the corpus) per
-  * round. The per-round frame is persisted and materialized so plan
-  * lineage stays constant (the PageRank q86 discipline); adjacency is
-  * built once (both edge directions) and persisted across rounds. Hub
-  * skew lands in the count aggregation, which AQE splits; at 1000
-  * executors every step is an ordinary key-partitioned shuffle.
+  * count aggregation + one per-node top-1 HASH AGGREGATE
+  * (`min(struct(-c, label))` — map-side partial aggregation, no
+  * per-node sort; guide §2.3/§2.4) per round. The per-round frame is
+  * persisted and materialized so plan lineage stays constant (the
+  * PageRank q86 discipline); adjacency is built once (both edge
+  * directions) and persisted across rounds. Hub skew lands in the
+  * count aggregation, which AQE splits; at 1000 executors every step
+  * is an ordinary key-partitioned shuffle.
   */
 object LabelProp {
+
+  /** Per-round top-1 label: most-frequent, count ties toward the
+    * LEXICOGRAPHICALLY SMALLEST label. `min` over the struct
+    * `(-c, label)` orders exactly like the previous
+    * `row_number() OVER (ORDER BY c DESC, label)` rank-1 pick (struct
+    * ordering is field-by-field: -c ascending = c descending, then
+    * label ascending — the same binary string comparison the window
+    * sort used), but runs as a hash aggregate with map-side partial
+    * aggregation instead of a shuffle+SORT window (guide §2.3
+    * "aggregate before you shuffle", §2.4). */
+  private def bestLabel(cnt: DataFrame): DataFrame =
+    cnt.groupBy(col("node"))
+      .agg(min(struct((-col("c")).as("nc"), col("label").as("lb"))).as("_t"))
+      .select(col("node"), col("_t").getField("lb").as("_best"))
 
   /** The shared propagation loop: per-round label frames l_0..l_K,
     * each lineage-truncated (lazy matFlat, see Hits: each round
@@ -42,9 +56,19 @@ object LabelProp {
     * loop is a single job instead of one count job per round. The
     * caller must unpersist `handles` and `owned` only AFTER that
     * action (a dropped never-filled cache re-runs its subtree once per
-    * consumer, which chains exponentially). */
+    * consumer, which chains exponentially).
+    *
+    * `carryPrev = true` makes every frame CARRY `_prev` (last round's
+    * label) and `_prev2` (two rounds back; = label at rounds 0/1) as
+    * extra columns, so [[convergenceTrace]] aggregates each round's
+    * frame directly instead of re-joining round k against k−1 and k−2
+    * — two joins per traced round removed. The carried values are by
+    * construction the same values those joins produced (every frame
+    * holds the full node set, so the node-keyed 1:1 joins were pure
+    * column carries). [[communities]] passes `false`: its frames stay
+    * the narrow (node, label). */
   private def propagate(nodes: DataFrame, edges: DataFrame,
-                        iterations: Int)
+                        iterations: Int, carryPrev: Boolean)
       : (IndexedSeq[DataFrame], Seq[DataFrame], Seq[DataFrame]) = {
     require(iterations >= 1, "communities: iterations must be >= 1")
     val spark = nodes.sparkSession
@@ -55,26 +79,44 @@ object LabelProp {
       .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
       .persist()
     adj.count()
+    // Broadcast the NODE-SIZED side of both per-round joins when the
+    // node set is provably small (guide §3.1, the Hits.scores gate —
+    // same config key): the adjacency table then never shuffles inside
+    // the loop, and each round's frame keeps the balanced node-scan
+    // partitioning instead of paying a per-round exchange. Scale-gated:
+    // past `graft.graph.broadcastScoresMaxRows` (default 4M rows) a
+    // web-scale label frame cannot broadcast and the shuffle plan
+    // stands. Join strategy only — identical rows either way.
+    val bcastMax = spark.conf.getOption("graft.graph.broadcastScoresMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val bc: DataFrame => DataFrame =
+      if (nd.count() <= bcastMax) (df: DataFrame) => broadcast(df)
+      else identity[DataFrame]
     def matFlat(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist()
       (spark.createDataFrame(p.rdd, p.schema), p)
     }
     val frames = IndexedSeq.newBuilder[DataFrame]
     val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var (l, lHandle) = matFlat(nd.select(col("node"), col("node").as("label")))
+    val init0 = nd.select(col("node"), col("node").as("label"))
+    var (l, lHandle) = matFlat(
+      if (carryPrev) init0.select(col("node"), col("label"),
+        col("label").as("_prev"), col("label").as("_prev2"))
+      else init0)
     frames += l; handles += lHandle
     var i = 0
     while (i < iterations) {
-      val cnt = adj.join(l.select(col("node").as("nbr"), col("label")), "nbr")
+      val cnt = adj.join(bc(l.select(col("node").as("nbr"), col("label"))),
+          "nbr")
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("c").desc, col("label"))
-      val best = cnt.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1)
-        .select(col("node"), col("label").as("_best"))
-      val (next, nextHandle) = matFlat(l.join(best, Seq("node"), "left")
-        .select(col("node"), coalesce(col("_best"), col("label")).as("label")))
+      val joined = l.join(bc(bestLabel(cnt)), Seq("node"), "left")
+      val (next, nextHandle) = matFlat(
+        if (carryPrev) joined.select(col("node"),
+          coalesce(col("_best"), col("label")).as("label"),
+          col("label").as("_prev"), col("_prev").as("_prev2"))
+        else joined.select(col("node"),
+          coalesce(col("_best"), col("label")).as("label")))
       frames += next; handles += nextHandle
       l = next
       i += 1
@@ -92,7 +134,8 @@ object LabelProp {
     * release must not drop a shared table). */
   def communities(nodes: DataFrame, edges: DataFrame,
                   iterations: Int, track: Boolean = true): DataFrame = {
-    val (frames, handles, owned) = propagate(nodes, edges, iterations)
+    val (frames, handles, owned) =
+      propagate(nodes, edges, iterations, carryPrev = false)
     val lHandle = handles.last
     lHandle.count() // the loop's ONE action — fills every round's cache
     handles.filter(_ ne lHandle).foreach(_.unpersist(blocking = false))
@@ -114,30 +157,29 @@ object LabelProp {
     * known pathology of synchronous updates — period ≤ 2 is
     * characteristic of synchronous majority-like dynamics, cf. Goles &
     * Olivos 1980 for threshold networks); [[semiSyncCommunities]] is
-    * the converging variant. One node-keyed 1:1 join + bounded
-    * aggregate per round over the same lazily-persisted frames as
-    * [[communities]]; `changed2` is 0 by convention for k < 2. */
+    * the converging variant. The round frames CARRY `_prev`/`_prev2`
+    * (see [[propagate]]), so each traced round is ONE bounded aggregate
+    * over its own frame — no per-round re-join of k against k−1/k−2;
+    * `changed2` is 0 by convention for k < 2 (emitted as a literal —
+    * the old code compared round 1's labels to themselves). */
   def convergenceTrace(nodes: DataFrame, edges: DataFrame,
                        iterations: Int): DataFrame = {
-    val (frames, handles, owned) = propagate(nodes, edges, iterations)
+    val (frames, handles, owned) =
+      propagate(nodes, edges, iterations, carryPrev = true)
     val head = frames.head
       .agg(countDistinct(col("label")).cast("long").as("n_labels"))
       .select(lit(0L).as("round"), lit(0L).as("changed"),
         lit(0L).as("changed2"), col("n_labels"))
     val rows = (1 to iterations).map { k =>
-      val base = frames(k).select(col("node"), col("label"))
-        .join(frames(k - 1).select(col("node"), col("label").as("_prev")),
-          Seq("node"))
-      val withP2 =
+      val changed2 =
         if (k >= 2)
-          base.join(frames(k - 2)
-            .select(col("node"), col("label").as("_prev2")), Seq("node"))
-        else base.withColumn("_prev2", col("label"))
-      withP2
+          sum(when(col("label") =!= col("_prev2"), 1L).otherwise(0L))
+            .cast("long")
+        else lit(0L)
+      frames(k)
         .agg(sum(when(col("label") =!= col("_prev"), 1L).otherwise(0L))
             .cast("long").as("changed"),
-          sum(when(col("label") =!= col("_prev2"), 1L).otherwise(0L))
-            .cast("long").as("changed2"),
+          changed2.as("changed2"),
           countDistinct(col("label")).cast("long").as("n_labels"))
         .select(lit(k.toLong).as("round"), col("changed"), col("changed2"),
           col("n_labels"))
@@ -220,7 +262,8 @@ object LabelProp {
     * appear. Returns (node, label) after `halfRounds` half-rounds. */
   def semiSyncCommunities(sides: DataFrame, edges: DataFrame,
                           halfRounds: Int, track: Boolean = true): DataFrame = {
-    val (frames, handles, owned) = semiSyncPropagate(sides, edges, halfRounds)
+    val (frames, handles, owned) =
+      semiSyncPropagate(sides, edges, halfRounds, carryPrev = false)
     val lHandle = handles.last
     lHandle.count() // the loop's ONE action — fills every round's cache
     handles.filter(_ ne lHandle).foreach(_.unpersist(blocking = false))
@@ -232,17 +275,18 @@ object LabelProp {
   /** Per-half-round convergence trace of [[semiSyncCommunities]]:
     * (round, changed, n_labels). TWO trailing changed = 0 rows prove
     * the fixpoint — one full sweep (both sides) with no update, after
-    * which every later half-round repeats. */
+    * which every later half-round repeats. Frames carry `_prev` (see
+    * [[propagate]]), so each traced half-round is one aggregate over
+    * its own frame — no re-join of k against k−1. */
   def semiSyncTrace(sides: DataFrame, edges: DataFrame,
                     halfRounds: Int): DataFrame = {
-    val (frames, handles, owned) = semiSyncPropagate(sides, edges, halfRounds)
+    val (frames, handles, owned) =
+      semiSyncPropagate(sides, edges, halfRounds, carryPrev = true)
     val head = frames.head
       .agg(countDistinct(col("label")).cast("long").as("n_labels"))
       .select(lit(0L).as("round"), lit(0L).as("changed"), col("n_labels"))
     val rows = (1 to halfRounds).map { k =>
-      frames(k).select(col("node"), col("label"))
-        .join(frames(k - 1).select(col("node"), col("label").as("_prev")),
-          Seq("node"))
+      frames(k)
         .agg(sum(when(col("label") =!= col("_prev"), 1L).otherwise(0L))
             .cast("long").as("changed"),
           countDistinct(col("label")).cast("long").as("n_labels"))
@@ -258,9 +302,12 @@ object LabelProp {
 
   /** The semi-synchronous loop body (shape of [[propagate]], count
     * join pre-filtered to the active side; same lazy matFlat / single
-    * caller action / release-after-action discipline). */
+    * caller action / release-after-action discipline; same
+    * [[bestLabel]] hash-aggregate top-1 and the same `carryPrev`
+    * column-carry — only `_prev` here, [[semiSyncTrace]] never looks
+    * two half-rounds back). */
   private def semiSyncPropagate(sides: DataFrame, edges: DataFrame,
-                                halfRounds: Int)
+                                halfRounds: Int, carryPrev: Boolean)
       : (IndexedSeq[DataFrame], Seq[DataFrame], Seq[DataFrame]) = {
     require(halfRounds >= 1, "semiSync: halfRounds must be >= 1")
     val spark = sides.sparkSession
@@ -270,30 +317,40 @@ object LabelProp {
       .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
       .persist()
     adj.count()
+    // the [[propagate]] broadcast gate — here it also covers the
+    // per-half-round active-side semi-join (node-sized as well)
+    val bcastMax = spark.conf.getOption("graft.graph.broadcastScoresMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val bc: DataFrame => DataFrame =
+      if (sd.count() <= bcastMax) (df: DataFrame) => broadcast(df)
+      else identity[DataFrame]
     def matFlat(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist()
       (spark.createDataFrame(p.rdd, p.schema), p)
     }
     val frames = IndexedSeq.newBuilder[DataFrame]
     val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var (l, lHandle) =
-      matFlat(sd.select(col("node"), col("node").as("label")))
+    val init0 = sd.select(col("node"), col("node").as("label"))
+    var (l, lHandle) = matFlat(
+      if (carryPrev) init0.select(col("node"), col("label"),
+        col("label").as("_prev"))
+      else init0)
     frames += l; handles += lHandle
     var t = 1
     while (t <= halfRounds) {
       val active = sd.where(col("side") === (t % 2)).select(col("node"))
       val cnt = adj
-        .join(active, Seq("node"), "left_semi")
-        .join(l.select(col("node").as("nbr"), col("label")), "nbr")
+        .join(bc(active), Seq("node"), "left_semi")
+        .join(bc(l.select(col("node").as("nbr"), col("label"))), "nbr")
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("c").desc, col("label"))
-      val best = cnt.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1)
-        .select(col("node"), col("label").as("_best"))
-      val (next, nextHandle) = matFlat(l.join(best, Seq("node"), "left")
-        .select(col("node"), coalesce(col("_best"), col("label")).as("label")))
+      val joined = l.join(bc(bestLabel(cnt)), Seq("node"), "left")
+      val (next, nextHandle) = matFlat(
+        if (carryPrev) joined.select(col("node"),
+          coalesce(col("_best"), col("label")).as("label"),
+          col("label").as("_prev"))
+        else joined.select(col("node"),
+          coalesce(col("_best"), col("label")).as("label")))
       frames += next; handles += nextHandle
       l = next
       t += 1

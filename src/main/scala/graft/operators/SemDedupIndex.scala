@@ -3,7 +3,6 @@ package graft.operators
 import graft.functions.VectorFns
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted semantic-dedup index for INCREMENTAL embedding dedup — the
@@ -102,14 +101,30 @@ final class SemDedupIndex private (val spark: SparkSession,
     * foreachBatch retry sweeps its own previous `ingest-<tag>` files
     * before republishing, so no crash point can double-append. */
   def appendTagged(delta: DataFrame, vecCol: String, dir: String,
-                   tag: String): Unit = {
+                   tag: String): Unit =
+    appendTaggedAssigned(assign(delta, vecCol), dir, tag)
+
+  /** [[appendTagged]] over an ALREADY-ASSIGNED frame (see [[assigned]])
+    * — the fold half of the shared-assignment pattern. */
+  private[graft] def appendTaggedAssigned(deltaN: DataFrame, dir: String,
+                                          tag: String): Unit = {
     val staging = s"$dir/.staging_corpus_$tag"
-    assign(delta, vecCol).repartition(col("_cell")).write.mode("overwrite")
+    deltaN.repartition(col("_cell")).write.mode("overwrite")
       .partitionBy("_cell")
       .parquet(staging)
     graft.sources.PartitionMaintenance.publishTagged(spark, staging,
       s"$dir/corpus", depth = 1, tag = tag)
   }
+
+  /** The probe-side assignment of `delta`, persisted for REUSE across a
+    * probe and a fold — the streamed semantic ingest loop's per-batch
+    * shape is probe-then-append, and [[deltaDedup]] + [[appendTagged]]
+    * each re-ran normalize+route on the same batch ([[DedupIndex
+    * .sketched]]'s pattern for the embedding index). Registers in
+    * [[graft.Caches]]; values are deterministic, so sharing changes no
+    * decision. */
+  private[graft] def assigned(delta: DataFrame, vecCol: String): DataFrame =
+    graft.Caches.persist(assign(delta, vecCol))
 
   /** Dedup `delta` against the indexed corpus AND itself: one row per
     * delta doc, `(idCol, keep_id)` — keep_id is the smallest id among
@@ -122,9 +137,18 @@ final class SemDedupIndex private (val spark: SparkSession,
     *   degenerate cell yields no candidates, on the same kept-cell set
     *   the full run would use. */
   def deltaDedup(delta: DataFrame, vecCol: String, tau: Double,
-                 maxCell: Int = Int.MaxValue): DataFrame = {
+                 maxCell: Int = Int.MaxValue): DataFrame =
+    deltaDedupAssigned(delta.select(col(idCol)),
+      graft.Caches.persist(assign(delta, vecCol)), tau, maxCell)
+
+  /** [[deltaDedup]] over an already-assigned (and persisted) frame —
+    * the probe half of the shared-assignment pattern (see
+    * [[assigned]]); `deltaIds` carries the delta's id column for the
+    * keeper join. */
+  private[graft] def deltaDedupAssigned(deltaIds: DataFrame,
+      deltaN: DataFrame, tau: Double, maxCell: Int = Int.MaxValue)
+      : DataFrame = {
     graft.functions.NativeFns.register(spark)
-    val deltaN = graft.Caches.persist(assign(delta, vecCol))
 
     // STATIC partition pruning: the delta's touched cells — a driver
     // collect bounded by the router's cell count (config, not data)
@@ -136,15 +160,25 @@ final class SemDedupIndex private (val spark: SparkSession,
 
     // combined cell size: corpus-side + delta-side population — the
     // cap must see the union or a cell kept here but dropped by the
-    // full run (or vice versa) would desync the two
+    // full run (or vice versa) would desync the two. Aggregate +
+    // semi-join, not count-over-window (guide §2.3 — see
+    // [[DedupIndex.deltaPairsSketched]]'s identical cap); maxCell =
+    // Int.MaxValue is the UNCAPPED convention (x67's loop, the q258/
+    // q259 mirrors): no cell count is computed at all — previously the
+    // uncapped path still shuffled+sorted every kept row through the
+    // window just to test `_csz <= ∞`.
     val corpusK = pruned.select(col("_cell"), col(idCol), lit(0).as("_side"))
     val deltaK = deltaN.select(col("_cell"), col(idCol), lit(1).as("_side"))
+    val base = corpusK.unionByName(deltaK)
     val kept = graft.Caches.persist(
-      corpusK.unionByName(deltaK)
-        .withColumn("_csz",
-          count(lit(1)).over(Window.partitionBy(col("_cell"))))
-        .where(col("_csz") <= maxCell)
-        .select(col("_cell"), col(idCol), col("_side")))
+      (if (maxCell == Int.MaxValue) base
+       else {
+         val okCells = base.groupBy(col("_cell"))
+           .agg(count(lit(1)).as("_csz"))
+           .where(col("_csz") <= maxCell)
+           .select(col("_cell"))
+         base.join(okCells, Seq("_cell"), "left_semi")
+       }).select(col("_cell"), col(idCol), col("_side")))
 
     // cell-local bare-key pairs, larger id must be a delta doc (only
     // delta keepers are emitted; corpus keepers were fixed at build)
@@ -167,7 +201,7 @@ final class SemDedupIndex private (val spark: SparkSession,
       .where(graft.functions.NativeFns.dot(col("_na"), col("_nb")) >= tau)
       .select(col("a"), col("b"))
 
-    Dedup.keeperFromPairs(delta.select(col(idCol)), idCol, pairs)
+    Dedup.keeperFromPairs(deltaIds.select(col(idCol)), idCol, pairs)
   }
 }
 
@@ -238,17 +272,29 @@ object SemDedupIndex {
     graft.sources.PartitionMaintenance.compact(spark, tables(dir),
       maxFilesPerPartition)
 
+  private val metaCache =
+    scala.collection.concurrent.TrieMap[(String, String),
+      (Meta, Option[KMeansModel])]()
+
   /** Load a saved index; the corpus scan stays lazy (and cell-pruned at
-    * probe time). */
+    * probe time). META + ROUTER are cached per (dir, generation) — the
+    * [[DedupIndex.load]] discipline: one Spark read per saved artifact
+    * generation instead of one per micro-batch; the corpus frame is
+    * re-created every load so appends stay visible. */
   def load(spark: SparkSession, dir: String, idCol: String): SemDedupIndex = {
-    val m = spark.read.json(s"$dir/meta").head()
-    val meta = Meta(m.getAs[String]("routerType"),
-      m.getAs[Long]("orthantBits").toInt, m.getAs[Long]("nlist").toInt,
-      m.getAs[Long]("seed"), m.getAs[Long]("cellIter").toInt)
-    val router =
-      if (meta.routerType == "kmeans")
-        Some(KMeansModel.load(s"$dir/router"))
-      else None
+    val (meta, router) = metaCache.getOrElseUpdate(
+      (s"$dir/meta", graft.sources.PartitionMaintenance
+        .dirGeneration(spark, s"$dir/meta")), {
+        val m = spark.read.json(s"$dir/meta").head()
+        val meta = Meta(m.getAs[String]("routerType"),
+          m.getAs[Long]("orthantBits").toInt, m.getAs[Long]("nlist").toInt,
+          m.getAs[Long]("seed"), m.getAs[Long]("cellIter").toInt)
+        val router =
+          if (meta.routerType == "kmeans")
+            Some(KMeansModel.load(s"$dir/router"))
+          else None
+        (meta, router)
+      })
     new SemDedupIndex(spark, spark.read.parquet(s"$dir/corpus"),
       idCol, meta, router)
   }

@@ -338,14 +338,22 @@ object ReplayStage {
     * fixed at first start; a bounded replay wants a handful, not the
     * session default — a production 24/7 stream would size the session
     * conf to the cluster and pass None) and the state-store provider
-    * applied (see [[ProviderConfKey]] above). */
+    * applied (see [[ProviderConfKey]] above).
+    *
+    * The `graft.statePartitions` system property overrides the
+    * caller's count for the WHOLE suite — the A/B knob for sizing the
+    * update-monitor family's state-partition count (a deployment sizes
+    * this to its cluster; the replays' Some(8) is a local default, and
+    * the override keeps the experiment a flag instead of a recompile).
+    * State partitioning never changes WHAT a monitor emits — the
+    * registered oracles pin that — only how its state shards. */
   def withStatePartitions[A](spark: SparkSession, statePartitions: Option[Int],
       providerClass: Option[String] = None)
       (body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevProvider = spark.conf.getOption(ProviderConfKey)
-    statePartitions.foreach(n =>
-      spark.conf.set("spark.sql.shuffle.partitions", n))
+    sys.props.get("graft.statePartitions").map(_.toInt).orElse(statePartitions)
+      .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
     providerClass.orElse(sys.props.get(ProviderProp))
       .foreach { p =>
         spark.conf.set(ProviderConfKey, p)

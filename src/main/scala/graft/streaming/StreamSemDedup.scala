@@ -79,10 +79,17 @@ object StreamSemDedup {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val idx = SemDedupIndex.load(spark, idxDir, "vec_id")
-          idx.deltaDedup(batch, "embedding", tau = tau)
+          // assign ONCE per batch: the probe and the fold below share
+          // the persisted normalize+route frame instead of each
+          // re-running it (the StreamDeltaDedup shared-sketch pattern
+          // for the embedding index — values deterministic, decisions
+          // unchanged)
+          val deltaN = idx.assigned(batch, "embedding")
+          idx.deltaDedupAssigned(batch.select(col("vec_id")), deltaN,
+              tau = tau)
             .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
           ReplayStage.foldOncePerBatch(idxDir, batchId) {
-            idx.appendTagged(batch, "embedding", idxDir, tag = s"b$batchId")
+            idx.appendTaggedAssigned(deltaN, idxDir, tag = s"b$batchId")
           }
           graft.Caches.release()
           ()
