@@ -48,6 +48,20 @@ object Bfs {
     val adj = edges.select(col("src").as("node"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
       .persist()
+    // Broadcast the frontier semi-join and the settled-set anti-join
+    // build sides when provably small (guide §3.1, the graph-family
+    // gate): the adjacency then streams from its cache each round
+    // instead of re-shuffling. Gated on the ADJACENCY count — every
+    // frame this loop builds (settled set, frontier, candidates) is a
+    // subset of adj's node ids plus the seeds, so adj ≤ the bound
+    // implies they all broadcast; a web-scale adj fails the gate and
+    // the shuffle plan stands. The count is one upfront job that fills
+    // the cache every round reads anyway. Join strategy only.
+    val bcastMax = spark.conf.getOption("graft.graph.broadcastScoresMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val bc: DataFrame => DataFrame =
+      if (adj.count() <= bcastMax) (df: DataFrame) => broadcast(df)
+      else identity[DataFrame]
     val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var (d, dHandle) = matFlat(
       seeds.select(col("node")).distinct()
@@ -57,9 +71,10 @@ object Bfs {
     while (k <= rounds) {
       val frontier = d.where(col("dist") === (k - 1)).select(col("node"))
       val cand = adj
-        .join(frontier.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
+        .join(bc(frontier.select(col("node").as("nbr"))), Seq("nbr"),
+          "left_semi")
         .select(col("node")).distinct()
-      val fresh = cand.join(d.select(col("node")), Seq("node"), "left_anti")
+      val fresh = cand.join(bc(d.select(col("node"))), Seq("node"), "left_anti")
         .select(col("node"), lit(k.toLong).as("dist"))
       val (next, nextHandle) = matFlat(d.unionByName(fresh))
       handles += nextHandle

@@ -51,6 +51,22 @@ object Hits {
 
     val spark = nodes.sparkSession
 
+    // Broadcast the NODE-SIZED side of every per-half-round join when
+    // the node set is provably small (guide §3.1: the big edge table
+    // then never shuffles inside the loop — previously each half-round
+    // sort-merge-joined edges against a ≤|V|-row score frame, paying an
+    // edge-table exchange+sort 2·iterations times). SCALE-GATED, not
+    // unconditional: a web-scale graph's score frame cannot broadcast,
+    // so past `graft.graph.broadcastScoresMaxRows` (default 4M rows ≈
+    // 160 MB framed — well under the 8 GB broadcast cap) the original
+    // shuffle plan stands. The count is one cheap driver action on the
+    // persisted node frame; join strategy only, identical rows.
+    val bcastMax = spark.conf.getOption("graft.graph.broadcastScoresMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val bc: DataFrame => DataFrame =
+      if (nd.count() <= bcastMax) (df: DataFrame) => broadcast(df)
+      else identity[DataFrame]
+
     // Lineage-truncate WITHOUT an eager count (the round-14 lazy
     // variant of Bpe.train's matFlat): the LogicalRDD rebuild hands
     // back a CONSTANT-DEPTH plan over the persisted RDD, and the cache
@@ -85,10 +101,12 @@ object Hits {
           s"lower `scale` (degree bound ~${Long.MaxValue / scale / scale})")
       // the nodes join looks skippable (absent ≡ 0, nothing re-injects
       // mass mid-loop) but measured SLOWER without it (17.2 s vs
-      // 10.8 s at sf0.1): the join's shuffle is what hands each round's
-      // cached score frame balanced partitions — keep it
+      // 10.8 s at sf0.1): the join is what hands each round's cached
+      // score frame balanced partitions — keep it. Under the broadcast
+      // gate the stream side is the persisted node frame itself, whose
+      // scan partitions are balanced by construction.
       matFlat(nd.select(col("node"))
-        .join(raw, Seq("node"), "left")
+        .join(bc(raw), Seq("node"), "left")
         .select(col("node"),
           coalesce(expr(s"(raw * ${scale}L) div ${mx}L"), lit(0L)).as("s")))
     }
@@ -99,11 +117,11 @@ object Hits {
     var i = 0
     while (i < iterations) {
       val (aNext, aNextP) = normalized(
-        ed.join(h, ed("src") === h("node"))
+        ed.join(bc(h), ed("src") === h("node"))
           .groupBy(col("dst")).agg(sum(col("s")).as("raw"))
           .withColumnRenamed("dst", "node"))
       val (hNext, hNextP) = normalized(
-        ed.join(aNext.withColumnRenamed("s", "_a"),
+        ed.join(bc(aNext.withColumnRenamed("s", "_a")),
             ed("dst") === aNext("node"))
           .groupBy(col("src")).agg(sum(col("_a")).as("raw"))
           .withColumnRenamed("src", "node"))
@@ -113,7 +131,7 @@ object Hits {
       i += 1
     }
     val out = h.select(col("node"), col("s").as("hub"))
-      .join(a.select(col("node"), col("s").as("auth")), Seq("node"))
+      .join(bc(a.select(col("node"), col("s").as("auth"))), Seq("node"))
     val pinned = graft.Caches.persist(out)
     pinned.count() // fills the final h score cache (via its still-
     // pending raw) and the result — only now is everything releasable

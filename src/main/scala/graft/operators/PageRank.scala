@@ -60,6 +60,19 @@ object PageRank {
       .persist()
     val e = ed.join(outdeg, Seq("src")).persist()
     e.count() // materialize once; reused every iteration
+    // Broadcast the NODE-SIZED side of both per-round joins when the
+    // node set is provably small (guide §3.1, the Hits/LabelProp gate,
+    // same config key): the weighted edge table then never shuffles
+    // inside the loop. Scale-gated on n (already counted above): past
+    // `graft.graph.broadcastScoresMaxRows` (default 4M rows) a
+    // web-scale rank frame cannot broadcast and the shuffle plan
+    // stands. Join strategy only — identical rows.
+    val bcastMax = nodes.sparkSession.conf
+      .getOption("graft.graph.broadcastScoresMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val bc: DataFrame => DataFrame =
+      if (n <= bcastMax) (df: DataFrame) => broadcast(df)
+      else identity[DataFrame]
     // the dangling node SET is static across rounds — only its rank
     // sum changes — so compute it once
     val dangling =
@@ -82,12 +95,12 @@ object PageRank {
           dm / n * 85 / 100
         case None => 0L
       }
-      val contrib = e.join(r, e("src") === r("node"))
+      val contrib = e.join(bc(r), e("src") === r("node"))
         .select(col("dst").as("node"),
           expr("((rank div outdeg) * 85) div 100").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
       val next = nd.select(col("node"))
-        .join(contrib, Seq("node"), "left")
+        .join(bc(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport + share) + coalesce(col("contrib"), lit(0L))).as("rank"))
       r = dangling match {
@@ -190,6 +203,14 @@ object PageRank {
       .persist()
     val e = ed.join(outdeg, Seq("src")).persist()
     e.count()
+    // the [[ranks]] broadcast gate (nd is node-sized; counting the
+    // persisted frame is the same one cheap action ranks pays)
+    val bcastMax = nodes.sparkSession.conf
+      .getOption("graft.graph.broadcastScoresMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val bc: DataFrame => DataFrame =
+      if (nd.count() <= bcastMax) (df: DataFrame) => broadcast(df)
+      else identity[DataFrame]
     // (node, isSeed) once — reused as the teleport mask every round
     val mask = nd.select(col("node"))
       .join(broadcast(sd.select(col("node"), lit(true).as("_seed"))),
@@ -205,12 +226,12 @@ object PageRank {
       // count; the one final action executes the whole chain as ONE job
       // (round-14: was one count job per round). `mask` and `e` are the
       // multiply-referenced frames and stay persisted above.
-      val contrib = e.join(r, e("src") === r("node"))
+      val contrib = e.join(bc(r), e("src") === r("node"))
         .select(col("dst").as("node"),
           expr("((rank div outdeg) * 85) div 100").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
       r = mask
-        .join(contrib, Seq("node"), "left")
+        .join(bc(contrib), Seq("node"), "left")
         .select(col("node"),
           (when(col("_seed"), lit(tp)).otherwise(lit(0L))
             + coalesce(col("contrib"), lit(0L))).as("rank"))
