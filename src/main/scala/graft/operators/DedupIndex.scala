@@ -203,15 +203,16 @@ final class DedupIndex private (val spark: SparkSession,
     // combined bucket size per band key = corpus-side + delta-side
     // count; the cap must see the union or a hot key kept here but
     // dropped by the full run (or vice versa) would desync the two.
-    // The cap runs as AGGREGATE + SEMI-JOIN, not count-over-window
-    // (guide §2.3 "aggregate before you shuffle"): the window form
-    // shuffled AND SORTED the whole candidate stream by (_band, _bkey)
-    // just to attach a per-key count; the pre-aggregated key counts are
-    // tiny (≤ distinct band keys) and broadcast back. Same kept-row
-    // set — a row survives iff its key's combined count ≤ maxBucket.
-    // maxBucket = Int.MaxValue is the documented UNCAPPED convention
-    // (the streamed mirrors x57/x60/x66 and their q255/q256 oracles):
-    // no key count is computed at all.
+    // The UNCAPPED convention (maxBucket = Int.MaxValue — what the
+    // streamed mirrors x57/x60/x66 run) computes NO key count at all:
+    // the window it used to flow through shuffled AND SORTED the whole
+    // candidate stream just to test `_bsz <= ∞`. The CAPPED path keeps
+    // the count-over-window: the round-20 A/B tried the guide-§2.3
+    // aggregate+semi-join rewrite both unpersisted (re-runs the pruned
+    // scan subtree twice; q255 5.5 → 6.3 s) and with the union
+    // persisted (q255 5.5 → 6.5 s — the cache fill + second exchange
+    // cost more than the window's sort at this scale); the window won
+    // both times (ab_r20_ingest_*, ab_q255_*). One pass, one exchange.
     val corpusK = prunedBands.select(col("_band"), col("_bkt"),
       col("_bkey"), col(idCol), lit(0).as("_side"))
     val deltaK = deltaBands.select(col("_band"), col("_bkt"),
@@ -219,13 +220,11 @@ final class DedupIndex private (val spark: SparkSession,
     val unioned0 = corpusK.unionByName(deltaK)
     val unioned =
       if (maxBucket == Int.MaxValue) unioned0
-      else {
-        val okKeys = unioned0.groupBy(col("_band"), col("_bkey"))
-          .agg(count(lit(1)).as("_bsz"))
-          .where(col("_bsz") <= maxBucket)
-          .select(col("_band"), col("_bkey"))
-        unioned0.join(okKeys, Seq("_band", "_bkey"), "left_semi")
-      }
+      else unioned0
+        .withColumn("_bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_band"), col("_bkey"))))
+        .where(col("_bsz") <= maxBucket)
     val keptP = graft.Caches.persist(
       unioned.select(col("_band"), col("_bkey"), col(idCol), col("_side")))
 

@@ -160,25 +160,26 @@ final class SemDedupIndex private (val spark: SparkSession,
 
     // combined cell size: corpus-side + delta-side population — the
     // cap must see the union or a cell kept here but dropped by the
-    // full run (or vice versa) would desync the two. Aggregate +
-    // semi-join, not count-over-window (guide §2.3 — see
-    // [[DedupIndex.deltaPairsSketched]]'s identical cap); maxCell =
+    // full run (or vice versa) would desync the two. maxCell =
     // Int.MaxValue is the UNCAPPED convention (x67's loop, the q258/
     // q259 mirrors): no cell count is computed at all — previously the
     // uncapped path still shuffled+sorted every kept row through the
-    // window just to test `_csz <= ∞`.
+    // window just to test `_csz <= ∞`. The capped path keeps the
+    // window: [[DedupIndex.deltaPairsSketched]]'s A/B measured the
+    // aggregate+semi-join rewrite slower both with and without
+    // persisting the union (the second pass / cache fill costs more
+    // than the window's sort at probe-delta scale).
     val corpusK = pruned.select(col("_cell"), col(idCol), lit(0).as("_side"))
     val deltaK = deltaN.select(col("_cell"), col(idCol), lit(1).as("_side"))
     val base = corpusK.unionByName(deltaK)
     val kept = graft.Caches.persist(
       (if (maxCell == Int.MaxValue) base
-       else {
-         val okCells = base.groupBy(col("_cell"))
-           .agg(count(lit(1)).as("_csz"))
-           .where(col("_csz") <= maxCell)
-           .select(col("_cell"))
-         base.join(okCells, Seq("_cell"), "left_semi")
-       }).select(col("_cell"), col(idCol), col("_side")))
+       else base
+         .withColumn("_csz", count(lit(1)).over(
+           org.apache.spark.sql.expressions.Window
+             .partitionBy(col("_cell"))))
+         .where(col("_csz") <= maxCell))
+        .select(col("_cell"), col(idCol), col("_side")))
 
     // cell-local bare-key pairs, larger id must be a delta doc (only
     // delta keepers are emitted; corpus keepers were fixed at build)
